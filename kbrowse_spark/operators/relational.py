@@ -1,0 +1,796 @@
+"""Relational parity core (SURVEY.md §2c): joins, aggregation, windows,
+sorts, set ops, scalar functions, as-of / range joins.
+
+The reference engine (kbrowse) has none of these — its whole query
+surface is a Kafka scan+regex filter (SURVEY §2a; verified absence at
+`/root/reference/src/kbrowse/cli.clj:21-53`).  This module is the
+declared extension surface, built purely on Catalyst-optimizable
+DataFrame ops: no UDFs, no collect, no driver-side loops.
+
+Scale notes (100 TB posture):
+* Dimension sides of joins are broadcast (`F.broadcast`) when
+  fixed-size (region/nation) — no shuffle for the dim side.
+* Fact-fact joins are plain equi-joins: Catalyst picks sort-merge and
+  AQE re-plans to broadcast / splits skewed partitions at runtime.
+* Aggregates use hash aggregation with map-side partial aggregation —
+  decimal sums keep that available (associative + exact).
+* The as-of join is the union+window formulation: one shuffle on the
+  key, no row explosion, no per-key iteration — the standard way to
+  make as-of scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kbrowse_spark.catalog import register
+from kbrowse_spark.functions.determinism import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from kbrowse_spark.sources.tables import load
+
+_DEC = "decimal(25,6)"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "agg",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregate with exact decimal sums."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_distinct_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_orderkey
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "agg",
+)
+def agg_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (expand+two-phase hash agg in Spark)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_event_stats",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           {sql_dsum('value')} AS sum_value,
+           {sql_davg('value')} AS avg_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "agg",
+)
+def agg_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "rollup_returnflag",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "agg",
+)
+def rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with grouping_id disambiguation."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "cube_event_user_bucket",
+    f"""
+    SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_bucket,
+           GROUPING(event_type, CAST(user_id % 4 AS BIGINT)) AS gid,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, CAST(user_id % 4 AS BIGINT))
+    ORDER BY gid, event_type NULLS FIRST, user_bucket NULLS FIRST
+    """,
+    "agg",
+)
+def cube_event_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("long")
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .select("event_type", "user_bucket", "gid", "n", "sum_value")
+        .orderBy(
+            "gid",
+            F.col("event_type").asc_nulls_first(),
+            F.col("user_bucket").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "pivot_event_type",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "agg",
+)
+def pivot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra pass to infer values —
+    required for a 100 TB input; inference would scan the data twice)."""
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "error", "signup", "purchase"]
+    piv = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    out = piv.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+    return out.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "join",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join+agg+topk."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    "join",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join; fixed-size dims broadcast explicitly."""
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "join_semi_open_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+    "join",
+)
+def join_semi_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS)."""
+    cust = load(spark, sf_dir, "customer")
+    open_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_no_orders",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' AND o_custkey IS NOT NULL)
+    ORDER BY c_custkey
+    """,
+    "join",
+)
+def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers inactive since 2000."""
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_full_outer_activity",
+    """
+    WITH ord AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey),
+         ev  AS (SELECT user_id  AS k, COUNT(*) AS n_events FROM events GROUP BY user_id)
+    SELECT COALESCE(ord.k, ev.k) AS entity_key,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events
+    FROM ord FULL OUTER JOIN ev ON ord.k = ev.k
+    ORDER BY entity_key
+    """,
+    "join",
+)
+def join_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates over disjoint-ish key domains."""
+    ord_counts = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ev_counts = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        ord_counts.join(ev_counts, "k", "full_outer")
+        .select(
+            F.col("k").alias("entity_key"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("entity_key")
+    )
+
+
+@register(
+    "join_range_event_pairs",
+    """
+    SELECT a.user_id,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT a.event_id) AS n_lead_events
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts < a.ts + INTERVAL 6 HOUR
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+    "join",
+)
+def join_range_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) self-join: per user, pairs of events within a 6-hour
+    window.  The equi key (user_id) makes this a hash/sort-merge join
+    with the time band as a residual filter — no cartesian blow-up, and
+    the per-key fan-out is bounded by the band width, which is what
+    keeps it viable at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") < F.col("a.ts") + F.expr("INTERVAL 6 HOUR"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy("a.user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("a.event_id").alias("n_lead_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "asof_join_event_order",
+    """
+    WITH ord AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           o.o_orderkey AS last_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS last_orderdate
+    FROM events e ASOF LEFT JOIN ord o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+    "join",
+)
+def asof_join_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each event -> most recent prior order of that user).
+
+    Scalable union+window formulation: tag both sides, union, then
+    ``last(..., ignorenulls)`` over a window ordered by time within the
+    key. One shuffle on the key, no row explosion — this is the plan
+    that survives 100 TB, unlike a correlated or exploded join.
+    """
+    ev = load(spark, sf_dir, "events")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    ev_side = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    ord_side = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    # Orders sort before events at identical ts (is_event asc) so an
+    # event at exactly o_orderdate matches that order (>= semantics).
+    w = (
+        W.partitionBy("k")
+        .orderBy("ts", "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = ev_side.unionByName(ord_side).select(
+        "*",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("last_orderdate_ts"),
+    )
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            F.col("last_orderkey"),
+            F.date_format("last_orderdate_ts", "yyyy-MM-dd").alias("last_orderdate"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS order_seq
+    FROM orders
+    ORDER BY o_custkey, order_seq
+    """,
+    "window",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate + row_number over a tie-broken window order."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            .alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    "window",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group = row_number filter (no global sort; Spark pushes
+    a per-partition top-k via WindowGroupLimit)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_lag_lead_sessions",
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+           LEAD(event_type) OVER w AS next_type,
+           RANK() OVER (PARTITION BY user_id ORDER BY event_type, event_id) AS type_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    "window",
+)
+def window_lag_lead_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = W.partitionBy("user_id").orderBy("event_type", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias(
+                "gap_us"
+            ),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.rank().over(w2).alias("type_rank"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops / scalar functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "sort_limit_top_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    "sort",
+)
+def sort_limit_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark runs TakeOrderedAndProject (per-partition
+    top-k + driver merge) — no full sort materialization."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@register(
+    "setops_customer_activity",
+    """
+    SELECT 'both' AS op, k FROM (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        INTERSECT
+        SELECT DISTINCT user_id AS k FROM events)
+    UNION ALL
+    SELECT 'events_only' AS op, k FROM (
+        SELECT DISTINCT user_id AS k FROM events
+        EXCEPT
+        SELECT DISTINCT o_custkey AS k FROM orders)
+    ORDER BY op, k
+    """,
+    "setop",
+)
+def setops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one result."""
+    ordered_keys = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    event_keys = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k")
+    ).distinct()
+    both = ordered_keys.intersect(event_keys).select(F.lit("both").alias("op"), "k")
+    ev_only = event_keys.exceptAll(ordered_keys).select(
+        F.lit("events_only").alias("op"), "k"
+    )
+    return both.unionAll(ev_only).orderBy("op", "k")
+
+
+@register(
+    "scalar_string_date_math",
+    """
+    SELECT p_partkey,
+           UPPER(SUBSTRING(p_name, 1, 8)) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           CAST(ROUND(p_retailprice * 1.1, 2) AS DOUBLE) AS marked_up,
+           CAST(ABS(p_size - 25) AS INT) AS size_dev,
+           CONCAT(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size
+    FROM part
+    WHERE p_size BETWEEN 5 AND 45 AND p_name LIKE '%a%'
+    ORDER BY p_partkey
+    """,
+    "scalar",
+)
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface: string / regex / math, all JVM-side."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size").between(5, 45) & F.col("p_name").like("%a%"))
+        .select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+            F.abs(F.col("p_size") - 25).cast("int").alias("size_dev"),
+            F.concat_ws(":", "p_brand", F.col("p_size").cast("string")).alias(
+                "brand_size"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "scalar_datetime_orders",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS BIGINT)
+             AS days_to_y2k
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    ORDER BY o_orderkey
+    """,
+    "scalar",
+)
+def scalar_datetime_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "order_month"
+            ),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+            F.datediff(
+                F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")
+            )
+            .cast("long")
+            .alias("days_to_y2k"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "scalar",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (kbrowse parses payload JSON — SURVEY O14;
+    here the schema-on-read equivalent over a JSON string column)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("approx_distinct_parts", None, "agg", "approx")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct — algorithm-specific, so no SQL
+    oracle (rows-only check); exactness is covered by
+    agg_distinct_priority."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
