@@ -1,1 +1,278 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over the embedding column (array<float>).
+
+* ``knn_bruteforce_cosine`` — exact top-k for one query vector: the
+  correctness baseline.  Broadcast the query, scan the corpus once.
+* ``ann_lsh_projection``    — random-hyperplane (sign) LSH: 8-bit
+  signatures, multi-probe candidate set (Hamming<=1), exact re-rank.
+* ``embedding_neardup_lsh`` — near-duplicate pairs by cosine, blocked
+  by LSH signature bands instead of an all-pairs join.
+
+Dot products are accumulated in decimal (exact, order-independent) so
+Spark and the DuckDB oracle produce bit-identical doubles — see
+functions/determinism.py for the rationale.
+
+The hyperplane directions are Rademacher (+-1) vectors derived from
+md5 in *driver-side Python* and embedded as literals into both the
+Spark plan and the oracle SQL: no per-row hashing cost at execution
+time, and at 100 TB the signature computation stays a narrow
+map-only stage (64 multiply-adds per plane per row, JVM codegen).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kbrowse_spark.catalog import register
+from kbrowse_spark.sources.tables import load
+
+DIM = 64
+N_PLANES = 8
+TOP_K = 10
+
+
+def _plane_signs(p: int, dim: int = DIM) -> list[int]:
+    """Deterministic Rademacher hyperplane p: +-1 per dimension."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{p}-{j}".encode()).hexdigest()
+        out.append(1 if int(h[0], 16) & 1 else -1)
+    return out
+
+
+_PLANES = [_plane_signs(p) for p in range(N_PLANES)]
+
+
+# --- shared expression builders (Spark expr string / DuckDB SQL) -----------
+
+def _spark_dot(a: str, b: str) -> str:
+    """Fixed-point dot product of two array<float> cols at 1e-15
+    resolution, as DOUBLE.
+
+    Each product is floored to an integer number of 1e-15 units and
+    summed as BIGINT — exact and order-independent — then converted
+    int->double (IEEE-exact in every engine).  A decimal accumulator
+    almost works, but DuckDB's DECIMAL->DOUBLE cast is occasionally a
+    ulp off Spark's correctly-rounded one; integers avoid the cast
+    entirely.
+    """
+    return (
+        f"CAST(CAST(aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e15)"
+        " AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, p) -> acc + p) AS DOUBLE) / 1e15 AS DOUBLE)"
+    )
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(CAST(CAST(list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e15)"
+        " AS BIGINT))) AS BIGINT) AS DOUBLE) / 1e15 AS DOUBLE)"
+    )
+
+
+def _spark_plane_lit(p: int) -> str:
+    return "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in _PLANES[p]) + ")"
+
+
+def _sql_plane_lit(p: int) -> str:
+    return "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in _PLANES[p]) + "]"
+
+
+def _spark_signature(col: str) -> str:
+    bits = [
+        f"(CASE WHEN {_spark_dot(col, _spark_plane_lit(p))} > 0"
+        f" THEN {1 << (N_PLANES - 1 - p)} ELSE 0 END)"
+        for p in range(N_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sql_signature(col: str) -> str:
+    bits = [
+        f"(CASE WHEN {_sql_dot(col, _sql_plane_lit(p))} > 0"
+        f" THEN {1 << (N_PLANES - 1 - p)} ELSE 0 END)"
+        for p in range(N_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "knn_bruteforce_cosine",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_sql_dot('e.embedding', 'q.qe')}
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('q.qe', 'q.qe')})) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0)
+    SELECT vec_id, label, cosine
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+    "knn",
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors of vec_id=0: broadcast the query
+    row, one narrow scan over the corpus, TakeOrderedAndProject top-k
+    (no global sort materialization)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.expr(_spark_dot("embedding", "qe"))
+                / (
+                    F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
+                    * F.sqrt(F.expr(_spark_dot("qe", "qe")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), "vec_id").limit(TOP_K)
+
+
+@register(
+    "ann_lsh_projection",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, label, embedding,
+             {_sql_signature('embedding')} AS signature
+      FROM embeddings),
+    q AS (SELECT embedding AS qe, signature AS qsig FROM sig WHERE vec_id = 0),
+    cand AS (
+      SELECT s.vec_id, s.label, s.embedding, q.qe, s.signature, q.qsig
+      FROM sig s CROSS JOIN q
+      WHERE s.vec_id <> 0
+        AND bit_count(xor(s.signature, q.qsig)) <= 1)
+    SELECT vec_id, label,
+           CAST(bit_count(xor(signature, qsig)) AS INT) AS sig_hamming,
+           {_sql_dot('embedding', 'qe')}
+             / (sqrt({_sql_dot('embedding', 'embedding')})
+                * sqrt({_sql_dot('qe', 'qe')})) AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+    """,
+    "knn",
+)
+def ann_lsh_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: 8-bit random-hyperplane signature, multi-probe
+    candidate set (signature Hamming<=1), exact cosine re-rank of the
+    candidates only.  At scale the signature is a precomputed/bucketed
+    column: the probe touches ~(n/256)*9 rows instead of n."""
+    emb = load(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "label", "embedding", F.expr(_spark_signature("embedding")).alias("signature")
+    )
+    q = F.broadcast(
+        sig.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe"), F.col("signature").alias("qsig")
+        )
+    )
+    cand = (
+        sig.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .filter(F.expr("bit_count(signature ^ qsig) <= 1"))
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.expr("bit_count(signature ^ qsig)").cast("int").alias("sig_hamming"),
+            (
+                F.expr(_spark_dot("embedding", "qe"))
+                / (
+                    F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
+                    * F.sqrt(F.expr(_spark_dot("qe", "qe")))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "embedding_neardup_lsh",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {_sql_signature('embedding')} AS signature
+      FROM embeddings),
+    banded AS (
+      SELECT vec_id, embedding, signature, band,
+             CASE WHEN band = 0 THEN signature >> 4 ELSE signature & 15 END AS band_val
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           {_sql_dot('ea', 'eb')}
+             / (sqrt({_sql_dot('ea', 'ea')}) * sqrt({_sql_dot('eb', 'eb')})) AS cosine
+    FROM cand
+    WHERE {_sql_dot('ea', 'eb')}
+             / (sqrt({_sql_dot('ea', 'ea')}) * sqrt({_sql_dot('eb', 'eb')})) >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+    "knn",
+    "dedup",
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: candidates
+    are pairs sharing a 4-bit signature band (2 bands), then exact
+    cosine >= 0.35.  Trades recall for never running the O(n^2) join —
+    the only formulation that survives a billion-row corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding", F.expr(_spark_signature("embedding")).alias("signature")
+    )
+    banded = sig.select(
+        "vec_id",
+        "embedding",
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.when(F.col("band") == 0, F.expr("signature >> 4")).otherwise(
+            F.expr("signature & 15")
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .distinct()
+    )
+    cosine = F.expr(_spark_dot("ea", "eb")) / (
+        F.sqrt(F.expr(_spark_dot("ea", "ea"))) * F.sqrt(F.expr(_spark_dot("eb", "eb")))
+    )
+    return (
+        cand.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    )
