@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are materialized through the noop sink (full execution, no
+driver-side row transfer) so the numbers measure engine throughput,
+not collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kbrowse_spark.catalog import all_queries  # noqa: E402
+from kbrowse_spark.session import get_spark  # noqa: E402
+
+# Representative, scale-stressing subset of the catalog: one per
+# operator family (agg, star join, topk, as-of, window, LSH dedup,
+# simhash, knn, text, streaming, kbrowse scan).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "window_topk_per_group",
+    "asof_join_event_order",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_bruteforce_cosine",
+    "text_quality_score",
+    "stream_tumbling_counts",
+    "kbrowse_regex_scan",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("kbrowse_bench")
+    qs = all_queries()
+
+    # Warm the session (JVM/codegen/file-listing) outside the timings.
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,117 @@
+"""QuerySpec: the engine's query IR, with kbrowse CLI parity.
+
+The reference's entire query language is the flat options map built by
+`src/kbrowse/cli.clj:21-53`, validated at `cli.clj:55-67`.  This module
+is the analyzer: parse -> typed spec -> semantic validation.  The plan
+builder (plans/planner.py) turns a valid spec into a DataFrame.
+
+Validation parity (cli.clj:58-66):
+* ``default_partition`` requires ``key_regex``
+* ``default_partition`` is incompatible with explicit ``partitions``
+* ``start_timestamp`` is incompatible with ``relative_offset``
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class QuerySpecError(ValueError):
+    """Invalid query options (maps to HTTP 400 / CLI usage error — Q8)."""
+
+
+@dataclass
+class QuerySpec:
+    # source: either a Kafka cluster or a parquet fixture path
+    bootstrap_servers: str | None = None
+    source_parquet: str | None = None
+
+    topics: list[str] = field(default_factory=list)
+    partitions: list[int] | None = None
+    default_partition: bool = False
+
+    key_regex: str | None = None
+    value_regex: str | None = None
+
+    key_deserializer: str = "string"  # string | msgpack | avro
+    value_deserializer: str = "string"
+
+    relative_offset: int | None = None
+    start_timestamp: str | None = None
+    stop_timestamp: str | None = None
+
+    follow: bool = False
+    print_offset: int | None = None
+    stop_after_seconds: int = 86400  # reference kill switch default
+
+    def validate(self) -> "QuerySpec":
+        if self.default_partition and not self.key_regex:
+            raise QuerySpecError("--default-partition requires --key-regex")
+        if self.default_partition and self.partitions:
+            raise QuerySpecError(
+                "--default-partition is incompatible with --partitions"
+            )
+        if self.start_timestamp is not None and self.relative_offset is not None:
+            raise QuerySpecError(
+                "--start-timestamp is incompatible with --relative-offset"
+            )
+        if not self.topics and not self.source_parquet:
+            raise QuerySpecError("at least one topic (or --source-parquet) required")
+        for d in (self.key_deserializer, self.value_deserializer):
+            if d not in ("string", "msgpack", "avro"):
+                raise QuerySpecError(f"unknown deserializer {d!r}")
+        if self.print_offset is not None and self.print_offset <= 0:
+            raise QuerySpecError("--print-offset must be positive")
+        return self
+
+    @classmethod
+    def from_options(cls, opts: dict) -> "QuerySpec":
+        """Build from a flat string-keyed options map (HTTP query args /
+        CLI long opts with dashes or underscores)."""
+        norm = {k.replace("-", "_"): v for k, v in opts.items()}
+
+        def as_bool(v):
+            return str(v).lower() in ("1", "true", "yes", "on", "")
+
+        def as_int(v, name):
+            try:
+                return int(v)
+            except (TypeError, ValueError):
+                raise QuerySpecError(f"--{name} must be an integer, got {v!r}")
+
+        spec = cls()
+        if "bootstrap_servers" in norm:
+            spec.bootstrap_servers = norm["bootstrap_servers"]
+        if "source_parquet" in norm:
+            spec.source_parquet = norm["source_parquet"]
+        if "topics" in norm:
+            spec.topics = [t for t in str(norm["topics"]).split(",") if t]
+        if "partitions" in norm and norm["partitions"] not in (None, ""):
+            spec.partitions = [
+                as_int(p, "partitions") for p in str(norm["partitions"]).split(",")
+            ]
+        if "default_partition" in norm:
+            spec.default_partition = as_bool(norm["default_partition"])
+        if "key_regex" in norm:
+            spec.key_regex = norm["key_regex"]
+        if "value_regex" in norm:
+            spec.value_regex = norm["value_regex"]
+        if "key_deserializer" in norm:
+            spec.key_deserializer = norm["key_deserializer"]
+        if "value_deserializer" in norm:
+            spec.value_deserializer = norm["value_deserializer"]
+        if "relative_offset" in norm and norm["relative_offset"] not in (None, ""):
+            spec.relative_offset = as_int(norm["relative_offset"], "relative-offset")
+        if "start_timestamp" in norm:
+            spec.start_timestamp = norm["start_timestamp"]
+        if "stop_timestamp" in norm:
+            spec.stop_timestamp = norm["stop_timestamp"]
+        if "follow" in norm:
+            spec.follow = as_bool(norm["follow"])
+        if "print_offset" in norm and norm["print_offset"] not in (None, ""):
+            spec.print_offset = as_int(norm["print_offset"], "print-offset")
+        if "stop_after_seconds" in norm:
+            spec.stop_after_seconds = as_int(
+                norm["stop_after_seconds"], "stop-after-seconds"
+            )
+        return spec.validate()

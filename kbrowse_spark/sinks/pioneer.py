@@ -1,0 +1,68 @@
+"""Pioneer-protocol sink: the reference's streaming JSON-array wire
+format (SURVEY O17), preserved byte-for-byte so any kbrowse client can
+consume this engine's output.
+
+Protocol (`src/kbrowse/search.clj:25-32,159-160,201`):
+``[`` then ``{"type": "pioneer"}`` then ``, <row>`` per row then ``]``.
+Result rows carry epoch-millis timestamps and best-effort JSON-parsed
+key/value (O14/O15); progress rows carry a rendered date string (Q5).
+
+Rows are streamed through ``toLocalIterator`` — one partition's results
+in memory at a time, never a full collect; the HTTP layer flushes per
+chunk exactly like the reference's piped output stream.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+from kbrowse_spark.functions.decoders import try_parse_json
+
+PIONEER = {"type": "pioneer"}
+
+
+def render_row(row) -> dict:
+    """Envelope row -> wire dict (type-discriminated rendering)."""
+    ts = row["timestamp"]
+    if row["type"] == "result":
+        # epoch millis (search.clj:37)
+        ts_out = int(ts.timestamp() * 1000) if ts is not None else None
+        return {
+            "type": "result",
+            "timestamp": ts_out,
+            "partition": row["partition"],
+            "offset": row["offset"],
+            "topic": row["topic"],
+            "key": try_parse_json(row["key_str"]),
+            "value": try_parse_json(row["value_str"]),
+        }
+    # progress rows: Date-rendered timestamp, raw strings (Q5, search.clj:83-93)
+    return {
+        "type": "offset",
+        "timestamp": ts.strftime("%Y-%m-%d %H:%M:%S") if ts is not None else None,
+        "partition": row["partition"],
+        "offset": row["offset"],
+        "topic": row["topic"],
+        "key": row["key_str"],
+        "value": row["value_str"],
+    }
+
+
+def emit_json_array(df: DataFrame, pretty: bool = True) -> Iterator[str]:
+    """Yield protocol chunks: '[', pioneer, ', '+row ..., ']'."""
+
+    def dump(obj) -> str:
+        return json.dumps(obj, indent=2 if pretty else None, ensure_ascii=False)
+
+    yield "["
+    yield dump(PIONEER)
+    for row in df.toLocalIterator():
+        yield ", " + dump(render_row(row))
+    yield "]"
+
+
+def collect_protocol(df: DataFrame, pretty: bool = False) -> str:
+    return "".join(emit_json_array(df, pretty=pretty))
