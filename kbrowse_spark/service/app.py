@@ -1,0 +1,149 @@
+"""HTTP API (kbrowse `src/kbrowse/core.clj:145-162` parity).
+
+Routes:
+* ``GET /search``            — streaming pioneer-protocol JSON array
+  (chunked transfer; the scan runs while the client reads — the Spark
+  analogue of the reference's piped-input-stream at core.clj:98-105)
+* ``GET /cached``            — read-through response cache
+* ``GET /default-partition`` — murmur2 partition for a key
+* ``GET /server-configs``    — configured cluster aliases
+* ``GET /health``            — liveness
+
+Error contract (Q8): bad args -> 400 with ``{"error": msg}``.
+
+The response cache reproduces the reference semantics
+(core.clj:41-54,80-84): TTL + max-items, entries above the size cap
+are marked uncacheable while streaming (the char-0 skip marker becomes
+an explicit flag here).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+from kbrowse_spark.config import EngineConfig
+from kbrowse_spark.plans.query_spec import QuerySpec, QuerySpecError
+
+
+class ResponseCache:
+    """TTL + max-items + per-item size cap (reference core.clj:41-54)."""
+
+    def __init__(self, max_items: int = 100, ttl_seconds: int = 3600,
+                 item_size_limit: int = 4 * 1024 * 1024):
+        self.max_items = max_items
+        self.ttl = ttl_seconds
+        self.size_limit = item_size_limit
+        self._store: dict[str, tuple[float, str]] = {}
+        self._lock = threading.Lock()
+
+    def get(self, key: str) -> str | None:
+        with self._lock:
+            hit = self._store.get(key)
+            if hit is None:
+                return None
+            ts, text = hit
+            if time.monotonic() - ts > self.ttl:
+                del self._store[key]
+                return None
+            return text
+
+    def put(self, key: str, text: str) -> None:
+        if len(text) > self.size_limit:
+            return  # size-cap skip (the reference's char-0 marker)
+        with self._lock:
+            if len(self._store) >= self.max_items:
+                oldest = min(self._store, key=lambda k: self._store[k][0])
+                del self._store[oldest]
+            self._store[key] = (time.monotonic(), text)
+
+
+def create_app(spark=None, config: EngineConfig | None = None):
+    from flask import Flask, Response, request
+
+    app = Flask("kbrowse_spark")
+    cfg = config or EngineConfig.load()
+    cache = ResponseCache(
+        max_items=cfg.cache_max_items,
+        ttl_seconds=cfg.cache_ttl_minutes * 60,
+        item_size_limit=cfg.cache_item_size_limit,
+    )
+
+    def get_session():
+        nonlocal spark
+        if spark is None:
+            from kbrowse_spark.session import get_spark
+
+            spark = get_spark("kbrowse_service")
+        return spark
+
+    @app.get("/health")
+    def health():
+        return {"status": "ok"}
+
+    @app.get("/server-configs")
+    def server_configs():
+        return {
+            "clusters": cfg.clusters,
+            "default-bootstrap-servers": cfg.default_bootstrap_servers,
+        }
+
+    @app.get("/default-partition")
+    def default_partition_route():
+        from kbrowse_spark.functions.partitioner import default_partition
+
+        key = request.args.get("key")
+        n = request.args.get("num-partitions", request.args.get("num_partitions"))
+        if not key or not n:
+            return {"error": "key and num-partitions required"}, 400
+        try:
+            return Response(
+                str(default_partition(key, int(n))), mimetype="text/plain"
+            )
+        except (ValueError, TypeError) as e:
+            return {"error": str(e)}, 400
+
+    @app.get("/cached")
+    def cached():
+        key = request.query_string.decode()
+        hit = cache.get(key)
+        if hit is None:
+            return {"error": "not cached"}, 404
+        return Response(hit, mimetype="application/json")
+
+    @app.get("/search")
+    def search():
+        args = {k: v for k, v in request.args.items()}
+        cache_key = request.query_string.decode()
+        hit = cache.get(cache_key)
+        if hit is not None:
+            return Response(hit, mimetype="application/json")
+        try:
+            spec = QuerySpec.from_options(args)
+        except QuerySpecError as e:
+            return {"error": str(e)}, 400  # Q8
+
+        from kbrowse_spark.plans.planner import build_scan
+        from kbrowse_spark.sinks.pioneer import emit_json_array
+
+        df = build_scan(get_session(), spec)
+
+        def generate():
+            buf: list[str] = []
+            for chunk in emit_json_array(df, pretty=False):
+                buf.append(chunk)
+                yield chunk  # chunked transfer: client reads while we scan
+            cache.put(cache_key, "".join(buf))
+
+        return Response(generate(), mimetype="application/json")
+
+    return app
+
+
+def main() -> None:  # pragma: no cover - manual entry
+    create_app().run(host="127.0.0.1", port=4000, threaded=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""HTTP service tests via the Flask test client (kbrowse O22/Q8)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from kbrowse_spark.service.app import ResponseCache, create_app
+from kbrowse_spark.sources.fixture import golden_topic_a
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("svc") / "topic_a.parquet")
+    golden_topic_a(spark).write.parquet(path)
+    app = create_app(spark=spark)
+    app.config["TESTING"] = True
+    c = app.test_client()
+    c.fixture_path = path
+    return c
+
+
+def test_health(client):
+    r = client.get("/health")
+    assert r.status_code == 200 and r.get_json() == {"status": "ok"}
+
+
+def test_default_partition_golden(client):
+    r = client.get("/default-partition?key=k2&num-partitions=10")
+    assert r.status_code == 200
+    assert r.get_data(as_text=True) == "3"
+
+
+def test_default_partition_missing_args(client):
+    r = client.get("/default-partition")
+    assert r.status_code == 400
+    assert "error" in r.get_json()
+
+
+def test_search_streaming_protocol(client):
+    r = client.get(
+        f"/search?source-parquet={client.fixture_path}&topics=topic-a&key-regex=k0"
+    )
+    assert r.status_code == 200
+    rows = json.loads(r.get_data(as_text=True))
+    assert rows[0] == {"type": "pioneer"}
+    assert [x["value"] for x in rows[1:]] == ["v0", "v1"]
+
+
+def test_search_bad_args_400(client):
+    # Q8: error contract — 400 + {"error": ...}
+    r = client.get(
+        f"/search?source-parquet={client.fixture_path}&topics=topic-a"
+        "&default-partition=true"
+    )
+    assert r.status_code == 400
+    assert "error" in r.get_json()
+
+
+def test_search_cached_roundtrip(client):
+    qs = f"source-parquet={client.fixture_path}&topics=topic-a&key-regex=k2"
+    missed = client.get(f"/cached?{qs}")
+    assert missed.status_code in (200, 404)
+    first = client.get(f"/search?{qs}").get_data(as_text=True)
+    hit = client.get(f"/cached?{qs}")
+    assert hit.status_code == 200
+    assert hit.get_data(as_text=True) == first
+
+
+def test_cache_semantics():
+    c = ResponseCache(max_items=2, ttl_seconds=1000, item_size_limit=10)
+    c.put("a", "x" * 5)
+    assert c.get("a") == "xxxxx"
+    c.put("big", "x" * 11)  # over the size cap -> skipped
+    assert c.get("big") is None
+    c.put("b", "1")
+    c.put("c", "2")  # evicts oldest (a)
+    assert c.get("a") is None and c.get("c") == "2"
+
+
+def test_server_configs(client):
+    r = client.get("/server-configs")
+    assert r.status_code == 200
+    assert "clusters" in r.get_json()
