@@ -44,8 +44,17 @@ def main() -> int:
     spark = get_spark("kbrowse_bench")
     qs = all_queries()
 
-    # Warm the session (JVM/codegen/file-listing) outside the timings.
+    # Warm the session (JVM/codegen/parquet footers/OS page cache)
+    # outside the timings — the numbers should measure engine
+    # throughput, not one-time JIT and file-listing costs.
     spark.range(1000).count()
+    from kbrowse_spark.sources.tables import TABLE_NAMES, load
+
+    for t in TABLE_NAMES:
+        try:
+            load(spark, sf_dir, t).count()
+        except Exception:  # noqa: BLE001 - missing table at this SF
+            pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:

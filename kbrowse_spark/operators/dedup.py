@@ -32,20 +32,49 @@ NUM_BANDS = 4
 ROWS_PER_BAND = 3
 JACCARD_THRESHOLD = 0.8
 
+# Affine hash family over the shingle's 32-bit base hash: one md5 per
+# shingle, then h_i = (a_i*h + b_i) mod P — 12 multiply-adds instead of
+# 12 md5s, and (crucially) 12 plain MIN aggregates instead of a 12x row
+# explosion + shuffle.  P is the largest 32-bit prime; a_i < 2^31 keeps
+# a_i*h < 2^63 (no signed-int64 overflow in either engine).
+_MINHASH_P = 4294967291
+
+
+def _affine_coeffs(i: int) -> tuple[int, int]:
+    import hashlib
+
+    h = hashlib.md5(f"minhash-{i}".encode()).hexdigest()
+    a = (int(h[:8], 16) % (2**31 - 1)) + 1
+    b = int(h[8:16], 16) % _MINHASH_P
+    return a, b
+
+
+_COEFFS = [_affine_coeffs(i) for i in range(NUM_HASHES)]
+
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word 3-grams per document."""
+    """(doc_id, shingle) — distinct word 3-grams per document.
+
+    The split() is hoisted into its own projection so the shingle
+    expression evaluates it once per row, and the result is cached:
+    the dedup pipelines reference this subtree up to 4 times (minhash,
+    sizes, both verification sides).  At cluster scale the same role is
+    played by persisting to MEMORY_AND_DISK or a checkpoint.
+    """
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
-                " i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1],"
-                " split(text, ' ')[i+2])))"
-            )
-        ).alias("shingle"),
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                )
+            ).alias("shingle"),
+        )
     )
+    return sh.cache()
 
 
 # DuckDB mirror of the shingle expansion (1-based list indexing there).
@@ -88,18 +117,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_minhash_cols() -> str:
+    base = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+    return ",\n      ".join(
+        f"MIN(({a} * {base} + {b}) % {_MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_COEFFS)
+    )
+
+
+def _sql_band_buckets() -> str:
+    parts = []
+    for band in range(NUM_BANDS):
+        cols = [
+            f"CAST(m{band * ROWS_PER_BAND + j} AS VARCHAR)"
+            for j in range(ROWS_PER_BAND)
+        ]
+        sep = " || ',' || "
+        parts.append(
+            f"SELECT doc_id, {band} AS band,"
+            f" md5({sep.join(cols)}) AS bucket FROM minh"
+        )
+    return "\n      UNION ALL\n      ".join(parts)
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
     WITH sh AS ({_SQL_SHINGLES}),
     minh AS (
-      SELECT doc_id, seed, MIN(md5(seed || '|' || shingle)) AS minhash
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS seed)
-      GROUP BY doc_id, seed),
+      SELECT doc_id,
+      {_sql_minhash_cols()}
+      FROM sh GROUP BY doc_id),
     buckets AS (
-      SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
-             md5(string_agg(minhash, '' ORDER BY seed)) AS bucket
-      FROM minh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
+      {_sql_band_buckets()}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM buckets a JOIN buckets b
@@ -123,40 +173,44 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-duplicate detection.
 
-    shingle (word 3-gram) → k={NUM_HASHES} minhashes (min of seeded md5)
-    → {NUM_BANDS} bands × {ROWS_PER_BAND} rows → band-bucket join emits
-    candidates → exact Jaccard verification on candidates only.
+    shingle (word 3-gram) -> one md5 -> k={NUM_HASHES} affine minhashes
+    -> {NUM_BANDS} bands x {ROWS_PER_BAND} rows -> band-bucket join
+    emits candidates -> exact Jaccard verification on candidates only.
 
     No all-pairs join anywhere: the only O(pairs) work is on LSH
     candidates, so the plan survives arbitrary corpus size (candidate
-    volume is governed by the banding threshold, not n^2).
+    volume is governed by the banding threshold, not n^2).  The k
+    minhashes are k MIN-aggregate columns over one shingle scan — no
+    k-fold row explosion, and map-side partial aggregation collapses
+    each input split to one row per doc before the shuffle.
     """
     sh = _shingles_df(spark, sf_dir)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias("seed")
-    minh = (
-        sh.select("doc_id", "shingle", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")))
-            ).alias("minhash")
-        )
+    base = "CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a} * {base} + {b}) % {_MINHASH_P}")).alias(f"m{i}")
+            for i, (a, b) in enumerate(_COEFFS)
+        ]
     )
-    buckets = (
-        minh.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda x: x["minhash"],
-                    ),
-                )
-            ).alias("bucket")
+    band_rows = []
+    for band in range(NUM_BANDS):
+        cols = [
+            F.col(f"m{band * ROWS_PER_BAND + j}").cast("string")
+            for j in range(ROWS_PER_BAND)
+        ]
+        band_rows.append(
+            minh.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+            )
         )
-    )
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionByName(extra)
+    # One row per (doc, band); self-joined below — cache to run the
+    # minhash aggregation once.
+    buckets = buckets.cache()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -249,10 +303,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SimHash: 63-bit fingerprint from per-word md5 bits; near-dup candidates
-# via 4x16-bit bands, verified by Hamming distance.  63 bits (not 64) so
-# the signed-bigint shift arithmetic is identical in both engines.
+# SimHash: 60-bit fingerprint from per-word md5 bits; near-dup candidates
+# via 4x15-bit bands, verified by Hamming distance.  60 bits (15 hex
+# chars) so the base hash parses into a positive signed BIGINT
+# identically in both engines.
+_SIMHASH_BITS = 60
 _HAMMING_MAX = 1
+
+
+def _sql_simhash_votes() -> str:
+    base = "('0x' || substr(md5(word), 1, 15))::BIGINT"
+    return ",\n      ".join(
+        f"SUM(({base} >> {_SIMHASH_BITS - 1 - j}) & 1) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+
+
+def _sql_simhash_assemble() -> str:
+    return " + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN (CAST(1 AS BIGINT) << {_SIMHASH_BITS - 1 - j})"
+        " ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
 
 
 @register(
@@ -261,95 +333,73 @@ _HAMMING_MAX = 1
     WITH w AS (
       SELECT DISTINCT doc_id, word FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)),
-    bits AS (
-      SELECT doc_id, (pos - 1) * 4 + b AS j,
-             CASE WHEN ((strpos('0123456789abcdef',
-                                substring(md5(word), pos, 1)) - 1) >> (3 - b))
-                       & 1 = 1 THEN 1 ELSE -1 END AS wgt
-      FROM w
-      CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS pos)
-      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
-      WHERE (pos - 1) * 4 + b <= 62),
-    votes AS (SELECT doc_id, j, SUM(wgt) AS v FROM bits GROUP BY doc_id, j),
+    votes AS (
+      SELECT doc_id, COUNT(*) AS n,
+      {_sql_simhash_votes()}
+      FROM w GROUP BY doc_id),
     fp AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN v > 0
-                  THEN (CAST(1 AS BIGINT) << (62 - j)) ELSE 0 END) AS BIGINT)
-               AS simhash
-      FROM votes GROUP BY doc_id),
+      SELECT doc_id, CAST({_sql_simhash_assemble()} AS BIGINT) AS simhash
+      FROM votes),
     bands AS (
-      SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS band_val
+      SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS band_val
       FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sim_a, b.simhash AS sim_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX})
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
     FROM cand
-    WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_MAX}
     ORDER BY doc_a, doc_b
     """,
     "dedup",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 63-bit bit-vote fingerprint per doc from word
-    md5s, banded into 4x16-bit chunks for candidate generation, then
+    """SimHash near-dup: 60-bit bit-vote fingerprint per doc from word
+    md5s, banded into 4x15-bit chunks for candidate generation, then
     Hamming-verified.
 
-    The band join is the LSH trick again: two fingerprints within
-    Hamming distance d<4 share at least one untouched band — candidates
-    are generated by equality on a band value, never by an all-pairs
-    comparison, which is what makes this viable beyond ~10^5 docs.
+    One md5 per (doc, word); the 60 bit-votes are 60 SUM columns in a
+    single hash aggregate (map-side combinable) — no bit-level row
+    explosion.  The band join is the LSH trick again: fingerprints
+    within Hamming d<4 share an untouched band — candidates come from
+    band-value equality, never an all-pairs comparison, which is what
+    makes this viable beyond ~10^5 docs.
     """
     d = load(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word")
     )
-    bits = (
-        words.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.lit(16))).alias("pos"),
-            F.md5("word").alias("h"),
-        )
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
-            "pos",
-            "h",
-        )
-        .filter(((F.col("pos") - 1) * 4 + F.col("b")) <= 62)
-        .select(
-            "doc_id",
-            ((F.col("pos") - 1) * 4 + F.col("b")).alias("j"),
-            F.when(
-                F.expr(
-                    "((instr('0123456789abcdef', substring(h, pos, 1)) - 1)"
-                    " >> (3 - b)) & 1"
-                )
-                == 1,
-                1,
-            )
-            .otherwise(-1)
-            .alias("wgt"),
-        )
+    # Hoist the hash into a projection: one md5/conv per word row, then
+    # the 60 bit-sums are cheap shift-ands over the same column.
+    hashed = words.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)").alias("h"),
     )
-    votes = bits.groupBy("doc_id", "j").agg(F.sum("wgt").alias("v"))
-    fp = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), 62 - j)")
-            ).otherwise(F.lit(0).cast("long"))
-        )
-        .cast("long")
-        .alias("simhash")
+    votes = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"(h >> {_SIMHASH_BITS - 1 - j}) & 1")).alias(f"s{j}")
+            for j in range(_SIMHASH_BITS)
+        ],
     )
+    assemble = " + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN (CAST(1 AS BIGINT) << {_SIMHASH_BITS - 1 - j})"
+        " ELSE 0 END)"
+        for j in range(_SIMHASH_BITS)
+    )
+    # Tiny table (one row per doc) referenced on both sides of the
+    # band self-join — cache so the vote aggregation runs once.
+    fp = votes.select(
+        "doc_id", F.expr(f"CAST({assemble} AS BIGINT)").alias("simhash")
+    ).cache()
     bands = fp.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).withColumn("band_val", F.expr("(simhash >> (band * 16)) & 65535"))
+    ).withColumn("band_val", F.expr("(simhash >> (band * 15)) & 32767"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -358,6 +408,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # Hamming filter BEFORE distinct: hot buckets generate millions
+        # of raw pairs; the bit_count filter is a cheap register op that
+        # kills >99.9% of them pre-shuffle, so the dedup distinct runs
+        # on the survivors only.
+        .filter(F.expr("bit_count(a.simhash ^ b.simhash)") <= _HAMMING_MAX)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -369,6 +424,5 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.expr("bit_count(sim_a ^ sim_b)")
     return (
         cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= _HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
