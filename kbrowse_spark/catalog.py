@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational,
         streaming_queries,
         text_analysis,
+        udf_surface,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,187 @@
+"""UDF surface (SURVEY §2c): pandas UDAF (GROUPED_AGG), Python UDTF,
+applyInPandas grouped-map, and array-function breadth.
+
+Every Python function here is defined inside its builder (pickled by
+value) so external drivers work without this package on executors'
+paths.  Python-side arithmetic sticks to integers/ranks — exact and
+order-independent — so the DuckDB oracle matches bit-for-bit; float
+reductions in numpy (pairwise summation) would not.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kbrowse_spark.catalog import register
+from kbrowse_spark.sources.tables import load
+
+
+@register(
+    "udaf_sum_squares",
+    """
+    SELECT event_type,
+           CAST(SUM(k * k) AS BIGINT) AS sum_k_sq,
+           COUNT(*) AS n
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "udf",
+)
+def udaf_sum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (GROUPED_AGG): integer sum of squares per group —
+    Arrow-batched, exact (int64), combinable with other aggregates in
+    the same groupBy."""
+    # GROUPED_AGG type-hint form: Series -> scalar.  The float carries
+    # an exact integer (k^2 sums stay far below 2^53), cast back to
+    # long for the declared schema.
+    @F.pandas_udf("double")
+    def sum_squares(s: pd.Series) -> float:
+        return float((s.astype("int64") ** 2).sum())
+
+    # GROUPED_AGG pandas UDFs can't mix with JVM aggregates in one agg,
+    # so the row count is a pandas aggregate too.
+    @F.pandas_udf("double")
+    def n_rows(s: pd.Series) -> float:
+        return float(len(s))
+
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            sum_squares(F.col("k")).cast("long").alias("sum_k_sq"),
+            n_rows(F.col("k")).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "udtf_tokenize",
+    """
+    SELECT doc_id, CAST(pos AS INT) AS pos, token
+    FROM (
+      SELECT doc_id, unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 20)
+    ORDER BY doc_id, pos
+    """,
+    "udf",
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one row per token with position,
+    lateral-joined per document — the UDTF form of a tokenizer."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split(" "), start=1):
+                    yield i, tok
+
+    spark.udtf.register("kb_tokenize", Tokenize)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("kb_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token
+        FROM kb_udtf_docs, LATERAL kb_tokenize(text) t
+        ORDER BY doc_id, pos
+        """
+    )
+
+
+@register(
+    "applyinpandas_rank",
+    """
+    SELECT event_id, event_type,
+           RANK() OVER (PARTITION BY event_type ORDER BY value) AS value_rank
+    FROM events
+    ORDER BY event_type, value_rank, event_id
+    """,
+    "udf",
+)
+def applyinpandas_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-group rank computed in pandas
+    (method='min' == SQL RANK) — the grouped-map pattern for per-key
+    Python transforms that don't fit an aggregate."""
+
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["value_rank"] = pdf["value"].rank(method="min").astype("int64")
+        return pdf[["event_id", "event_type", "value_rank"]]
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = ev.groupBy("event_type").applyInPandas(
+        rank_group, schema="event_id long, event_type string, value_rank long"
+    )
+    return out.orderBy("event_type", "value_rank", "event_id")
+
+
+@register(
+    "array_functions_embeddings",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_elem,
+           list_max(embedding) AS max_elem,
+           list_min(embedding) AS min_elem,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           list_sort(embedding)[1] AS sorted_first,
+           list_contains(embedding, list_max(embedding)) AS has_max
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+    "scalar",
+)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over array<float>: size/element_at/
+    min/max/filter/sort/contains — all JVM-side higher-order funcs."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.array_max("embedding").alias("max_elem"),
+        F.array_min("embedding").alias("min_elem"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.element_at(F.array_sort("embedding"), 1).alias("sorted_first"),
+        F.array_contains("embedding", F.array_max("embedding")).alias("has_max"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "agg",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) via Spark SQL."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("kb_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n
+        FROM kb_gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )

@@ -38,15 +38,23 @@ def anchored(regex: str) -> str:
     return r"\A(?:" + regex + r")\z"
 
 
-def _decode(df: DataFrame, col: str, deserializer: str) -> DataFrame:
+def _decode(
+    df: DataFrame, col: str, deserializer: str, avro_schema: str | None = None
+) -> DataFrame:
     out = f"{col}_str"
     if deserializer == "string":
         return df.withColumn(out, string_decode(F.col(col)))
     if deserializer == "msgpack":
         return df.withColumn(out, msgpack_str_udf()(F.col(col)))
     if deserializer == "avro":
-        # from_avro needs the writer schema (registry lookup in the
-        # service layer); the offline engine surfaces the raw body.
+        if avro_schema:
+            # Pure-Python Avro decode (spark-avro jar unavailable
+            # offline; on a cluster swap in from_avro + header strip —
+            # see functions/avro.py).
+            from kbrowse_spark.functions.avro import avro_str_udf
+
+            return df.withColumn(out, avro_str_udf(avro_schema)(F.col(col)))
+        # No schema known: surface the raw body after the wire header.
         from kbrowse_spark.functions.decoders import confluent_avro_payload
 
         return df.withColumn(out, string_decode(confluent_avro_payload(col)))
@@ -193,8 +201,8 @@ def build_scan(spark: SparkSession, spec: QuerySpec) -> DataFrame:
             F.col("timestamp") <= F.lit(spec.stop_timestamp).cast("timestamp")
         )
 
-    env = _decode(env, "key", spec.key_deserializer)
-    env = _decode(env, "value", spec.value_deserializer)
+    env = _decode(env, "key", spec.key_deserializer, spec.avro_key_schema)
+    env = _decode(env, "value", spec.value_deserializer, spec.avro_value_schema)
 
     base_cols = [
         "topic",

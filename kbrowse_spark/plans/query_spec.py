@@ -35,6 +35,11 @@ class QuerySpec:
 
     key_deserializer: str = "string"  # string | msgpack | avro
     value_deserializer: str = "string"
+    # Writer schemas for the avro path (JSON strings). In a deployment
+    # with a schema registry these come from the registry client at
+    # plan time (kbrowse search.clj:132-133); offline they're supplied.
+    avro_key_schema: str | None = None
+    avro_value_schema: str | None = None
 
     relative_offset: int | None = None
     start_timestamp: str | None = None

@@ -65,8 +65,8 @@ def _stream_envelope(spark: SparkSession, spec: QuerySpec) -> DataFrame:
 
 def build_follow_stream(spark: SparkSession, spec: QuerySpec) -> DataFrame:
     env = _stream_envelope(spark, spec)
-    env = _decode(env, "key", spec.key_deserializer)
-    env = _decode(env, "value", spec.value_deserializer)
+    env = _decode(env, "key", spec.key_deserializer, spec.avro_key_schema)
+    env = _decode(env, "value", spec.value_deserializer, spec.avro_value_schema)
     matched = env
     if spec.key_regex is not None:
         matched = matched.filter(F.col("key_str").rlike(anchored(spec.key_regex)))

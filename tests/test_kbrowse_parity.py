@@ -260,3 +260,71 @@ def test_option_math_pure():
     assert ending_offsets_json({"a": [0]}) == "latest"
     opts = kafka_batch_options("h:9092", asg, "earliest")
     assert json.loads(opts["assign"]) == {"a": [0, 1, 2], "b": [0, 1]}
+
+
+# --- avro decoding (O11, Confluent wire format A6) -----------------------
+
+def _zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_ev(id_val: int, tag: str) -> bytes:
+    # record Ev {id: long, tag: string} in Confluent wire format, id=1
+    body = _zigzag(id_val) + _zigzag(len(tag)) + tag.encode()
+    return b"\x00" + (1).to_bytes(4, "big") + body
+
+
+AVRO_SCHEMA = (
+    '{"type":"record","name":"Ev","fields":'
+    '[{"name":"id","type":"long"},{"name":"tag","type":"string"}]}'
+)
+
+
+def test_avro_decode_pure():
+    from kbrowse_spark.functions.avro import avro_decode, strip_confluent_header
+
+    sid, body = strip_confluent_header(_avro_ev(42, "hello"))
+    assert sid == 1
+    assert avro_decode(AVRO_SCHEMA, body) == {"id": 42, "tag": "hello"}
+    # negative long zigzag + union + array round-trip
+    assert avro_decode('"long"', _zigzag(-7)) == -7
+    assert avro_decode('["null", "long"]', _zigzag(1) + _zigzag(9)) == 9
+    arr_schema = '{"type":"array","items":"long"}'
+    payload = _zigzag(2) + _zigzag(3) + _zigzag(4) + _zigzag(0)
+    assert avro_decode(arr_schema, payload) == [3, 4]
+
+
+def test_avro_pipeline_regex(spark, tmp_path):
+    import datetime
+
+    from kbrowse_spark.sources.fixture import ENVELOPE_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (b"a1", _avro_ev(1, "alpha"), "av", 0, 0, ts, 0),
+            (b"a2", _avro_ev(2, "beta"), "av", 0, 1, ts, 0),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    path = str(tmp_path / "avro.parquet")
+    df.write.parquet(path)
+    spec = QuerySpec(
+        source_parquet=path,
+        topics=["av"],
+        value_deserializer="avro",
+        avro_value_schema=AVRO_SCHEMA,
+        value_regex='.*"tag": "alpha".*',
+    ).validate()
+    rows = json.loads(collect_protocol(build_scan(spark, spec)))
+    assert len(rows) == 2
+    assert rows[1]["value"] == {"id": 1, "tag": "alpha"}
