@@ -780,6 +780,61 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_left_outer_recent",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_recent
+    FROM customer LEFT JOIN (
+        SELECT * FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') o
+      ON c_custkey = o.o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+    "join",
+)
+def join_left_outer_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving unmatched customers (n_recent=0 via
+    COUNT of the nullable join column)."""
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_recent"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_right_outer_recent",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_recent
+    FROM (SELECT * FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') o
+         RIGHT JOIN customer ON c_custkey = o.o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+    "join",
+)
+def join_right_outer_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join — the mirrored formulation of the left-outer
+    query; Catalyst normalizes both to the same plan shape."""
+    cust = load(spark, sf_dir, "customer")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        recent.join(cust, cust.c_custkey == recent.o_custkey, "right_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_recent"))
+        .orderBy("c_custkey")
+    )
+
+
 @register("approx_distinct_parts", None, "agg", "approx")
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct — algorithm-specific, so no SQL

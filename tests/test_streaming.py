@@ -1,0 +1,107 @@
+"""Streaming semantics tests: watermark late-data dropping (multi-batch),
+follow-mode protocol, topic-metadata cache."""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def _ts(h: int, m: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Multi-batch stream (maxFilesPerTrigger=1): the watermark
+    advances past the hour-0 window, then a late row for that window
+    arrives and must be dropped.
+
+    Note Spark >=3.4 filters late events with the *previous* batch's
+    watermark (watermarkForLateEvents lags watermarkForEviction by one
+    batch), so the late row arrives two batches after the window
+    closed."""
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: hours 0..2 (watermark after batch: 02:00 - 30min = 01:30)
+    b1 = [(1, _ts(0, 10), 1.0), (1, _ts(1, 10), 1.0), (1, _ts(2, 0), 1.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b1.parquet")
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    # batch 2: advances the eviction watermark; late-filter watermark
+    # becomes 01:30 for the next batch
+    b2 = [(1, _ts(2, 30), 1.0)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/b2.parquet")
+    time.sleep(1.1)
+    # batch 3: one late row (00:20 — window closed) + one fresh (03:00)
+    b3 = [(1, _ts(0, 20), 100.0), (1, _ts(3, 0), 1.0)]
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(f"{src}/b3.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.col("window.start").alias("start"), "total")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["start"].hour: r["total"] for r in spark.table("wm_test").collect()}
+    # Hour-0 window was finalized by the batch-1 watermark: the late
+    # 100.0 row must NOT appear in it.
+    assert rows.get(0) == 1.0
+    # Windows still open at end-of-stream are not emitted in append mode.
+    assert 3 not in rows
+
+
+def test_follow_mode_protocol(spark, tmp_path):
+    from kbrowse_spark.plans.query_spec import QuerySpec
+    from kbrowse_spark.sources.fixture import golden_topic_a
+    from kbrowse_spark.streaming.follow import run_follow
+
+    path = str(tmp_path / "topic_a.parquet")
+    golden_topic_a(spark).write.parquet(path)
+    spec = QuerySpec(
+        source_parquet=path, topics=["topic-a"], key_regex="k.*", follow=True
+    ).validate()
+    buf = io.StringIO()
+    run_follow(spark, spec, buf, bounded=True)
+    rows = json.loads(buf.getvalue())
+    assert rows[0] == {"type": "pioneer"}
+    assert len(rows) == 4
+    assert [r["value"] for r in rows[1:]] == ["v0", "v1", "v2"]
+
+
+def test_topics_cache_refresh_and_resilience():
+    from kbrowse_spark.service.topics_cache import TopicMetadataCache
+
+    calls = {"n": 0}
+
+    def lister(cluster: str) -> set[str]:
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise ConnectionError("broker down")
+        return {f"topic-{calls['n']}", "common"}
+
+    c = TopicMetadataCache(["c1"], refresh_seconds=3600, lister=lister)
+    c.refresh()
+    assert c.topics("c1") == {"topic-1", "common"}
+    c.refresh()  # lister raises -> stale snapshot kept
+    assert c.topics("c1") == {"topic-1", "common"}
+    c.refresh()
+    assert c.topics("c1") == {"topic-3", "common"}
+    assert c.topics("unknown") == set()
