@@ -206,6 +206,93 @@ def ann_lsh_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_label",
+    f"""
+    WITH ce AS (
+      SELECT label, pos,
+             CAST(CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+                  / 1e6 / COUNT(*) AS DOUBLE) AS c
+      FROM (SELECT label, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos),
+    centroids AS (SELECT label, list(c ORDER BY pos) AS cvec FROM ce GROUP BY label),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cd AS (
+      SELECT c.label,
+             {_sql_dot('c.cvec', 'q.qe')}
+               / (sqrt({_sql_dot('c.cvec', 'c.cvec')}) * sqrt({_sql_dot('q.qe', 'q.qe')}))
+               AS csim
+      FROM centroids c CROSS JOIN q),
+    probe AS (SELECT label FROM cd ORDER BY csim DESC, label LIMIT 2),
+    cand AS (
+      SELECT e.vec_id, e.label, e.embedding, q.qe
+      FROM embeddings e JOIN probe p ON e.label = p.label CROSS JOIN q
+      WHERE e.vec_id <> 0)
+    SELECT vec_id, label,
+           {_sql_dot('embedding', 'qe')}
+             / (sqrt({_sql_dot('embedding', 'embedding')}) * sqrt({_sql_dot('qe', 'qe')}))
+             AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+    """,
+    "knn",
+)
+def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization by the ``label`` column
+    (playing the role of a k-means cell id), fixed-point centroid
+    means, probe the nprobe=2 nearest cells, exact re-rank inside them.
+
+    At scale the inverted lists are partition-pruned (cell id as a
+    partition column): the probe reads ~nprobe/k of the corpus instead
+    of all of it.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    per_dim = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "e")
+    ).groupBy("label", "pos").agg(
+        (
+            F.sum(F.expr("CAST(floor(CAST(e AS DOUBLE) * 1e6) AS BIGINT)")).cast(
+                "double"
+            )
+            / F.lit(1e6)
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("c")
+    )
+    centroids = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("cvec")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    )
+    csim = F.expr(_spark_dot("cvec", "qe")) / (
+        F.sqrt(F.expr(_spark_dot("cvec", "cvec"))) * F.sqrt(F.expr(_spark_dot("qe", "qe")))
+    )
+    probe = F.broadcast(
+        centroids.crossJoin(q)
+        .select("label", csim.alias("csim"))
+        .orderBy(F.col("csim").desc(), "label")
+        .limit(2)
+        .select("label")
+    )
+    cand = emb.join(probe, "label").filter(F.col("vec_id") != 0).crossJoin(q)
+    cosine = F.expr(_spark_dot("embedding", "qe")) / (
+        F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
+        * F.sqrt(F.expr(_spark_dot("qe", "qe")))
+    )
+    return (
+        cand.select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
     "embedding_neardup_lsh",
     f"""
     WITH sig AS (

@@ -835,6 +835,112 @@ def join_right_outer_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_theta_price_band",
+    """
+    SELECT s.s_suppkey, COUNT(*) AS n_parts_in_band,
+           MIN(p.p_partkey) AS min_partkey
+    FROM supplier s JOIN part p
+      ON p.p_retailprice > s.s_acctbal / 4
+     AND p.p_retailprice < s.s_acctbal / 4 + 50
+    GROUP BY s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    "join",
+)
+def join_theta_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join (no equi key): parts whose price falls in a band
+    derived from each supplier's balance.  Catalyst executes this as a
+    broadcast nested-loop join — correct here because one side is a
+    broadcastable dimension; at scale a theta join must be banded into
+    an equi-join on a bucketed key (see join_range_event_pairs)."""
+    sup = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    cond = (F.col("p_retailprice") > F.col("s_acctbal") / 4) & (
+        F.col("p_retailprice") < F.col("s_acctbal") / 4 + 50
+    )
+    return (
+        F.broadcast(sup)
+        .join(part, cond)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_in_band"),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "window_range_30d_spend",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY date_diff('day', DATE '1990-01-01',
+                                         CAST(o_orderdate AS DATE))
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS spend_30d
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    "window",
+)
+def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: rolling 30-day spend per customer.  The
+    frame is a value range over a day number (timezone-free date
+    arithmetic, identical in both engines), not a row count."""
+    o = load(spark, sf_dir, "orders")
+    day_no = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+    )
+    w = W.partitionBy("o_custkey").orderBy(day_no).rangeBetween(-30, 0)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias(
+                "spend_30d"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "map_functions_props",
+    """
+    SELECT event_id,
+           map_keys[1] AS first_key,
+           CAST(map_vals[1] AS BIGINT) AS first_val,
+           len(map_keys) AS n_keys
+    FROM (
+      SELECT event_id,
+             json_keys(props) AS map_keys,
+             list_transform(json_keys(props),
+                            k -> json_extract_string(props, '$.' || k)) AS map_vals
+      FROM events WHERE event_id < 1000)
+    ORDER BY event_id
+    """,
+    "scalar",
+)
+def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the JSON props into
+    map<string,long>, then map_keys/map_values/size."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.element_at(F.map_keys("m"), 1).alias("first_key"),
+            F.element_at(F.map_values("m"), 1).alias("first_val"),
+            F.size(F.map_keys("m")).alias("n_keys"),
+        )
+        .orderBy("event_id")
+    )
+
+
 @register("approx_distinct_parts", None, "agg", "approx")
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct — algorithm-specific, so no SQL

@@ -196,6 +196,50 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# GPT-2-style pretokenizer classes, simplified to the RE2/Java-common
+# subset (no lookahead): contractions, space-prefixed words/numbers,
+# punctuation runs, whitespace runs.
+_BPE_PATTERN = "'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+| +"
+# single quotes doubled for embedding in a SQL string literal
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "text_bpe_tokens",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+           len(regexp_extract_all(text, ' ?[0-9]+')) AS n_number_tokens,
+           len(regexp_extract_all(text, ' ?[^a-z0-9 '']+')) AS n_punct_tokens,
+           len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
+             AS n_distinct_bpe
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "text",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pretokenizer regex
+    (contractions / space-prefixed words / numbers / punctuation runs)
+    evaluated JVM-side — the scale path for corpus token accounting."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_bpe_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(" ?[0-9]+"), 0)).alias(
+                "n_number_tokens"
+            ),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(" ?[^a-z0-9 ']+"), 0)
+            ).alias("n_punct_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "text_fingerprint",
     """

@@ -124,6 +124,40 @@ def create_app(spark=None, config: EngineConfig | None = None):
         except QuerySpecError as e:
             return {"error": str(e)}, 400  # Q8
 
+        if spec.follow:
+            # Follow mode over HTTP: the streaming query writes protocol
+            # chunks into a queue drained by the chunked response (the
+            # Spark analogue of the reference's piped-input-stream).
+            import queue
+
+            from kbrowse_spark.streaming.follow import run_follow
+
+            chunks: queue.Queue = queue.Queue(maxsize=1000)
+
+            class _QueueWriter:
+                def write(self, s: str) -> None:
+                    chunks.put(s)
+
+                def flush(self) -> None:
+                    pass
+
+            def run() -> None:
+                try:
+                    run_follow(get_session(), spec, _QueueWriter(), bounded=True)
+                finally:
+                    chunks.put(None)
+
+            threading.Thread(target=run, daemon=True).start()
+
+            def generate_follow():
+                while True:
+                    chunk = chunks.get()
+                    if chunk is None:
+                        return
+                    yield chunk
+
+            return Response(generate_follow(), mimetype="application/json")
+
         from kbrowse_spark.plans.planner import build_scan
         from kbrowse_spark.sinks.pioneer import emit_json_array
 
