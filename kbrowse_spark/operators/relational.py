@@ -941,6 +941,47 @@ def map_functions_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scalar_math_trim",
+    """
+    SELECT p_partkey,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+           CAST(abs(p_size - 25) AS INT) AS size_dev,
+           CAST(sign(p_size - 25) AS INT) AS size_sign,
+           CAST(p_size % 7 AS INT) AS size_mod7,
+           trim('  ' || p_brand || '  ') AS brand_trim,
+           ltrim('xx' || p_brand, 'x') AS brand_ltrim,
+           rtrim(p_brand || 'yy', 'y') AS brand_rtrim
+    FROM part
+    WHERE p_partkey < 500
+    ORDER BY p_partkey
+    """,
+    "scalar",
+)
+def scalar_math_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + trim scalar surface.  Only IEEE-exact operations (floor/
+    ceil/sqrt/abs/sign/mod) — libm transcendentals (pow/log/exp) can
+    differ in the last ulp across engines and are exercised in pytest
+    rather than under the value-hash oracle."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("size_dev"),
+        F.signum((F.col("p_size") - 25).cast("double")).cast("int").alias("size_sign"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod7"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias(
+            "brand_trim"
+        ),
+        F.expr("ltrim('x', concat('xx', p_brand))").alias("brand_ltrim"),
+        F.expr("rtrim('y', concat(p_brand, 'yy'))").alias("brand_rtrim"),
+    ).orderBy("p_partkey")
+
+
 @register("approx_distinct_parts", None, "agg", "approx")
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct — algorithm-specific, so no SQL

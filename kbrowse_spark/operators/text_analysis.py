@@ -241,6 +241,75 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w IN {_sql_list(_STOPWORDS)})) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio,
+             md5(text) AS content_hash
+      FROM documents),
+    kept AS (SELECT * FROM scored WHERE n_words >= 40 AND stop_ratio >= 0.01),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash
+                                     ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM dedup
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "text",
+    "dedup",
+    "pipeline",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in one plan: quality filter ->
+    content-hash dedup (keep-first) -> per-language token accounting.
+    This is the composed shape a training-data pipeline actually runs;
+    Catalyst fuses the filter+hash projection into the scan and the
+    dedup window + final agg are the only two shuffles."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(words).alias("n_words"),
+        (
+            F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
+                "double"
+            )
+            / F.size(words)
+        ).alias("stop_ratio"),
+        F.md5("text").alias("content_hash"),
+    )
+    kept = scored.filter((F.col("n_words") >= 40) & (F.col("stop_ratio") >= 0.01))
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("content_hash").orderBy("doc_id")
+    )
+    dedup = kept.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return (
+        dedup.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id,
