@@ -60,9 +60,14 @@ class ResponseCache:
 
 
 def create_app(spark=None, config: EngineConfig | None = None):
+    import os
+
     from flask import Flask, Response, request
 
-    app = Flask("kbrowse_spark")
+    app = Flask(
+        "kbrowse_spark",
+        static_folder=os.path.join(os.path.dirname(os.path.abspath(__file__)), "static"),
+    )
     cfg = config or EngineConfig.load()
     cache = ResponseCache(
         max_items=cfg.cache_max_items,
@@ -77,6 +82,10 @@ def create_app(spark=None, config: EngineConfig | None = None):
 
             spark = get_spark("kbrowse_service")
         return spark
+
+    @app.get("/")
+    def console():
+        return app.send_static_file("index.html")
 
     @app.get("/health")
     def health():
