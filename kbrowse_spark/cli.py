@@ -35,6 +35,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--follow", action="store_true")
     p.add_argument("--print-offset", type=int)
     p.add_argument("--pretty", action="store_true")
+    p.add_argument(
+        "--output-parquet",
+        help="write result rows to this parquet path instead of stdout",
+    )
     return p
 
 
@@ -80,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     from kbrowse_spark.sinks.pioneer import emit_json_array
 
     df = build_scan(spark, spec)
+    if args.output_parquet:
+        # Parquet sink: distributed write, no driver materialization.
+        df.write.mode("overwrite").parquet(args.output_parquet)
+        print(f'{{"written": "{args.output_parquet}"}}')
+        return 0
     for chunk in emit_json_array(df, pretty=args.pretty):
         sys.stdout.write(chunk)
         sys.stdout.flush()  # incremental emission, reference parity

@@ -620,6 +620,43 @@ def window_lag_lead_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "window_first_last_dense",
+    """
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_type,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY event_type)
+             AS type_dense_rank,
+           ntile(4) OVER w AS session_quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    "window",
+)
+def window_first_last_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value, dense_rank, ntile — the rest of the window
+    function family over tie-broken orderings."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_type = W.partitionBy("user_id").orderBy("event_type")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w_full).alias("last_type"),
+            F.dense_rank().over(w_type).alias("type_dense_rank"),
+            F.ntile(4).over(w).alias("session_quartile"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
     "sort_limit_top_lineitems",
     """
     SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
