@@ -133,6 +133,103 @@ def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_user_totals",
+    f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "streaming",
+    "stateful",
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming op: applyInPandasWithState keeps a
+    per-user (count, fixed-point sum) accumulator across micro-batches
+    and emits the running totals each batch.  On a bounded stream the
+    final emission equals the batch GROUP BY — which is the oracle.
+
+    State is two ints per key — the custom-operator pattern for
+    accumulators that built-in aggregations can't express (the fixed
+    point here stands in for arbitrary Python state logic).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, batches, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            cents += int(pdf["value"].map(lambda v: int(v * 100 // 1)).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_cents long",
+            stateStructType="n long, cents long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    result = _run_to_memory(out, "update")
+    # Bounded single-pass stream: the last emission per user is final.
+    from pyspark.sql import Window as W
+
+    latest = result.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        ),
+    ).filter(F.col("rn") == 1)
+    return latest.select("user_id", "n_events", "total_cents").orderBy("user_id")
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    "streaming",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch), then aggregated —
+    the standard streaming-enrichment topology."""
+    from kbrowse_spark.sources.tables import load
+
+    ev = _events_stream(spark, sf_dir)
+    cust = F.broadcast(load(spark, sf_dir, "customer"))
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    # Stream the enriched grain to the sink, aggregate exactly on the
+    # materialized result (streaming countDistinct isn't supported
+    # without state redesign).
+    grain = joined.select("c_mktsegment", "user_id")
+    result = _run_to_memory(grain, "append")
+    return (
+        result.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "session_window_events",
     """
     WITH flagged AS (
