@@ -297,23 +297,26 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sig AS (
       SELECT vec_id, embedding,
-             {_sql_signature('embedding')} AS signature
+             {_sql_signature('embedding')} AS signature,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS norm
       FROM embeddings),
     banded AS (
-      SELECT vec_id, embedding, signature, band,
+      SELECT vec_id, signature, band,
              CASE WHEN band = 0 THEN signature >> 4 ELSE signature & 15 END AS band_val
       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band)),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             a.embedding AS ea, b.embedding AS eb
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM banded a JOIN banded b
-        ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b,
-           {_sql_dot('ea', 'eb')}
-             / (sqrt({_sql_dot('ea', 'ea')}) * sqrt({_sql_dot('eb', 'eb')})) AS cosine
-    FROM cand
-    WHERE {_sql_dot('ea', 'eb')}
-             / (sqrt({_sql_dot('ea', 'ea')}) * sqrt({_sql_dot('eb', 'eb')})) >= 0.35
+        ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT p.vec_a, p.vec_b,
+             {_sql_dot('sa.embedding', 'sb.embedding')} / (sa.norm * sb.norm)
+               AS cosine
+      FROM pairs p JOIN sig sa ON sa.vec_id = p.vec_a
+                   JOIN sig sb ON sb.vec_id = p.vec_b)
+    SELECT vec_a, vec_b, cosine
+    FROM scored
+    WHERE cosine >= 0.35
     ORDER BY vec_a, vec_b
     """,
     "knn",
@@ -323,14 +326,22 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: candidates
     are pairs sharing a 4-bit signature band (2 bands), then exact
     cosine >= 0.35.  Trades recall for never running the O(n^2) join —
-    the only formulation that survives a billion-row corpus."""
+    the only formulation that survives a billion-row corpus.
+
+    Plan discipline: norms are computed once per *vector* (not per
+    pair), the candidate distinct shuffles only id pairs (no embedding
+    arrays), and embeddings re-attach via two joins against the cached
+    signature table — per pair, exactly one dot product remains.
+    """
     emb = load(spark, sf_dir, "embeddings")
     sig = emb.select(
-        "vec_id", "embedding", F.expr(_spark_signature("embedding")).alias("signature")
-    )
-    banded = sig.select(
         "vec_id",
         "embedding",
+        F.expr(_spark_signature("embedding")).alias("signature"),
+        F.sqrt(F.expr(_spark_dot("embedding", "embedding"))).alias("norm"),
+    ).cache()
+    banded = sig.select(
+        "vec_id",
         "signature",
         F.explode(F.sequence(F.lit(0), F.lit(1))).alias("band"),
     ).withColumn(
@@ -340,7 +351,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -350,16 +361,28 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
         )
         .distinct()
     )
-    cosine = F.expr(_spark_dot("ea", "eb")) / (
-        F.sqrt(F.expr(_spark_dot("ea", "ea"))) * F.sqrt(F.expr(_spark_dot("eb", "eb")))
+    sa = F.broadcast(
+        sig.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("norm").alias("na"),
+        )
     )
+    sb = F.broadcast(
+        sig.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("norm").alias("nb"),
+        )
+    )
+    cosine = F.expr(_spark_dot("ea", "eb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.select("vec_a", "vec_b", cosine.alias("cosine"))
+        pairs.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
         .orderBy("vec_a", "vec_b")
     )

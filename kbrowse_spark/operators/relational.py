@@ -471,11 +471,7 @@ def asof_join_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives 100 TB, unlike a correlated or exploded join.
     """
     ev = load(spark, sf_dir, "events")
-    orders = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-    )
+    orders = load(spark, sf_dir, "orders")
     ev_side = ev.select(
         F.col("user_id").alias("k"),
         F.col("ts"),
@@ -494,9 +490,12 @@ def asof_join_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Orders sort before events at identical ts (is_event asc) so an
     # event at exactly o_orderdate matches that order (>= semantics).
+    # Ordering by o_orderkey within ties makes last() pick the max
+    # orderkey per (customer, date) — the dedup the oracle does with a
+    # GROUP BY happens inside this same window pass, saving a shuffle.
     w = (
         W.partitionBy("k")
-        .orderBy("ts", "is_event")
+        .orderBy("ts", "is_event", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     merged = ev_side.unionByName(ord_side).select(
@@ -1017,6 +1016,34 @@ def scalar_math_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ltrim('x', concat('xx', p_brand))").alias("brand_ltrim"),
         F.expr("rtrim('y', concat(p_brand, 'yy'))").alias("brand_rtrim"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "subquery_correlated_max",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    "join",
+    "subquery",
+)
+def subquery_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each customer's max-price orders).
+    Catalyst decorrelates it into an aggregate + join — no per-row
+    re-execution, which is what makes the construct usable at scale."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("kb_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM kb_sq_orders o
+        WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM kb_sq_orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
 
 
 @register("approx_distinct_parts", None, "agg", "approx")
