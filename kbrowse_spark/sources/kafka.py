@@ -102,6 +102,20 @@ def ending_offsets_json(
     )
 
 
+def offsets_by_timestamp_json(
+    assignment: dict[str, list[int]], timestamp_ms: int
+) -> str:
+    """`startingOffsetsByTimestamp` / `endingOffsetsByTimestamp` JSON:
+    every assigned partition bound at one epoch-millis instant.  The
+    reference's start-timestamp option (validated but unused there —
+    SURVEY O9) and stop-timestamp both compile to this; a residual
+    `timestamp <= bound` filter preserves exactness since the Kafka
+    offset-for-time lookup is batch-granular."""
+    return json.dumps(
+        {t: {str(p): timestamp_ms for p in ps} for t, ps in sorted(assignment.items())}
+    )
+
+
 def kafka_batch_options(
     bootstrap_servers: str,
     assignment: dict[str, list[int]],

@@ -328,3 +328,59 @@ def test_avro_pipeline_regex(spark, tmp_path):
     rows = json.loads(collect_protocol(build_scan(spark, spec)))
     assert len(rows) == 2
     assert rows[1]["value"] == {"id": 1, "tag": "alpha"}
+
+
+# --- stop-timestamp bound (O9) ------------------------------------------
+
+def test_stop_timestamp_bound(spark, topic_a_path):
+    # Records at seconds 0,1,2 of 2024-01-01; bound at :01 keeps 2.
+    rows = run_query(
+        spark, topic_a_path, key_regex=".*", stop_timestamp="2024-01-01 00:00:01"
+    )
+    assert len(rows) == 3
+    assert {r["value"] for r in rows[1:]} == {"v0", "v1"}
+
+
+# --- multi-topic scan with per-topic partition discovery (Q1) ------------
+
+def test_multi_topic_per_topic_partitions(spark, tmp_path):
+    import datetime
+
+    from kbrowse_spark.sources.fixture import ENVELOPE_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    # topic-x has partitions 0..2, topic-y only partition 0 —
+    # heterogeneous partition counts (the case the reference gets
+    # wrong by deriving every topic's list from the first topic).
+    df = spark.createDataFrame(
+        [
+            (b"a", b"x0", "topic-x", 0, 0, ts, 0),
+            (b"a", b"x2", "topic-x", 2, 0, ts, 0),
+            (b"a", b"y0", "topic-y", 0, 0, ts, 0),
+        ],
+        ENVELOPE_SCHEMA,
+    )
+    path = str(tmp_path / "multi.parquet")
+    df.write.parquet(path)
+    spec = QuerySpec(
+        source_parquet=path, topics=["topic-x", "topic-y"], key_regex=".*"
+    ).validate()
+    rows = json.loads(collect_protocol(build_scan(spark, spec)))
+    assert {r["value"] for r in rows[1:]} == {"x0", "x2", "y0"}
+    # explicit partition list prunes per topic, in range per topic
+    spec2 = QuerySpec(
+        source_parquet=path,
+        topics=["topic-x", "topic-y"],
+        key_regex=".*",
+        partitions=[2],
+    ).validate()
+    rows2 = json.loads(collect_protocol(build_scan(spark, spec2)))
+    assert {r["value"] for r in rows2[1:]} == {"x2"}
+
+
+def test_offsets_by_timestamp_json():
+    from kbrowse_spark.sources.kafka import offsets_by_timestamp_json
+
+    s = json.loads(offsets_by_timestamp_json({"a": [0, 1], "b": [0]}, 1700000000000))
+    assert s == {"a": {"0": 1700000000000, "1": 1700000000000},
+                 "b": {"0": 1700000000000}}
