@@ -1046,6 +1046,227 @@ def subquery_correlated_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantiles_disc_orders",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS median_disc,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN o_totalprice END)
+             AS p95_disc
+    FROM ranked
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "agg",
+    "quantile",
+)
+def quantiles_disc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete quantiles (median, p95) via rank selection — the
+    engine-portable formulation: interpolating quantiles differ across
+    engines in expression order (ulp-level), rank selection cannot.
+    One window pass + one aggregate; no sort of the full table."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("o_totalprice"))
+            ).alias("median_disc"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * 0.95).cast("long"),
+                    F.col("o_totalprice"),
+                )
+            ).alias("p95_disc"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "stats_moments_events",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(value * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_value,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_value,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_value_k
+    FROM s
+    ORDER BY event_type
+    """,
+    "agg",
+    "stats",
+)
+def stats_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation from decimal-exact moment sums.
+    Built-in var_samp/corr accumulate doubles in partition order
+    (non-deterministic across engines AND across runs); assembling the
+    moments from exact sums gives bit-stable statistics while keeping
+    map-side partial aggregation."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    s = ev.select("event_type", F.col("value").alias("x"), k.alias("y")).groupBy(
+        "event_type"
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var = (sxx - sx * sx / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n",
+            var.alias("var_value"),
+            F.sqrt(var).alias("stddev_value"),
+            corr.alias("corr_value_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "setops_bag_returnflags",
+    """
+    SELECT l_returnflag, l_linenumber
+    FROM lineitem WHERE l_orderkey < 2000 AND l_quantity > 25
+    INTERSECT ALL
+    SELECT l_returnflag, l_linenumber
+    FROM lineitem WHERE l_orderkey < 2000 AND l_extendedprice > 20000
+    ORDER BY l_returnflag, l_linenumber
+    """,
+    "setop",
+)
+def setops_bag_returnflags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set op (INTERSECT ALL): duplicates survive with
+    min-multiplicity semantics — `intersectAll`, distinct from the
+    set-semantics `intersect`."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    a = li.filter(F.col("l_quantity") > 25).select("l_returnflag", "l_linenumber")
+    b = li.filter(F.col("l_extendedprice") > 20000).select(
+        "l_returnflag", "l_linenumber"
+    )
+    return a.intersectAll(b).orderBy("l_returnflag", "l_linenumber")
+
+
+@register(
+    "unpivot_event_counts",
+    """
+    WITH piv AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY user_id)
+    SELECT user_id, kind, n FROM (
+      SELECT user_id, 'click' AS kind, click AS n FROM piv
+      UNION ALL
+      SELECT user_id, 'view' AS kind, view AS n FROM piv)
+    WHERE user_id < 50
+    ORDER BY user_id, kind
+    """,
+    "agg",
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide per-type counts back to long form."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .count()
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("click"),
+            F.coalesce("view", F.lit(0)).alias("view"),
+        )
+    )
+    return (
+        piv.unpivot("user_id", ["click", "view"], "kind", "n")
+        .orderBy("user_id", "kind")
+    )
+
+
+@register(
+    "variant_try_parse_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(k) AS n_parsed,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (
+      SELECT event_type,
+             CASE WHEN json_valid(payload)
+                  THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END AS k
+      FROM (SELECT event_type,
+                   CASE WHEN event_id % 10 = 0 THEN '{' || props ELSE props END
+                     AS payload
+            FROM events))
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "scalar",
+    "variant",
+)
+def variant_try_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-effort JSON via Spark 4 VariantType: try_parse_json returns
+    NULL on malformed input (every 10th payload is corrupted here) —
+    the native form of kbrowse's lenient payload parse (SURVEY O14),
+    replacing the Python try/except UDF with a JVM operator."""
+    ev = load(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 10 == 0, F.concat(F.lit("{"), F.col("props"))
+    ).otherwise(F.col("props"))
+    k = F.variant_get(F.try_parse_json(payload), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("k").alias("n_parsed"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register("approx_distinct_parts", None, "agg", "approx")
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct — algorithm-specific, so no SQL
