@@ -78,7 +78,7 @@ def udaf_sum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function): one row per token with position,
     lateral-joined per document — the UDTF form of a tokenizer."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos int, token string")
     class Tokenize:

@@ -105,3 +105,30 @@ def test_topics_cache_refresh_and_resilience():
     c.refresh()
     assert c.topics("c1") == {"topic-3", "common"}
     assert c.topics("unknown") == set()
+
+
+def test_follow_unbounded_kill_switch(spark, tmp_path):
+    """Unbounded follow mode stops via the wall-clock watchdog (O10) —
+    the query emits the initial snapshot then the timer stops it."""
+    import time as _time
+
+    from kbrowse_spark.plans.query_spec import QuerySpec
+    from kbrowse_spark.sources.fixture import golden_topic_a
+    from kbrowse_spark.streaming.follow import run_follow
+
+    path = str(tmp_path / "topic_a.parquet")
+    golden_topic_a(spark).write.parquet(path)
+    spec = QuerySpec(
+        source_parquet=path,
+        topics=["topic-a"],
+        key_regex="k.*",
+        follow=True,
+        stop_after_seconds=4,
+    ).validate()
+    buf = io.StringIO()
+    t0 = _time.monotonic()
+    run_follow(spark, spec, buf, bounded=False, processing_interval="500 milliseconds")
+    elapsed = _time.monotonic() - t0
+    rows = json.loads(buf.getvalue())
+    assert [r["value"] for r in rows[1:]] == ["v0", "v1", "v2"]
+    assert elapsed < 60  # watchdog fired; no immortal query
