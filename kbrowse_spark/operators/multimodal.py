@@ -59,6 +59,60 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embed_batch_inference", None, "multimodal", "pandas-udf", "knn")
+def embed_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch embedding inference via mapInPandas: documents -> fake
+    deterministic embeddings (a hash-seeded projection standing in for
+    a model forward pass; a real deployment loads the model once per
+    Python worker and runs it per Arrow batch), then a cosine top-1
+    match against the corpus-mean embedding.
+
+    Rows-only check: the 'model' is a stub, but the plan is the
+    production shape — narrow scan -> Arrow batches -> per-batch
+    inference -> downstream JVM similarity math.
+    """
+
+    def encode(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        dim = 16
+
+        def embed_one(text: str) -> list[float]:
+            # STUB model: bytes of md5(text) seed a fixed projection.
+            seed = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(dim)
+            return (v / np.linalg.norm(v)).astype("float32").tolist()
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "doc_embedding": [embed_one(t) for t in pdf["text"]],
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    embedded = d.mapInPandas(encode, schema="doc_id long, doc_embedding array<float>")
+    # Downstream JVM-side similarity: norm + self-cosine sanity columns.
+    dot_self = (
+        "aggregate(zip_with(doc_embedding, doc_embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+    )
+    return (
+        embedded.select(
+            "doc_id",
+            F.size("doc_embedding").alias("dim"),
+            F.sqrt(F.expr(dot_self)).alias("norm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _FEATURE_SCHEMA = (
     "doc_id long, n_bytes int, checksum long, fake_width int, fake_height int,"
     " n_frames int"
