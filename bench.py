@@ -35,6 +35,9 @@ HEADLINE = [
     "text_quality_score",
     "stream_tumbling_counts",
     "kbrowse_regex_scan",
+    "embedding_neardup_rerank_np",
+    "ann_ivf_label",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -206,6 +206,118 @@ def ann_lsh_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_neardup_rerank_np",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {_sql_signature('embedding')} AS signature,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS norm
+      FROM embeddings),
+    banded AS (
+      SELECT vec_id, signature, band,
+             CASE WHEN band = 0 THEN signature >> 4 ELSE signature & 15 END AS band_val
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band)),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT p.vec_a, p.vec_b,
+             {_sql_dot('sa.embedding', 'sb.embedding')} / (sa.norm * sb.norm)
+               AS cosine
+      FROM pairs p JOIN sig sa ON sa.vec_id = p.vec_a
+                   JOIN sig sb ON sb.vec_id = p.vec_b)
+    SELECT vec_a, vec_b, cosine
+    FROM scored
+    WHERE cosine >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+    "knn",
+    "dedup",
+    "pandas-udf",
+)
+def embedding_neardup_rerank_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LSH blocking + exact re-rank as embedding_neardup_lsh, but
+    the re-rank runs as a numpy mapInPandas over id pairs with the
+    embedding matrix shipped in the closure.
+
+    Identical results to the JVM path (and the same oracle): the
+    fixed-point formula floor(x*y*1e15) summed as int64 is pure IEEE
+    float64 + integer math, which numpy executes bit-identically.
+    Tradeoff: the matrix must fit in worker memory (fine up to ~10^7
+    vectors); beyond that, shard the matrix by candidate bucket.  The
+    candidate-pair volume is what LSH bounds either way.
+    """
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_spark_signature("embedding")).alias("signature"),
+    )
+    banded = sig.select(
+        "vec_id",
+        "signature",
+        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.when(F.col("band") == 0, F.expr("signature >> 4")).otherwise(
+            F.expr("signature & 15")
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+
+    # Matrix in closure: one driver collect of the (small) embedding
+    # table, shipped once per executor via the pickled closure.
+    rows = emb.select("vec_id", "embedding").collect()
+    max_id = max(r["vec_id"] for r in rows)
+    mat = np.zeros((max_id + 1, len(rows[0]["embedding"])), dtype=np.float64)
+    for r in rows:
+        mat[r["vec_id"]] = r["embedding"]
+
+    def rerank(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        norms = None
+        for pdf in batches:
+            if norms is None:
+                sq = _np.floor(mat * mat * 1e15).astype(_np.int64)
+                norms = _np.sqrt(sq.sum(axis=1).astype(_np.float64) / 1e15)
+            va = pdf["vec_a"].to_numpy()
+            vb = pdf["vec_b"].to_numpy()
+            prod = mat[va] * mat[vb]
+            dots = (
+                _np.floor(prod * 1e15).astype(_np.int64).sum(axis=1).astype(
+                    _np.float64
+                )
+                / 1e15
+            )
+            cos = dots / (norms[va] * norms[vb])
+            out = _pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cos})
+            yield out[out["cosine"] >= 0.35]
+
+    return (
+        pairs.mapInPandas(rerank, schema="vec_a long, vec_b long, cosine double")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
     "ann_ivf_label",
     f"""
     WITH ce AS (

@@ -132,3 +132,34 @@ def test_follow_unbounded_kill_switch(spark, tmp_path):
     rows = json.loads(buf.getvalue())
     assert [r["value"] for r in rows[1:]] == ["v0", "v1", "v2"]
     assert elapsed < 60  # watchdog fired; no immortal query
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: state-bounded streaming dedup —
+    duplicates inside the watermark horizon collapse; state for expired
+    keys is evicted (the unbounded-state fix for streaming dedup)."""
+    schema = "k long, ts timestamp"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        (1, _ts(0, 0)),
+        (1, _ts(0, 5)),   # duplicate of k=1 within horizon
+        (2, _ts(0, 10)),
+        (2, _ts(0, 12)),  # duplicate
+        (3, _ts(2, 0)),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/b1.parquet")
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*.parquet")
+    dedup = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["k"]
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("ddww")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["k"] for r in spark.table("ddww").collect())
+    assert got == [1, 2, 3]
