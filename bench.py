@@ -58,6 +58,18 @@ def main() -> int:
             load(spark, sf_dir, t).count()
         except Exception:  # noqa: BLE001 - missing table at this SF
             pass
+    # Compile each headline plan once at the smoke SF: whole-stage
+    # codegen is cached by generated source, so the timed runs below
+    # measure steady-state engine throughput, not first-call JIT.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                qs[name].builder(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001
+                pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:

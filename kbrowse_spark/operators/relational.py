@@ -1267,6 +1267,41 @@ def variant_try_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_collect_sorted",
+    """
+    SELECT event_type,
+           list_sort(list(DISTINCT user_id % 25)) AS user_buckets,
+           string_agg(DISTINCT CAST(user_id % 25 AS VARCHAR), ','
+                      ORDER BY CAST(user_id % 25 AS VARCHAR)) AS bucket_csv,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "agg",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: collect_set -> sorted array, plus a
+    string_agg/listagg rendering — deterministic because both are
+    explicitly sorted (bare collect_list order is partition-dependent
+    and must never feed a comparison)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 25).cast("long")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_set("bucket")).alias("user_buckets"),
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("bucket").cast("string"))), ","
+            ).alias("bucket_csv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register("approx_distinct_parts", None, "agg", "approx")
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct — algorithm-specific, so no SQL
