@@ -30,6 +30,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["string", "msgpack", "avro"])
     p.add_argument("--value-deserializer", default="string",
                    choices=["string", "msgpack", "avro"])
+    p.add_argument(
+        "--num-partitions",
+        type=int,
+        help="topic partition count for offline sources (default-partition math)",
+    )
     p.add_argument("--relative-offset", type=int)
     p.add_argument("--stop-timestamp")
     p.add_argument("--follow", action="store_true")
@@ -55,6 +60,7 @@ def spec_from_args(args: argparse.Namespace) -> QuerySpec:
         value_regex=args.value_regex,
         key_deserializer=args.key_deserializer,
         value_deserializer=args.value_deserializer,
+        num_partitions=args.num_partitions,
         relative_offset=args.relative_offset,
         stop_timestamp=args.stop_timestamp,
         follow=args.follow,

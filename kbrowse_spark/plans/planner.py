@@ -104,14 +104,23 @@ def _fixture_assignment(df: DataFrame, spec: QuerySpec) -> dict | None:
     pruning applies (all partitions)."""
     if not spec.default_partition and not spec.partitions:
         return None
-    # Partition counts via a tiny metadata scan (stand-in for the
-    # AdminClient round-trip kbrowse makes at kafka.clj:51-57).
-    counts = {
-        r["topic"]: r["n"]
-        for r in df.groupBy("topic")
-        .agg((F.max("partition") + 1).alias("n"))
-        .collect()
-    }
+    # Partition counts: prefer the explicit hint — data inference
+    # (max+1) under-counts when high partitions are empty, which would
+    # silently break murmur2 default-partition pruning.  The Kafka path
+    # always has the true count from broker metadata
+    # (kbrowse kafka.clj:51-57); the fixture path needs the hint.
+    if spec.num_partitions is not None:
+        topics = spec.topics or [
+            r["topic"] for r in df.select("topic").distinct().collect()
+        ]
+        counts = {t: spec.num_partitions for t in topics}
+    else:
+        counts = {
+            r["topic"]: r["n"]
+            for r in df.groupBy("topic")
+            .agg((F.max("partition") + 1).alias("n"))
+            .collect()
+        }
     topics = spec.topics or sorted(counts)
     return resolve_partitions(
         [t for t in topics if t in counts],

@@ -41,6 +41,13 @@ class QuerySpec:
     avro_key_schema: str | None = None
     avro_value_schema: str | None = None
 
+    # Topic partition count for offline (fixture) sources.  The Kafka
+    # path gets this from broker metadata; a fixture can only infer
+    # max(partition)+1 from data, which under-counts when high
+    # partitions happen to be empty — and default-partition pruning
+    # (murmur2 mod N) needs the true N.
+    num_partitions: int | None = None
+
     relative_offset: int | None = None
     start_timestamp: str | None = None
     stop_timestamp: str | None = None
@@ -105,6 +112,8 @@ class QuerySpec:
             spec.key_deserializer = norm["key_deserializer"]
         if "value_deserializer" in norm:
             spec.value_deserializer = norm["value_deserializer"]
+        if "num_partitions" in norm and norm["num_partitions"] not in (None, ""):
+            spec.num_partitions = as_int(norm["num_partitions"], "num-partitions")
         if "relative_offset" in norm and norm["relative_offset"] not in (None, ""):
             spec.relative_offset = as_int(norm["relative_offset"], "relative-offset")
         if "start_timestamp" in norm:

@@ -26,7 +26,14 @@ PIONEER = {"type": "pioneer"}
 
 def render_row(row) -> dict:
     """Envelope row -> wire dict (type-discriminated rendering)."""
+    import datetime
+
     ts = row["timestamp"]
+    # Spark returns naive datetimes in SESSION timezone (our sessions
+    # pin UTC); naive .timestamp() would apply the OS timezone — pin
+    # UTC explicitly so the epoch is right on any host.
+    if ts is not None and ts.tzinfo is None:
+        ts = ts.replace(tzinfo=datetime.timezone.utc)
     if row["type"] == "result":
         # epoch millis (search.clj:37)
         ts_out = int(ts.timestamp() * 1000) if ts is not None else None

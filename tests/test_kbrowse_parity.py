@@ -384,3 +384,40 @@ def test_offsets_by_timestamp_json():
     s = json.loads(offsets_by_timestamp_json({"a": [0, 1], "b": [0]}, 1700000000000))
     assert s == {"a": {"0": 1700000000000, "1": 1700000000000},
                  "b": {"0": 1700000000000}}
+
+
+def test_num_partitions_hint_fixes_inference(spark, tmp_path):
+    """Data-only inference of the partition count (max+1) breaks
+    default-partition pruning when high partitions are empty; the
+    --num-partitions hint supplies the true count."""
+    import datetime
+
+    from kbrowse_spark.sources.fixture import ENVELOPE_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    # Find a key whose target partition differs between N=10 and the
+    # inferred count, to prove the hint changes the plan.
+    key = next(
+        k
+        for k in (f"key-{i}" for i in range(1000))
+        if default_partition(k, 10) != default_partition(k, 3)
+        and default_partition(k, 10) <= 2
+    )
+    p10 = default_partition(key, 10)
+    # Records only on partitions 0..2 of a 10-partition topic.
+    df = spark.createDataFrame(
+        [(key.encode(), b"hit", "t", p10, 0, ts, 0),
+         (b"other", b"miss", "t", (p10 + 1) % 3, 0, ts, 0)],
+        ENVELOPE_SCHEMA,
+    )
+    path = str(tmp_path / "hint.parquet")
+    df.write.parquet(path)
+    spec = QuerySpec(
+        source_parquet=path,
+        topics=["t"],
+        key_regex=key,
+        default_partition=True,
+        num_partitions=10,
+    ).validate()
+    rows = json.loads(collect_protocol(build_scan(spark, spec)))
+    assert [r["value"] for r in rows[1:]] == ["hit"]
