@@ -318,6 +318,67 @@ def embedding_neardup_rerank_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_batch_topk_join",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 10),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             {_sql_dot('e.embedding', 'q.qe')}
+               / (sqrt({_sql_dot('e.embedding', 'e.embedding')})
+                  * sqrt({_sql_dot('q.qe', 'q.qe')})) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored)
+    SELECT qid, rn, vec_id, label, cosine
+    FROM ranked WHERE rn <= 3
+    ORDER BY qid, rn
+    """,
+    "knn",
+)
+def knn_batch_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k similarity join: k nearest neighbors for a SET of
+    query vectors in one plan — broadcast the query block, one corpus
+    scan, per-query top-k via WindowGroupLimit (no global sort).  This
+    is the bulk-retrieval shape (dedup against a seed set, RAG batch
+    lookup); corpus scales out, query block must fit broadcast."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            (
+                F.expr(_spark_dot("embedding", "qe"))
+                / (
+                    F.sqrt(F.expr(_spark_dot("embedding", "embedding")))
+                    * F.sqrt(F.expr(_spark_dot("qe", "qe")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "rn", "vec_id", "label", "cosine")
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
     "ann_ivf_label",
     f"""
     WITH ce AS (

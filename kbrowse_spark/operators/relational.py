@@ -1302,6 +1302,49 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("scalar_transcendental", None, "scalar")
+def scalar_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental math surface (pow/log/exp/trig): rows-only check
+    because libm results differ across engines in the final ulp —
+    exactly why they're excluded from the value-hash oracle queries."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.pow(F.col("p_size").cast("double"), 2.0).alias("size_sq"),
+        F.log(F.col("p_retailprice")).alias("ln_price"),
+        F.log10(F.col("p_retailprice")).alias("log10_price"),
+        F.exp(F.col("p_size").cast("double") / 50.0).alias("exp_scaled"),
+        F.sin(F.col("p_size").cast("double")).alias("sin_size"),
+        F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice")).alias(
+            "atan2_sp"
+        ),
+    ).orderBy("p_partkey")
+
+
+@register("json_render_roundtrip", None, "scalar")
+def json_render_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON rendering surface: to_json(struct) -> schema_of_json ->
+    from_json round-trip (rows-only: engines render JSON with
+    different spacing). This is the emit side of the kbrowse payload
+    path (O15): structured rows rendered back to JSON text."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    rendered = ev.select(
+        "event_id",
+        F.to_json(F.struct("event_type", "user_id", "value")).alias("j"),
+    )
+    schema = F.schema_of_json(F.lit('{"event_type":"x","user_id":1,"value":1.0}'))
+    return rendered.select(
+        "event_id",
+        "j",
+        F.from_json("j", schema).alias("back"),
+    ).select(
+        "event_id",
+        "j",
+        F.col("back.event_type").alias("back_type"),
+        F.col("back.user_id").alias("back_user"),
+    ).orderBy("event_id")
+
+
 @register("approx_distinct_parts", None, "agg", "approx")
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct — algorithm-specific, so no SQL
