@@ -1302,6 +1302,132 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_signup_purchase",
+    """
+    WITH first_signup AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT f.user_id, MIN(e.ts) AS p_ts
+      FROM first_signup f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts > f.s_ts AND e.ts <= f.s_ts + INTERVAL 24 HOUR
+      GROUP BY f.user_id)
+    SELECT strftime(date_trunc('day', s_ts), '%Y-%m-%d') AS cohort_day,
+           COUNT(*) AS n_signups,
+           COUNT(p_ts) AS n_converted_24h
+    FROM first_signup LEFT JOIN conv USING (user_id)
+    GROUP BY date_trunc('day', s_ts)
+    ORDER BY cohort_day
+    """,
+    "join",
+    "funnel",
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: first signup per user -> purchase within 24h,
+    aggregated by signup-day cohort.  Two keyed aggregations + one band
+    join — the sessionized-analytics shape, no window over raw events."""
+    ev = load(spark, sf_dir, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("ts")
+    )
+    conv = (
+        first_signup.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("ts") > F.col("s_ts"))
+            & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 24 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        first_signup.join(conv, "user_id", "left")
+        .groupBy(F.date_trunc("day", "s_ts").alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("p_ts").alias("n_converted_24h"),
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            "n_signups",
+            "n_converted_24h",
+        )
+        .orderBy("cohort_day")
+    )
+
+
+@register(
+    "window_percent_rank",
+    """
+    SELECT event_id, event_type,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(10) OVER w AS decile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    ORDER BY event_type, event_id
+    """,
+    "window",
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank/cume_dist/ntile —
+    exact rational arithmetic over ranks, deterministic under the
+    tie-broken ordering."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+@register(
+    "scalar_string_pad",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '.') AS brand_lpad,
+           rpad(p_brand, 12, '.') AS brand_rpad,
+           reverse(p_name) AS name_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           left(p_name, 5) AS name_left,
+           right(p_name, 5) AS name_right,
+           replace(p_type, 'a', '@') AS type_at,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a
+    FROM part WHERE p_partkey < 300
+    ORDER BY p_partkey
+    """,
+    "scalar",
+)
+def scalar_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String padding/slicing breadth: lpad/rpad/reverse/repeat/
+    left/right/replace/instr."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, ".").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.substring("p_name", 1, 5).alias("name_left"),
+        F.expr("right(p_name, 5)").alias("name_right"),
+        F.regexp_replace("p_type", "a", "@").alias("type_at"),
+        F.instr("p_name", "a").cast("int").alias("first_a"),
+    ).orderBy("p_partkey")
+
+
 @register("scalar_transcendental", None, "scalar")
 def scalar_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcendental math surface (pow/log/exp/trig): rows-only check
