@@ -1,0 +1,77 @@
+"""Measure how headline operators scale across the available scale
+factors (sf0.001 / sf0.01 / sf0.1 — 100x data range) and write
+docs/SCALING_MEASUREMENTS.md.
+
+A near-flat time ratio vs the 10x data ratio means fixed overhead
+dominates (fine at these tiny SFs); a ratio near 10x means the
+operator is already data-bound; super-linear growth flags a plan that
+would not survive 100 TB.
+
+Usage: python tools/scaling_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kbrowse_spark.catalog import all_queries  # noqa: E402
+from kbrowse_spark.session import get_spark  # noqa: E402
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+OPS = [
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "asof_join_event_order",
+    "window_topk_per_group",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_neardup_rerank_np",
+    "knn_batch_topk_join",
+    "corpus_curation_pipeline",
+    "kbrowse_regex_scan",
+]
+
+
+def main() -> None:
+    spark = get_spark("scaling_probe")
+    qs = all_queries()
+    # Warm: run everything once at the smallest SF (codegen + JVM).
+    for name in OPS:
+        qs[name].builder(spark, SFS[0]).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, list[float]] = {}
+    for name in OPS:
+        times = []
+        for sf in SFS:
+            t0 = time.perf_counter()
+            qs[name].builder(spark, sf).write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 2))
+        results[name] = times
+
+    lines = [
+        "# Scaling measurements (generated)",
+        "",
+        "Wall-clock per operator across a 100x data range on local[32]",
+        "(steady-state: plans pre-compiled). `x0.01->0.1` is the time",
+        "ratio over the last 10x data step — the number that predicts",
+        "behavior at the next orders of magnitude. Regenerate with",
+        "`python tools/scaling_probe.py`.",
+        "",
+        "| operator | sf0.001 s | sf0.01 s | sf0.1 s | x0.01->0.1 |",
+        "|---|---|---|---|---|",
+    ]
+    for name, ts in results.items():
+        ratio = round(ts[2] / ts[1], 1) if ts[1] > 0 else float("nan")
+        lines.append(f"| `{name}` | {ts[0]} | {ts[1]} | {ts[2]} | {ratio}x |")
+    out = "\n".join(lines) + "\n"
+    with open("docs/SCALING_MEASUREMENTS.md", "w") as f:
+        f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
