@@ -44,6 +44,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--output-parquet",
         help="write result rows to this parquet path instead of stdout",
     )
+    p.add_argument(
+        "--stop-after-seconds",
+        type=int,
+        default=86400,
+        help="follow-mode wall-clock kill switch (reference default 86400)",
+    )
+    p.add_argument("--avro-key-schema", help="writer schema JSON for avro keys")
+    p.add_argument("--avro-value-schema", help="writer schema JSON for avro values")
     return p
 
 
@@ -65,16 +73,32 @@ def spec_from_args(args: argparse.Namespace) -> QuerySpec:
         stop_timestamp=args.stop_timestamp,
         follow=args.follow,
         print_offset=args.print_offset,
+        stop_after_seconds=args.stop_after_seconds,
+        avro_key_schema=args.avro_key_schema,
+        avro_value_schema=args.avro_value_schema,
     )
+    for side, deser, schema in (
+        ("key", spec.key_deserializer, spec.avro_key_schema),
+        ("value", spec.value_deserializer, spec.avro_value_schema),
+    ):
+        if deser == "avro" and not schema:
+            print(
+                f"warning: --{side}-deserializer avro without "
+                f"--avro-{side}-schema: only the raw post-header bytes are "
+                "matched/emitted",
+                file=sys.stderr,
+            )
     return spec.validate()
 
 
 def main(argv: list[str] | None = None) -> int:
+    import json as _json
+
     args = build_arg_parser().parse_args(argv)
     try:
         spec = spec_from_args(args)
     except QuerySpecError as e:
-        print(f'{{"error": "{e}"}}', file=sys.stderr)
+        print(_json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
 
     from kbrowse_spark.session import get_spark
@@ -83,7 +107,9 @@ def main(argv: list[str] | None = None) -> int:
     if spec.follow:
         from kbrowse_spark.streaming.follow import run_follow
 
-        run_follow(spark, spec, sys.stdout)
+        # True follow: unbounded polling until the kill switch fires
+        # (reference semantics — follow ignores the snapshot bound).
+        run_follow(spark, spec, sys.stdout, bounded=False)
         return 0
 
     from kbrowse_spark.plans.planner import build_scan

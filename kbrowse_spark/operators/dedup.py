@@ -62,19 +62,23 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     played by persisting to MEMORY_AND_DISK or a checkpoint.
     """
     d = load(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", F.split("text", " ").alias("w"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(w) - 3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-                )
-            ).alias("shingle"),
+    from kbrowse_spark.functions.cache_registry import cached
+
+    def build():
+        return (
+            d.select("doc_id", F.split("text", " ").alias("w"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "array_distinct(transform(sequence(0, size(w) - 3),"
+                        " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                    )
+                ).alias("shingle"),
+            )
         )
-    )
-    return sh.cache()
+
+    return cached(spark, sf_dir, "doc_shingles", build)
 
 
 # DuckDB mirror of the shingle expansion (1-based list indexing there).
@@ -208,9 +212,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = band_rows[0]
     for extra in band_rows[1:]:
         buckets = buckets.unionByName(extra)
-    # One row per (doc, band); self-joined below — cache to run the
-    # minhash aggregation once.
-    buckets = buckets.cache()
+    # One row per (doc, band); self-joined below — cached (keyed, so
+    # repeated invocations reuse one materialization).
+    from kbrowse_spark.functions.cache_registry import cached
+
+    buckets = cached(spark, sf_dir, "minhash_buckets", lambda b=buckets: b)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -391,10 +397,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_SIMHASH_BITS)
     )
     # Tiny table (one row per doc) referenced on both sides of the
-    # band self-join — cache so the vote aggregation runs once.
-    fp = votes.select(
-        "doc_id", F.expr(f"CAST({assemble} AS BIGINT)").alias("simhash")
-    ).cache()
+    # band self-join — cached keyed so the vote aggregation runs once
+    # per (session, sf_dir) even across repeated invocations.
+    from kbrowse_spark.functions.cache_registry import cached
+
+    fp = cached(
+        spark,
+        sf_dir,
+        "simhash_fp",
+        lambda: votes.select(
+            "doc_id", F.expr(f"CAST({assemble} AS BIGINT)").alias("simhash")
+        ),
+    )
     bands = fp.select(
         "doc_id",
         "simhash",

@@ -507,12 +507,19 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table — per pair, exactly one dot product remains.
     """
     emb = load(spark, sf_dir, "embeddings")
-    sig = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(_spark_signature("embedding")).alias("signature"),
-        F.sqrt(F.expr(_spark_dot("embedding", "embedding"))).alias("norm"),
-    ).cache()
+    from kbrowse_spark.functions.cache_registry import cached
+
+    sig = cached(
+        spark,
+        sf_dir,
+        "neardup_sig",
+        lambda: emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_spark_signature("embedding")).alias("signature"),
+            F.sqrt(F.expr(_spark_dot("embedding", "embedding"))).alias("norm"),
+        ),
+    )
     banded = sig.select(
         "vec_id",
         "signature",

@@ -314,8 +314,10 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            md5(lower(text)) AS content_hash,
-           list_min(list_transform(generate_series(1, length(text) - 7),
-                                   i -> md5(substring(text, i, 8)))) AS rolling_min_hash,
+           CASE WHEN length(text) >= 8
+                THEN list_min(list_transform(generate_series(1, length(text) - 7),
+                                             i -> md5(substring(text, i, 8))))
+                ELSE md5(text) END AS rolling_min_hash,
            substring(md5(lower(text)), 1, 8) AS short_hash
     FROM documents
     ORDER BY doc_id
@@ -324,18 +326,25 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-content hash + winnowing-style
-    rolling min-hash over 8-char shingles (all in one narrow pass)."""
+    rolling min-hash over 8-char shingles (one narrow pass).  Texts
+    shorter than one shingle hash whole — guarded explicitly because
+    Spark's sequence(1, n) with n<1 COUNTS DOWN (step defaults to -1)
+    instead of being empty like generate_series."""
     d = load(spark, sf_dir, "documents")
+    rolling = F.when(
+        F.length("text") >= 8,
+        F.array_min(
+            F.expr(
+                "transform(sequence(1, length(text) - 7),"
+                " i -> md5(substring(text, i, 8)))"
+            )
+        ),
+    ).otherwise(F.md5(F.col("text")))
     return (
         d.select(
             "doc_id",
             F.md5(F.lower(F.col("text"))).alias("content_hash"),
-            F.array_min(
-                F.expr(
-                    "transform(sequence(1, length(text) - 7),"
-                    " i -> md5(substring(text, i, 8)))"
-                )
-            ).alias("rolling_min_hash"),
+            rolling.alias("rolling_min_hash"),
             F.substring(F.md5(F.lower(F.col("text"))), 1, 8).alias("short_hash"),
         )
         .orderBy("doc_id")

@@ -83,7 +83,9 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class Tokenize:
         def eval(self, text: str):
-            if text:
+            # Oracle parity: split('') yields one empty token (as
+            # DuckDB's string_split does); only NULL yields no rows.
+            if text is not None:
                 for i, tok in enumerate(text.split(" "), start=1):
                     yield i, tok
 

@@ -167,18 +167,21 @@ def _broker_starting_offsets(spec: QuerySpec, assignment: dict) -> str:
         consumer.close()
 
 
-def _apply_offset_window(df: DataFrame, spec: QuerySpec) -> DataFrame:
-    """Fixture-path scan window: snapshot per-partition [earliest,
-    latest) at plan time, apply relative-offset with Q9 clamping, bound
-    by the snapshot (Q4).  On the Kafka path this logic compiles into
-    source options instead (see sources/kafka.py) — here it runs as a
-    plan-time aggregate + a pushed-down filter."""
+def _fixture_window_condition(
+    snapshot_df: DataFrame, spec: QuerySpec, bounded: bool = True
+):
+    """Scan-window filter condition from a plan-time snapshot of
+    per-partition [earliest, latest): relative-offset with Q9 clamping,
+    bounded by the snapshot (Q4).  Shared by the batch planner and
+    follow mode (which passes bounded=False: the reference's follow
+    ignores the stop bound but still honors the starting seek —
+    search.clj:179,166).  Returns None when no window applies."""
     if spec.relative_offset is None:
-        return df
+        return None
     from kbrowse_spark.sources.kafka import clamp_offset
 
     snap = (
-        df.groupBy("topic", "partition")
+        snapshot_df.groupBy("topic", "partition")
         .agg(F.min("offset").alias("earliest"), (F.max("offset") + 1).alias("latest"))
         .collect()
     )
@@ -187,13 +190,22 @@ def _apply_offset_window(df: DataFrame, spec: QuerySpec) -> DataFrame:
         e, l = r["earliest"], r["latest"]
         n = spec.relative_offset
         start = clamp_offset(e + n if n >= 0 else l + n, e, l)
-        cond = cond | (
+        part_cond = (
             (F.col("topic") == r["topic"])
             & (F.col("partition") == r["partition"])
             & (F.col("offset") >= start)
-            & (F.col("offset") < l)
         )
-    return df.filter(cond)
+        if bounded:
+            part_cond = part_cond & (F.col("offset") < l)
+        cond = cond | part_cond
+    return cond
+
+
+def _apply_offset_window(df: DataFrame, spec: QuerySpec) -> DataFrame:
+    """Fixture-path scan window (see _fixture_window_condition); on the
+    Kafka path this logic compiles into source options instead."""
+    cond = _fixture_window_condition(df, spec)
+    return df if cond is None else df.filter(cond)
 
 
 def build_scan(spark: SparkSession, spec: QuerySpec) -> DataFrame:

@@ -114,6 +114,10 @@ class QuerySpec:
             spec.value_deserializer = norm["value_deserializer"]
         if "num_partitions" in norm and norm["num_partitions"] not in (None, ""):
             spec.num_partitions = as_int(norm["num_partitions"], "num-partitions")
+        if "avro_key_schema" in norm:
+            spec.avro_key_schema = norm["avro_key_schema"]
+        if "avro_value_schema" in norm:
+            spec.avro_value_schema = norm["avro_value_schema"]
         if "relative_offset" in norm and norm["relative_offset"] not in (None, ""):
             spec.relative_offset = as_int(norm["relative_offset"], "relative-offset")
         if "start_timestamp" in norm:

@@ -75,13 +75,16 @@ def create_app(spark=None, config: EngineConfig | None = None):
         item_size_limit=cfg.cache_item_size_limit,
     )
 
+    session_lock = threading.Lock()
+
     def get_session():
         nonlocal spark
-        if spark is None:
-            from kbrowse_spark.session import get_spark
+        with session_lock:
+            if spark is None:
+                from kbrowse_spark.session import get_spark
 
-            spark = get_spark("kbrowse_service")
-        return spark
+                spark = get_spark("kbrowse_service")
+            return spark
 
     @app.get("/")
     def console():
@@ -132,11 +135,18 @@ def create_app(spark=None, config: EngineConfig | None = None):
             spec = QuerySpec.from_options(args)
         except QuerySpecError as e:
             return {"error": str(e)}, 400  # Q8
+        if spec.stop_after_seconds == 86400:
+            # Not set per-query: apply the service-level kill switch.
+            spec.stop_after_seconds = cfg.stop_consumers_after_n_seconds
 
         if spec.follow:
-            # Follow mode over HTTP: the streaming query writes protocol
-            # chunks into a queue drained by the chunked response (the
-            # Spark analogue of the reference's piped-input-stream).
+            # Follow mode over HTTP: an unbounded streaming query writes
+            # protocol chunks into a queue drained by the chunked
+            # response (the Spark analogue of the reference's
+            # piped-input-stream).  If the client stops reading, the
+            # writer times out and the watchdog stops the query — no
+            # immortal thread.
+            import json as _json
             import queue
 
             from kbrowse_spark.streaming.follow import run_follow
@@ -145,16 +155,24 @@ def create_app(spark=None, config: EngineConfig | None = None):
 
             class _QueueWriter:
                 def write(self, s: str) -> None:
-                    chunks.put(s)
+                    chunks.put(s, timeout=300)
 
                 def flush(self) -> None:
                     pass
 
             def run() -> None:
                 try:
-                    run_follow(get_session(), spec, _QueueWriter(), bounded=True)
+                    run_follow(get_session(), spec, _QueueWriter(), bounded=False)
+                except Exception as e:  # surface errors on the wire
+                    try:
+                        chunks.put_nowait(_json.dumps({"error": str(e)}))
+                    except queue.Full:
+                        pass
                 finally:
-                    chunks.put(None)
+                    try:
+                        chunks.put_nowait(None)
+                    except queue.Full:
+                        pass
 
             threading.Thread(target=run, daemon=True).start()
 
@@ -170,7 +188,10 @@ def create_app(spark=None, config: EngineConfig | None = None):
         from kbrowse_spark.plans.planner import build_scan
         from kbrowse_spark.sinks.pioneer import emit_json_array
 
-        df = build_scan(get_session(), spec)
+        try:
+            df = build_scan(get_session(), spec)
+        except QuerySpecError as e:
+            return {"error": str(e)}, 400  # Q8: plan-time errors too
 
         def generate():
             buf: list[str] = []

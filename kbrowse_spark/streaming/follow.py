@@ -31,16 +31,50 @@ def _stream_envelope(spark: SparkSession, spec: QuerySpec) -> DataFrame:
         import os
 
         from kbrowse_spark.operators.streaming_queries import _stage_stream_dir
+        from kbrowse_spark.plans.planner import (
+            _fixture_assignment,
+            _fixture_window_condition,
+        )
         from kbrowse_spark.sources.fixture import ENVELOPE_SCHEMA
 
         path = spec.source_parquet
-        src_dir = path if os.path.isdir(path) else _stage_stream_dir(path)
+        if "*" in path or os.path.isdir(path):
+            # Directory or glob: stream it directly.  NOTE a directory
+            # of Spark-written tables needs a glob (dir/*.parquet) —
+            # the file source does not recurse into nested dirs.
+            src_dir = path
+        else:
+            src_dir = _stage_stream_dir(path)
         df = spark.readStream.schema(ENVELOPE_SCHEMA).parquet(src_dir)
         if spec.topics:
             df = df.filter(F.col("topic").isin(spec.topics))
+        # Partition pruning + scan-window semantics apply to follow mode
+        # exactly as to batch (reference search.clj:139-150,166-167):
+        # resolve both against a static snapshot of the same source.
+        static = spark.read.schema(ENVELOPE_SCHEMA).parquet(src_dir)
+        if spec.topics:
+            static = static.filter(F.col("topic").isin(spec.topics))
+        assignment = _fixture_assignment(static, spec)
+        if assignment is not None:
+            cond = F.lit(False)
+            for t, ps in assignment.items():
+                for p in ps:
+                    cond = cond | (
+                        (F.col("topic") == t) & (F.col("partition") == p)
+                    )
+            df = df.filter(cond)
+        # Follow ignores stop bounds (offset snapshot / stop-timestamp —
+        # reference continue? short-circuits on follow, search.clj:107)
+        # but honors the starting seek (relative-offset).
+        window_cond = _fixture_window_condition(static, spec, bounded=False)
+        if window_cond is not None:
+            df = df.filter(window_cond)
         return df
     if spec.bootstrap_servers:
-        from kbrowse_spark.plans.planner import _broker_partition_counts
+        from kbrowse_spark.plans.planner import (
+            _broker_partition_counts,
+            _broker_starting_offsets,
+        )
         from kbrowse_spark.sources.kafka import (
             kafka_stream_options,
             resolve_partitions,
@@ -53,8 +87,13 @@ def _stream_envelope(spark: SparkSession, spec: QuerySpec) -> DataFrame:
             spec.partitions,
             spec.key_regex if spec.default_partition else None,
         )
+        starting = (
+            "earliest"
+            if spec.relative_offset is None
+            else _broker_starting_offsets(spec, assignment)
+        )
         opts = kafka_stream_options(
-            spec.bootstrap_servers, assignment, starting_offsets="earliest"
+            spec.bootstrap_servers, assignment, starting_offsets=starting
         )
         reader = spark.readStream.format("kafka")
         for k, v in opts.items():

@@ -163,3 +163,42 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["k"] for r in spark.table("ddww").collect())
     assert got == [1, 2, 3]
+
+
+def test_follow_emits_mid_stream_data(spark, tmp_path):
+    """TRUE follow semantics: records produced AFTER the query starts
+    are emitted (the reference's continue? keeps polling on follow)."""
+    import datetime
+    import threading
+    import time as _time
+
+    from kbrowse_spark.plans.query_spec import QuerySpec
+    from kbrowse_spark.sources.fixture import ENVELOPE_SCHEMA, golden_topic_a
+    from kbrowse_spark.streaming.follow import run_follow
+
+    src = str(tmp_path / "live")
+    os.makedirs(src)
+    golden_topic_a(spark).coalesce(1).write.parquet(f"{src}/initial.parquet")
+    spec = QuerySpec(
+        source_parquet=f"{src}/*.parquet",
+        topics=["topic-a"],
+        key_regex="k.*",
+        follow=True,
+        stop_after_seconds=20,
+    ).validate()
+    buf = io.StringIO()
+    t = threading.Thread(
+        target=run_follow,
+        args=(spark, spec, buf),
+        kwargs={"bounded": False, "processing_interval": "1 second"},
+    )
+    t.start()
+    _time.sleep(7)
+    ts = datetime.datetime(2024, 1, 2)
+    spark.createDataFrame(
+        [(b"k9", b"v-late", "topic-a", 1, 0, ts, 0)], ENVELOPE_SCHEMA
+    ).coalesce(1).write.parquet(f"{src}/late.parquet")
+    t.join(timeout=60)
+    vals = [r["value"] for r in json.loads(buf.getvalue())[1:]]
+    assert "v-late" in vals
+    assert {"v0", "v1", "v2"} <= set(vals)
