@@ -101,6 +101,23 @@ def create_app(spark=None, config: EngineConfig | None = None):
             "default-bootstrap-servers": cfg.default_bootstrap_servers,
         }
 
+    # Topic-metadata cache (O19): background-refreshed per configured
+    # cluster so the console dropdown never blocks on a broker.
+    from kbrowse_spark.service.topics_cache import TopicMetadataCache
+
+    topics_cache = TopicMetadataCache(
+        clusters=list(cfg.clusters.values()) or [cfg.default_bootstrap_servers],
+        refresh_seconds=cfg.kafka_topics_cache_sleep_seconds,
+    )
+    app.extensions["kbrowse_topics_cache"] = topics_cache
+
+    @app.get("/topics")
+    def topics():
+        cluster = request.args.get(
+            "bootstrap-servers", cfg.default_bootstrap_servers
+        )
+        return {"cluster": cluster, "topics": sorted(topics_cache.topics(cluster))}
+
     @app.get("/default-partition")
     def default_partition_route():
         from kbrowse_spark.functions.partitioner import default_partition

@@ -106,3 +106,18 @@ def test_aqe_coalesces_partitions(spark, sf_dir):
     assert (
         spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
     )
+
+
+def test_partitioned_write_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout: a filter on the partition column must
+    become a PartitionFilter (directories skipped entirely), not a data
+    filter — the layout lever for 100 TB scan pruning."""
+    from kbrowse_spark.sources.tables import load
+
+    out = str(tmp_path / "events_by_type")
+    load(spark, sf_dir, "events").write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "(event_type" in plan.split("PartitionFilters")[1][:120]

@@ -83,3 +83,14 @@ def test_server_configs(client):
     r = client.get("/server-configs")
     assert r.status_code == 200
     assert "clusters" in r.get_json()
+
+
+def test_topics_endpoint_with_fake_lister(spark):
+    app = create_app(spark=spark)
+    cache = app.extensions["kbrowse_topics_cache"]
+    cache.lister = lambda cluster: {"topic-a", "topic-b"}
+    cache.refresh()
+    c = app.test_client()
+    r = c.get("/topics?bootstrap-servers=localhost:9092")
+    assert r.status_code == 200
+    assert r.get_json()["topics"] == ["topic-a", "topic-b"]
