@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QueryDef]:
         kbrowse_scan,
         knn,
         multimodal,
+        pipeline_ops,
         relational,
         streaming_queries,
         text_analysis,

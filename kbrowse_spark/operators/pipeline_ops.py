@@ -1,0 +1,229 @@
+"""Training-data pipeline operators beyond dedup/similarity: cleaning,
+chunking, split assignment, and context packing.
+
+All pure DataFrame expressions with exact DuckDB oracles.  These are
+the ops that sit between raw corpus and tokenizer in a real pipeline;
+each is narrow (per-document) except packing, which is one window pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kbrowse_spark.catalog import register
+from kbrowse_spark.sources.tables import load
+
+# RE2/Java-common regexes (no lookbehind): emails, URLs, long digit runs.
+_EMAIL_RX = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_URL_RX = "https?://[^ ]+"
+_DIGITS_RX = "[0-9]{6,}"
+
+
+@register(
+    "text_scrub_pii",
+    f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_EMAIL_RX}', '<EMAIL>', 'g'),
+               '{_URL_RX}', '<URL>', 'g'),
+             '{_DIGITS_RX}', '<NUM>', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '{_EMAIL_RX}')) AS n_emails,
+           len(regexp_extract_all(text, '{_URL_RX}')) AS n_urls,
+           len(regexp_extract_all(text, '{_DIGITS_RX}')) AS n_digit_runs
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    "text",
+    "pipeline",
+)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise scrubbing: emails, URLs, long digit runs replaced by
+    placeholder tokens, with per-class match counts — the standard
+    pre-tokenization cleaning pass (one narrow projection, regexes in
+    the RE2/Java-common subset)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RX, "<EMAIL>"), _URL_RX, "<URL>"
+        ),
+        _DIGITS_RX,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RX), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_URL_RX), 0)).alias(
+            "n_urls"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_DIGITS_RX), 0)).alias(
+            "n_digit_runs"
+        ),
+    ).orderBy("doc_id")
+
+
+# Chunking parameters: window of CHUNK tokens advancing by STRIDE
+# (CHUNK - STRIDE overlap between consecutive chunks).
+_CHUNK = 64
+_STRIDE = 48
+
+
+@register(
+    "doc_chunking",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST(c AS INT) AS chunk_id,
+             array_to_string(words[(c * {_STRIDE} + 1):(c * {_STRIDE} + {_CHUNK})],
+                             ' ') AS chunk_text,
+             least(len(words) - c * {_STRIDE}, {_CHUNK}) AS n_tokens
+      FROM w CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS c)
+      WHERE c * {_STRIDE} < len(words)
+        AND (c = 0 OR c * {_STRIDE} + {_CHUNK} <= len(words) + {_STRIDE}))
+    SELECT doc_id, chunk_id, chunk_text, CAST(n_tokens AS INT) AS n_tokens
+    FROM chunks WHERE doc_id < 100
+    ORDER BY doc_id, chunk_id
+    """,
+    "text",
+    "pipeline",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({_CHUNK}-token windows,
+    {_STRIDE}-token stride -> {_CHUNK - _STRIDE}-token overlap) — the
+    RAG/pretraining chunker as a generate-and-slice expression: chunk
+    count derives from the token count, no UDF, no shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    chunks = (
+        w.select(
+            "doc_id",
+            "words",
+            F.explode(F.sequence(F.lit(0), F.lit(100))).alias("c"),
+        )
+        .filter(
+            (F.col("c") * _STRIDE < F.size("words"))
+            & (
+                (F.col("c") == 0)
+                | (F.col("c") * _STRIDE + _CHUNK <= F.size("words") + _STRIDE)
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("c").cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(
+                    "words", F.col("c") * _STRIDE + 1, F.lit(_CHUNK)
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.size("words") - F.col("c") * _STRIDE, F.lit(_CHUNK)
+            )
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+    return chunks.orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "split_train_val_test",
+    """
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents)
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM assigned
+    GROUP BY lang, CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val' ELSE 'test' END
+    ORDER BY lang, split
+    """,
+    "pipeline",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash-bucket the doc id
+    (stable across runs and engines — never random()), 80/10/10.
+    Stratification check: counts per (lang, split)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(concat('split-', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("lang", "split")
+    )
+
+
+_CONTEXT_BUDGET = 2048
+
+
+@register(
+    "token_budget_packing",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / {_CONTEXT_BUDGET}) AS BIGINT) AS bin_id
+      FROM sized)
+    SELECT bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY bin_id
+    ORDER BY bin_id
+    """,
+    "pipeline",
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents stream (in id order) into
+    {_CONTEXT_BUDGET}-token bins by running-total bucketing — one
+    window pass, no iteration.  (First-fit-decreasing packs tighter
+    but needs per-bin state; running-total packing is the formulation
+    that parallelizes: the prefix sum shards by range.)"""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    running = F.sum("n_tokens").over(
+        W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = sized.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((running - F.col("n_tokens")) / _CONTEXT_BUDGET)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
