@@ -179,3 +179,38 @@ def test_murmur2_known_vectors():
     # (run-integration-tests:145-150) plus co-location of repeated keys.
     assert default_partition(b"k2", 10) == 3
     assert default_partition(b"k0", 10) == default_partition(b"k0", 10)
+
+
+# --- determinism contract: decimal sums match DuckDB on arbitrary data --
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_decimal_sum_matches_duckdb(values):
+    """The dsum/sql_dsum pair must agree bit-for-bit on arbitrary
+    doubles regardless of summation order — the contract every
+    oracle-checked aggregate relies on."""
+    import duckdb
+
+    from kbrowse_spark.functions.determinism import sql_dsum
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    duck = con.execute(f"SELECT {sql_dsum('x')} FROM t").fetchone()[0]
+
+    # Python decimal reference of the same definition.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ref = float(
+        sum(
+            Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            for v in values
+        )
+    )
+    assert duck == ref
