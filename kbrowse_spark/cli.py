@@ -47,8 +47,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--stop-after-seconds",
         type=int,
-        default=86400,
-        help="follow-mode wall-clock kill switch (reference default 86400)",
+        help="follow-mode wall-clock kill switch (default 86400)",
     )
     p.add_argument("--avro-key-schema", help="writer schema JSON for avro keys")
     p.add_argument("--avro-value-schema", help="writer schema JSON for avro values")

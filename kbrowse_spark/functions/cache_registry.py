@@ -5,23 +5,44 @@ NEW cached RDD on every builder invocation — bench/scaling/service
 sessions invoke builders repeatedly, growing executor storage without
 bound.  This registry caches once per (application, sf_dir, key) and
 reuses it, so repeated invocations share one materialization.
+
+Known tradeoff: if the files under ``sf_dir`` are REWRITTEN within one
+application, a cached entry serves the old data — call
+:func:`invalidate` after rewriting.  The driver fixtures here are
+read-only, so the default is safe.
 """
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _REGISTRY: dict[tuple, DataFrame] = {}
+_LOCK = threading.Lock()
 
 
 def cached(
     spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
     full_key = (spark.sparkContext.applicationId, sf_dir, key)
-    df = _REGISTRY.get(full_key)
-    if df is None:
-        df = build().cache()
-        _REGISTRY[full_key] = df
-    return df
+    with _LOCK:
+        df = _REGISTRY.get(full_key)
+        if df is None:
+            # Build inside the lock: concurrent first callers would
+            # otherwise both .cache() and orphan one pinned copy.
+            df = build().cache()
+            _REGISTRY[full_key] = df
+        return df
+
+
+def invalidate(sf_dir: str | None = None) -> None:
+    """Unpersist and drop entries (all, or those under one sf_dir)."""
+    with _LOCK:
+        for k in list(_REGISTRY):
+            if sf_dir is None or k[1] == sf_dir:
+                try:
+                    _REGISTRY.pop(k).unpersist()
+                except Exception:  # session may already be gone
+                    pass

@@ -86,7 +86,7 @@ _STRIDE = 48
              least(len(words) - c * {_STRIDE}, {_CHUNK}) AS n_tokens
       FROM w CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS c)
       WHERE c * {_STRIDE} < len(words)
-        AND (c = 0 OR c * {_STRIDE} + {_CHUNK} <= len(words) + {_STRIDE}))
+        AND (c = 0 OR c * {_STRIDE} + {_CHUNK} < len(words) + {_STRIDE}))
     SELECT doc_id, chunk_id, chunk_text, CAST(n_tokens AS INT) AS n_tokens
     FROM chunks WHERE doc_id < 100
     ORDER BY doc_id, chunk_id
@@ -95,10 +95,12 @@ _STRIDE = 48
     "pipeline",
 )
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking ({_CHUNK}-token windows,
-    {_STRIDE}-token stride -> {_CHUNK - _STRIDE}-token overlap) — the
-    RAG/pretraining chunker as a generate-and-slice expression: chunk
-    count derives from the token count, no UDF, no shuffle."""
+    """Sliding-window document chunking (64-token windows, 48-token
+    stride -> 16-token overlap): the RAG/pretraining chunker as a
+    generate-and-slice expression — chunk count derives from the token
+    count, no UDF, no shuffle.  A trailing chunk fully contained in the
+    previous one (doc length landing exactly on the window end) is not
+    emitted (strict < in the boundary guard)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     w = d.select("doc_id", F.split("text", " ").alias("words"))
     chunks = (
@@ -111,7 +113,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c") * _STRIDE < F.size("words"))
             & (
                 (F.col("c") == 0)
-                | (F.col("c") * _STRIDE + _CHUNK <= F.size("words") + _STRIDE)
+                | (F.col("c") * _STRIDE + _CHUNK < F.size("words") + _STRIDE)
             )
         )
         .select(
@@ -201,7 +203,7 @@ _CONTEXT_BUDGET = 2048
 )
 def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: documents stream (in id order) into
-    {_CONTEXT_BUDGET}-token bins by running-total bucketing — one
+    2048-token bins by running-total bucketing — one
     window pass, no iteration.  (First-fit-decreasing packs tighter
     but needs per-bin state; running-total packing is the formulation
     that parallelizes: the prefix sum shards by range.)"""

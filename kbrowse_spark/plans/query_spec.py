@@ -54,7 +54,10 @@ class QuerySpec:
 
     follow: bool = False
     print_offset: int | None = None
-    stop_after_seconds: int = 86400  # reference kill switch default
+    # None = unset (callers apply their configured default); the
+    # reference default is 86400 s.  None (not 86400) so a service can
+    # distinguish "client said 86400" from "client said nothing".
+    stop_after_seconds: int | None = None
 
     def validate(self) -> "QuerySpec":
         if self.default_partition and not self.key_regex:

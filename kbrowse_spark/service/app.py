@@ -106,10 +106,18 @@ def create_app(spark=None, config: EngineConfig | None = None):
     from kbrowse_spark.service.topics_cache import TopicMetadataCache
 
     topics_cache = TopicMetadataCache(
-        clusters=list(cfg.clusters.values()) or [cfg.default_bootstrap_servers],
+        # The default cluster is always refreshable, not only when no
+        # named clusters exist.
+        clusters=sorted(
+            set(cfg.clusters.values()) | {cfg.default_bootstrap_servers}
+        ),
         refresh_seconds=cfg.kafka_topics_cache_sleep_seconds,
     )
     app.extensions["kbrowse_topics_cache"] = topics_cache
+    # Background refresh from service start (O19).  The initial refresh
+    # is best-effort: with no broker client installed the lister raises
+    # and the cache simply stays empty.
+    topics_cache.start()
 
     @app.get("/topics")
     def topics():
@@ -152,7 +160,7 @@ def create_app(spark=None, config: EngineConfig | None = None):
             spec = QuerySpec.from_options(args)
         except QuerySpecError as e:
             return {"error": str(e)}, 400  # Q8
-        if spec.stop_after_seconds == 86400:
+        if spec.stop_after_seconds is None:
             # Not set per-query: apply the service-level kill switch.
             spec.stop_after_seconds = cfg.stop_consumers_after_n_seconds
 
@@ -177,19 +185,25 @@ def create_app(spark=None, config: EngineConfig | None = None):
                 def flush(self) -> None:
                     pass
 
+            def _put_final(item) -> None:
+                # Blocking with a generous timeout: a slow-but-alive
+                # client must still receive the terminator; only a
+                # fully-stuck consumer drops it.
+                try:
+                    chunks.put(item, timeout=600)
+                except queue.Full:
+                    pass
+
             def run() -> None:
                 try:
                     run_follow(get_session(), spec, _QueueWriter(), bounded=False)
                 except Exception as e:  # surface errors on the wire
-                    try:
-                        chunks.put_nowait(_json.dumps({"error": str(e)}))
-                    except queue.Full:
-                        pass
+                    # Keep the streamed array parseable: the error is
+                    # one more row, then the closing bracket (run_follow
+                    # never wrote ']' on the failure path).
+                    _put_final(", " + _json.dumps({"error": str(e)}) + "]")
                 finally:
-                    try:
-                        chunks.put_nowait(None)
-                    except queue.Full:
-                        pass
+                    _put_final(None)
 
             threading.Thread(target=run, daemon=True).start()
 

@@ -157,9 +157,13 @@ def run_follow(
     else:
         query = writer.trigger(processingTime=processing_interval).start()
 
-    if spec.stop_after_seconds and not bounded:
-        # O10 kill switch: protect the cluster from immortal follows.
-        timer = threading.Timer(spec.stop_after_seconds, query.stop)
+    if not bounded:
+        # O10 kill switch: protect the cluster from immortal follows
+        # (reference default 86400 s when the query didn't set one).
+        deadline = (
+            spec.stop_after_seconds if spec.stop_after_seconds is not None else 86400
+        )
+        timer = threading.Timer(deadline, query.stop)
         timer.daemon = True
         timer.start()
 

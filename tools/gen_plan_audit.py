@@ -27,14 +27,23 @@ AUDIT = [
 
 
 def summarize(plan: str) -> dict:
+    # An executed AdaptiveSparkPlan prints BOTH final and initial plans
+    # — summarize only the final section, and count codegen spans via
+    # the *(n) stage markers used in this format.
+    final = plan.split("== Initial Plan ==")[0]
     return {
-        "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
-        "broadcasts": plan.count("BroadcastExchange"),
-        "scans": plan.count("Scan parquet"),
-        "wscg_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
-        "pushed": re.findall(r"PushedFilters: \[[^\]]*\]", plan)[:2],
-        "top_k": "TakeOrderedAndProject" in plan,
-        "group_limit": "WindowGroupLimit" in plan,
+        "shuffles": len(re.findall(r"Exchange (?:hash|range)partitioning", final)),
+        "broadcasts": final.count("BroadcastExchange")
+        + final.count("BroadcastQueryStage"),
+        # "FileScan parquet" contains "Scan parquet" as a suffix, so
+        # counting the suffix alone counts every scan exactly once.
+        "scans": final.count("Scan parquet"),
+        "wscg_spans": len(set(re.findall(r"\*\((\d+)\)", final))),
+        "pushed": list(dict.fromkeys(re.findall(r"PushedFilters: \[[^\]]*\]", final)))[
+            :2
+        ],
+        "top_k": "TakeOrderedAndProject" in final,
+        "group_limit": "WindowGroupLimit" in final,
     }
 
 
@@ -50,7 +59,11 @@ def main() -> None:
     ]
     for name, claim in AUDIT:
         df = qs[name].builder(spark, SF)
-        df.write.format("noop").mode("overwrite").save()
+        # Execute THROUGH df's own QueryExecution (collect) so the
+        # summarized plan is the AQE-final executed one; a sink write
+        # would execute a separate QueryExecution and leave df's
+        # un-run (codegen spans would read 0).
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         s = summarize(plan)
         lines.append(f"## {name}")
