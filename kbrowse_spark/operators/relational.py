@@ -1471,6 +1471,50 @@ def json_render_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@register(
+    "explode_outer_matches",
+    """
+    SELECT doc_id, m AS marker
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(regexp_extract_all(text, 'spark [a-z]+')) = 0
+                  THEN [NULL]
+                  ELSE regexp_extract_all(text, 'spark [a-z]+') END AS ms
+      FROM documents WHERE doc_id < 50), unnest(ms) AS u(m)
+    ORDER BY doc_id, m NULLS FIRST
+    """,
+    "scalar",
+)
+def explode_outer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty match arrays survive as NULL —
+    the left-join form of array flattening (plain explode silently
+    drops them, a classic data-loss footgun in pipelines)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    ms = F.regexp_extract_all(F.col("text"), F.lit("spark [a-z]+"), 0)
+    return (
+        d.select("doc_id", F.explode_outer(ms).alias("marker"))
+        .orderBy("doc_id", F.col("marker").asc_nulls_first())
+    )
+
+
+@register("approx_percentile_prices", None, "agg", "approx")
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest family): constant-memory quantile
+    sketch for extreme cardinality — algorithm-specific values, so
+    rows-only (exact quantiles are covered by quantiles_disc_orders)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
+                "approx_quantiles"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @register("approx_distinct_parts", None, "agg", "approx")
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct — algorithm-specific, so no SQL
