@@ -237,24 +237,25 @@ def ann_lsh_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas-udf",
 )
 def embedding_neardup_rerank_np(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same LSH blocking + exact re-rank as embedding_neardup_lsh, but
-    the re-rank runs as a numpy mapInPandas over id pairs with the
-    embedding matrix shipped in the closure.
+    """Same LSH blocking as embedding_neardup_lsh, but the exact
+    re-rank runs as a numpy mapInPandas over the candidate pairs, with
+    both embeddings attached to each pair *via joins* — there is no
+    driver-side collect and no closure matrix, so the plan is fully
+    distributed: candidate volume (LSH-bounded) is the only thing that
+    moves, and each Arrow batch is re-ranked where it lives.
 
     Identical results to the JVM path (and the same oracle): the
     fixed-point formula floor(x*y*1e15) summed as int64 is pure IEEE
     float64 + integer math, which numpy executes bit-identically.
-    Tradeoff: the matrix must fit in worker memory (fine up to ~10^7
-    vectors); beyond that, shard the matrix by candidate bucket.  The
-    candidate-pair volume is what LSH bounds either way.
+    Norms are computed once per *vector* JVM-side (not per pair); the
+    numpy stage does exactly one vectorized dot product per pair.
     """
-    import numpy as np
-
     emb = load(spark, sf_dir, "embeddings")
     sig = emb.select(
         "vec_id",
         "embedding",
         F.expr(_spark_signature("embedding")).alias("signature"),
+        F.sqrt(F.expr(_spark_dot("embedding", "embedding"))).alias("norm"),
     )
     banded = sig.select(
         "vec_id",
@@ -280,39 +281,56 @@ def embedding_neardup_rerank_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-
-    # Matrix in closure: one driver collect of the (small) embedding
-    # table, shipped once per executor via the pickled closure.
-    rows = emb.select("vec_id", "embedding").collect()
-    max_id = max(r["vec_id"] for r in rows)
-    mat = np.zeros((max_id + 1, len(rows[0]["embedding"])), dtype=np.float64)
-    for r in rows:
-        mat[r["vec_id"]] = r["embedding"]
+    # Re-attach embeddings + norms to the id-only candidate pairs.
+    # Broadcast here (the signature table is small at test SF); at
+    # cluster scale the same two joins become shuffle hash joins keyed
+    # by vec_id — either way nothing funnels through the driver.
+    sa = F.broadcast(
+        sig.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("norm").alias("na"),
+        )
+    )
+    sb = F.broadcast(
+        sig.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("norm").alias("nb"),
+        )
+    )
+    cand = (
+        pairs.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .select("vec_a", "vec_b", "ea", "eb", "na", "nb")
+    )
 
     def rerank(batches):
         import numpy as _np
         import pandas as _pd
 
-        norms = None
         for pdf in batches:
-            if norms is None:
-                sq = _np.floor(mat * mat * 1e15).astype(_np.int64)
-                norms = _np.sqrt(sq.sum(axis=1).astype(_np.float64) / 1e15)
-            va = pdf["vec_a"].to_numpy()
-            vb = pdf["vec_b"].to_numpy()
-            prod = mat[va] * mat[vb]
+            if len(pdf) == 0:
+                continue
+            # array<float> arrives as float32 rows; widen to float64
+            # exactly (CAST(x AS DOUBLE) parity with the JVM formula).
+            ea = _np.stack(pdf["ea"].to_numpy()).astype(_np.float64)
+            eb = _np.stack(pdf["eb"].to_numpy()).astype(_np.float64)
             dots = (
-                _np.floor(prod * 1e15).astype(_np.int64).sum(axis=1).astype(
-                    _np.float64
-                )
+                _np.floor(ea * eb * 1e15)
+                .astype(_np.int64)
+                .sum(axis=1)
+                .astype(_np.float64)
                 / 1e15
             )
-            cos = dots / (norms[va] * norms[vb])
-            out = _pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cos})
+            cos = dots / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            out = _pd.DataFrame(
+                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": cos}
+            )
             yield out[out["cosine"] >= 0.35]
 
     return (
-        pairs.mapInPandas(rerank, schema="vec_a long, vec_b long, cosine double")
+        cand.mapInPandas(rerank, schema="vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
     )
 

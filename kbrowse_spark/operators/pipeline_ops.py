@@ -78,13 +78,18 @@ _STRIDE = 48
     "doc_chunking",
     f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    seq AS (
+      SELECT doc_id, words,
+             unnest(generate_series(
+               0, CAST(floor((len(words) - 1) / {_STRIDE}) AS BIGINT))) AS c
+      FROM w),
     chunks AS (
       SELECT doc_id,
              CAST(c AS INT) AS chunk_id,
              array_to_string(words[(c * {_STRIDE} + 1):(c * {_STRIDE} + {_CHUNK})],
                              ' ') AS chunk_text,
              least(len(words) - c * {_STRIDE}, {_CHUNK}) AS n_tokens
-      FROM w CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS c)
+      FROM seq
       WHERE c * {_STRIDE} < len(words)
         AND (c = 0 OR c * {_STRIDE} + {_CHUNK} < len(words) + {_STRIDE}))
     SELECT doc_id, chunk_id, chunk_text, CAST(n_tokens AS INT) AS n_tokens
@@ -100,14 +105,26 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     generate-and-slice expression — chunk count derives from the token
     count, no UDF, no shuffle.  A trailing chunk fully contained in the
     previous one (doc length landing exactly on the window end) is not
-    emitted (strict < in the boundary guard)."""
+    emitted (strict < in the boundary guard).
+
+    The generated sequence is bounded by each document's ACTUAL chunk
+    count (floor((n_words-1)/stride)): no constant-factor row
+    amplification before the filter, and arbitrarily long documents
+    chunk fully instead of silently truncating at a fixed cap."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     w = d.select("doc_id", F.split("text", " ").alias("words"))
     chunks = (
         w.select(
             "doc_id",
             "words",
-            F.explode(F.sequence(F.lit(0), F.lit(100))).alias("c"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(
+                        f"CAST(floor((size(words) - 1) / {_STRIDE}) AS INT)"
+                    ),
+                )
+            ).alias("c"),
         )
         .filter(
             (F.col("c") * _STRIDE < F.size("words"))
@@ -176,6 +193,9 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTEXT_BUDGET = 2048
+# Prefix-sum shard width (docs per shard).  Each shard's running sum is
+# a local window; only one row per shard crosses shards.
+_PACK_SHARD_WIDTH = 256
 
 
 @register(
@@ -203,19 +223,45 @@ _CONTEXT_BUDGET = 2048
 )
 def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: documents stream (in id order) into
-    2048-token bins by running-total bucketing — one
-    window pass, no iteration.  (First-fit-decreasing packs tighter
-    but needs per-bin state; running-total packing is the formulation
-    that parallelizes: the prefix sum shards by range.)"""
+    2048-token bins by running-total bucketing — no iteration, and the
+    prefix sum genuinely shards: a per-shard window (shard = doc_id
+    range block) runs on all partitions in parallel, then each shard's
+    running sum is offset by the broadcast cumulative total of the
+    shards before it.  The only global window left runs over ONE ROW
+    PER SHARD (thousands of rows at 100 TB, not billions)."""
     d = load(spark, sf_dir, "documents")
-    sized = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
-    running = F.sum("n_tokens").over(
-        W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sized = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / _PACK_SHARD_WIDTH).alias("shard"),
     )
-    packed = sized.select(
+    local_run = F.sum("n_tokens").over(
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_local = sized.select(
+        "doc_id", "n_tokens", "shard", local_run.alias("local_run")
+    )
+    # Cumulative offset of all earlier shards: tiny (one row per shard).
+    prior = F.coalesce(
+        F.sum("shard_total").over(
+            W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offsets = F.broadcast(
+        sized.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_total"))
+        .select("shard", prior.alias("offset"))
+    )
+    packed = with_local.join(offsets, "shard").select(
         "doc_id",
         "n_tokens",
-        F.floor((running - F.col("n_tokens")) / _CONTEXT_BUDGET)
+        F.floor(
+            (F.col("local_run") + F.col("offset") - F.col("n_tokens"))
+            / _CONTEXT_BUDGET
+        )
         .cast("long")
         .alias("bin_id"),
     )
