@@ -112,16 +112,19 @@ def _read(schema: Any, buf: bytes, pos: int) -> tuple[Any, int]:
 
 
 def avro_str_udf(schema_json: str, confluent_wire: bool = True):
-    """binary -> stringified decoded record UDF (pickled by value)."""
+    """binary -> stringified decoded record UDF (pickled by value),
+    Arrow-batched via ``pandas_udf``: batches cross the JVM<->Python
+    boundary as Arrow buffers rather than pickled rows."""
     import sys
 
+    import pandas as pd
     from pyspark import cloudpickle
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
-    def decode(data):
+    def decode_one(data):
         import json as _json
 
         if data is None:
@@ -145,4 +148,10 @@ def avro_str_udf(schema_json: str, confluent_wire: bool = True):
             return v.decode("utf-8", "replace")
         return str(v)
 
-    return F.udf(decode, T.StringType())
+    def decode_series(s):
+        return s.map(decode_one)
+
+    # Real annotation objects (PEP 563 stringified hints don't resolve
+    # for a locally-imported pandas when Spark infers the eval type).
+    decode_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(decode_series, T.StringType())

@@ -137,20 +137,24 @@ def stringify(value: Any) -> str:
 
 
 def msgpack_str_udf():
-    """binary -> stringified-decoded-value UDF.
+    """binary -> stringified-decoded-value UDF, Arrow-batched.
 
-    This module is registered for pickle-by-value so the closure ships
-    whole to executors — they never need the package importable.
-    Decode failure keeps the raw bytes' utf-8 rendering, matching the
-    reference's lenient behavior.
+    A ``pandas_udf`` over a Series: whole Arrow batches cross the
+    JVM<->Python boundary instead of one pickled row at a time (~10x
+    less per-row overhead on the scan hot path); the decode itself is
+    the same pure-Python closure.  This module is registered for
+    pickle-by-value so the closure ships whole to executors — they
+    never need the package importable.  Decode failure keeps the raw
+    bytes' utf-8 rendering, matching the reference's lenient behavior.
     """
     import sys
 
+    import pandas as pd
     from pyspark import cloudpickle
 
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
-    def decode(data):
+    def decode_one(data):
         if data is None:
             return ""
         try:
@@ -159,7 +163,13 @@ def msgpack_str_udf():
             return bytes(data).decode("utf-8", "replace")
         return stringify(v)
 
-    return F.udf(decode, T.StringType())
+    def decode_series(s):
+        return s.map(decode_one)
+
+    # Real annotation objects (PEP 563 stringified hints don't resolve
+    # for a locally-imported pandas when Spark infers the eval type).
+    decode_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(decode_series, T.StringType())
 
 
 def string_decode(col: Column) -> Column:
