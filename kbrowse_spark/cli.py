@@ -51,6 +51,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--avro-key-schema", help="writer schema JSON for avro keys")
     p.add_argument("--avro-value-schema", help="writer schema JSON for avro values")
+    p.add_argument(
+        "--schema-registry-url",
+        help="Confluent schema registry: resolve avro writer schemas "
+        "per wire-header id (explicit --avro-*-schema wins)",
+    )
     return p
 
 
@@ -75,12 +80,13 @@ def spec_from_args(args: argparse.Namespace) -> QuerySpec:
         stop_after_seconds=args.stop_after_seconds,
         avro_key_schema=args.avro_key_schema,
         avro_value_schema=args.avro_value_schema,
+        schema_registry_url=args.schema_registry_url,
     )
     for side, deser, schema in (
         ("key", spec.key_deserializer, spec.avro_key_schema),
         ("value", spec.value_deserializer, spec.avro_value_schema),
     ):
-        if deser == "avro" and not schema:
+        if deser == "avro" and not schema and not spec.schema_registry_url:
             print(
                 f"warning: --{side}-deserializer avro without "
                 f"--avro-{side}-schema: only the raw post-header bytes are "

@@ -111,6 +111,22 @@ def _read(schema: Any, buf: bytes, pos: int) -> tuple[Any, int]:
     raise ValueError(f"unsupported avro type {t!r}")
 
 
+def _stringify(v: Any) -> str:
+    """stringify parity with decoders.stringify (duplicated here so the
+    pickled-by-value closure never imports that module on executors)."""
+    import json as _json
+
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return _json.dumps(v, ensure_ascii=False, default=repr)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
 def avro_str_udf(schema_json: str, confluent_wire: bool = True):
     """binary -> stringified decoded record UDF (pickled by value),
     Arrow-batched via ``pandas_udf``: batches cross the JVM<->Python
@@ -125,8 +141,6 @@ def avro_str_udf(schema_json: str, confluent_wire: bool = True):
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
     def decode_one(data):
-        import json as _json
-
         if data is None:
             return ""
         try:
@@ -136,22 +150,67 @@ def avro_str_udf(schema_json: str, confluent_wire: bool = True):
             v = avro_decode(schema_json, body)
         except Exception:
             return bytes(data).decode("utf-8", "replace")
-        # stringify parity with decoders.stringify (inlined: runtime
-        # imports of this package would fail on executors).
-        if v is None:
-            return ""
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        if isinstance(v, (dict, list)):
-            return _json.dumps(v, ensure_ascii=False, default=repr)
-        if isinstance(v, bytes):
-            return v.decode("utf-8", "replace")
-        return str(v)
+        return _stringify(v)
 
     def decode_series(s):
         return s.map(decode_one)
 
     # Real annotation objects (PEP 563 stringified hints don't resolve
     # for a locally-imported pandas when Spark infers the eval type).
+    decode_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(decode_series, T.StringType())
+
+
+def avro_registry_udf(registry_url: str):
+    """binary -> stringified decoded record, with the writer schema
+    resolved PER RECORD from the Confluent wire-header schema id via
+    the schema registry (`GET /schemas/ids/{id}`) — the reference's
+    KafkaAvroDeserializer behavior (kafka.clj:38, search.clj:132-133).
+
+    Schemas are memoized per task (registry ids are immutable), so a
+    scan of N records with k distinct writer schemas performs k HTTP
+    gets per task, not N.  Payloads without the wire header pass
+    through as their utf-8 rendering; a decode failure keeps the raw
+    rendering (lenient, like the other decoders); an unreachable
+    registry raises — a misconfigured registry should be loud, not an
+    empty result.
+    """
+    import sys
+
+    import pandas as pd
+    from pyspark import cloudpickle
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    base = registry_url.rstrip("/")
+
+    def decode_one(data, cache):
+        import json as _json
+        import urllib.request
+
+        if data is None:
+            return ""
+        body = bytes(data)
+        sid, payload = strip_confluent_header(body)
+        if sid is None:
+            return body.decode("utf-8", "replace")
+        schema = cache.get(sid)
+        if schema is None:
+            with urllib.request.urlopen(
+                f"{base}/schemas/ids/{sid}", timeout=10
+            ) as r:
+                schema = _json.loads(r.read().decode("utf-8"))["schema"]
+            cache[sid] = schema
+        try:
+            v = avro_decode(schema, payload)
+        except Exception:
+            return body.decode("utf-8", "replace")
+        return _stringify(v)
+
+    def decode_series(s):
+        cache: dict[int, str] = {}
+        return s.map(lambda d: decode_one(d, cache))
+
     decode_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return F.pandas_udf(decode_series, T.StringType())

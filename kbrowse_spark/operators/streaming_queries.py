@@ -114,6 +114,47 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_counts",
+    f"""
+    WITH ex AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '15 minutes', ts)
+               - k * INTERVAL '15 minutes' AS ws
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM ex
+    GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """,
+    "streaming",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1-hour size, 15-minute slide): each
+    event lands in 4 overlapping windows.  Same bounded-stream
+    (availableNow) formulation as the tumbling variant; the oracle
+    expands each event into its 4 slide-aligned window starts
+    (time_bucket - k*slide), which is exactly Spark's epoch-aligned
+    window assignment."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete").orderBy("window_start", "event_type")
+
+
+@register(
     "stream_dedup_users",
     """
     SELECT DISTINCT user_id, event_type FROM events
@@ -207,23 +248,30 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
-    customer dimension (broadcast per micro-batch), then aggregated —
-    the standard streaming-enrichment topology."""
+    customer dimension (broadcast per micro-batch), then aggregated
+    INSIDE the stream to (segment, user) grain in update mode — the
+    memory sink receives one running count per key, not the row-level
+    event grain.  The post-sink step only resolves each key's final
+    count (max of the monotone running counts) and folds the exact
+    distinct-user count — the one piece streaming state can't express
+    without a second state layer."""
     from kbrowse_spark.sources.tables import load
 
     ev = _events_stream(spark, sf_dir)
-    cust = F.broadcast(load(spark, sf_dir, "customer"))
+    cust = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
     joined = ev.join(cust, ev.user_id == cust.c_custkey)
-    # Stream the enriched grain to the sink, aggregate exactly on the
-    # materialized result (streaming countDistinct isn't supported
-    # without state redesign).
-    grain = joined.select("c_mktsegment", "user_id")
-    result = _run_to_memory(grain, "append")
+    per_user = joined.groupBy("c_mktsegment", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    result = _run_to_memory(per_user, "update")
+    final = result.groupBy("c_mktsegment", "user_id").agg(F.max("n").alias("n"))
     return (
-        result.groupBy("c_mktsegment")
+        final.groupBy("c_mktsegment")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
         )
         .orderBy("c_mktsegment")
     )

@@ -39,7 +39,11 @@ def anchored(regex: str) -> str:
 
 
 def _decode(
-    df: DataFrame, col: str, deserializer: str, avro_schema: str | None = None
+    df: DataFrame,
+    col: str,
+    deserializer: str,
+    avro_schema: str | None = None,
+    registry_url: str | None = None,
 ) -> DataFrame:
     out = f"{col}_str"
     if deserializer == "string":
@@ -54,6 +58,12 @@ def _decode(
             from kbrowse_spark.functions.avro import avro_str_udf
 
             return df.withColumn(out, avro_str_udf(avro_schema)(F.col(col)))
+        if registry_url:
+            # Writer schema per record from the registry by wire-header
+            # id (reference KafkaAvroDeserializer behavior).
+            from kbrowse_spark.functions.avro import avro_registry_udf
+
+            return df.withColumn(out, avro_registry_udf(registry_url)(F.col(col)))
         # No schema known: surface the raw body after the wire header.
         from kbrowse_spark.functions.decoders import confluent_avro_payload
 
@@ -91,6 +101,7 @@ def load_envelope(spark: SparkSession, spec: QuerySpec) -> DataFrame:
             if spec.relative_offset is None
             else _broker_starting_offsets(spec, assignment),
             ending_offsets="latest",
+            min_partitions=spec.min_partitions,
         )
         reader = spark.read.format("kafka")
         for k, v in opts.items():
@@ -208,12 +219,21 @@ def _apply_offset_window(df: DataFrame, spec: QuerySpec) -> DataFrame:
     return df if cond is None else df.filter(cond)
 
 
-def build_scan(spark: SparkSession, spec: QuerySpec) -> DataFrame:
+def build_scan(
+    spark: SparkSession, spec: QuerySpec, *, deterministic_order: bool = True
+) -> DataFrame:
     """Full pipeline: envelope -> window -> decode -> regex filter ->
-    discriminated union (offset|result rows) in deterministic order.
+    discriminated union (offset|result rows).
 
     Output columns: type, topic, partition, offset, timestamp,
     key_str, value_str.
+
+    ``deterministic_order=True`` (default — the oracle-hash / CLI
+    path) totally orders by (topic, partition, offset, type): the
+    reference's per-partition arrival (offset) order, made total.
+    ``False`` (service emission at scale) sorts within partitions
+    only — no cluster-wide exchange for a sort the wire protocol
+    doesn't require.
     """
     env = load_envelope(spark, spec)
     env = _apply_offset_window(env, spec)
@@ -222,8 +242,14 @@ def build_scan(spark: SparkSession, spec: QuerySpec) -> DataFrame:
             F.col("timestamp") <= F.lit(spec.stop_timestamp).cast("timestamp")
         )
 
-    env = _decode(env, "key", spec.key_deserializer, spec.avro_key_schema)
-    env = _decode(env, "value", spec.value_deserializer, spec.avro_value_schema)
+    env = _decode(
+        env, "key", spec.key_deserializer, spec.avro_key_schema,
+        spec.schema_registry_url,
+    )
+    env = _decode(
+        env, "value", spec.value_deserializer, spec.avro_value_schema,
+        spec.schema_registry_url,
+    )
 
     base_cols = [
         "topic",
@@ -250,9 +276,15 @@ def build_scan(spark: SparkSession, spec: QuerySpec) -> DataFrame:
     else:
         out = results
 
-    # Deterministic emission order (SURVEY §7 hard-point 1): event-time
-    # first — which preserves per-partition offset order and matches the
-    # reference's arrival-order emission on its own fixtures — then
-    # (topic, partition, offset) as total tie-break; 'offset' (progress)
-    # rows sort before 'result' rows for the same record.
-    return out.orderBy("timestamp", "topic", "partition", "offset", "type")
+    # Emission order (SURVEY §7 hard-point 1).  Deterministic mode:
+    # event-time first — preserves per-partition offset order on
+    # monotonic producers AND reproduces the reference's arrival-order
+    # interleave on its own integration fixtures — then (topic,
+    # partition, offset) as total tie-break; 'offset' (progress) rows
+    # sort before 'result' rows for the same record.  Scale mode
+    # sorts within partitions only: per-Kafka-partition offset order
+    # (exactly the reference's guarantee) without a cluster-wide
+    # exchange.
+    if deterministic_order:
+        return out.orderBy("timestamp", "topic", "partition", "offset", "type")
+    return out.sortWithinPartitions("topic", "partition", "offset", "type")

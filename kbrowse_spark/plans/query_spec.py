@@ -40,6 +40,10 @@ class QuerySpec:
     # plan time (kbrowse search.clj:132-133); offline they're supplied.
     avro_key_schema: str | None = None
     avro_value_schema: str | None = None
+    # Confluent schema-registry base URL: when set, avro payloads
+    # resolve their writer schema per wire-header id at decode time
+    # (reference search.clj:132-133); explicit --avro-*-schema wins.
+    schema_registry_url: str | None = None
 
     # Topic partition count for offline (fixture) sources.  The Kafka
     # path gets this from broker metadata; a fixture can only infer
@@ -54,6 +58,12 @@ class QuerySpec:
 
     follow: bool = False
     print_offset: int | None = None
+    # Scale knobs for hot topics (SURVEY §4 resource governance):
+    # min_partitions splits topic-partitions into offset sub-ranges
+    # (batch + stream); max_offsets_per_trigger bounds each follow-mode
+    # micro-batch (back-pressure).
+    min_partitions: int | None = None
+    max_offsets_per_trigger: int | None = None
     # None = unset (callers apply their configured default); the
     # reference default is 86400 s.  None (not 86400) so a service can
     # distinguish "client said 86400" from "client said nothing".
@@ -77,6 +87,13 @@ class QuerySpec:
                 raise QuerySpecError(f"unknown deserializer {d!r}")
         if self.print_offset is not None and self.print_offset <= 0:
             raise QuerySpecError("--print-offset must be positive")
+        if self.min_partitions is not None and self.min_partitions <= 0:
+            raise QuerySpecError("--min-partitions must be positive")
+        if (
+            self.max_offsets_per_trigger is not None
+            and self.max_offsets_per_trigger <= 0
+        ):
+            raise QuerySpecError("--max-offsets-per-trigger must be positive")
         return self
 
     @classmethod
@@ -121,6 +138,8 @@ class QuerySpec:
             spec.avro_key_schema = norm["avro_key_schema"]
         if "avro_value_schema" in norm:
             spec.avro_value_schema = norm["avro_value_schema"]
+        if "schema_registry_url" in norm:
+            spec.schema_registry_url = norm["schema_registry_url"]
         if "relative_offset" in norm and norm["relative_offset"] not in (None, ""):
             spec.relative_offset = as_int(norm["relative_offset"], "relative-offset")
         if "start_timestamp" in norm:
@@ -131,6 +150,14 @@ class QuerySpec:
             spec.follow = as_bool(norm["follow"])
         if "print_offset" in norm and norm["print_offset"] not in (None, ""):
             spec.print_offset = as_int(norm["print_offset"], "print-offset")
+        if "min_partitions" in norm and norm["min_partitions"] not in (None, ""):
+            spec.min_partitions = as_int(norm["min_partitions"], "min-partitions")
+        if "max_offsets_per_trigger" in norm and norm[
+            "max_offsets_per_trigger"
+        ] not in (None, ""):
+            spec.max_offsets_per_trigger = as_int(
+                norm["max_offsets_per_trigger"], "max-offsets-per-trigger"
+            )
         if "stop_after_seconds" in norm:
             spec.stop_after_seconds = as_int(
                 norm["stop_after_seconds"], "stop-after-seconds"

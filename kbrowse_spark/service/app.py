@@ -225,10 +225,32 @@ def create_app(spark=None, config: EngineConfig | None = None):
             return {"error": str(e)}, 400  # Q8: plan-time errors too
 
         def generate():
+            # Wall-clock kill switch for bounded scans too (the
+            # reference applies stop-running-date to every search,
+            # search.clj:117-121): cancel this query's job group after
+            # the deadline so a huge /search can't pin the cluster.
+            import json as _json
+            import time
+
+            sc = df.sparkSession.sparkContext
+            group = f"search-{time.monotonic_ns()}"
+            sc.setJobGroup(group, "bounded /search", True)
+            timer = threading.Timer(
+                spec.stop_after_seconds, sc.cancelJobGroup, args=(group,)
+            )
+            timer.daemon = True
+            timer.start()
             buf: list[str] = []
-            for chunk in emit_json_array(df, pretty=False):
-                buf.append(chunk)
-                yield chunk  # chunked transfer: client reads while we scan
+            try:
+                for chunk in emit_json_array(df, pretty=False):
+                    buf.append(chunk)
+                    yield chunk  # chunked transfer: client reads while we scan
+            except Exception as e:  # cancelled (or failed) mid-stream:
+                # close the array on the wire, never cache the partial.
+                yield ", " + _json.dumps({"error": str(e)}) + "]"
+                return
+            finally:
+                timer.cancel()
             cache.put(cache_key, "".join(buf))
 
         return Response(generate(), mimetype="application/json")

@@ -46,10 +46,13 @@ def render_row(row) -> dict:
             "key": try_parse_json(row["key_str"]),
             "value": try_parse_json(row["value_str"]),
         }
-    # progress rows: Date-rendered timestamp, raw strings (Q5, search.clj:83-93)
+    # progress rows: Date-rendered timestamp, raw strings (Q5,
+    # search.clj:83-93).  ISO-8601 with T/Z — cheshire serializes
+    # java.util.Date as yyyy-MM-dd'T'HH:mm:ss'Z', so existing kbrowse
+    # clients parse the same format off this wire.
     return {
         "type": "offset",
-        "timestamp": ts.strftime("%Y-%m-%d %H:%M:%S") if ts is not None else None,
+        "timestamp": ts.strftime("%Y-%m-%dT%H:%M:%SZ") if ts is not None else None,
         "partition": row["partition"],
         "offset": row["offset"],
         "topic": row["topic"],

@@ -29,10 +29,28 @@ ENVELOPE_SCHEMA = T.StructType(
 
 
 def envelope_from_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Read an envelope-shaped parquet (tests stage these)."""
+    """Read an envelope-shaped parquet (tests stage these).  A parquet
+    in the driver's ``events`` table shape (user_id/event_id/props/ts)
+    is adapted into the envelope automatically, so the CLI runs
+    directly against /root/testdata/sf*/events.parquet."""
+    # TIMESTAMP(NANOS) handling, same as tables.load.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     missing = {f.name for f in ENVELOPE_SCHEMA} - set(df.columns)
     if missing:
+        if {"user_id", "event_id", "props", "ts"} <= set(df.columns):
+            ts = F.col("ts")
+            if dict(df.dtypes).get("ts") == "bigint":
+                ts = F.timestamp_micros(F.expr("ts div 1000"))
+            return df.select(
+                F.encode(F.col("user_id").cast("string"), "UTF-8").alias("key"),
+                F.encode(F.col("props"), "UTF-8").alias("value"),
+                F.lit("events").alias("topic"),
+                (F.col("user_id") % 10).cast("int").alias("partition"),
+                F.col("event_id").alias("offset"),
+                ts.alias("timestamp"),
+                F.lit(0).alias("timestampType"),
+            )
         raise ValueError(f"fixture at {path} missing envelope columns {missing}")
     return df.select([f.name for f in ENVELOPE_SCHEMA])
 

@@ -45,6 +45,21 @@ def resolve_partitions(
             out[t] = [p for p in explicit if 0 <= p < n]
         else:
             out[t] = list(range(n))
+    if explicit and default_partition_key is None:
+        # Per-topic pruning is intended for heterogeneous topics, but a
+        # partition valid on NO topic is a typo — error, not a silently
+        # empty scan returning a valid-looking empty JSON result.
+        dead = [p for p in explicit if all(p not in ps for ps in out.values())]
+        if dead:
+            from kbrowse_spark.plans.query_spec import QuerySpecError
+
+            detail = ", ".join(
+                f"{t}: {partition_counts[t]} partitions" for t in topics
+            )
+            raise QuerySpecError(
+                f"partitions out of range for every topic ({detail}): "
+                f"{sorted(set(dead))}"
+            )
     return out
 
 
@@ -144,11 +159,24 @@ def kafka_stream_options(
     bootstrap_servers: str,
     assignment: dict[str, list[int]],
     starting_offsets: str,
+    max_offsets_per_trigger: int | None = None,
+    min_partitions: int | None = None,
 ) -> dict[str, str]:
-    """Options for follow mode (``readStream``) — no ending bound."""
-    return {
+    """Options for follow mode (``readStream``) — no ending bound.
+
+    ``maxOffsetsPerTrigger`` bounds each micro-batch's total record
+    count (back-pressure on a hot topic: without it the first batch
+    after a restart tries to swallow the whole backlog);
+    ``minPartitions`` splits hot topic-partitions into offset
+    sub-ranges so one 100 TB partition doesn't pin one task."""
+    opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "assign": assign_json(assignment),
         "startingOffsets": starting_offsets,
         "failOnDataLoss": "false",
     }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if min_partitions:
+        opts["minPartitions"] = str(min_partitions)
+    return opts

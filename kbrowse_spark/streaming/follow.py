@@ -93,7 +93,11 @@ def _stream_envelope(spark: SparkSession, spec: QuerySpec) -> DataFrame:
             else _broker_starting_offsets(spec, assignment)
         )
         opts = kafka_stream_options(
-            spec.bootstrap_servers, assignment, starting_offsets=starting
+            spec.bootstrap_servers,
+            assignment,
+            starting_offsets=starting,
+            max_offsets_per_trigger=spec.max_offsets_per_trigger,
+            min_partitions=spec.min_partitions,
         )
         reader = spark.readStream.format("kafka")
         for k, v in opts.items():
@@ -104,8 +108,14 @@ def _stream_envelope(spark: SparkSession, spec: QuerySpec) -> DataFrame:
 
 def build_follow_stream(spark: SparkSession, spec: QuerySpec) -> DataFrame:
     env = _stream_envelope(spark, spec)
-    env = _decode(env, "key", spec.key_deserializer, spec.avro_key_schema)
-    env = _decode(env, "value", spec.value_deserializer, spec.avro_value_schema)
+    env = _decode(
+        env, "key", spec.key_deserializer, spec.avro_key_schema,
+        spec.schema_registry_url,
+    )
+    env = _decode(
+        env, "value", spec.value_deserializer, spec.avro_value_schema,
+        spec.schema_registry_url,
+    )
     matched = env
     if spec.key_regex is not None:
         matched = matched.filter(F.col("key_str").rlike(anchored(spec.key_regex)))

@@ -247,8 +247,11 @@ def test_option_math_pure():
     counts = {"a": 3, "b": 2}
     asg = resolve_partitions(["a", "b"], counts, None, None)
     assert asg == {"a": [0, 1, 2], "b": [0, 1]}
-    asg2 = resolve_partitions(["a"], counts, [0, 2, 9], None)
-    assert asg2 == {"a": [0, 2]}  # out-of-range explicit partitions drop
+    asg2 = resolve_partitions(["a", "b"], counts, [0, 2], None)
+    assert asg2 == {"a": [0, 2], "b": [0]}  # per-topic pruning in range
+    # a partition valid on NO topic is an error, not an empty scan
+    with pytest.raises(QuerySpecError, match=r"out of range.*\[9\]"):
+        resolve_partitions(["a"], counts, [0, 2, 9], None)
     earliest = {("a", 0): 5, ("a", 1): 0, ("a", 2): 0}
     latest = {("a", 0): 100, ("a", 1): 50, ("a", 2): 7}
     s = json.loads(
@@ -260,6 +263,44 @@ def test_option_math_pure():
     assert ending_offsets_json({"a": [0]}) == "latest"
     opts = kafka_batch_options("h:9092", asg, "earliest")
     assert json.loads(opts["assign"]) == {"a": [0, 1, 2], "b": [0, 1]}
+
+
+def test_hot_topic_scale_knobs():
+    """minPartitions (batch + stream) and maxOffsetsPerTrigger (stream)
+    — the two knobs a hot 100 TB topic needs — flow from QuerySpec into
+    the source options."""
+    from kbrowse_spark.sources.kafka import (
+        kafka_batch_options,
+        kafka_stream_options,
+    )
+
+    asg = {"a": [0, 1]}
+    opts = kafka_batch_options("h:9092", asg, "earliest", min_partitions=64)
+    assert opts["minPartitions"] == "64"
+    assert "maxOffsetsPerTrigger" not in opts  # batch has no trigger
+    sopts = kafka_stream_options(
+        "h:9092", asg, "earliest", max_offsets_per_trigger=100000, min_partitions=64
+    )
+    assert sopts["maxOffsetsPerTrigger"] == "100000"
+    assert sopts["minPartitions"] == "64"
+    # unset -> absent (Spark defaults apply)
+    sopts2 = kafka_stream_options("h:9092", asg, "earliest")
+    assert "maxOffsetsPerTrigger" not in sopts2 and "minPartitions" not in sopts2
+    # QuerySpec parsing + validation
+    spec = QuerySpec.from_options(
+        {
+            "source-parquet": "x",
+            "topics": "t",
+            "min-partitions": "64",
+            "max-offsets-per-trigger": "100000",
+        }
+    )
+    assert spec.min_partitions == 64
+    assert spec.max_offsets_per_trigger == 100000
+    with pytest.raises(QuerySpecError):
+        QuerySpec.from_options(
+            {"source-parquet": "x", "topics": "t", "min-partitions": "0"}
+        )
 
 
 # --- avro decoding (O11, Confluent wire format A6) -----------------------

@@ -94,3 +94,45 @@ def test_topics_endpoint_with_fake_lister(spark):
     r = c.get("/topics?bootstrap-servers=localhost:9092")
     assert r.status_code == 200
     assert r.get_json()["topics"] == ["topic-a", "topic-b"]
+
+
+def test_console_feature_parity(client):
+    """The console ships the reference features (SURVEY O24 /
+    main.js:116-144, 224-251): cluster selector, per-cluster topics
+    dropdown, default-partition Lookup button — wired to the tested
+    endpoints."""
+    html = client.get("/").get_data(as_text=True)
+    for element_id in (
+        "cluster-select",
+        "topics-list",
+        "lookup-button",
+        "num-partitions",
+        "bootstrap-servers",
+    ):
+        assert f'id="{element_id}"' in html, element_id
+    # wiring points at the real endpoints
+    for endpoint in ("/server-configs", "/topics", "/default-partition"):
+        assert endpoint in html, endpoint
+
+
+def test_console_dropdown_roundtrip(spark):
+    """Dropdown data path end-to-end: seed the topics cache, fetch the
+    console, fetch /topics for two clusters — per-cluster topic sets
+    (the reference's on-cluster-change refresh, test-console.js:116-144)."""
+    app = create_app(spark=spark)
+    cache = app.extensions["kbrowse_topics_cache"]
+    by_cluster = {
+        "c1:9092": {"alpha", "beta"},
+        "c2:9092": {"gamma"},
+    }
+    cache.clusters = sorted(by_cluster)
+    cache.lister = lambda cluster: by_cluster[cluster]
+    cache.refresh()
+    c = app.test_client()
+    assert c.get("/topics?bootstrap-servers=c1:9092").get_json()["topics"] == [
+        "alpha",
+        "beta",
+    ]
+    assert c.get("/topics?bootstrap-servers=c2:9092").get_json()["topics"] == [
+        "gamma"
+    ]
