@@ -440,3 +440,117 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+    minh AS (
+      SELECT doc_id,
+      {_sql_minhash_cols()}
+      FROM sh GROUP BY doc_id),
+    buckets AS (
+      {_sql_band_buckets()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
+                      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS doc_id, src AS r FROM edges
+      UNION
+      SELECT e.src AS doc_id, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.dst),
+    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_keeper
+    FROM labels
+    ORDER BY doc_id
+    """,
+    "dedup",
+    "iterative",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs: the
+    pairs -> clusters -> canonical-doc step that completes a dedup
+    pipeline (keep ``is_keeper`` rows, drop the rest).
+
+    Iterative min-label propagation: each round every doc takes the
+    minimum label among itself and its neighbors; converges in
+    O(cluster diameter) rounds.  Each round is one distributed
+    join+aggregate; the driver only checks the (scalar) change count —
+    the standard Spark formulation of iterative graph algorithms
+    (lineage cut per round via localCheckpoint so the plan doesn't
+    grow unboundedly).  Oracle: DuckDB recursive CTE computing the
+    minimum reachable doc_id.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(50):  # >> any real cluster diameter at this banding
+        nmin = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst_id"),
+                    F.col("cluster_id").alias("dst_cluster"),
+                ),
+                F.col("dst") == F.col("dst_id"),
+            )
+            .groupBy("src")
+            .agg(F.min("dst_cluster").alias("nmin"))
+        )
+        updated = (
+            labels.join(nmin, F.col("doc_id") == F.col("src"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nmin"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    from pyspark.sql import Window as W
+
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    ).orderBy("doc_id")

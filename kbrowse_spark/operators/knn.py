@@ -251,11 +251,21 @@ def embedding_neardup_rerank_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy stage does exactly one vectorized dot product per pair.
     """
     emb = load(spark, sf_dir, "embeddings")
-    sig = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(_spark_signature("embedding")).alias("signature"),
-        F.sqrt(F.expr(_spark_dot("embedding", "embedding"))).alias("norm"),
+    from kbrowse_spark.functions.cache_registry import cached
+
+    # Same cached signature table as embedding_neardup_lsh (identical
+    # definition, shared key): signatures + norms computed once per
+    # vector, not once per reference in this three-way plan.
+    sig = cached(
+        spark,
+        sf_dir,
+        "neardup_sig",
+        lambda: emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_spark_signature("embedding")).alias("signature"),
+            F.sqrt(F.expr(_spark_dot("embedding", "embedding"))).alias("norm"),
+        ),
     )
     banded = sig.select(
         "vec_id",
@@ -584,3 +594,57 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH m AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings)
+    SELECT vec_id, label,
+           CAST(maxabs / 127 AS DOUBLE) AS scale,
+           CASE WHEN maxabs = 0
+                THEN list_transform(embedding, x -> CAST(0 AS INT))
+                ELSE list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs + 0.5)
+                                 AS INT)) END AS qvec
+    FROM m
+    ORDER BY vec_id
+    """,
+    "knn",
+    "multimodal",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127):
+    the storage/serving compression step of an embedding pipeline —
+    4x smaller vectors, dequantize as q*scale.  Pure JVM expressions
+    (higher-order array functions), one narrow projection, no shuffle;
+    floor(x*127/maxabs + 0.5) is identical IEEE-double math in Spark
+    and DuckDB, so quantized codes match bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("maxabs"),
+    )
+    qvec = F.when(
+        F.col("maxabs") == 0,
+        F.expr("transform(embedding, x -> CAST(0 AS INT))"),
+    ).otherwise(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs + 0.5) AS INT))"
+        )
+    )
+    return m.select(
+        "vec_id",
+        "label",
+        (F.col("maxabs") / 127).cast("double").alias("scale"),
+        qvec.alias("qvec"),
+    ).orderBy("vec_id")

@@ -275,3 +275,33 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@register(
+    "sample_stratified",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('sample-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+    ORDER BY doc_id
+    """,
+    "pipeline",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (downweight the
+    head language, keep more of the tail — the standard corpus
+    rebalancing op).  Deterministic hash-bucket sampling, never
+    random(): the same doc set is selected on every engine and every
+    run, which is what makes sampling decisions auditable and the
+    pipeline resumable.  One narrow filter, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(concat('sample-', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 100"
+    )
+    rate = F.when(F.col("lang") == "en", 20).otherwise(60)
+    return d.select("doc_id", "lang").filter(bucket < rate).orderBy("doc_id")
