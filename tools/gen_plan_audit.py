@@ -23,6 +23,10 @@ AUDIT = [
     ("dedup_minhash_lsh", "map-side-combined minhash agg, banded join"),
     ("sort_limit_top_lineitems", "TakeOrderedAndProject (no global sort)"),
     ("kbrowse_regex_scan", "regex filter at the scan boundary"),
+    ("embedding_neardup_rerank_np", "no driver collect: joins feed mapInPandas"),
+    ("token_budget_packing", "sharded prefix sum (windowspec has shard key)"),
+    ("embedding_quantize_int8", "narrow projection, no shuffle"),
+    ("sample_stratified", "hash-bucket filter at the scan, no shuffle"),
 ]
 
 

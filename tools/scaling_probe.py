@@ -47,9 +47,17 @@ def main() -> None:
     for name in OPS:
         times = []
         for sf in SFS:
-            t0 = time.perf_counter()
-            qs[name].builder(spark, sf).write.format("noop").mode("overwrite").save()
-            times.append(round(time.perf_counter() - t0, 2))
+            # min of 2 runs: this box has noisy neighbors and a single
+            # sample regularly reads 3-5x high; min is the robust
+            # steady-state estimator for a deterministic workload.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name].builder(spark, sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times.append(round(best, 2))
         results[name] = times
 
     lines = [
