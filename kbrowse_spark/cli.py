@@ -36,6 +36,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="topic partition count for offline sources (default-partition math)",
     )
     p.add_argument("--relative-offset", type=int)
+    p.add_argument("--start-timestamp")
     p.add_argument("--stop-timestamp")
     p.add_argument("--follow", action="store_true")
     p.add_argument("--print-offset", type=int)
@@ -74,6 +75,7 @@ def spec_from_args(args: argparse.Namespace) -> QuerySpec:
         value_deserializer=args.value_deserializer,
         num_partitions=args.num_partitions,
         relative_offset=args.relative_offset,
+        start_timestamp=args.start_timestamp,
         stop_timestamp=args.stop_timestamp,
         follow=args.follow,
         print_offset=args.print_offset,

@@ -349,3 +349,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_heavy_hitters",
+    """
+    WITH w AS (
+      SELECT lang, lower(unnest(string_split(text, ' '))) AS word
+      FROM documents),
+    counts AS (
+      SELECT lang, word, COUNT(*) AS n
+      FROM w
+      WHERE length(word) >= 4
+      GROUP BY lang, word),
+    ranked AS (
+      SELECT lang, word, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, word) AS rnk
+      FROM counts)
+    SELECT lang, CAST(rnk AS INT) AS rnk, word, n
+    FROM ranked WHERE rnk <= 10
+    ORDER BY lang, rnk
+    """,
+    "text",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 frequent words (>= 4 chars): the vocabulary
+    heavy-hitters pass of corpus analysis (stopword discovery, domain
+    drift checks).  Exact counts via one map-side-combined aggregate;
+    the per-group top-k runs as WindowGroupLimit — only 10 rows per
+    language survive the rank exchange, never the full vocabulary.  At
+    100 TB the same plan holds: the (lang, word) aggregate is the only
+    data-sized shuffle, pre-aggregated on the map side."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    counts = (
+        d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 4)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "word")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", F.col("rnk").cast("int"), "word", "n")
+        .orderBy("lang", "rnk")
+    )

@@ -237,6 +237,15 @@ def build_scan(
     """
     env = load_envelope(spark, spec)
     env = _apply_offset_window(env, spec)
+    if spec.start_timestamp:
+        # The reference validates --start-timestamp but never applies it
+        # (SURVEY O9: consumed at cli.clj:65-66, unused in search.clj) —
+        # implemented for real here; on the Kafka path the same bound
+        # also compiles to startingOffsetsByTimestamp, with this filter
+        # as the exactness residual (offset-for-time is batch-granular).
+        env = env.filter(
+            F.col("timestamp") >= F.lit(spec.start_timestamp).cast("timestamp")
+        )
     if spec.stop_timestamp:
         env = env.filter(
             F.col("timestamp") <= F.lit(spec.stop_timestamp).cast("timestamp")

@@ -382,6 +382,17 @@ def test_stop_timestamp_bound(spark, topic_a_path):
     assert {r["value"] for r in rows[1:]} == {"v0", "v1"}
 
 
+def test_start_timestamp_bound(spark, topic_a_path):
+    # Records at seconds 0,1,2; start at :01 drops the first — the
+    # reference validates --start-timestamp but never applies it
+    # (SURVEY O9); this engine implements it for real.
+    rows = run_query(
+        spark, topic_a_path, key_regex=".*", start_timestamp="2024-01-01 00:00:01"
+    )
+    assert len(rows) == 3
+    assert {r["value"] for r in rows[1:]} == {"v1", "v2"}
+
+
 # --- multi-topic scan with per-topic partition discovery (Q1) ------------
 
 def test_multi_topic_per_topic_partitions(spark, tmp_path):
