@@ -164,3 +164,74 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     return src.mapInPandas(extract_features, schema=_FEATURE_SCHEMA).orderBy("doc_id")
+
+
+_FRAME = 64  # stub frame size (chars); a real codec replaces this
+_FRAME_STEP = 4  # sample every 4th frame
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH p AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+               CAST(ceil(length(text) / {_FRAME}.0) AS BIGINT) - 1,
+               {_FRAME_STEP})) AS frame_idx
+      FROM p)
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(substr(text, CAST(frame_idx * {_FRAME} + 1 AS BIGINT),
+                              {_FRAME})) AS INT) AS frame_len,
+           md5(substr(text, CAST(frame_idx * {_FRAME} + 1 AS BIGINT),
+                      {_FRAME})) AS frame_md5
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+    "multimodal",
+    "pandas-udf",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque media payload: every 4th fixed-
+    size frame is extracted and fingerprinted — the video keyframe /
+    audio-window sampling shape of a multimodal ingest pipeline.
+
+    The plumbing is the production one (narrow scan -> Arrow batches ->
+    per-batch Python -> Arrow back, no shuffle; output rows ~ n/step
+    amplification happens AFTER the metadata filter).  The 'decoder' is
+    the deterministic stub this container forces (fixed 64-char frames
+    of the text payload), which is exactly what makes the whole
+    pipeline hash-checkable against the SQL oracle — a real ffmpeg/PIL
+    decode drops in by replacing `frames_of` and moving the query to
+    the rows-only class.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def frames_of(text: str):
+            # STUB decoder: fixed-size character frames.
+            n_frames = (len(text) + _FRAME - 1) // _FRAME
+            for idx in range(0, n_frames, _FRAME_STEP):
+                yield idx, text[idx * _FRAME : (idx + 1) * _FRAME]
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for idx, fr in frames_of(text):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_len"].append(len(fr))
+                    rows["frame_md5"].append(hashlib.md5(fr.encode()).hexdigest())
+            yield pd.DataFrame(rows)
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(
+            sample,
+            schema="doc_id long, frame_idx int, frame_len int, frame_md5 string",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
