@@ -12,6 +12,9 @@ from dataclasses import dataclass, field
 @dataclass
 class EngineConfig:
     clusters: dict[str, str] = field(default_factory=dict)
+    # bootstrap-servers -> Confluent schema-registry URL (reference
+    # config.clj:57-59: registry configured per cluster).
+    schema_registry_urls: dict[str, str] = field(default_factory=dict)
     default_bootstrap_servers: str = "localhost:9092"
     kafka_timeout_ms: int = 5000
     kafka_topics_cache_sleep_seconds: int = 300
@@ -46,6 +49,8 @@ class EngineConfig:
                 setattr(cfg, k, int(env))
         if "clusters" in data:
             cfg.clusters = dict(data["clusters"])
+        if "schema-registry-urls" in data:
+            cfg.schema_registry_urls = dict(data["schema-registry-urls"])
         if "default-bootstrap-servers" in data:
             cfg.default_bootstrap_servers = data["default-bootstrap-servers"]
         if os.environ.get("KBROWSE_BOOTSTRAP_SERVERS"):

@@ -163,6 +163,15 @@ def create_app(spark=None, config: EngineConfig | None = None):
         if spec.stop_after_seconds is None:
             # Not set per-query: apply the service-level kill switch.
             spec.stop_after_seconds = cfg.stop_consumers_after_n_seconds
+        if spec.schema_registry_url is None and "avro" in (
+            spec.key_deserializer,
+            spec.value_deserializer,
+        ):
+            # Per-cluster registry from config (reference search.clj:
+            # 132-133 injects the cluster's registry at search time).
+            spec.schema_registry_url = cfg.schema_registry_urls.get(
+                spec.bootstrap_servers or cfg.default_bootstrap_servers
+            )
 
         if spec.follow:
             # Follow mode over HTTP: an unbounded streaming query writes

@@ -473,3 +473,27 @@ def test_num_partitions_hint_fixes_inference(spark, tmp_path):
     ).validate()
     rows = json.loads(collect_protocol(build_scan(spark, spec)))
     assert [r["value"] for r in rows[1:]] == ["hit"]
+
+
+def test_scan_order_modes(spark, topic_a_path):
+    """deterministic_order=True totally orders (global sort);
+    False sorts within partitions only — the scale path has no
+    cluster-wide exchange for emission ordering."""
+    spec = QuerySpec(
+        source_parquet=topic_a_path, topics=["topic-a"], key_regex=".*"
+    ).validate()
+    det = build_scan(spark, spec)
+    fast = build_scan(spark, spec, deterministic_order=False)
+    def sort_flags(df) -> list[bool]:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # logical Sort prints "Sort [cols...], <global>" per line
+        return [
+            "true" in line.rsplit("]", 1)[-1]
+            for line in plan.splitlines()
+            if line.lstrip("+- ").startswith("Sort [")
+        ]
+
+    assert sort_flags(det) == [True]  # one global sort
+    assert sort_flags(fast) == [False]  # within-partition only
+    # both modes emit identical row SETS
+    assert sorted(map(tuple, det.collect())) == sorted(map(tuple, fast.collect()))

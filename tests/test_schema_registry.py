@@ -142,3 +142,44 @@ def test_build_scan_with_registry(spark, registry, tmp_path):
     rows = build_scan(spark, spec).collect()
     assert len(rows) == 1
     assert json.loads(rows[0]["value_str"]) == {"id": 9, "tag": "abc"}
+
+
+def test_service_injects_cluster_registry(spark, registry, tmp_path):
+    """The service resolves the cluster's registry from config when an
+    avro query doesn't pass one (reference search.clj:132-133 +
+    config.clj:57-59)."""
+    import datetime
+
+    from kbrowse_spark.config import EngineConfig
+    from kbrowse_spark.service.app import create_app
+    from kbrowse_spark.sources.fixture import ENVELOPE_SCHEMA
+
+    url, _ = registry
+    ts = datetime.datetime(2024, 1, 1)
+    rec = _wire(1, _zigzag(5) + _zigzag(2) + b"ok")
+    df = spark.createDataFrame(
+        [(b"k", rec, "t", 0, 0, ts, 0)], ENVELOPE_SCHEMA
+    )
+    path = str(tmp_path / "avro_env2.parquet")
+    df.write.parquet(path)
+    cfg = EngineConfig(
+        schema_registry_urls={"localhost:9092": url},
+        default_bootstrap_servers="localhost:9092",
+    )
+    app = create_app(spark=spark, config=cfg)
+    c = app.test_client()
+    r = c.get(f"/search?source-parquet={path}&topics=t&value-deserializer=avro")
+    rows = json.loads(r.get_data(as_text=True))
+    assert rows[1]["value"] == {"id": 5, "tag": "ok"}
+
+
+def test_config_parses_registry_urls(tmp_path):
+    from kbrowse_spark.config import EngineConfig
+
+    p = tmp_path / "cfg.yml"
+    p.write_text(
+        "schema-registry-urls:\n  broker1:9092: http://reg1:8081\n"
+        "clusters:\n  prod: broker1:9092\n"
+    )
+    cfg = EngineConfig.load(str(p))
+    assert cfg.schema_registry_urls == {"broker1:9092": "http://reg1:8081"}
