@@ -74,6 +74,7 @@ def all_queries() -> dict[str, QueryDef]:
         multimodal,
         pipeline_ops,
         relational,
+        rollup,
         streaming_queries,
         text_analysis,
         udf_surface,

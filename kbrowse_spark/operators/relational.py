@@ -1529,3 +1529,597 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth (round 2): q6 / q10 / q12-shaped / q14 / q18
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "agg",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped scan-heavy filter + global aggregate.
+
+    Scale posture: every predicate is pushed to the parquet scan
+    (min/max row-group skipping on l_shipdate), the projection prunes
+    to 4 columns, and the global sum is a two-phase hash aggregate —
+    the 100 TB plan is one scan with near-zero shuffle (32 partial
+    rows to the final reducer).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "join",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: 3-way fact join + dim.
+
+    nation is broadcast (fixed size); orders carries the selective
+    date predicate into its scan so the orders→lineitem join probes a
+    quarter of the data; top-k via TakeOrderedAndProject.
+    """
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_shipments",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    "join",
+)
+def q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional-count join (shipmode column doesn't
+    exist in this schema, so the CASE classifies o_orderpriority —
+    same plan shape: fact-fact equi-join + CASE-sum pivot).
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q14_promo_effect",
+    f"""
+    SELECT CAST(100.0 * ({sql_dsum(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+    )}) / ({sql_dsum('l_extendedprice * (1 - l_discount)')}) AS DOUBLE)
+           AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "join",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue ratio.
+
+    Both sums are decimal-exact so the final double division is
+    bit-identical across engines.  part is the build side; at test SF
+    it broadcasts, at 100 TB AQE picks shuffle-hash on the (pruned)
+    2-column projection of part.
+    """
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(disc_price))
+            .cast("double")
+            .alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING {sql_dsum('l_quantity')} > 200
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    "join",
+    "subquery",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer report: aggregate
+    IN-subquery (grouped HAVING) feeding a 3-way join.
+
+    The HAVING subquery is a semi-join on l_orderkey — one shuffle of
+    an (orderkey, qty-sum) pair per order, re-used by Catalyst as the
+    probe filter before the wide join; top-k via
+    TakeOrderedAndProject.  The quantity sums are decimal so the
+    HAVING threshold compares identically in both engines.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big, "l_orderkey", "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth (round 2, second batch): q4 / q13 / q15 / q16 / q19 /
+# q21 / q22 shapes, adapted to this schema (no partsupp /
+# l_commitdate / l_receiptdate / c_phone — each docstring states the
+# substitution; the PLAN shape is the point).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "agg",
+    "subquery",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority-checking query: correlated EXISTS as a
+    left-semi join (late = shipped after the order date, standing in
+    for the reference schema's l_commitdate < l_receiptdate).
+
+    Scale posture: the quarter predicate prunes orders at the scan;
+    the semi join shuffles only (o_orderkey, o_orderdate) + lineitem's
+    (l_orderkey, l_shipdate) projection and emits each order at most
+    once — no fact-fact row explosion.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "join",
+    "agg",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: left outer
+    join with an extra join-side predicate (priority filter standing in
+    for the reference's o_comment NOT LIKE), two-level aggregation.
+
+    Scale posture: COUNT(o_orderkey) after the outer join counts only
+    matched rows (null-skipping), so customers with no orders land in
+    the c_count=0 bucket without a special case; the second aggregate
+    runs on |distinct counts| rows — trivially small.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "join",
+    "subquery",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: scalar MAX subquery over a
+    derived revenue table, expressed as a broadcast join against the
+    1-row max aggregate (Spark's own plan for an uncorrelated scalar
+    subquery).  Revenue sums are decimal-exact, so the equality
+    against the max is bit-identical in both engines.
+
+    Scale posture: revenue is one shuffle of (suppkey, partial-sum)
+    pairs; the max side reduces to a single broadcast row — no global
+    sort, no second full scan shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        sup.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_part_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 4, 7, 10, 15, 23, 25, 36, 39, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "join",
+    "agg",
+    "subquery",
+)
+def q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-count-per-part-class: NOT IN excluded
+    suppliers (negative balance standing in for the reference's
+    complaint-comment filter; lineitem stands in for partsupp) + a
+    distinct-count aggregate.
+
+    Scale posture: the NOT IN subquery key (s_suppkey) is non-null, so
+    it lowers to a null-safe anti join against a tiny broadcast list;
+    part predicates prune before the fact join; COUNT(DISTINCT) runs
+    as Spark's expand+two-phase aggregate, partial-aggregated map-side.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 25, 36, 39, 49)
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "join",
+    "agg",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join filter: OR-of-ANDs mixing
+    build-side (part) and probe-side (lineitem) predicates.
+
+    Scale posture: Catalyst factors the common subexpressions —
+    `p_brand IN (...)` / `p_size <= 15` push to the part scan and
+    `l_quantity BETWEEN 1 AND 30` to the lineitem scan BEFORE the
+    join (CNF conversion of the disjunction), so the join probes a
+    fraction of both sides and the full OR is re-checked post-join.
+    """
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    joined = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+    "join",
+    "subquery",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped sole-late-supplier query: correlated EXISTS
+    (another supplier touched the order) and NOT EXISTS (no OTHER
+    supplier was late) on the same fact — late = shipped after the
+    order date, standing in for receipt > commit.
+
+    Scale posture: both subqueries become one-shuffle semi/anti joins
+    keyed on l_orderkey with the supplier-inequality (and for the anti
+    join the lateness bound) as residual conditions; each emits at
+    most one row per l1 row, so the fact never explodes.  The final
+    per-name count is a two-phase hash aggregate + top-k.
+    """
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l1 = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late1 = l1.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    l2 = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    with_other = late1.join(
+        l2,
+        (F.col("l2_orderkey") == F.col("l_orderkey"))
+        & (F.col("l2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        l3,
+        (F.col("l3_orderkey") == F.col("l_orderkey"))
+        & (F.col("l3_suppkey") != F.col("l_suppkey"))
+        & (F.col("l3_shipdate") > F.col("o_orderdate")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "q22_idle_customer_balance",
+    f"""
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT {sql_davg('c_acctbal')} FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    "join",
+    "agg",
+    "subquery",
+)
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped global-sales-opportunity query: uncorrelated
+    scalar AVG subquery as the filter threshold + NOT EXISTS anti join
+    to recent orders (customers gone quiet — the spec's "no orders in
+    7 years" intent bounded to this dataset's date range), grouped by
+    nation (standing in for the reference's phone country code).  The
+    scalar average is decimal-exact
+    (functions/determinism.py) so the threshold — and therefore the
+    row set — is bit-identical in both engines.
+
+    Scale posture: the scalar aggregate reduces to one broadcast row
+    (no driver round-trip); the anti join ships only o_custkey; nation
+    is broadcast.  Three shuffles total at any scale, all on pruned
+    projections.
+    """
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

@@ -324,3 +324,349 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_tws_user_profile",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           MAX(CAST(floor(value * 100) AS BIGINT)) AS max_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "streaming",
+    "stateful",
+)
+def stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 StatefulProcessor API): a
+    per-user profile accumulator using BOTH a ValueState (count /
+    max-cents scalars) and a MapState (distinct event types) — the
+    state shapes `applyInPandasWithState`'s single-tuple state can't
+    express.  On a bounded availableNow stream the final emission per
+    key equals the batch GROUP BY, which is the oracle.
+
+    Scale posture: state lives in the per-partition RocksDB state
+    store (required by transformWithState), keyed by user — no
+    driver-side state, incremental checkpoints, and the MapState holds
+    one entry per (user, event_type), not a serialized set rewritten
+    per row.
+
+    Environment gate: transformWithState's Python state protocol
+    requires the `protobuf` package, which this container does not
+    ship (the TWS driver worker crashes importing
+    `google.protobuf.descriptor`).  Where protobuf is absent we fall
+    back to an `applyInPandasWithState` implementation with identical
+    semantics (the distinct-type set rides in an array<string> state
+    column) so the operator's contract stays verified; the TWS path
+    is the one a real cluster runs.
+    """
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        _has_protobuf = True
+    except ImportError:
+        _has_protobuf = False
+    if not _has_protobuf:
+        return _user_profile_apply_in_pandas(spark, sf_dir)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events long, max_cents long"
+            )
+            self._types = handle.getMapState("types", "t string", "seen byte")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, max_cents = (
+                self._totals.get() if self._totals.exists() else (0, -(1 << 62))
+            )
+            n_types = 0
+            for pdf in rows:
+                n += len(pdf)
+                batch_max = int((pdf["value"] * 100).apply(int).max())
+                max_cents = max(max_cents, batch_max)
+                for t in pdf["event_type"].unique():
+                    if not self._types.containsKey((t,)):
+                        self._types.updateValue((t,), (1,))
+            self._totals.update((n, max_cents))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [n_types],
+                    "max_cents": [max_cents],
+                }
+            )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserProfileProcessor(),
+            outputStructType="user_id long, n_events long, n_types long, max_cents long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        result = _run_to_memory(out, "update")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    from pyspark.sql import Window as W
+
+    latest = result.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy(F.col("n_events").desc())),
+    ).filter(F.col("rn") == 1)
+    return latest.select("user_id", "n_events", "n_types", "max_cents").orderBy(
+        "user_id"
+    )
+
+
+def _user_profile_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fallback body for :func:`stream_tws_user_profile` when protobuf
+    is unavailable: the same per-user profile via applyInPandasWithState,
+    with the distinct event-type set carried as an array<string> state
+    column (rewritten per update — exactly the state-shape limitation
+    the MapState in the TWS path avoids)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+
+    def update(key, batches, state: GroupState):
+        n, max_cents, types = (
+            state.get if state.exists else (0, -(1 << 62), [])
+        )
+        seen = set(types)
+        for pdf in batches:
+            n += len(pdf)
+            batch_max = int((pdf["value"] * 100).apply(int).max())
+            max_cents = max(max_cents, batch_max)
+            seen.update(pdf["event_type"].unique())
+        state.update((n, max_cents, sorted(seen)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_types": [len(seen)],
+                "max_cents": [max_cents],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, n_types long, max_cents long",
+        stateStructType="n long, max_cents long, types array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = _run_to_memory(out, "update")
+    from pyspark.sql import Window as W
+
+    latest = result.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy(F.col("n_events").desc())),
+    ).filter(F.col("rn") == 1)
+    return latest.select("user_id", "n_events", "n_types", "max_cents").orderBy(
+        "user_id"
+    )
+
+
+def _events_stream_with_flush(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> tuple[DataFrame, str]:
+    """Events stream over a PRIVATE staged dir that also contains one
+    far-future sentinel row (event_type '__flush__', ts 2024-03-01).
+
+    Append-mode windowed aggregations only emit once the watermark
+    passes the window end; on a bounded stream the watermark stops at
+    the max real event time, leaving the final window open.  The
+    sentinel pushes the watermark past every real window so availableNow
+    drains them all — the bounded-stream analogue of "the next day's
+    first event closes yesterday's window" in production.  The sentinel
+    never appears in append output: its own window stays open.
+    """
+    import os
+
+    from pyspark.sql import Row
+
+    path = table_path(sf_dir, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(path)
+    base = _stage_stream_dir(path)
+    d = base + "_" + tag
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        try:
+            os.symlink(path, link)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(path, link)
+    flush = os.path.join(d, "zz_flush.parquet")
+    if not os.path.exists(flush):
+        ts_is_long = dict(static.dtypes).get("ts") == "bigint"
+        flush_ts = 1709251200  # 2024-03-01 00:00:00 UTC
+        row = Row(
+            event_id=-1,
+            ts=(flush_ts * 1_000_000_000) if ts_is_long else None,
+            user_id=-1,
+            event_type="__flush__",
+            value=0.0,
+            props=None,
+        )
+        fdf = spark.createDataFrame([row], schema=static.schema)
+        if not ts_is_long:
+            fdf = fdf.withColumn(
+                "ts", F.lit("2024-03-01 00:00:00").cast("timestamp")
+            )
+        tmp = flush + ".tmp"
+        fdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet")
+        )
+        os.replace(os.path.join(tmp, part), flush)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream, d
+
+
+@register(
+    "stream_chained_windows",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_hours,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM hourly
+    GROUP BY date_trunc('day', h), event_type
+    ORDER BY day, event_type
+    """,
+    "streaming",
+    "stateful",
+)
+def stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful time-window aggregations (Spark 3.4+): hourly
+    counts re-aggregated to daily grain in ONE streaming query — two
+    watermark-driven stateful operators back to back, no intermediate
+    sink.  The production shape for multi-grain rollups: the hourly
+    windows close as the watermark passes, and their emissions cascade
+    into the daily windows inside the same micro-batch.
+
+    Append mode end-to-end (required for chaining); the sentinel row
+    from :func:`_events_stream_with_flush` drains every real window on
+    the bounded stream, so the result equals the batch two-level GROUP
+    BY, which is the oracle.
+    """
+    ev, _ = _events_stream_with_flush(spark, sf_dir, "chained")
+    hourly = (
+        ev.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("window"), "1 day").alias("day_window"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_hours"), F.sum("n").alias("n_events"))
+        .select(
+            F.date_format(F.col("day_window.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_hours",
+            "n_events",
+        )
+    )
+    result = _run_to_memory(daily, "append")
+    return result.filter(F.col("event_type") != "__flush__").orderBy(
+        "day", "event_type"
+    )
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id AS user_id,
+           CAST(floor(p.value * 100) AS BIGINT) AS purchase_cents
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY view_id, purchase_id
+    """,
+    "streaming",
+    "join",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: views joined to purchases by the
+    same user within the following hour — the attribution-join shape.
+    Both sides carry watermarks and the join condition bounds event
+    time, so Spark evicts join state once the watermark passes
+    view.ts + 1 hour: bounded state at unbounded input, the only way a
+    stream-stream join survives 100 TB/day.
+
+    Inner-join results emit as matches arrive (no window close
+    needed); on a bounded availableNow stream the output equals the
+    batch self-join, which is the oracle.
+    """
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 second")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.floor(F.col("value") * 100).cast("long").alias("purchase_cents"),
+        )
+        .withWatermark("p_ts", "1 second")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "purchase_cents",
+    )
+    result = _run_to_memory(joined, "append")
+    return result.orderBy("view_id", "purchase_id")

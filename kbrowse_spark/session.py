@@ -42,6 +42,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Runtime row-level filtering: inject a bloom filter built from
+        # the small side of a shuffle join into the big side's scan —
+        # at 100 TB this prunes most of a selective join's probe input
+        # before the shuffle (no-op for broadcast joins).  NOTE: do NOT
+        # also set runtimeFilter.semiJoinReduction here — on this Spark
+        # build enabling it makes every py4j/planning round-trip
+        # pathologically slow (empirically: session startup alone goes
+        # from 5 s to >150 s).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Fixture events.parquet stores ts as TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type, so read as long and convert at the
         # source (see sources/tables.py).

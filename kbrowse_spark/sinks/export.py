@@ -1,0 +1,56 @@
+"""Scale-aware dataset export: write parquet with controlled output
+file sizes and layout.
+
+Training-data pipelines are judged by their *output* layout as much as
+their transforms: a 100 TB corpus written as 10⁷ tiny files kills every
+downstream reader (file-listing, footer fetches, task scheduling), and
+one written as 10³ huge files kills parallelism.  The lever is
+records-per-file + a range partitioning that keeps each output file a
+contiguous key range (so downstream range predicates prune files via
+parquet min/max).
+
+No reference analogue — kbrowse only streams JSON to the HTTP response
+(SURVEY §2a O15); this is part of the declared extension surface.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    sort_col: str,
+    target_rows_per_file: int,
+    approx_total_rows: int | None = None,
+    partition_by: str | None = None,
+) -> int:
+    """Write ``df`` as parquet with ~``target_rows_per_file`` rows per
+    file, each file a contiguous ``sort_col`` range.  Returns the
+    number of range shards used.
+
+    * ``repartitionByRange(sort_col)`` gives non-overlapping key ranges
+      per task — every output file's parquet min/max on ``sort_col`` is
+      a tight interval, so downstream range scans skip whole files.
+    * ``maxRecordsPerFile`` caps file size without a second shuffle if
+      a range shard comes out oversized (skewed key density).
+    * ``approx_total_rows`` sizes the shard count without forcing an
+      extra count job when the caller already knows the cardinality
+      (e.g. from a previous stage); pass None to count.
+    """
+    total = approx_total_rows if approx_total_rows is not None else df.count()
+    shards = max(1, math.ceil(total / max(1, target_rows_per_file)))
+    writer = (
+        df.repartitionByRange(shards, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .mode("overwrite")
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+    return shards

@@ -121,3 +121,47 @@ def test_partitioned_write_partition_pruning(spark, sf_dir, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert "(event_type" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_write_sized_parquet_layout(spark, sf_dir, tmp_path):
+    """Output shaping: ~target_rows_per_file rows per data file, each
+    file a contiguous sort-key range (parquet min/max prune-able)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kbrowse_spark.sinks.export import write_sized_parquet
+    from kbrowse_spark.sources.tables import load
+
+    out = str(tmp_path / "lineitem_sized")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    total = li.count()
+    shards = write_sized_parquet(
+        li, out, sort_col="l_orderkey", target_rows_per_file=1000,
+        approx_total_rows=total,
+    )
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) >= shards
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        assert md.num_rows <= 1000
+        lo = min(
+            md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    # non-overlapping key ranges across range shards: sorted by lo,
+    # each file's hi <= next file's lo boundary ordering holds for the
+    # range-partitioned (non-overlapping) shard files
+    ranges.sort()
+    # range partitioning keeps equal keys in one shard and files within
+    # a shard are sorted sequential splits — so ranges may touch at a
+    # boundary value but never properly overlap
+    overlaps = [(a, b) for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0]]
+    assert not overlaps, overlaps
+    # round-trip: content identical
+    back = spark.read.parquet(out)
+    assert back.count() == total
