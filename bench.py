@@ -38,6 +38,10 @@ HEADLINE = [
     "embedding_neardup_rerank_np",
     "ann_ivf_label",
     "corpus_curation_pipeline",
+    # round 2 additions: scan throughput, wide join breadth, rollup union
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "rollup_hypertable_daily",
 ]
 
 

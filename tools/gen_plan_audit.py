@@ -27,6 +27,12 @@ AUDIT = [
     ("token_budget_packing", "sharded prefix sum (windowspec has shard key)"),
     ("embedding_quantize_int8", "narrow projection, no shuffle"),
     ("sample_stratified", "hash-bucket filter at the scan, no shuffle"),
+    ("q6_forecast_revenue", "all predicates at the scan, single exchange"),
+    ("q10_returned_items", "selective order-quarter probe, broadcast dims, top-k"),
+    ("q19_disjunctive_revenue", "CNF factoring pushes OR-of-ANDs into both scans"),
+    ("q21_waiting_supplier", "semi+anti correlated subqueries as one-pass joins"),
+    ("rollup_hypertable_daily", "raw-column ts bounds pushed to both event scans"),
+    ("q13_customer_distribution", "outer-join count distribution, two-level agg"),
 ]
 
 
