@@ -384,16 +384,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)").alias("h"),
     )
-    votes = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.expr(f"(h >> {_SIMHASH_BITS - 1 - j}) & 1")).alias(f"s{j}")
-            for j in range(_SIMHASH_BITS)
-        ],
-    )
+    # Lane-packed bit votes: 4 bit-counters ride in one 64-bit sum
+    # (16-bit lanes), so the hash aggregate keeps 15 sum buffers
+    # instead of 60 — same map-side combinability, quarter the agg
+    # state and codegen width.  Safe while every per-doc distinct word
+    # count stays < 65536 (lane overflow bound; documents beyond that
+    # need 32-bit lanes / 30 buffers).
+    packs = []
+    for p in range(_SIMHASH_BITS // 4):
+        lanes = " | ".join(
+            f"(((h >> {_SIMHASH_BITS - 1 - (4 * p + lane)}) & 1) << {16 * lane})"
+            for lane in range(4)
+        )
+        packs.append(F.sum(F.expr(lanes)).alias(f"p{p}"))
+    votes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *packs)
     assemble = " + ".join(
-        f"(CASE WHEN 2 * s{j} > n THEN (CAST(1 AS BIGINT) << {_SIMHASH_BITS - 1 - j})"
-        " ELSE 0 END)"
+        f"(CASE WHEN 2 * ((p{j // 4} >> {16 * (j % 4)}) & 65535) > n"
+        f" THEN (CAST(1 AS BIGINT) << {_SIMHASH_BITS - 1 - j}) ELSE 0 END)"
         for j in range(_SIMHASH_BITS)
     )
     # Tiny table (one row per doc) referenced on both sides of the

@@ -305,3 +305,126 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.when(F.col("lang") == "en", 20).otherwise(60)
     return d.select("doc_id", "lang").filter(bucket < rate).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# Pseudo benchmark set: every 37th document plays the eval suite.  Real
+# pipelines load the n-grams of actual benchmark corpora here; the plan
+# is identical.
+_EVAL_MOD = 37
+
+
+@register(
+    "decontaminate_benchmark",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])) AS shingle
+        FROM documents)
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} <> 0),
+    hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM corpus
+             WHERE shingle IN (SELECT shingle FROM eval_sh) GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_total FROM corpus GROUP BY doc_id)
+    SELECT h.doc_id AS doc_id, n_hit, n_total,
+           CAST(n_hit AS DOUBLE) / n_total AS contamination
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    ORDER BY contamination DESC, doc_id
+    """,
+    "pipeline",
+    "dedup",
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with an evaluation set (docs with doc_id % 37 == 0 stand in
+    for the benchmark corpus; production swaps in the real suite's
+    n-grams — the plan is unchanged).  Emits per-document overlap
+    counts and the contamination ratio, descending — the removal /
+    review queue.
+
+    Uses the same cached word-3-gram shingles as the dedup family
+    (production uses 8–13-grams; N only changes the transform arity).
+
+    Scale posture: an eval suite is ~10⁶–10⁷ distinct n-grams — tiny
+    next to a 100 TB corpus — so the overlap test is a BROADCAST
+    left-semi join against the corpus shingle scan: the corpus never
+    shuffles for the membership test, and the per-doc counts partial-
+    aggregate map-side.  The contamination ratio is one int division —
+    exact in both engines.
+    """
+    from kbrowse_spark.operators.dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir)
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    corpus = sh.filter(~is_eval)
+    hits = (
+        corpus.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_hit",
+            "n_total",
+            (F.col("n_hit").cast("double") / F.col("n_total")).alias(
+                "contamination"
+            ),
+        )
+        .orderBy(F.col("contamination").desc(), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain caps
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 40
+
+
+@register(
+    "curation_domain_cap",
+    f"""
+    SELECT doc_id, source, CAST(rn AS INT) AS rn
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn <= {_DOMAIN_CAP}
+    ORDER BY source, doc_id
+    """,
+    "pipeline",
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most N documents per source —
+    the anti-domination rule of web-corpus curation (a RefinedWeb /
+    C4-style per-host quota) that stops one boilerplate-heavy domain
+    from flooding the training mix.  Deterministic keeper choice:
+    lowest doc_ids win.
+
+    Scale posture: rank-filter-over-window compiles to Spark's
+    WindowGroupLimit — each map task pre-truncates every source group
+    to the cap BEFORE the exchange, so the shuffle carries at most
+    cap×sources rows, not the corpus; the heaviest domain costs the
+    same as the lightest.  (Verified in docs/PLANS.md.)
+    """
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("rn"))
+        .orderBy("source", "doc_id")
+    )

@@ -2123,3 +2123,543 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "join",
+    "agg",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: the fact joins TWO
+    independent dimension chains (supplier→nation, customer via
+    orders→nation) with a symmetric nation-pair disjunction.
+
+    Scale posture: both nation sides broadcast (25 rows), and Catalyst
+    pushes each chain's nation-name disjunction into its dim scan
+    (either of the two nations on both sides), so the expensive
+    fact-fact joins probe only the two nations' customers/suppliers;
+    the two-year ship-date range prunes the lineitem scan.
+    """
+    n1 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT CAST({sql_dsum('l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.5 * {sql_davg('l_quantity')}
+        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    "join",
+    "subquery",
+    "agg",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: a correlated
+    per-part scalar AVG subquery as the filter threshold.
+
+    De-correlated the scale-correct way: the per-part averages are one
+    aggregate over lineitem (decimal-exact so the 0.5× threshold is
+    bit-identical cross-engine), joined back to the fact — two
+    shuffles total instead of a per-row subquery; the brand predicate
+    broadcasts the surviving part keys so both lineitem passes stay
+    pruned at the scan at 100 TB (AQE re-plans the agg side's probe).
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * davg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "pyds_rowgroup_scan",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "source",
+)
+def pyds_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source scan (Spark 4 DataSourceV2-in-Python):
+    the events table read through `sources/pyds.py`'s row-group-
+    parallel reader — driver plans one InputPartition per parquet row
+    group from the footer alone; each task reads its row group via
+    pyarrow and emits Arrow RecordBatches.  The aggregate on top is
+    the correctness proof: identical to DuckDB reading the same file.
+
+    This is the connector pattern the reference's Kafka consumer loop
+    (kafka.clj:61-123 assign/seek/poll) maps to in Spark-native form:
+    custom split planning + per-task pull, composing with Catalyst
+    aggregation above it.
+    """
+    from kbrowse_spark.sources.pyds import register_events_rowgroup_source
+    from kbrowse_spark.sources.tables import table_path
+
+    register_events_rowgroup_source(spark)
+    ev = (
+        spark.read.format("events_rowgroups")
+        .option("path", table_path(sf_dir, "events"))
+        .load()
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+# ---------------------------------------------------------------------------
+# TPC-H completion set (q2/q8/q9/q11/q20 shapes).  The testdata has no
+# partsupp table (TESTDATA.md), so — as q16 already does — lineitem
+# stands in for the part×supplier relation and ps_supplycost /
+# ps_availqty are derived from lineitem/part columns; each docstring
+# notes the substitution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+    FROM cost
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE' AND p_size = 5
+      AND supplycost = (
+        SELECT MIN(c2.supplycost)
+        FROM cost c2
+          JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+          JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+        WHERE c2.l_partkey = cost.l_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    "join",
+    "subquery",
+    "agg",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each size-5 part,
+    the EUROPE supplier(s) whose cost equals the region-wide minimum
+    for that part.  ps_supplycost is derived as MIN(l_extendedprice)
+    per (part, supplier) from lineitem (no partsupp in the testdata);
+    MIN of doubles is order-independent, so the correlated-equality
+    compare is bit-identical cross-engine.
+
+    Scale posture: the correlated MIN subquery is de-correlated to a
+    window MIN over the part key — the region-filtered cost relation
+    is shuffled ONCE on l_partkey and the per-part minimum rides the
+    same exchange (no second join, no second shuffle); nation/region
+    broadcast, and the part filter broadcasts the surviving keys.
+    """
+    cost = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supplycost"))
+    )
+    nat = F.broadcast(
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = load(spark, sf_dir, "supplier").join(
+        nat, F.col("n_nationkey") == F.col("s_nationkey")
+    )
+    part = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 5)
+        .select("p_partkey", "p_name")
+    )
+    eu_cost = cost.join(sup, F.col("s_suppkey") == F.col("l_suppkey")).join(
+        part, F.col("p_partkey") == F.col("l_partkey")
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        eu_cost.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST({sql_dsum("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END")}
+                / {sql_dsum('volume')} AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n2.n_regionkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) t
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "join",
+    "agg",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: NATION_1's fraction of
+    AMERICA-market ECONOMY-part revenue per order year.
+
+    Scale posture: the share is a conditional-sum / sum over ONE
+    aggregate pass (no self-join); both sums are decimal-exact so the
+    single final double division is bit-identical cross-engine.  All
+    dims broadcast; the two-year order-date predicate prunes the fact
+    scan before any join.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    sup = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n1 = F.broadcast(
+        load(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    amer_nat = F.broadcast(
+        load(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("n2_key"))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(amer_nat, F.col("n2_key") == F.col("c_nationkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n1, F.col("n1_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(0))
+                / dsum(volume)
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)'
+                     ' - 0.6 * p_retailprice * l_quantity')} AS sum_profit
+    FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    "join",
+    "agg",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: profit on 'red' parts by
+    supplier nation and order year.  ps_supplycost is substituted by
+    0.6 × p_retailprice (no partsupp in the testdata) — the join
+    topology (fact × orders × part × supplier × nation with a LIKE
+    part filter) is the Q9 shape being exercised.
+
+    Scale posture: the LIKE-filtered part side broadcasts (it's the
+    selective predicate), supplier/nation broadcast, and the profit
+    expression folds into the decimal-exact aggregate so partial
+    aggregation survives; the only big shuffle is lineitem×orders.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nat = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH filtered AS (
+      SELECT l_partkey, l_extendedprice
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_9')
+    )
+    SELECT l_partkey AS partkey, {sql_dsum('l_extendedprice')} AS part_value
+    FROM filtered
+    GROUP BY l_partkey
+    HAVING {sql_dsum('l_extendedprice')} >
+           (SELECT 0.001 * {sql_dsum('l_extendedprice')} FROM filtered)
+    ORDER BY part_value DESC, partkey
+    """,
+    "join",
+    "agg",
+    "subquery",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock: parts whose shipped value from
+    two nations' suppliers exceeds a fraction of the global total —
+    grouped HAVING against an uncorrelated scalar subquery.  lineitem
+    value stands in for partsupp availqty×supplycost (no partsupp).
+
+    Scale posture: the scalar total is a second aggregate over the
+    SAME filtered relation (cached narrow projection), joined back as
+    a broadcast 1-row cross join — no correlated per-group re-scan;
+    both sums are decimal-exact so the 0.001× threshold compare is
+    bit-identical cross-engine.
+    """
+    nat = F.broadcast(
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_9"))
+        .select("n_nationkey")
+    )
+    sup = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey")
+    )
+    filtered = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("l_partkey", "l_extendedprice")
+    )
+    total = filtered.agg(
+        (F.lit(0.001) * dsum("l_extendedprice")).alias("threshold")
+    )
+    return (
+        filtered.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum("l_extendedprice").alias("part_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
+    "q20_part_promotion",
+    f"""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_2', 'NATION_5')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING {sql_dsum('l_quantity')} > (
+          SELECT 0.5 * {sql_davg('l2.l_quantity')}
+          FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+            AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l2.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'))
+    ORDER BY s_name
+    """,
+    "join",
+    "subquery",
+    "agg",
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped part-promotion supplier list: suppliers (in two
+    nations) who shipped more than 0.5× the per-part average of any
+    'small%' part during 1996 — the nested IN-subquery pyramid.
+    ps_availqty is derived from shipped quantity (no partsupp).
+
+    Scale posture: the inner correlated HAVING de-correlates to one
+    (suppkey, partkey) aggregate joined against a per-part aggregate
+    over the SAME date-pruned, semi-joined slice; the qualifying
+    supplier list is DISTINCT small keys → broadcast left-semi into
+    the supplier dim.  Decimal sums make the 0.5×avg compare exact.
+    """
+    small = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    li_small = li.join(small, F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.5) * davg("l_quantity")).alias("half_avg")
+    )
+    qualifying = (
+        li_small.groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .join(per_part, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("qty") > F.col("half_avg"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = F.broadcast(
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin("NATION_2", "NATION_5"))
+        .select("n_nationkey")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(qualifying),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -670,3 +670,76 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = _run_to_memory(joined, "append")
     return result.orderBy("view_id", "purchase_id")
+
+
+@register(
+    "stream_stream_left_join",
+    """
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id AS user_id,
+           CAST(floor(p.value * 100) AS BIGINT) AS purchase_cents
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY view_id, purchase_id ASC NULLS FIRST
+    """,
+    "streaming",
+    "join",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view emits, with
+    purchase columns null when no same-user purchase followed within an
+    hour — the attribution join that also reports the unconverted.
+
+    Unlike the inner join, outer results can only emit when the
+    watermark proves no future match can arrive; the flush sentinel
+    (:func:`_events_stream_with_flush`) pushes both sides' watermarks
+    past every real view's match window, and Spark's no-data
+    micro-batch then evicts the join state, emitting the null-extended
+    rows.  On the bounded stream the result equals the batch left
+    join, which is the oracle.
+
+    Scale posture: identical to the inner interval join — state for
+    both sides is evicted as the watermark passes v_ts + 1 hour, so
+    state size is bounded by the interval × arrival rate, not by
+    history.
+    """
+    ev, _ = _events_stream_with_flush(spark, sf_dir, "leftjoin")
+    views = (
+        ev.filter(F.col("event_type").isin("view", "__flush__"))
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 second")
+    )
+    ev2, _ = _events_stream_with_flush(spark, sf_dir, "leftjoin")
+    purchases = (
+        ev2.filter(F.col("event_type").isin("purchase", "__flush__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.floor(F.col("value") * 100).cast("long").alias("purchase_cents"),
+        )
+        .withWatermark("p_ts", "1 second")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "purchase_cents",
+    )
+    result = _run_to_memory(joined, "append")
+    return result.filter(F.col("user_id") != -1).orderBy(
+        "view_id", F.col("purchase_id").asc_nulls_first()
+    )

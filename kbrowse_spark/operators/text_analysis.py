@@ -397,3 +397,100 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", F.col("rnk").cast("int"), "word", "n")
         .orderBy("lang", "rnk")
     )
+
+
+@register(
+    "quality_repetition_signals",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])
+             ELSE [] END AS g
+      FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_words,
+           1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+           CASE WHEN len(g) > 0
+                THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                ELSE 0.0 END AS dup_3gram_frac,
+           CAST(list_max(list_transform(list_distinct(w),
+                  d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w)
+             AS top_word_frac,
+           (1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) < 0.6
+             AND (CASE WHEN len(g) > 0
+                       THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+                       ELSE 0.0 END) < 0.4
+             AND CAST(list_max(list_transform(list_distinct(w),
+                   d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / len(w) < 0.35
+             AS keep
+    FROM t
+    ORDER BY doc_id
+    """,
+    "text",
+    "pipeline",
+)
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-word
+    fraction, duplicate-3-gram fraction, and the most-frequent-word
+    mass, plus the resulting keep/drop gate — the repetition family of
+    quality filters (Rae et al. 2021 §A1.1) that catches boilerplate,
+    keyword stuffing, and degenerate generations before training.
+
+    Scale posture: embarrassingly parallel per document — pure array
+    expressions inside one projection, no shuffle except the display
+    sort (dropped in a real pipeline where this feeds a filter).  The
+    per-doc distinct×word scan of ``top_word_frac`` is O(d·n) within a
+    single row — bounded by document length, never by corpus size.
+    All three ratios are exact integer divisions, so the doubles (and
+    the booleans derived from them) hash identically cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    grams = F.when(
+        n >= 3,
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3),"
+            " i -> concat_ws(' ', split(text, ' ')[i],"
+            " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_gram = F.when(
+        F.size(F.col("g")) > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct("g")).cast("double") / F.size("g"),
+    ).otherwise(F.lit(0.0))
+    top_word = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("w"),
+                lambda d_: F.size(F.filter(F.col("w"), lambda x: x == d_)),
+            )
+        ).cast("double")
+        / F.size("w")
+    )
+    return (
+        d.select("doc_id", w.alias("w"), grams.alias("g"))
+        .select(
+            "doc_id",
+            F.size("w").alias("n_words"),
+            (F.lit(1.0) - F.size(F.array_distinct("w")).cast("double") / F.size("w")).alias(
+                "dup_word_frac"
+            ),
+            dup_gram.alias("dup_3gram_frac"),
+            top_word.alias("top_word_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_word_frac") < 0.6)
+            & (F.col("dup_3gram_frac") < 0.4)
+            & (F.col("top_word_frac") < 0.35),
+        )
+        .orderBy("doc_id")
+    )

@@ -54,3 +54,39 @@ def write_sized_parquet(
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
     return shards
+
+
+def zorder_key(col_a, col_b, *, bits: int = 16, bounds_a=None, bounds_b=None):
+    """Morton (Z-order) key interleaving two numeric columns — sort by
+    it before writing and BOTH columns get tight per-file parquet
+    min/max ranges, so range predicates on EITHER column prune files.
+    A plain sort gives that for the leading column only; Z-order trades
+    a little pruning power on the first column for real pruning power
+    on the second — the standard multi-dimensional layout trick
+    (Delta/Iceberg OPTIMIZE ZORDER) expressed as a pure column
+    expression, JVM-side, no UDF.
+
+    ``bounds_*`` are (min, max) tuples used to scale each column to
+    ``bits``-bit integer grid cells.  Pass known domain bounds (or
+    stats from a previous pass) — computing them inline would force an
+    extra job.  Values outside the bounds clamp to the grid edge.
+    """
+    from pyspark.sql import functions as F
+
+    def scaled(c, bounds):
+        c = F.col(c) if isinstance(c, str) else c
+        lo, hi = bounds
+        cells = (1 << bits) - 1
+        unit = (c.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+        clamped = F.least(F.greatest(unit, F.lit(0.0)), F.lit(1.0))
+        return F.floor(clamped * cells).cast("long")
+
+    a, b = scaled(col_a, bounds_a), scaled(col_b, bounds_b)
+    # Interleave: bit j of a -> bit 2j+1, bit j of b -> bit 2j.
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        key = (
+            key.bitwiseOR(F.shiftleft(a.bitwiseAND(F.lit(1 << j)), j + 1))
+            .bitwiseOR(F.shiftleft(b.bitwiseAND(F.lit(1 << j)), j))
+        )
+    return key

@@ -165,3 +165,81 @@ def test_write_sized_parquet_layout(spark, sf_dir, tmp_path):
     # round-trip: content identical
     back = spark.read.parquet(out)
     assert back.count() == total
+
+
+def test_zorder_layout_prunes_both_columns(spark, sf_dir, tmp_path):
+    """Sorting the write by a Z-order key gives BOTH dimensions tight
+    per-file min/max stats; a plain single-column sort leaves the
+    second column's per-file range at ~the full domain (no pruning)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kbrowse_spark.sinks.export import zorder_key
+    from kbrowse_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+
+    def avg_width(path, col_idx, lo, hi):
+        widths = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            st = [md.row_group(i).column(col_idx).statistics for i in range(md.num_row_groups)]
+            fmin = min(s.min for s in st)
+            fmax = max(s.max for s in st)
+            widths.append((fmax - fmin) / (hi - lo))
+        return sum(widths) / len(widths)
+
+    # Z-ordered write: 16 files, each a contiguous z-range
+    zed = ev.withColumn(
+        "zkey",
+        zorder_key("user_id", "value", bounds_a=(lo_u, hi_u), bounds_b=(lo_v, hi_v)),
+    )
+    out_z = str(tmp_path / "events_zorder")
+    zed.repartitionByRange(16, "zkey").sortWithinPartitions("zkey").write.mode(
+        "overwrite"
+    ).parquet(out_z)
+    # Baseline: plain sort by user_id only
+    out_s = str(tmp_path / "events_usersort")
+    ev.repartitionByRange(16, "user_id").sortWithinPartitions("user_id").write.mode(
+        "overwrite"
+    ).parquet(out_s)
+
+    # schema order: user_id=0, value=1 in both outputs
+    z_user, z_val = avg_width(out_z, 0, lo_u, hi_u), avg_width(out_z, 1, lo_v, hi_v)
+    s_user, s_val = avg_width(out_s, 0, lo_u, hi_u), avg_width(out_s, 1, lo_v, hi_v)
+    # Plain sort: near-perfect on user_id, little help on value (the
+    # skewed value distribution keeps it below the full domain, so the
+    # comparison is relative, not absolute).
+    assert s_user < 0.2
+    # Z-order: BOTH dimensions substantially narrower than the domain,
+    # and the second dimension far narrower than under the plain sort.
+    assert z_user < 0.5, (z_user, s_user)
+    assert z_val < 0.5 and z_val < 0.6 * s_val, (z_val, s_val)
+
+
+def test_domain_cap_uses_window_group_limit(spark, sf_dir):
+    """The per-domain cap's rank filter must compile to WindowGroupLimit
+    so each map task truncates groups to the cap before the exchange."""
+    from kbrowse_spark.operators.pipeline_ops import curation_domain_cap
+
+    plan = _plan(curation_domain_cap(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_kmeans_partitions_points_once(spark, sf_dir):
+    """Lloyd's iterations must not shuffle the point set: the final
+    plan's only exchange is the display sort; centroid literals ride in
+    the projection (no join in the assignment stage)."""
+    from kbrowse_spark.operators.clustering import kmeans_lloyd
+
+    df = kmeans_lloyd(spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan  # centroids are folded literals, not a join
+    # clusters are non-degenerate: every point assigned, >1 cluster used
+    rows = df.collect()
+    assert len(rows) == 500
+    assert len({r.cluster_id for r in rows}) > 1

@@ -51,3 +51,31 @@ def test_json_lines_payload_decode(spark, tmp_path):
     ).select("j.a", F.element_at("j.tags", 2).alias("tag2"))
     got = sorted(map(tuple, parsed.collect()))
     assert got == [(i, str(i)) for i in range(10)]
+
+
+def test_pyds_rowgroup_partition_planning(spark, sf_dir):
+    """The custom Python data source plans one input partition per
+    parquet row group (split planning from the footer, like a Kafka
+    source's (topic, partition, offsets) listing) and round-trips the
+    data exactly."""
+    import pyarrow.parquet as pq
+
+    from kbrowse_spark.sources.pyds import register_events_rowgroup_source
+    from kbrowse_spark.sources.tables import table_path
+
+    register_events_rowgroup_source(spark)
+    path = table_path(sf_dir, "events")
+    n_rg = pq.read_metadata(path).num_row_groups
+    df = spark.read.format("events_rowgroups").option("path", path).load()
+    assert df.rdd.getNumPartitions() == n_rg
+    expected = pq.read_metadata(path).num_rows
+    assert df.count() == expected
+    # spot-check content equality against the native reader
+    native = spark.read.parquet(path).select("event_id", "value")
+    assert (
+        df.select("event_id", "value")
+        .exceptAll(native)
+        .limit(1)
+        .count()
+        == 0
+    )
