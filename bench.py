@@ -42,6 +42,11 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "rollup_hypertable_daily",
+    # round 2 second wave: iterative clustering, 5-way star, broadcast
+    # semi-join decontamination
+    "kmeans_lloyd",
+    "q9_product_profit",
+    "decontaminate_benchmark",
 ]
 
 
@@ -75,12 +80,18 @@ def main() -> int:
             except Exception:  # noqa: BLE001
                 pass
 
+    # Min-of-2 per query: single samples on a shared box regularly read
+    # 3-5x high under neighbor load (docs/SCALING_MEASUREMENTS.md); the
+    # minimum is the engine's actual throughput.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name].builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name].builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -2663,3 +2663,184 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@register(
+    "lateral_topn_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 3) t
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+    "join",
+    "subquery",
+)
+def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 4 ``DataFrame.lateralJoin`` with
+    ``Column.outer()``): each customer's top-3 orders by price — the
+    per-row dependent subquery SQL writes as ``, LATERAL (...)``.
+
+    Catalyst de-correlates the lateral limit into a join + per-key
+    WindowGroupLimit rather than running the subquery per row — i.e.
+    the DECLARED correlated form compiles to the same scalable plan a
+    hand-written row_number()<=3 would, which is exactly why lateral
+    belongs in the surface: users write the natural form, the engine
+    picks the distributed one.  Ties on o_totalprice break by
+    o_orderkey in both engines.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    top3 = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(3)
+        .select("o_orderkey", "o_totalprice")
+    )
+    return cust.lateralJoin(top3).orderBy(
+        "c_custkey", F.col("o_totalprice").desc(), "o_orderkey"
+    )
+
+
+@register(
+    "merge_upsert_events",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, value FROM events WHERE event_id < 8000
+    ),
+    changes AS (
+      SELECT event_id, user_id, value * 2 AS value,
+             event_id % 7 = 0 AS is_delete
+      FROM events WHERE event_id >= 5000
+    )
+    SELECT COALESCE(c.event_id, b.event_id) AS event_id,
+           COALESCE(c.user_id, b.user_id) AS user_id,
+           CAST(floor(COALESCE(c.value, b.value) * 100) AS BIGINT) AS cents,
+           CASE WHEN c.event_id IS NULL THEN 'keep'
+                WHEN b.event_id IS NULL THEN 'insert'
+                ELSE 'update' END AS op
+    FROM base b FULL JOIN changes c ON b.event_id = c.event_id
+    WHERE COALESCE(c.is_delete, FALSE) = FALSE
+    ORDER BY event_id
+    """,
+    "join",
+    "cdc",
+)
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (CDC upsert) without a transactional table
+    format: base ⟕⟖ changes on the key, matched rows take the change's
+    values, unmatched changes insert, tombstones delete — the
+    incremental-corpus-update step of a training pipeline (re-crawled
+    documents replacing stale ones), expressed as ONE full outer join.
+    The fixture derives changes from the events table itself (ids ≥
+    5000 are re-deliveries at doubled value; every 7th is a tombstone).
+
+    Scale posture: this is exactly the shuffle plan Delta/Iceberg MERGE
+    executes underneath — one key-partitioned full outer join, AQE
+    skew-splitting hot keys.  With the base bucketed/partitioned on the
+    key (see tests/test_scale_patterns.py's bucketed-join assert), the
+    base side's shuffle disappears entirely (storage-partitioned join);
+    rewriting only matched files is the table format's job, not the
+    join's.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") < 8000).select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("value").alias("b_value"),
+    )
+    changes = ev.filter(F.col("event_id") >= 5000).select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        (F.col("value") * 2).alias("c_value"),
+        (F.col("event_id") % 7 == 0).alias("is_delete"),
+    )
+    merged = base.join(changes, F.col("b_id") == F.col("c_id"), "full_outer")
+    return (
+        merged.filter(~F.coalesce(F.col("is_delete"), F.lit(False)))
+        .select(
+            F.coalesce("c_id", "b_id").alias("event_id"),
+            F.coalesce("c_user", "b_user").alias("user_id"),
+            F.floor(F.coalesce("c_value", "b_value") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.when(F.col("c_id").isNull(), "keep")
+            .when(F.col("b_id").isNull(), "insert")
+            .otherwise("update")
+            .alias("op"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    transitions AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE rn = 1 OR event_type <> prev_type
+    )
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM transitions
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from
+    """,
+    "window",
+    "cdc",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction: collapse each user's event
+    stream into effective-dated state rows — ``[valid_from, valid_to)``
+    per distinct run of event_type, open-ended current row last.  The
+    dimension-history builder of warehouse/CDC pipelines, from raw
+    change events in two window passes (dedupe consecutive repeats,
+    then close each interval with the next transition's timestamp).
+
+    Scale posture: both windows partition by user_id — one key shuffle
+    total (the second window reuses the first's partitioning); no
+    self-join, no explode.  Transition runs shrink the data between
+    passes, so the lead() pass sees only state changes, not raw grain.
+    Deterministic: ties inside a user's stream order by (ts, event_id)
+    in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        transitions.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss").alias(
+                "valid_to"
+            ),
+            F.lead("ts").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

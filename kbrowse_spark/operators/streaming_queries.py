@@ -743,3 +743,85 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.filter(F.col("user_id") != -1).orderBy(
         "view_id", F.col("purchase_id").asc_nulls_first()
     )
+
+
+@register(
+    "stream_foreachbatch_export",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "streaming",
+    "sink",
+)
+def stream_foreachbatch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch exactly-once export: the streaming write pattern
+    for sinks without native transactional streaming support.  Each
+    micro-batch lands as parquet under ``batch_id=<n>``; a replayed
+    batch id OVERWRITES its own directory instead of appending — the
+    idempotence that turns Structured Streaming's at-least-once batch
+    delivery into exactly-once file output (the same contract Delta's
+    ``txnVersion`` / Iceberg's commit-dedup implement transactionally).
+
+    The returned DataFrame re-reads the exported files and aggregates;
+    the oracle is the same aggregate over the source table — equality
+    proves no batch was lost or double-counted.
+
+    Scale posture: the export itself is a distributed parquet write
+    per micro-batch (no driver materialization); partition layout is
+    ``batch_id=`` Hive-style so downstream readers prune replays, and
+    dynamic partition overwrite touches only the replayed batch's
+    directory, never the whole sink.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    # Content-addressed staging (like _stage_stream_dir): repeated
+    # invocations reuse one directory pair instead of accumulating
+    # tmpdirs; stale state from a previous run is cleared up front so
+    # every run exercises a fresh exactly-once cycle.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = f"/tmp/kbrowse_febatch/{tag}/data"
+    ckpt = f"/tmp/kbrowse_febatch/{tag}/ckpt"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent: a replay of batch_id rewrites batch_id=<n>/ only
+        # (mode=overwrite on the per-batch path), so reprocessing after
+        # failure cannot double-count.
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    exported = spark.read.parquet(out_dir)
+    result = (
+        exported.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+    # Materialize before cleaning the checkpoint (the exported parquet
+    # must outlive this call: the caller collects lazily).  The data
+    # dir is left for the session's lifetime like other /tmp staging.
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result

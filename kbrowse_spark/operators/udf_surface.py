@@ -187,3 +187,140 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
         """
     )
+
+
+@register(
+    "cogroup_asof_attribution",
+    """
+    WITH v AS (SELECT user_id, ts AS v_ts, event_id AS view_id
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.purchase_id, p.user_id, v.view_id,
+             epoch_us(p.p_ts) - epoch_us(v.v_ts) AS gap_us,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY v.v_ts DESC, v.view_id DESC) AS rn
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id AND v.v_ts <= p.p_ts)
+    SELECT purchase_id, user_id, view_id, gap_us
+    FROM j WHERE rn = 1 OR rn IS NULL
+    ORDER BY purchase_id
+    """,
+    "udf",
+    "join",
+)
+def cogroup_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map applyInPandas: per-user purchase→last-prior-view
+    attribution via `groupBy().cogroup().applyInPandas` — the two-table
+    per-key Python transform (pandas merge_asof class of logic) that
+    neither a grouped map over one table nor a plain join expresses.
+
+    Both sides shuffle ONCE on the key and arrive as per-user pandas
+    frames; inside the group a numpy searchsorted over the int64
+    microsecond timeline finds each purchase's latest view at <= its
+    timestamp (ties → max view_id, matching the oracle's DESC
+    tie-break).  All comparisons and the gap are int64 microseconds —
+    exact cross-engine (the fixture's timestamps carry no sub-µs).
+
+    Scale posture: state per task is one user's events, not the
+    corpus; the cogroup is a single co-partitioned exchange of the two
+    pre-filtered scans — the same shuffle a join would pay, with
+    arbitrary per-key Python logic on top, Arrow-batched.
+    """
+    import numpy as np
+
+    def attribute(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
+        if purchases.empty:
+            return pd.DataFrame(
+                {"purchase_id": [], "user_id": [], "view_id": [], "gap_us": []}
+            ).astype(
+                {"purchase_id": "int64", "user_id": "int64",
+                 "view_id": "float64", "gap_us": "float64"}
+            )
+        p = purchases.sort_values("event_id").reset_index(drop=True)
+        p_us = p["ts"].astype("int64") // 1000
+        out = pd.DataFrame(
+            {"purchase_id": p["event_id"], "user_id": p["user_id"]}
+        )
+        if views.empty:
+            out["view_id"] = np.nan
+            out["gap_us"] = np.nan
+            return out
+        v = views.copy()
+        v["v_us"] = v["ts"].astype("int64") // 1000
+        v = v.sort_values(["v_us", "event_id"]).reset_index(drop=True)
+        idx = np.searchsorted(v["v_us"].to_numpy(), p_us.to_numpy(), side="right") - 1
+        hit = idx >= 0
+        out["view_id"] = np.where(hit, v["event_id"].to_numpy()[idx], np.nan)
+        out["gap_us"] = np.where(
+            hit, p_us.to_numpy() - v["v_us"].to_numpy()[idx], np.nan
+        )
+        return out
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            attribute,
+            schema="purchase_id long, user_id long, view_id long, gap_us long",
+        )
+    )
+    return out.orderBy("purchase_id")
+
+
+@register(
+    "maparrow_fixed_dot",
+    """
+    SELECT vec_id,
+           CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+             i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+                             * CAST(embedding[i] AS DOUBLE) * 1e15) AS BIGINT)))
+             AS BIGINT) AS self_dot
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    "udf",
+)
+def maparrow_fixed_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy UDF tier below pandas — Arrow
+    RecordBatches in, RecordBatches out, no pandas conversion at all.
+    Computes each embedding's fixed-point self-dot (the norm² the knn
+    family uses) with one vectorized numpy pass per batch:
+    list-array offsets drive a segment-reduce over the flat values
+    buffer — no per-row Python, no per-list object allocation.
+
+    Same determinism contract as operators/knn.py::_spark_dot: each
+    product floors to an integer number of 1e-15 units, summed as
+    int64 — bit-identical to the DuckDB oracle regardless of batch or
+    partition boundaries.
+
+    Scale posture: narrow (no shuffle except the display sort), and
+    the fastest possible Python hot path — Arrow buffers are handed to
+    numpy without copying; use this tier when even pandas Series
+    overhead matters (pure numeric kernels over array columns).
+    """
+
+    def selfdot(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            offsets = emb.offsets.to_numpy(zero_copy_only=False)
+            values = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            units = np.floor(values * values * 1e15).astype(np.int64)
+            sums = np.add.reduceat(units, offsets[:-1])
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sums, type=pa.int64())],
+                names=["vec_id", "self_dot"],
+            )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(selfdot, schema="vec_id long, self_dot long").orderBy(
+        "vec_id"
+    )

@@ -33,6 +33,12 @@ AUDIT = [
     ("q21_waiting_supplier", "semi+anti correlated subqueries as one-pass joins"),
     ("rollup_hypertable_daily", "raw-column ts bounds pushed to both event scans"),
     ("q13_customer_distribution", "outer-join count distribution, two-level agg"),
+    ("q9_product_profit", "LIKE-filtered part broadcast, one fact-fact shuffle"),
+    ("q2_min_cost_supplier", "window-MIN decorrelation: one shuffle on l_partkey"),
+    ("kmeans_lloyd", "no join: centroid literals in projection, agg-only iterations"),
+    ("curation_domain_cap", "WindowGroupLimit truncates groups before exchange"),
+    ("decontaminate_benchmark", "broadcast semi-join membership, map-side counts"),
+    ("pyds_rowgroup_scan", "custom source: one partition per row group"),
 ]
 
 
