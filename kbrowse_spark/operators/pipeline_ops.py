@@ -428,3 +428,104 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("rn").cast("int").alias("rn"))
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source mixing with a token budget
+# ---------------------------------------------------------------------------
+
+# Target mixture: the 'books' group (src10..src19) gets 70% of the
+# sampled token budget, 'web' (src0..src9) 30%; the budget is 60% of
+# the corpus's total tokens.  Real pipelines read these from a mixing
+# config (Pile/Dolma-style source weights); the plan is identical.
+_MIX_BUDGET_PCT = 60
+_MIX_SHARES = {"books": 7, "web": 3}  # tenths
+
+
+@register(
+    "mix_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN regexp_full_match(source, 'src1[0-9]')
+                  THEN 'books' ELSE 'web' END AS grp,
+             len(string_split(text, ' ')) AS n_tokens,
+             ('0x' || substr(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000 AS bucket
+      FROM documents),
+    totals AS (
+      SELECT grp, SUM(n_tokens) AS grp_tokens,
+             (SELECT CAST({_MIX_BUDGET_PCT} * SUM(n_tokens) AS BIGINT) // 100
+              FROM t) AS budget
+      FROM t GROUP BY grp),
+    rates AS (
+      SELECT grp,
+             LEAST(1.0,
+               CAST(CASE grp WHEN 'books' THEN {_MIX_SHARES['books']}
+                             ELSE {_MIX_SHARES['web']} END * budget AS DOUBLE)
+               / CAST(10 * grp_tokens AS DOUBLE)) AS rate
+      FROM totals)
+    SELECT doc_id, t.grp AS grp, n_tokens,
+           CAST(floor(rate * 1000) AS BIGINT) AS keep_millis
+    FROM t JOIN rates r ON t.grp = r.grp
+    WHERE bucket < CAST(floor(rate * 1000) AS BIGINT)
+    ORDER BY doc_id
+    """,
+    "pipeline",
+)
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixing under a token budget: sample each source group at
+    the rate that makes its share of sampled tokens match a target
+    mixture (books 70% / web 30% of a 60%-of-corpus budget) — the
+    Pile/Dolma-style reweighting step that sets a training mix.
+
+    Deterministic end to end: group token totals are exact integer
+    sums; each group's keep rate is one IEEE division (exact in both
+    engines); membership is the md5 hash-bucket idiom shared with
+    :func:`sample_stratified` — auditable, resumable, engine-portable
+    sampling, never ``rand()``.
+
+    Scale posture: pass 1 is a map-side-combined 2-row aggregate; the
+    rates re-attach as a BROADCAST join (group-count rows), so the
+    corpus-sized pass is one narrow filter — no corpus shuffle at all.
+    At 100 TB with thousands of sources the rates side is still tiny;
+    the mixture config scales by group count, not data.
+    """
+    d = load(spark, sf_dir, "documents")
+    grp = F.when(F.col("source").rlike(r"\Asrc1[0-9]\Z"), "books").otherwise("web")
+    t = d.select(
+        "doc_id",
+        grp.alias("grp"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('mix-', CAST(doc_id AS STRING))), 1, 8),"
+            " 16, 10) AS BIGINT) % 1000"
+        ).alias("bucket"),
+    )
+    totals = t.groupBy("grp").agg(F.sum("n_tokens").alias("grp_tokens"))
+    budget = t.agg(
+        (F.lit(_MIX_BUDGET_PCT) * F.sum("n_tokens")).cast("long").alias("b100")
+    ).select((F.col("b100") / 100).cast("long").alias("budget"))
+    share = (
+        F.when(F.col("grp") == "books", _MIX_SHARES["books"])
+        .otherwise(_MIX_SHARES["web"])
+        .cast("long")
+    )
+    rates = (
+        totals.crossJoin(F.broadcast(budget))
+        .select(
+            "grp",
+            F.least(
+                F.lit(1.0),
+                (share * F.col("budget")).cast("double")
+                / (F.lit(10) * F.col("grp_tokens")).cast("double"),
+            ).alias("rate"),
+        )
+    )
+    return (
+        t.join(F.broadcast(rates), "grp")
+        .withColumn("keep_millis", F.floor(F.col("rate") * 1000).cast("long"))
+        .filter(F.col("bucket") < F.col("keep_millis"))
+        .select("doc_id", "grp", "n_tokens", "keep_millis")
+        .orderBy("doc_id")
+    )

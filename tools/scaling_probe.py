@@ -33,6 +33,11 @@ OPS = [
     "knn_batch_topk_join",
     "corpus_curation_pipeline",
     "kbrowse_regex_scan",
+    "kmeans_lloyd",
+    "decontaminate_benchmark",
+    "q9_product_profit",
+    "merge_upsert_events",
+    "lateral_topn_orders",
 ]
 
 
