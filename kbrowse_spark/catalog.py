@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QueryDef]:
     # Import operator modules for their registration side effects.
     from kbrowse_spark.operators import (  # noqa: F401
         clustering,
+        corpus_stats,
         dedup,
         kbrowse_scan,
         knn,

@@ -1,0 +1,427 @@
+"""Corpus-statistics operators for LLM training-data pipelines: tf-idf
+term ranking, bigram language-model surprisal scoring, BPE merge-pair
+counting, boilerplate n-gram coverage, and random-projection embedding
+reduction (SURVEY §2c extension surface — beyond-reference ops a
+100 TB curation pipeline needs).
+
+Determinism notes (cross-engine, see functions/determinism.py):
+  * all scores that feed an ORDER BY are exact integers (integer-scaled
+    tf-idf, bit-length surprisal) — never floats;
+  * ratios exposed as doubles are a single IEEE division of two exact
+    integers, bit-identical in Spark and DuckDB;
+  * the random-projection sign matrix derives from md5 (same algorithm
+    in hashlib / DuckDB), folded into Spark literals at plan time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kbrowse_spark.catalog import register
+from kbrowse_spark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms per document
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP = 3
+# Integer-scaled tf-idf: score = tf * SCALE * n_docs DIV df.  Monotone in
+# tf * (n_docs / df) and exact in 64-bit integers, so the per-doc top-k
+# is deterministic across engines (no float idf = no log, no ties from
+# rounding).
+_TFIDF_SCALE = 1_000_000
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w GROUP BY doc_id, word),
+    dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf GROUP BY word),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, word, tf,
+           tf * {_TFIDF_SCALE} * n_docs // df AS score_scaled
+    FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_scaled DESC, word) <= {_TFIDF_TOP}
+    ORDER BY doc_id, score_scaled DESC, word
+    """,
+    "text",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf — the term-
+    weighting step behind keyword extraction / topic routing in a
+    curation pipeline.
+
+    idf is kept as the exact rational n_docs/df folded into an
+    integer-scaled score (tf * 1e6 * n_docs DIV df): monotone in the
+    real tf-idf for fixed tf ordering, and exact in int64, so the
+    per-document top-k needs no float log and cannot tie-break
+    differently across engines.
+
+    Scale posture: tf is one map-side-combined aggregate on
+    (doc_id, word); df aggregates tf's output (already one row per
+    doc×word); n_docs is a 1-row broadcast.  The tf↔df join shuffles
+    on word — at 100 TB the df table is vocabulary-sized (≪ corpus)
+    and AQE converts hot-word skew; the top-k compiles to
+    WindowGroupLimit (map-side group truncation).
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_scaled",
+            F.expr(f"tf * {_TFIDF_SCALE} * n_docs DIV df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_TOP)
+        .select("doc_id", "word", "tf", "score_scaled")
+        .orderBy("doc_id", F.col("score_scaled").desc(), "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model surprisal (perplexity-style quality score)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_lm_surprisal",
+    """
+    WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+          FROM wds, unnest(range(1, len(w))) t(i)),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM b GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    lm AS (SELECT w1, w2, c12,
+                  CAST(length(printf('%b', c1 // c12)) - 1 AS BIGINT) AS bits
+           FROM c12 JOIN c1 USING (w1)),
+    db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+           FROM b GROUP BY doc_id, w1, w2)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n * bits) AS BIGINT) AS total_bits,
+           CAST(SUM(n * bits) AS DOUBLE) / SUM(n) AS avg_bits
+    FROM db JOIN lm USING (w1, w2)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "text",
+    "pipeline",
+)
+def quality_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: train a bigram LM on the corpus
+    itself, then score each document by its mean per-bigram surprisal —
+    the KenLM-filter step of CCNet-style pipelines (low-surprisal docs
+    are in-distribution; high-surprisal docs are noise candidates).
+
+    Surprisal is kept EXACT across engines: -log2 P(w2|w1) is floored
+    to the integer bit length of c(w1)·/c(w1,w2) —
+    floor(log2(a/b)) == bitlength(a DIV b) - 1 for a >= b >= 1 — so no
+    transcendental log enters any aggregate; avg_bits is one IEEE
+    division of two exact integers.
+
+    Scale posture: the LM (c12 ⋈ c1) is vocabulary²-bounded — tiny next
+    to the corpus — so at 100 TB it broadcasts; here it shuffle-joins
+    the per-doc bigram counts on (w1, w2).  All three aggregates
+    partial-aggregate map-side; the corpus-grain bigram explode is
+    narrow.
+    """
+    from kbrowse_spark.functions.cache_registry import cached
+
+    d = load(spark, sf_dir, "documents")
+
+    def build_db():
+        b = (
+            d.select("doc_id", F.split("text", " ").alias("w"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 1),"
+                        " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                    )
+                ).alias("bg"),
+            )
+            .select("doc_id", "bg.w1", "bg.w2")
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return b
+
+    # Doc-grain bigram counts feed BOTH the LM (two aggregations) and
+    # the scoring join — cache so the corpus is scanned once, not 3x
+    # (cluster-scale analogue: checkpoint / persist to MEMORY_AND_DISK).
+    db = cached(spark, sf_dir, "lm_bigram_db", build_db)
+    c12 = db.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lm = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        (F.length(F.conv(F.expr("CAST(c1 DIV c12 AS STRING)"), 10, 2)) - 1)
+        .cast("long")
+        .alias("bits"),
+    )
+    return (
+        db.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("bits")).alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "total_bits",
+            (F.col("total_bits").cast("double") / F.col("n_bigrams")).alias(
+                "avg_bits"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics (one tokenizer-training merge round)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@register(
+    "bpe_pair_merge_stats",
+    f"""
+    WITH wrd AS (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+    p AS (SELECT word,
+                 unnest(list_transform(generate_series(1, length(word) - 1),
+                                       i -> substr(word, i, 2))) AS pair
+          FROM wrd WHERE length(word) >= 2)
+    SELECT pair,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+    FROM p GROUP BY pair
+    ORDER BY n_occ DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+    "text",
+)
+def bpe_pair_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE tokenizer training: count adjacent character
+    pairs across the corpus and rank merge candidates — the inner loop
+    of byte-pair-encoding vocabulary induction, run corpus-scale.
+
+    The `length(word) >= 2` guard precedes the pair transform in BOTH
+    engines: Spark's sequence(1, 0) counts DOWN (yielding [1, 0]), so
+    an unguarded transform would fabricate pairs for 1-char words.
+
+    Scale posture: explode → one map-side-combined aggregate keyed by
+    the ~|alphabet|² pair space (tiny, heavily combined per split) —
+    the distinct-word count is the only expansion, bounded by
+    vocabulary.  Top-k compiles to TakeOrderedAndProject (no global
+    sort).
+    """
+    d = load(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .select(
+            "word",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram coverage (intra-corpus repeated-passage detection)
+# ---------------------------------------------------------------------------
+
+_BOILER_N = 5  # shingle width (words)
+_BOILER_MIN_DOCS = 3  # a shingle in >= this many distinct docs is boilerplate
+
+
+@register(
+    "boilerplate_shingle_ratio",
+    f"""
+    WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(
+                    generate_series(1, len(w) - {_BOILER_N - 1}),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                         w[i+3] || ' ' || w[i+4])) AS shingle
+           FROM wds),
+    docfreq AS (SELECT shingle, COUNT(DISTINCT doc_id) AS ndocs
+                FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN ndocs >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN ndocs >= {_BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS boiler_ratio
+    FROM sh JOIN docfreq USING (shingle)
+    GROUP BY doc_id
+    ORDER BY boiler_ratio DESC, doc_id
+    """,
+    "text",
+    "dedup",
+)
+def boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the fraction of each document's 5-gram
+    positions whose shingle recurs in >= 3 distinct documents —
+    RefinedWeb-style intra-corpus repeated-passage scoring (headers,
+    footers, templates).  Position-grain, unlike
+    :func:`decontaminate_benchmark`'s distinct-shingle overlap against
+    an external eval set.
+
+    Scale posture: the doc-frequency table is one map-side-combined
+    aggregate over the shingle scan; at 100 TB only the ndocs >= K
+    slice (the actual boilerplate — small by definition) need re-join
+    the corpus: broadcast it and count misses as non-boilerplate.  Here
+    the full-df join shuffles on shingle; AQE handles hot-shingle skew.
+    The ratio is one IEEE division of two exact integers.
+    """
+    d = load(spark, sf_dir, "documents")
+    terms = ", ".join(f"w[i+{k}]" for k in range(_BOILER_N))
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_BOILER_N}),"
+                    f" i -> concat_ws(' ', {terms}))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    docfreq = sh.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    is_boiler = (F.col("ndocs") >= _BOILER_MIN_DOCS).cast("long")
+    return (
+        sh.join(docfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(is_boiler).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_pos",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_pos")).alias(
+                "boiler_ratio"
+            ),
+        )
+        .orderBy(F.col("boiler_ratio").desc(), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection embedding reduction (Johnson–Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+_RP_OUT = 8  # output dimensions
+_RP_IN = 64  # input embedding dimensionality (testdata fixture width)
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """±1 Rademacher sign for input dim i, output dim j — md5-derived so
+    DuckDB can re-derive the identical matrix from the same key."""
+    h = hashlib.md5(f"rp-{i}-{j}".encode()).hexdigest()
+    return 1 if int(h[:4], 16) % 2 == 0 else -1
+
+
+_RP_SIGNS = [[_rp_sign(i, j) for i in range(_RP_IN)] for j in range(_RP_OUT)]
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    WITH fx AS (SELECT vec_id, i,
+                       CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1e6)
+                            AS BIGINT) AS v
+                FROM embeddings, unnest(range(0, len(embedding))) t(i)),
+    s AS (SELECT fx.*, j FROM fx, unnest(range(0, {_RP_OUT})) tt(j))
+    SELECT vec_id, CAST(j AS INT) AS j,
+           CAST(SUM(v * CASE WHEN ('0x' || substr(md5('rp-' || i || '-' || j),
+                                                  1, 4))::INT % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS p
+    FROM s GROUP BY vec_id, j
+    ORDER BY vec_id, j
+    """,
+    "knn",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project 64-dim
+    embeddings to 8 dims with a deterministic ±1 Rademacher matrix —
+    the cheap-projection step before coarse clustering / dedup
+    blocking, preserving pairwise distances to within JL distortion.
+
+    The sign matrix is md5-derived (hashlib here, md5() in the oracle —
+    same algorithm, same matrix) and FOLDED INTO THE PLAN as literal
+    arrays, so each projection is one zip_with/aggregate over the
+    fixed-point vector: a single narrow pass, no explode, no join, no
+    shuffle except the display sort.  The oracle recomputes the signs
+    row-wise via unnest — same values, deliberately different plan.
+
+    Fixed-point (floor(x*1e6) int64) keeps every projected coordinate
+    an exact integer — bit-identical across engines, same idiom as the
+    knn family (knn.py).
+
+    Scale posture: embarrassingly parallel per vector; output is 8
+    int64s per row (vs 64 floats) — the shape you want before an
+    all-pairs or LSH stage.  At 100 TB this is a mapPartitions-free,
+    codegen'd projection at scan speed.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    fx = F.expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT))"
+    )
+    projections = F.array(
+        *[
+            F.expr(
+                "aggregate(zip_with(fx, array({signs}), (a, b) -> a * b),"
+                " 0L, (acc, y) -> acc + y)".format(
+                    signs=", ".join(f"{s}L" for s in _RP_SIGNS[j])
+                )
+            )
+            for j in range(_RP_OUT)
+        ]
+    )
+    return (
+        e.select("vec_id", fx.alias("fx"))
+        .select("vec_id", F.posexplode(projections).alias("j", "p"))
+        .orderBy("vec_id", "j")
+    )

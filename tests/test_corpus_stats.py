@@ -1,0 +1,98 @@
+"""Corpus-stats regressions: exact-integer surprisal identity, the
+1-char-word guard in BPE pair counting (Spark sequence() counts DOWN
+when start > stop), and the join-free random-projection plan."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import pytest
+
+from kbrowse_spark.operators.corpus_stats import (
+    _RP_IN,
+    _RP_OUT,
+    _RP_SIGNS,
+    bpe_pair_merge_stats,
+    embedding_random_projection,
+    quality_lm_surprisal,
+    tfidf_top_terms,
+)
+
+
+def test_bitlength_surprisal_identity():
+    # floor(log2(a/b)) == bitlength(a // b) - 1 for a >= b >= 1 — the
+    # exact-integer identity quality_lm_surprisal relies on.
+    for a in range(1, 200):
+        for b in range(1, a + 1):
+            assert (a // b).bit_length() - 1 == math.floor(math.log2(a / b))
+
+
+def test_rp_signs_match_duckdb_md5():
+    # hashlib and DuckDB implement the same md5; the folded literal
+    # matrix must equal what the oracle derives row-wise.
+    import duckdb
+
+    for j in range(_RP_OUT):
+        for i in (0, 1, 17, _RP_IN - 1):
+            h = hashlib.md5(f"rp-{i}-{j}".encode()).hexdigest()
+            expected = 1 if int(h[:4], 16) % 2 == 0 else -1
+            assert _RP_SIGNS[j][i] == expected
+            (duck,) = duckdb.sql(
+                "SELECT CASE WHEN ('0x' || substr(md5('rp-" + str(i) + "-"
+                + str(j) + "'), 1, 4))::INT % 2 = 0 THEN 1 ELSE -1 END"
+            ).fetchone()
+            assert duck == expected
+
+
+def test_random_projection_plan_is_join_free(spark, sf_dir):
+    df = embedding_random_projection(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # one scan, one generate (posexplode of the 8 folded aggregates)
+    assert plan.count("FileScan") == 1
+
+
+@pytest.fixture()
+def tiny_docs_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("tinydocs")
+    rows = [
+        (0, "a bb a bb ccc ccc", "en", "s0", 17),
+        (1, "x x a bb a", "en", "s0", 10),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_bpe_guards_single_char_words(spark, tiny_docs_dir):
+    rows = {r["pair"]: r for r in bpe_pair_merge_stats(spark, tiny_docs_dir).collect()}
+    # 1-char words ('a', 'x') contribute no pairs; 'bb' -> one 'bb' pair
+    # per occurrence (3); 'ccc' -> 'cc' twice per occurrence (4).
+    assert set(rows) == {"bb", "cc"}
+    assert rows["bb"]["n_occ"] == 3 and rows["bb"]["n_words"] == 1
+    assert rows["cc"]["n_occ"] == 4 and rows["cc"]["n_words"] == 1
+
+
+def test_lm_surprisal_hand_computed(spark, tiny_docs_dir):
+    # Bigrams doc0: (a,bb)x2 (bb,a) (bb,ccc) (ccc,ccc); doc1: (x,x)
+    # (x,a) (a,bb) (bb,a).  c1: a=3 bb=3 ccc=1 x=2.  bits: (a,bb) 3//3
+    # ->0, (bb,a) 3//2->0, (bb,ccc) 3//1->1, (ccc,ccc) 1//1->0,
+    # (x,x) 2//1->1, (x,a) 2//1->1.
+    rows = {r["doc_id"]: r for r in quality_lm_surprisal(spark, tiny_docs_dir).collect()}
+    assert rows[0]["n_bigrams"] == 5 and rows[0]["total_bits"] == 1
+    assert rows[0]["avg_bits"] == 0.2
+    assert rows[1]["n_bigrams"] == 4 and rows[1]["total_bits"] == 2
+    assert rows[1]["avg_bits"] == 0.5
+
+
+def test_tfidf_rare_term_outranks_common(spark, tiny_docs_dir):
+    rows = tfidf_top_terms(spark, tiny_docs_dir).collect()
+    top0 = [r["word"] for r in rows if r["doc_id"] == 0][0]
+    top1 = [r["word"] for r in rows if r["doc_id"] == 1][0]
+    # 'ccc' is unique to doc0 (df=1); 'x' unique to doc1.
+    assert top0 == "ccc"
+    assert top1 == "x"
