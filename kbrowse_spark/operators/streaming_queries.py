@@ -825,3 +825,46 @@ def stream_foreachbatch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
+
+
+@register(
+    "stream_pyds_follow",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "streaming",
+    "source",
+)
+def stream_pyds_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Follow mode through the custom STREAMING Python data source
+    (`sources/pyds_stream.py`): the reference's poll loop
+    (kafka.clj:61-123) as a DataSourceStreamReader — driver tracks the
+    append-only file-count offset, plans one InputPartition per new
+    file, executors emit Arrow batches.  On this pre-staged bounded
+    input the availableNow run consumes offset 0 -> latest in one
+    micro-batch; mid-stream arrival is exercised in
+    tests/test_sources.py.
+
+    The aggregate on top proves correctness end-to-end: identical to
+    DuckDB reading the same file (floor-cents sum, exact integers).
+    """
+    from kbrowse_spark.sources.pyds_stream import register_events_follow_source
+
+    register_events_follow_source(spark)
+    d = _stage_stream_dir(table_path(sf_dir, "events"))
+    ev = spark.readStream.format("events_follow").option("path", d).load()
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    return _run_to_memory(agg, "complete").orderBy("event_type")

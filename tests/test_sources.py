@@ -79,3 +79,77 @@ def test_pyds_rowgroup_partition_planning(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_pyds_follow_stream_mid_stream_arrival(spark, tmp_path):
+    """The streaming Python data source picks up files that arrive
+    AFTER the query starts — the follow-mode contract: offsets advance
+    with the append-only listing, each micro-batch plans only the new
+    splits."""
+    import time
+
+    from kbrowse_spark.sources.pyds_stream import (
+        EventsFollowStreamReader,
+        register_events_follow_source,
+    )
+
+    d = str(tmp_path / "follow_src")
+    import os
+
+    os.makedirs(d)
+
+    def stage(idx: int, start: int, n: int) -> None:
+        spark.range(start, start + n).selectExpr(
+            "id AS event_id",
+            "id % 7 AS user_id",
+            "'click' AS event_type",
+            "CAST(id AS DOUBLE) / 10 AS value",
+        ).coalesce(1).write.parquet(str(tmp_path / f"b{idx}"))
+        import glob
+        import shutil
+
+        (part,) = glob.glob(str(tmp_path / f"b{idx}" / "part-*.parquet"))
+        shutil.copy(part, os.path.join(d, f"{idx:03d}.parquet"))
+
+    stage(0, 0, 50)
+    stage(1, 50, 30)
+
+    # Offset/partition planning is pure listing math (no Spark needed).
+    r = EventsFollowStreamReader({"path": d})
+    assert r.initialOffset() == {"files": 0}
+    assert r.latestOffset() == {"files": 2}
+    assert len(r.partitions({"files": 0}, {"files": 2})) == 2
+    assert len(r.partitions({"files": 1}, {"files": 2})) == 1
+
+    register_events_follow_source(spark)
+    ev = spark.readStream.format("events_follow").option("path", d).load()
+    q = (
+        ev.groupBy()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+        .writeStream.format("memory")
+        .queryName("follow_mid_stream")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+
+        def wait_for(n_expected: int, timeout: float = 60.0) -> None:
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                rows = spark.table("follow_mid_stream").collect()
+                if rows and rows[0]["n"] == n_expected:
+                    return
+                time.sleep(0.3)
+            raise AssertionError(
+                f"stream never reached {n_expected} rows: "
+                f"{spark.table('follow_mid_stream').collect()}"
+            )
+
+        wait_for(80)
+        stage(2, 80, 20)  # arrives mid-stream
+        wait_for(100)
+        (row,) = spark.table("follow_mid_stream").collect()
+        assert row["s"] == 100 * 99 // 2
+    finally:
+        q.stop()
