@@ -47,6 +47,8 @@ HEADLINE = [
     "kmeans_lloyd",
     "q9_product_profit",
     "decontaminate_benchmark",
+    # round 2 third wave: corpus-trained bigram LM quality scoring
+    "quality_lm_surprisal",
 ]
 
 

@@ -68,6 +68,7 @@ def _previously_checked() -> set[str]:
 def all_queries() -> dict[str, QueryDef]:
     # Import operator modules for their registration side effects.
     from kbrowse_spark.operators import (  # noqa: F401
+        analytics,
         clustering,
         corpus_stats,
         dedup,

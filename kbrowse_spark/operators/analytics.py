@@ -1,0 +1,293 @@
+"""Event-analytics operators: funnel conversion, retention cohorts,
+time-series gap filling (SURVEY §2c extension surface — the classic
+product-analytics trio over the events stream).
+
+All three are single-key-shuffle plans (user_id or event_type) with
+exact-integer outputs — no floats feed an ORDER BY, ratios are one IEEE
+division of two exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kbrowse_spark.catalog import register
+from kbrowse_spark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH staged AS (
+      SELECT user_id, event_type, ts, event_id,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_view
+      FROM events),
+    quald AS (
+      SELECT user_id, event_type, ts, event_id, prior_view,
+             CASE WHEN event_type = 'click' AND prior_view IS NOT NULL
+                  THEN ts END AS qual_click_ts
+      FROM staged),
+    quald2 AS (
+      SELECT *,
+             min(qual_click_ts)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_qual_click
+      FROM quald),
+    per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN qual_click_ts IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+             max(CASE WHEN event_type = 'purchase'
+                       AND prior_qual_click IS NOT NULL
+                      THEN 1 ELSE 0 END) AS s3
+      FROM quald2 GROUP BY user_id)
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'view' AS stage,
+             CAST(SUM(s1) AS BIGINT) AS n_users FROM per_user
+      UNION ALL
+      SELECT 2, 'view>click', CAST(SUM(s2) AS BIGINT) FROM per_user
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(SUM(s3) AS BIGINT) FROM per_user)
+    ORDER BY ord
+    """,
+    "analytics",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: how many users complete view -> click ->
+    purchase IN ORDER (a click only counts after a strictly-earlier
+    view; a purchase only after such a click).
+
+    Expressed as cumulative-window minima over each user's event
+    sequence — ONE shuffle on user_id serves all three window passes
+    and the per-user rollup (same-key windows share the exchange), vs
+    the naive 3-way self-join.  Event order is (ts, event_id) — the
+    deterministic tiebreak pinned in both engines.
+
+    Scale posture: one hash exchange on user_id (the natural key, high
+    cardinality, no skew), windows stream within each partition, final
+    stage counts are a 3-row aggregate.  At 100 TB: one shuffle of the
+    events table, nothing else.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    prior = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = ev.withColumn(
+        "prior_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(prior),
+    ).withColumn(
+        "qual_click_ts",
+        F.when(
+            (F.col("event_type") == "click") & F.col("prior_view").isNotNull(),
+            F.col("ts"),
+        ),
+    )
+    staged = staged.withColumn(
+        "prior_qual_click", F.min("qual_click_ts").over(prior)
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("s1"),
+        F.max(
+            F.when(F.col("qual_click_ts").isNotNull(), 1).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("prior_qual_click").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    totals = per_user.agg(
+        F.sum("s1").alias("n1"), F.sum("s2").alias("n2"), F.sum("s3").alias("n3")
+    )
+    return (
+        totals.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("ord"),
+                        F.lit("view").alias("stage"),
+                        F.col("n1").alias("n_users"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("ord"),
+                        F.lit("view>click").alias("stage"),
+                        F.col("n2").alias("n_users"),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("ord"),
+                        F.lit("view>click>purchase").alias("stage"),
+                        F.col("n3").alias("n_users"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.stage", "r.n_users")
+        .orderBy("r.ord")
+        .select("stage", "n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts
+# ---------------------------------------------------------------------------
+
+_RETENTION_MAX_OFFSET = 7
+
+
+@register(
+    "retention_cohorts",
+    f"""
+    WITH first_day AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+      FROM events)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity JOIN first_day USING (user_id)
+    WHERE date_diff('day', cohort_day, active_day)
+          BETWEEN 0 AND {_RETENTION_MAX_OFFSET}
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "analytics",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort analysis: users cohorted by first-activity day;
+    for each cohort, how many are active again N days later (N <= 7) —
+    the table behind every retention curve.
+
+    Scale posture: cohort assignment and the user-day activity grid are
+    both user_id-keyed aggregates, and the join re-uses the same key —
+    one partitioning serves all three stages (Catalyst reuses the
+    exchange).  The activity DISTINCT collapses each user's events to
+    at most days×1 rows map-side before any shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day")
+    ).distinct()
+    off = F.datediff(F.col("active_day"), F.col("cohort_day"))
+    return (
+        activity.join(first_day, "user_id")
+        .filter((off >= 0) & (off <= _RETENTION_MAX_OFFSET))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            off.cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill (dense hourly grid + zero-fill + LOCF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+      FROM events),
+    grid AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    dense AS (SELECT hour, event_type FROM grid CROSS JOIN types),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2)
+    SELECT strftime(d.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           d.event_type AS event_type,
+           COALESCE(h.n, 0) AS n,
+           last_value(h.cents IGNORE NULLS)
+             OVER (PARTITION BY d.event_type ORDER BY d.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cents_locf
+    FROM dense d LEFT JOIN hourly h
+      ON d.hour = h.hour AND d.event_type = h.event_type
+    ORDER BY hour, event_type
+    """,
+    "analytics",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling over an hourly time grid: densify (every hour ×
+    every event type, even silent ones), zero-fill counts, and
+    forward-fill (LOCF) the last observed hourly cents sum — the
+    resampling step every hypertable/monitoring pipeline needs before
+    charting or windowed comparison.
+
+    The dense grid is generated from a 1-row bounds aggregate
+    (sequence + explode — never a driver-side loop) crossed with the
+    observed type dimension (broadcast).  LOCF is `last(col, ignore
+    nulls)` over an event_type-partitioned window.
+
+    Scale posture: hourly pre-aggregation shrinks the fact table to
+    grid size BEFORE the join (map-side combined); the grid side is
+    hours×types (tiny at any horizon — a decade of hours × 1e3 types
+    ≈ 1e8 rows worst case, still shardable by the same window key).
+    The LOCF window shuffles grid-sized data once on event_type.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.expr("sequence(h0, h1, interval 1 hour)")
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    dense = grid.crossJoin(F.broadcast(types))
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    locf = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dense.join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            F.last("cents", ignorenulls=True).over(locf).alias("cents_locf"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "cents_locf",
+        )
+        .orderBy("hour", "event_type")
+    )

@@ -38,6 +38,9 @@ OPS = [
     "q9_product_profit",
     "merge_upsert_events",
     "lateral_topn_orders",
+    "quality_lm_surprisal",
+    "tfidf_top_terms",
+    "embedding_random_projection",
 ]
 
 
