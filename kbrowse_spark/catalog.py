@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QueryDef]:
         clustering,
         corpus_stats,
         dedup,
+        graph,
         kbrowse_scan,
         knn,
         multimodal,

@@ -39,6 +39,14 @@ AUDIT = [
     ("curation_domain_cap", "WindowGroupLimit truncates groups before exchange"),
     ("decontaminate_benchmark", "broadcast semi-join membership, map-side counts"),
     ("pyds_rowgroup_scan", "custom source: one partition per row group"),
+    ("tfidf_top_terms", "WindowGroupLimit top-k, word-keyed df join"),
+    ("quality_lm_surprisal", "one cached corpus pass, broadcast LM join"),
+    ("bpe_pair_merge_stats", "map-side-combined pair agg, TakeOrdered top-k"),
+    ("embedding_random_projection", "join-free: sign matrix folded into projection"),
+    ("mix_token_budget", "2-row rate broadcast, corpus pass is one filter"),
+    ("funnel_conversion", "one user_id shuffle serves windows + rollup"),
+    ("timeseries_gap_fill", "hourly pre-agg joins grid-sized side"),
+    ("pagerank_interaction", "cached loop-invariant edges, 2 shuffles/iteration"),
 ]
 
 
