@@ -425,3 +425,156 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode(projections).alias("j", "p"))
         .orderBy("vec_id", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier scoring (fasttext/CCNet-style, exact-integer logit)
+# ---------------------------------------------------------------------------
+
+# Trained-model stand-in: integer weights (×1000 fixed point).  Real
+# pipelines export a fasttext / logistic-regression model; folding the
+# weights into the plan as literals is exactly how a linear scorer
+# ships to a cluster — the plan is unchanged, only the constants are.
+_CLF_BIAS = -50_000
+_CLF_W_TOKENS = 700
+_CLF_W_STOP = 2_000
+_CLF_W_DISTINCT = -300
+_CLF_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+@register(
+    "quality_classifier_logit",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','and','of','to','in'))) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents)
+    SELECT doc_id,
+           CAST({_CLF_BIAS} + {_CLF_W_TOKENS} * n_tokens
+                + {_CLF_W_STOP} * n_stop
+                + {_CLF_W_DISTINCT} * n_distinct AS BIGINT) AS logit_scaled,
+           CAST(CASE WHEN {_CLF_BIAS} + {_CLF_W_TOKENS} * n_tokens
+                          + {_CLF_W_STOP} * n_stop
+                          + {_CLF_W_DISTINCT} * n_distinct >= 0
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM f
+    ORDER BY doc_id
+    """,
+    "text",
+    "pipeline",
+)
+def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (the fasttext/CCNet "keep or
+    bucket" step): per-document integer features (token count, stopword
+    count, distinct-token count) dotted with fixed-point model weights.
+
+    The decision needs no sigmoid — sign(logit) == (p >= 0.5) — so the
+    score stays an EXACT integer and the keep/drop decision is
+    bit-identical across engines (the transcendental never enters).
+
+    Scale posture: pure narrow projection at scan speed — features,
+    dot product, and threshold all inside whole-stage codegen; no
+    shuffle but the display sort.  Swapping in a real trained model
+    changes the literals, not the plan.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = ", ".join(f"'{w}'" for w in _CLF_STOPWORDS)
+    n_stop = F.size(
+        F.expr(f"filter(split(text, ' '), w -> w IN ({stop_arr}))")
+    )
+    logit = (
+        F.lit(_CLF_BIAS)
+        + F.lit(_CLF_W_TOKENS) * F.size(words)
+        + F.lit(_CLF_W_STOP) * n_stop
+        + F.lit(_CLF_W_DISTINCT) * F.size(F.array_distinct(words))
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            logit.alias("logit_scaled"),
+            (logit >= 0).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocabulary OOV rate
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 30
+
+
+@register(
+    "vocab_oov_rate",
+    f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, COUNT(*) AS c FROM w GROUP BY word
+        ORDER BY c DESC, word LIMIT {_VOCAB_SIZE})),
+    j AS (SELECT w.doc_id,
+                 CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+          FROM w LEFT JOIN vocab v USING (word))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM j GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "text",
+    "pipeline",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage scoring: build a top-{v} corpus vocabulary
+    (the stand-in for a shipped tokenizer's lexicon) and measure each
+    document's out-of-vocabulary token fraction — the gate that flags
+    documents a tokenizer would shred into bytes.
+
+    Vocabulary selection ties break (count DESC, word ASC) identically
+    in both engines; the OOV ratio is one IEEE division of two exact
+    integers.
+
+    Scale posture: the vocabulary is a map-side-combined word count +
+    TakeOrdered top-V (tiny); membership is a BROADCAST left join
+    against the token stream (no corpus shuffle); per-doc counts
+    partial-aggregate map-side.  A real tokenizer vocab (50k entries)
+    broadcasts just the same.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(_VOCAB_SIZE)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+vocab_oov_rate.__doc__ = vocab_oov_rate.__doc__.format(v=_VOCAB_SIZE)
