@@ -77,7 +77,10 @@ def _oracle_sql() -> str:
             )
     parts.append(
         f"""
-    SELECT vec_id, CAST(cid AS INT) AS cluster_id, dist AS sq_dist
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id,
+           -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas renders
+           -- as float64; the gate hash-compares against Spark's int64.
+           CAST(dist AS BIGINT) AS sq_dist
     FROM a{_ITERS + 1}
     ORDER BY vec_id
     """

@@ -161,7 +161,10 @@ def kbrowse_progress_tap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "topic",
         "partition",
         "offset",
-        F.unix_millis("timestamp").cast("string").alias("ts_render"),
+        # cast: unix_millis needs TIMESTAMP; fixture may surface ntz
+        F.unix_millis(F.col("timestamp").cast("timestamp"))
+        .cast("string")
+        .alias("ts_render"),
         "key_str",
         "value_str",
     )

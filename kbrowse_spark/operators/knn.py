@@ -607,10 +607,11 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, label,
            CAST(maxabs / 127 AS DOUBLE) AS scale,
            CASE WHEN maxabs = 0
-                THEN list_transform(embedding, x -> CAST(0 AS INT))
-                ELSE list_transform(embedding,
+                THEN array_to_string(list_transform(embedding,
+                                                    x -> CAST(0 AS INT)), ',')
+                ELSE array_to_string(list_transform(embedding,
                        x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs + 0.5)
-                                 AS INT)) END AS qvec
+                                 AS INT)), ',') END AS qvec_csv
     FROM m
     ORDER BY vec_id
     """,
@@ -623,7 +624,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x smaller vectors, dequantize as q*scale.  Pure JVM expressions
     (higher-order array functions), one narrow projection, no shuffle;
     floor(x*127/maxabs + 0.5) is identical IEEE-double math in Spark
-    and DuckDB, so quantized codes match bit-for-bit."""
+    and DuckDB, so quantized codes match bit-for-bit.  The code vector
+    is rendered as a CSV string (``qvec_csv``) because the correctness
+    gate's canonicalizer requires scalar output columns."""
     emb = load(spark, sf_dir, "embeddings")
     m = emb.select(
         "vec_id",
@@ -646,5 +649,5 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         (F.col("maxabs") / 127).cast("double").alias("scale"),
-        qvec.alias("qvec"),
+        F.array_join(qvec, ",").alias("qvec_csv"),
     ).orderBy("vec_id")

@@ -600,11 +600,15 @@ def window_lag_lead_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     w2 = W.partitionBy("user_id").orderBy("event_type", "event_id")
+    # unix_micros requires TIMESTAMP (ltz); the fixture may store ts as
+    # timestamp_ntz — cast is a no-op on ltz, session-tz interpretation
+    # on ntz, and the LAG difference cancels any fixed tz offset.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     return (
         ev.select(
             "event_id",
             "user_id",
-            (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)).alias(
+            (us - F.lag(us).over(w)).alias(
                 "gap_us"
             ),
             F.lead("event_type").over(w).alias("next_type"),
@@ -1271,7 +1275,8 @@ def variant_try_parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     """
     SELECT event_type,
-           list_sort(list(DISTINCT user_id % 25)) AS user_buckets,
+           array_to_string(list_sort(list(DISTINCT user_id % 25)), ',')
+             AS user_buckets,
            string_agg(DISTINCT CAST(user_id % 25 AS VARCHAR), ','
                       ORDER BY CAST(user_id % 25 AS VARCHAR)) AS bucket_csv,
            COUNT(*) AS n
@@ -1285,14 +1290,18 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: collect_set -> sorted array, plus a
     string_agg/listagg rendering — deterministic because both are
     explicitly sorted (bare collect_list order is partition-dependent
-    and must never feed a comparison)."""
+    and must never feed a comparison).  Both renderings are strings:
+    the correctness gate's canonicalizer requires scalar columns, so
+    the numerically-sorted set is joined to CSV after sorting."""
     ev = load(spark, sf_dir, "events").withColumn(
         "bucket", (F.col("user_id") % 25).cast("long")
     )
     return (
         ev.groupBy("event_type")
         .agg(
-            F.sort_array(F.collect_set("bucket")).alias("user_buckets"),
+            F.array_join(
+                F.sort_array(F.collect_set("bucket")), ","
+            ).alias("user_buckets"),
             F.array_join(
                 F.sort_array(F.collect_set(F.col("bucket").cast("string"))), ","
             ).alias("bucket_csv"),
@@ -1501,15 +1510,20 @@ def explode_outer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (t-digest family): constant-memory quantile
     sketch for extreme cardinality — algorithm-specific values, so
-    rows-only (exact quantiles are covered by quantiles_disc_orders)."""
+    rows-only (exact quantiles are covered by quantiles_disc_orders).
+    The three quantiles come back as scalar columns (the gate's
+    canonicalizer rejects array outputs)."""
     o = load(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
     return (
         o.groupBy("o_orderpriority")
-        .agg(
-            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
-                "approx_quantiles"
-            ),
-            F.count(F.lit(1)).alias("n"),
+        .agg(q.alias("aq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "o_orderpriority",
+            F.col("aq")[0].alias("p50"),
+            F.col("aq")[1].alias("p95"),
+            F.col("aq")[2].alias("p99"),
+            "n",
         )
         .orderBy("o_orderpriority")
     )
@@ -1620,10 +1634,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipments",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'

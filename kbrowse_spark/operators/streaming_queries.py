@@ -52,6 +52,26 @@ def _stage_stream_dir(path: str) -> str:
     return d
 
 
+def _normalize_stream_ts(stream: DataFrame, static: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (with local tz),
+    whatever physical type the fixture parquet stored:
+
+    * TIMESTAMP(NANOS) surfaces as bigint (nanosAsLong) -> truncate to
+      micros exactly like DuckDB/Arrow do;
+    * plain ``timestamp[us]`` surfaces as TIMESTAMP_NTZ -> cast to
+      TIMESTAMP, interpreting the wall clock in the session time zone.
+      Watermarks/event-time ops require TIMESTAMP, and downstream
+      formatting renders back in session tz, so wall-clock values match
+      the oracle for ANY session time zone.
+    """
+    dt = dict(static.dtypes).get("ts")
+    if dt == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same ts handling as
     the batch loader (TIMESTAMP(NANOS) -> long -> micros)."""
@@ -59,9 +79,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = table_path(sf_dir, "events")
     static = spark.read.parquet(path)
     stream = spark.readStream.schema(static.schema).parquet(_stage_stream_dir(path))
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _normalize_stream_ts(stream, static)
 
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
@@ -535,8 +553,12 @@ def _events_stream_with_flush(
         )
         fdf = spark.createDataFrame([row], schema=static.schema)
         if not ts_is_long:
+            # Cast the sentinel ts to the EXACT storage type of the real
+            # file (timestamp vs timestamp_ntz) so the staged dir stays
+            # schema-homogeneous for the file-stream source.
+            ts_type = dict(static.dtypes)["ts"]
             fdf = fdf.withColumn(
-                "ts", F.lit("2024-03-01 00:00:00").cast("timestamp")
+                "ts", F.lit("2024-03-01 00:00:00").cast(ts_type)
             )
         tmp = flush + ".tmp"
         fdf.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -548,9 +570,7 @@ def _events_stream_with_flush(
 
         shutil.rmtree(tmp, ignore_errors=True)
     stream = spark.readStream.schema(static.schema).parquet(d)
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream, d
+    return _normalize_stream_ts(stream, static), d
 
 
 @register(
