@@ -578,3 +578,76 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 vocab_oov_rate.__doc__ = vocab_oov_rate.__doc__.format(v=_VOCAB_SIZE)
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty rate: how much NEW text each document contributes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_novelty_rate",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])) AS shingle
+        FROM documents)),
+    first AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*) AS DOUBLE) AS novelty
+    FROM sh s JOIN first f USING (shingle)
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    "corpus",
+    "dedup",
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word 3-grams whose globally-first occurrence (MIN doc_id over the
+    whole corpus, doc_id as ingest order) is this document.  The
+    standard "does this source still add new text?" curation signal —
+    low-novelty documents are boilerplate/near-copies of earlier ones
+    (CCNet/Gopher-style corpus auditing; complements dedup, which finds
+    WHO duplicates WHOM, by measuring marginal contribution).
+
+    Scale shape: one shingle-keyed hash aggregate (map-side combined
+    MIN) builds the inverted first-seen index, one shuffle join back on
+    the same key re-attaches it, one doc-keyed aggregate reduces to the
+    per-doc rate — three bounded-key shuffles, no all-pairs work, and
+    the shingle subtree is shared (cached) with the MinHash/Jaccard
+    dedup family.  The novelty ratio is a single IEEE division of two
+    exact integer counts, bit-identical across engines.
+    """
+    from kbrowse_spark.operators.dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )

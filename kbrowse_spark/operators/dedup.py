@@ -561,3 +561,126 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic near-dup pruning within embedding cluster cells
+# ---------------------------------------------------------------------------
+
+# cos >= 0.35 compared in exact integers: cos^2 = dot^2/(na2*nb2) and
+# 0.35^2 = 49/400, so the predicate is 400*dot^2 >= 49*na2*nb2 with
+# dot > 0.  Worst-case magnitudes (|q| <= 2048, dim 64): dot <= 2^27,
+# 400*dot^2 < 2^62 — no int64 overflow in either engine.
+_SEMDEDUP_NUM = 49
+_SEMDEDUP_DEN = 400
+
+
+@register(
+    "semdedup_prune",
+    f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, label, q,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+      FROM q),
+    pairs AS (
+      SELECT a.vec_id AS keeper, b.vec_id AS pruned, b.label AS cell,
+             CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                  i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+             a.n2 AS na2, b.n2 AS nb2
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT pruned AS vec_id, CAST(cell AS INT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_dominators,
+           CAST(MIN(keeper) AS BIGINT) AS min_keeper
+    FROM pairs
+    WHERE dot > 0 AND {_SEMDEDUP_DEN} * dot * dot >= {_SEMDEDUP_NUM} * na2 * nb2
+    GROUP BY pruned, cell
+    ORDER BY vec_id
+    """,
+    "dedup",
+    "knn",
+    "multimodal",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each embedding
+    cluster cell, prune every vector whose cosine similarity to a
+    lower-id vector in the same cell exceeds the threshold (keep-min-id
+    policy).  Returns the pruned vectors with their cell, how many
+    keepers dominate them, and the smallest dominating id.
+
+    Cells here are the fixture's ``label`` column; in production the
+    cells are k-means centroid assignments (``kmeans_lloyd`` is the
+    codebook trainer) with k chosen so cells stay O(thousands) — the
+    point of SemDeDup is that the pairwise cosine scan is confined to
+    a cell, never the corpus: candidate generation cost is
+    sum(cell_i^2), not n^2, and each cell's pair join is an equi-join
+    on the cell key that AQE can split if a cell is skewed.
+
+    Fixed-point determinism: embeddings quantize to round(x*1024)
+    BIGINTs; the cosine threshold compares 400*dot^2 >= 49*na2*nb2 in
+    exact int64 (cos >= 0.35 since 0.35^2 = 49/400), so the pruned set
+    is bit-identical across engines and partition orders.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
+        ).alias("q"),
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.expr("zip_with(q, q, (x, y) -> x * y)"),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ),
+    )
+    a = q.select(
+        F.col("vec_id").alias("keeper"),
+        F.col("label").alias("cell"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("pruned"),
+        F.col("label").alias("cell"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.expr("zip_with(qa, qb, (x, y) -> x * y)"),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("keeper") < F.col("pruned"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(_SEMDEDUP_DEN) * F.col("dot") * F.col("dot")
+                >= F.lit(_SEMDEDUP_NUM) * F.col("na2") * F.col("nb2")
+            )
+        )
+    )
+    return (
+        pairs.groupBy("pruned", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominators"),
+            F.min("keeper").alias("min_keeper"),
+        )
+        .select(
+            F.col("pruned").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+            "n_dominators",
+            "min_keeper",
+        )
+        .orderBy("vec_id")
+    )

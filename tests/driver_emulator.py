@@ -1,6 +1,13 @@
 """Emulate the spark-graft driver: bare session, import-by-path, run
 entry() + every queries() entry vs its DuckDB oracle at sf0.01.
 
+Faithful to the driver's materialization path: the Spark side goes
+through ``toPandas()`` and the oracle through duckdb ``.df()``, then
+both are canonicalized with pandas ``sort_values`` — so list-typed
+columns crash here exactly like they crash the gate, and DuckDB
+HUGEINT->float64 vs Spark int64 mismatches are caught as value
+differences (6.0 != 6), not silently equal like ``fetchall`` was.
+
 Run from anywhere: ``python /root/repo/tests/driver_emulator.py``.
 Prints MATCH/MISMATCH per query and a final RESULT line.
 """
@@ -23,11 +30,40 @@ TABLES = (
 
 
 def norm(v):
+    """Type-sensitive canonical value: int and float stay DISTINCT
+    (the gate's hash distinguishes 6 from 6.0)."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    # None / NaN / NaT unify: a NULL int column becomes float64-NaN on
+    # one side and object-None on the other depending on Arrow use.
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v
+        return ("f", v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
+    if isinstance(v, bytearray):
+        return bytes(v)
     return v
+
+
+def canon_pandas(df):
+    """The driver's canonical form: sort columns by name, sort rows by
+    all columns (raises on unhashable/list cells, like the gate), then
+    a type-sensitive normalized value matrix."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return [tuple(norm(v) for v in row) for row in df.itertuples(index=False)]
 
 
 def main() -> int:
@@ -64,28 +100,29 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         try:
             sdf = fn(spark, SF)
-            scols = sdf.columns
-            srows = [tuple(norm(x) for x in r) for r in sdf.collect()]
+            spd = sdf.toPandas()
+            sset = canon_pandas(spd)
         except Exception as e:  # noqa: BLE001
             print(f"  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
             bad += 1
             continue
         if name not in osql:
-            print(f"  {name}: rows-only, {len(srows)} rows")
+            print(f"  {name}: rows-only, {len(sset)} rows")
             continue
-        cur = con.execute(osql[name])
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
-        so = sorted(range(len(scols)), key=lambda i: scols[i])
-        do = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        sset = sorted((tuple(norm(r[i]) for i in so) for r in srows), key=repr)
-        dset = sorted((tuple(norm(r[i]) for i in do) for r in drows), key=repr)
-        ok = sorted(scols) == sorted(dcols) and sset == dset
+        try:
+            dpd = con.execute(osql[name]).df()
+            dset = canon_pandas(dpd)
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:200]}")
+            bad += 1
+            continue
+        scols, dcols = sorted(spd.columns), sorted(dpd.columns)
+        ok = scols == dcols and sset == dset
         if not ok:
             bad += 1
             why = (
                 "cols"
-                if sorted(scols) != sorted(dcols)
+                if scols != dcols
                 else ("count" if len(sset) != len(dset) else "values")
             )
             print(f"  {name}: MISMATCH ({why}) spark={len(sset)} duck={len(dset)}")
@@ -93,7 +130,7 @@ def main() -> int:
                 for a, b in [(a, b) for a, b in zip(sset, dset) if a != b][:3]:
                     print(f"     spark={a}\n     duck ={b}")
         else:
-            print(f"  {name}: MATCH ({len(srows)} rows)")
+            print(f"  {name}: MATCH ({len(sset)} rows)")
     print("RESULT:", "ALL MATCH" if bad == 0 else f"{bad} MISMATCHED")
     return 1 if bad else 0
 

@@ -96,3 +96,27 @@ def test_tfidf_rare_term_outranks_common(spark, tiny_docs_dir):
     # 'ccc' is unique to doc0 (df=1); 'x' unique to doc1.
     assert top0 == "ccc"
     assert top1 == "x"
+
+
+def test_ngram_novelty_edge_semantics(spark, tmp_path_factory):
+    # doc0 introduces every shingle (novelty 1.0); doc1 shares exactly
+    # one 3-gram with doc0 (3/4 novel); doc2 is a verbatim copy of doc0
+    # (novelty 0.0) — the three regimes a curation gate keys on.
+    import os
+
+    from kbrowse_spark.operators.corpus_stats import ngram_novelty_rate
+
+    d = tmp_path_factory.mktemp("noveltydocs")
+    rows = [
+        (0, "p q r s t u", "en", "s0", 11),
+        (1, "p q r z1 z2 z3", "en", "s0", 14),
+        (2, "p q r s t u", "en", "s1", 11),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(str(d), "documents.parquet"))
+    out = {r["doc_id"]: r for r in ngram_novelty_rate(spark, str(d)).collect()}
+    assert out[0]["n_shingles"] == 4 and out[0]["novelty"] == 1.0
+    assert out[1]["n_shingles"] == 4 and out[1]["n_novel"] == 3
+    assert out[2]["novelty"] == 0.0

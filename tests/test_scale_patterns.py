@@ -243,3 +243,23 @@ def test_kmeans_partitions_points_once(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 500
     assert len({r.cluster_id for r in rows}) > 1
+
+
+def test_semdedup_prunes_within_cell_only(spark, tmp_path):
+    # Identical vectors in the SAME cell prune (keep-min-id); an
+    # identical vector in a DIFFERENT cell survives — the cell blocking
+    # is what bounds the pairwise scan, so it must also bound pruning.
+    import os
+
+    from kbrowse_spark.operators.dedup import semdedup_prune
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]  # orthogonal: cos = 0, below threshold
+    rows = [(0, v, 0), (1, v, 0), (2, v, 1), (3, w, 0)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    out = {r["vec_id"]: r for r in semdedup_prune(spark, str(tmp_path)).collect()}
+    assert set(out) == {1}
+    assert out[1]["min_keeper"] == 0 and out[1]["n_dominators"] == 1
+    assert out[1]["cell"] == 0
