@@ -597,17 +597,19 @@ vocab_oov_rate.__doc__ = vocab_oov_rate.__doc__.format(v=_VOCAB_SIZE)
                       string_split(text, ' ')[i+1] || ' ' ||
                       string_split(text, ' ')[i+2])) AS shingle
         FROM documents)),
-    first AS (
-      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
-    SELECT s.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_shingles,
-           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_novel,
-           CAST(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                     AS DOUBLE) / COUNT(*) AS DOUBLE) AS novelty
-    FROM sh s JOIN first f USING (shingle)
-    GROUP BY s.doc_id
-    ORDER BY s.doc_id
+    novel AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+      GROUP BY first_doc),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY doc_id)
+    SELECT p.doc_id, p.n_shingles,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / p.n_shingles
+                AS DOUBLE) AS novelty
+    FROM per_doc p LEFT JOIN novel n USING (doc_id)
+    ORDER BY p.doc_id
     """,
     "corpus",
     "dedup",
@@ -621,33 +623,156 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CCNet/Gopher-style corpus auditing; complements dedup, which finds
     WHO duplicates WHOM, by measuring marginal contribution).
 
-    Scale shape: one shingle-keyed hash aggregate (map-side combined
-    MIN) builds the inverted first-seen index, one shuffle join back on
-    the same key re-attaches it, one doc-keyed aggregate reduces to the
-    per-doc rate — three bounded-key shuffles, no all-pairs work, and
-    the shingle subtree is shared (cached) with the MinHash/Jaccard
-    dedup family.  The novelty ratio is a single IEEE division of two
-    exact integer counts, bit-identical across engines.
+    Scale shape: the inverted first-seen index (shingle-keyed MIN, map
+    -side combined) immediately re-aggregates to per-doc novel counts
+    — the full posting list is never joined back, so the only join is
+    doc-keyed between two corpus-cardinality aggregates (5 orders of
+    magnitude smaller than the shingle table at realistic dedup
+    ratios).  The shingle subtree is shared (cached) with the
+    MinHash/Jaccard dedup family.  The novelty ratio is a single IEEE
+    division of two exact integer counts, bit-identical across engines.
     """
     from kbrowse_spark.operators.dedup import _shingles_df
 
     sh = _shingles_df(spark, sf_dir)
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    return (
-        sh.join(first, "shingle")
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(novel).cast("long").alias("n_novel"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+    return (
+        per_doc.join(novel, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
-            "n_novel",
-            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
-                "novelty"
-            ),
+            n_novel.alias("n_novel"),
+            (n_novel.cast("double") / F.col("n_shingles")).alias("novelty"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 term scoring: retrieval-grade ranking over the corpus
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "scan", "stream")
+_BM25_TOPK = 10
+# Integer-scaled idf (Robertson-style, monotone in the exact idf):
+# idf = SCALE * (N - df + 1) DIV (df + 1).  SCALE=1000 keeps the BM25
+# numerator < 2^63 through sf=1 corpora (see docstring bound).
+_BM25_SCALE = 1000
+
+
+@register(
+    "bm25_term_scores",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             string_split(text, ' ') AS w
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS l_total
+      FROM docs),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, dl, unnest(w) AS term FROM docs)
+      WHERE term IN {tuple(_BM25_TERMS)!r}
+      GROUP BY doc_id, dl, term),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.term, t.doc_id, t.tf,
+             ({_BM25_SCALE} * (s.n_docs - d.df + 1) // (d.df + 1))
+               * t.tf * 22 * s.l_total AS score_num,
+             10 * t.tf * s.l_total + 3 * s.l_total + 9 * t.dl * s.n_docs
+               AS score_den
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s)
+    SELECT term, doc_id, tf,
+           CAST(CAST(score_num AS DOUBLE) / score_den AS DOUBLE) AS score,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY term
+               ORDER BY CAST(score_num AS DOUBLE) / score_den DESC, doc_id
+             ) AS rnk
+      FROM scored)
+    WHERE rnk <= {_BM25_TOPK}
+    ORDER BY term, rnk
+    """,
+    "corpus",
+    "text",
+)
+def bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-k documents per query term — the
+    retrieval-scoring complement of ``tfidf_top_terms``: corpus-level
+    search ranking rather than per-doc keyword extraction.
+
+    Exact-arithmetic formulation: with avgdl = L/N the BM25 term score
+    idf * tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl) is multiplied
+    through by 10*L, giving integer numerator idf*tf*22*L and
+    denominator 10*tf*L + 3*L + 9*dl*N; idf is the integer-scaled
+    Robertson form SCALE*(N-df+1) DIV (df+1).  The only float op is
+    the final single division of two exact int64s — bit-identical in
+    Spark and DuckDB, so ranking (score DESC, doc_id) is deterministic.
+    Magnitude bound: num <= SCALE*N * tf * 22 * L stays under 2^63 for
+    corpora to ~10^5 docs at SCALE=1000; beyond that drop SCALE or
+    promote to decimal.
+
+    Scale shape: one corpus scan feeds both the 2-scalar stats
+    aggregate (broadcast) and the term-filtered tf aggregate (the IN
+    filter prunes the exploded token stream before any shuffle); df
+    re-aggregates the tiny tf table; ranking is per-term top-k, which
+    Spark executes as WindowGroupLimit — no global sort of the corpus.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    docs = d.select("doc_id", F.size("w").cast("long").alias("dl"), "w")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("l_total"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.expr(
+        f"{_BM25_SCALE} * (n_docs - df + 1) DIV (df + 1)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            (idf * F.col("tf") * 22 * F.col("l_total")).alias("score_num"),
+            (
+                10 * F.col("tf") * F.col("l_total")
+                + 3 * F.col("l_total")
+                + 9 * F.col("dl") * F.col("n_docs")
+            ).alias("score_den"),
+        )
+    )
+    score = F.col("score_num").cast("double") / F.col("score_den")
+    w = Window.partitionBy("term").orderBy(score.desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BM25_TOPK)
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            score.alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("term", "rnk")
     )

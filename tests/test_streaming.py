@@ -202,3 +202,46 @@ def test_follow_emits_mid_stream_data(spark, tmp_path):
     vals = [r["value"] for r in json.loads(buf.getvalue())[1:]]
     assert "v-late" in vals
     assert {"v0", "v1", "v2"} <= set(vals)
+
+
+def test_ntz_fixture_streams_with_watermark(spark, tmp_path):
+    """Regression: fixtures that store ts as plain timestamp[us]
+    surface as TIMESTAMP_NTZ, which withWatermark rejects —
+    _normalize_stream_ts must cast to TIMESTAMP for both batch
+    vintages (bigint-nanos and ntz) so every watermarked query runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kbrowse_spark.operators.streaming_queries import (
+        _normalize_stream_ts,
+        _run_to_memory,
+    )
+
+    src = str(tmp_path / "ntz")
+    os.makedirs(src)
+    # Write WITHOUT timezone metadata -> Spark reads TIMESTAMP_NTZ.
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [_ts(0, 10), _ts(0, 20), _ts(1, 5)],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{src}/part.parquet")
+    static = spark.read.parquet(src)
+    assert dict(static.dtypes)["ts"] == "timestamp_ntz"
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    stream = _normalize_stream_ts(stream, static)
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
+            "n",
+        )
+    )
+    rows = {r["h"]: r["n"] for r in _run_to_memory(agg, "complete").collect()}
+    assert rows == {"2024-01-01 00:00:00": 2, "2024-01-01 01:00:00": 1}

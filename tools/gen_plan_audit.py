@@ -46,6 +46,9 @@ AUDIT = [
     ("mix_token_budget", "2-row rate broadcast, corpus pass is one filter"),
     ("funnel_conversion", "one user_id shuffle serves windows + rollup"),
     ("timeseries_gap_fill", "hourly pre-agg joins grid-sized side"),
+    ("ngram_novelty_rate", "no posting-list rejoin: doc-keyed join of two aggs"),
+    ("semdedup_prune", "cell-blocked pair join, no corpus-wide cross product"),
+    ("bm25_term_scores", "term filter before shuffle, WindowGroupLimit top-k"),
     ("pagerank_interaction", "cached loop-invariant edges, 2 shuffles/iteration"),
 ]
 

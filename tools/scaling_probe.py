@@ -41,6 +41,9 @@ OPS = [
     "quality_lm_surprisal",
     "tfidf_top_terms",
     "embedding_random_projection",
+    "ngram_novelty_rate",
+    "semdedup_prune",
+    "bm25_term_scores",
 ]
 
 
