@@ -49,6 +49,10 @@ HEADLINE = [
     "decontaminate_benchmark",
     # round 2 third wave: corpus-trained bigram LM quality scoring
     "quality_lm_surprisal",
+    # round 4: retrieval ranking + marginal-contribution audit (the
+    # novelty op shares the cached shingle subtree with dedup_minhash)
+    "bm25_term_scores",
+    "ngram_novelty_rate",
 ]
 
 
