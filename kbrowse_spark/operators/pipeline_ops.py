@@ -529,3 +529,112 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "grp", "n_tokens", "keep_millis")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-threshold corpus pruning: drop the bottom quality quartile
+# ---------------------------------------------------------------------------
+
+_PRUNE_FRAC_NUM = 1  # prune the bottom 1/4 by quality
+_PRUNE_FRAC_DEN = 4
+# Integer quality score: the same 0.4/0.4/0.2 weighting as
+# text_quality_score, scaled by 1e6 and kept in exact int64 so the
+# global order statistic cannot tie-break differently across engines.
+_QSCORE = (
+    "(400000 * n_stop) DIV n_words + (400000 * n_distinct) DIV n_words"
+    " + LEAST(2000 * n_words, 200000)"
+)
+_QSCORE_SQL = (
+    "(400000 * n_stop) // n_words + (400000 * n_distinct) // n_words"
+    " + LEAST(2000 * n_words, 200000)"
+)
+
+
+@register(
+    "quantile_prune_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'and', 'of', 'to', 'in')))
+               AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents),
+    s AS (SELECT doc_id, lang,
+                 CAST({_QSCORE_SQL} AS BIGINT) AS score_scaled
+          FROM t)
+    SELECT doc_id, lang, score_scaled
+    FROM s
+    QUALIFY row_number() OVER (ORDER BY score_scaled, doc_id)
+            <= CAST(CEIL({_PRUNE_FRAC_NUM} * (SELECT COUNT(*) FROM documents)
+                         / {_PRUNE_FRAC_DEN}.0) AS BIGINT)
+    ORDER BY doc_id
+    """,
+    "pipeline",
+    "text",
+)
+def quantile_prune_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative (rank-based) quality gating: report the bottom quartile
+    of the corpus by quality score — the docs a fixed-budget curation
+    pass would drop.  Unlike the absolute threshold in
+    ``text_quality_score`` ('keep' at >= 0.45), a quantile gate adapts
+    to the corpus distribution, which is how production pipelines
+    budget pruning (e.g. "drop the worst 25%").
+
+    Scale posture — deliberately NOT a global row_number window (an
+    unpartitioned window collapses onto one task): the cut row is found
+    with ``orderBy().limit(k)`` — Spark executes TakeOrderedAndProject
+    (per-partition partial top-k, k-row driver merge) — and its max
+    (score, doc_id) pair is broadcast back as a 1-row threshold; the
+    prune itself is then an embarrassingly-parallel filter.  k comes
+    from a corpus count() in the builder (one cheap metadata-bounded
+    job, same pattern as the k-means init collect); at 100 TB with a
+    soft budget you would swap the exact order statistic for
+    approx_percentile and skip the count entirely.
+
+    The quality score is the exact-integer form of text_quality_score's
+    weighting (scaled 1e6, floor division), so the order statistic is
+    engine-deterministic with (score, doc_id) tie-break.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    k = -(-_PRUNE_FRAC_NUM * n_docs // _PRUNE_FRAC_DEN)  # ceil
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.expr("size(split(text, ' '))").alias("n_words"),
+        F.expr(
+            "size(filter(split(text, ' '),"
+            " w -> w IN ('the', 'a', 'and', 'of', 'to', 'in')))"
+        ).alias("n_stop"),
+        F.expr("size(array_distinct(split(text, ' ')))").alias("n_distinct"),
+    )
+    s = t.select(
+        "doc_id",
+        "lang",
+        F.expr(_QSCORE).cast("long").alias("score_scaled"),
+    )
+    cut = (
+        s.orderBy("score_scaled", "doc_id")
+        .limit(int(k))
+        .agg(
+            F.max(F.struct("score_scaled", "doc_id")).alias("cut")
+        )
+        .select(
+            F.col("cut.score_scaled").alias("cut_score"),
+            F.col("cut.doc_id").alias("cut_doc"),
+        )
+    )
+    return (
+        s.crossJoin(F.broadcast(cut))
+        .filter(
+            (F.col("score_scaled") < F.col("cut_score"))
+            | (
+                (F.col("score_scaled") == F.col("cut_score"))
+                & (F.col("doc_id") <= F.col("cut_doc"))
+            )
+        )
+        .select("doc_id", "lang", "score_scaled")
+        .orderBy("doc_id")
+    )

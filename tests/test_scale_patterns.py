@@ -263,3 +263,20 @@ def test_semdedup_prunes_within_cell_only(spark, tmp_path):
     assert set(out) == {1}
     assert out[1]["min_keeper"] == 0 and out[1]["n_dominators"] == 1
     assert out[1]["cell"] == 0
+
+
+def test_quantile_prune_uses_takeordered_not_global_window(spark, sf_dir):
+    # The order-statistic cut must compile to TakeOrderedAndProject
+    # (per-partition partial top-k), never an unpartitioned row_number
+    # window collapsing the corpus onto one task.
+    from kbrowse_spark.operators.pipeline_ops import quantile_prune_quality
+
+    df = quantile_prune_quality(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # and the gate semantics: ceil(N/4) rows pruned
+    import math
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert df.count() == math.ceil(n_docs / 4)
