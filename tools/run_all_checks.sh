@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# One-command validation: everything the driver gate exercises, plus
+# the repo's own audits.  Each step is independently runnable; see the
+# tool headers for what failure means.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+rc=0
+
+step() {
+  echo "== $1"
+  shift
+  "$@" || { echo "FAILED: $*"; rc=1; }
+}
+
+step "pytest (unit + parity + streaming)"   python -m pytest tests/ -q
+step "DuckDB oracle, full catalog"          python tests/run_oracle_all.py
+step "driver emulation (bare session, pandas path)" \
+                                            python tests/driver_emulator.py
+step "gate dtype hazards (no Spark jobs)"   python tools/audit_dtypes.py --skip-streaming
+step "physical-plan smells"                 python tools/audit_plan_smells.py
+step "bench smoke (sf0.01)"                 env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+
+echo
+[ "$rc" -eq 0 ] && echo "ALL CHECKS PASSED" || echo "SOME CHECKS FAILED"
+exit "$rc"
