@@ -324,3 +324,82 @@ def maparrow_fixed_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(selfdot, schema="vec_id long, self_dot long").orderBy(
         "vec_id"
     )
+
+
+@register(
+    "arrowgroup_centroids",
+    """
+    WITH pts AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))) AS v
+      FROM embeddings),
+    c AS (
+      SELECT label, dim,
+             CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv,
+             COUNT(*) AS n
+      FROM pts GROUP BY label, dim)
+    SELECT CAST(label AS INT) AS label,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           array_to_string(list(cv ORDER BY dim), ',') AS centroid_csv
+    FROM c
+    GROUP BY label
+    ORDER BY label
+    """,
+    "udf",
+    "clustering",
+)
+def arrowgroup_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupedData.applyInArrow (Spark 4): the grouped-map tier of the
+    zero-copy Arrow UDF surface — each group arrives as ONE pyarrow
+    Table, no pandas conversion.  Computes per-label fixed-point
+    centroids (the per-cell codebook update step of IVF/k-means, cf.
+    ``kmeans_lloyd``) with a single numpy pass per group: the list
+    array's flat values buffer reshapes to (n, dim), quantizes with
+    half-away-from-zero rounding (matching Spark/DuckDB ``round``),
+    and floor-divides exact int64 column sums.
+
+    Determinism: integer sums are order-independent; floor of the
+    int64 sum / count equals the oracle's floor(double division) while
+    |sum| < 2^53 (|q| <= 2048, so that holds beyond 10^9 rows/cell).
+
+    Scale posture: ONE shuffle on the group key, then each cell
+    reduces locally in vectorized numpy — the Arrow-native analogue of
+    the SQL groupBy the oracle runs; use this tier when the per-group
+    kernel outgrows SQL (whitening, PCA steps, covariance) but the
+    grouping is still Spark's job.  Output is one row per cell
+    (centroid as CSV — the gate requires scalar columns).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def centroid(table: pa.Table) -> pa.Table:
+        t = table.combine_chunks()
+        label = t.column("label")[0].as_py()
+        emb = t.column("embedding")
+        chunk = emb.chunk(0) if isinstance(emb, pa.ChunkedArray) else emb
+        # flatten() (not .values) honors any slice offset on the array
+        values = chunk.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(t)
+        dim = values.size // n
+        x = values.reshape(n, dim) * 1024.0
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        cent = q.sum(axis=0) // np.int64(n)
+        csv = ",".join(str(int(v)) for v in cent)
+        return pa.table(
+            {
+                "label": pa.array([label], type=pa.int32()),
+                "n_vectors": pa.array([n], type=pa.int64()),
+                "centroid_csv": pa.array([csv], type=pa.string()),
+            }
+        )
+
+    emb = load(spark, sf_dir, "embeddings").select("label", "embedding")
+    return (
+        emb.groupBy("label")
+        .applyInArrow(
+            centroid, schema="label int, n_vectors long, centroid_csv string"
+        )
+        .orderBy("label")
+    )

@@ -153,3 +153,58 @@ def test_pyds_follow_stream_mid_stream_arrival(spark, tmp_path):
         assert row["s"] == 100 * 99 // 2
     finally:
         q.stop()
+
+
+def test_pioneer_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
+    """Custom Python data source WRITER: parallel task writes land in
+    _tmp, commit renames to ordered part files and publishes a
+    manifest last; row counts reconcile exactly and no temp residue
+    survives."""
+    import glob
+    import json
+    import os
+
+    from kbrowse_spark.sources.pyds_writer import register_pioneer_jsonl_sink
+
+    register_pioneer_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type")
+        .filter("event_id < 300")
+        .repartition(4)
+    )
+    n_in = ev.count()
+    ev.write.format("pioneer_jsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["type"] == "pioneer"
+    assert manifest["total_rows"] == n_in
+    parts = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    assert {f["file"] for f in manifest["files"]} == {
+        os.path.basename(p) for p in parts
+    }
+    rows = []
+    for p in parts:
+        with open(p) as f:
+            rows.extend(json.loads(line) for line in f)
+    assert len(rows) == n_in
+    assert {r["event_id"] for r in rows} == {
+        r["event_id"] for r in ev.collect()
+    }
+    assert not os.path.exists(os.path.join(out, "_tmp"))
+
+    # overwrite mode replaces prior parts (no stale accumulation)
+    ev.limit(10).write.format("pioneer_jsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest2 = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest2["total_rows"] == 10
+    total = 0
+    for p in glob.glob(os.path.join(out, "part-*.jsonl")):
+        with open(p) as f:
+            total += sum(1 for _ in f)
+    assert total == 10
