@@ -33,6 +33,7 @@ import dataclasses
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -106,6 +107,60 @@ class PioneerJsonlWriter(DataSourceArrowWriter):
         shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
 
 
+class PioneerJsonlStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming flavor of the sink: the same task-temp discipline, but
+    commit is PER MICRO-BATCH and keyed by ``batchId`` — batch output
+    files are `batch-<id>-part-<i>.jsonl` plus a batch manifest, and a
+    replayed batch (restart recovery) first deletes its own prior
+    files, making the commit idempotent: exactly-once output on top of
+    the checkpointed source offsets, the same contract
+    ``stream_foreachbatch_export`` demonstrates with built-in sinks."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pioneer_jsonl sink requires option 'path'")
+
+    # executor-side: identical temp-file protocol as the batch writer
+    write = PioneerJsonlWriter.write
+
+    def commit(self, messages, batchId: int) -> None:  # driver, per batch
+        import glob
+        import json
+        import os
+
+        for p in glob.glob(os.path.join(self.path, f"batch-{batchId:05d}-*")):
+            os.remove(p)  # replayed batch: idempotent re-publish
+        files = []
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = f"batch-{batchId:05d}-part-{i:05d}.jsonl"
+            os.replace(
+                os.path.join(self.path, "_tmp", m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            files.append({"file": final, "rows": m.rows})
+        manifest = {
+            "type": "pioneer",
+            "batch_id": batchId,
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+        }
+        tmp = os.path.join(self.path, f"_BATCH_{batchId:05d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(
+            tmp, os.path.join(self.path, f"_BATCH_{batchId:05d}_MANIFEST.json")
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
+
+
 class PioneerJsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -113,6 +168,9 @@ class PioneerJsonlDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return PioneerJsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return PioneerJsonlStreamWriter(self.options, overwrite)
 
 
 def register_pioneer_jsonl_sink(spark) -> None:

@@ -208,3 +208,45 @@ def test_pioneer_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
         with open(p) as f:
             total += sum(1 for _ in f)
     assert total == 10
+
+
+def test_pioneer_jsonl_stream_writer_per_batch_commit(spark, sf_dir, tmp_path):
+    """Streaming custom sink: availableNow drive of the events file
+    stream through the pioneer_jsonl streamWriter — per-batch
+    manifests appear, counts reconcile with the source, temp dir is
+    gone."""
+    import glob
+    import json
+    import os
+
+    from kbrowse_spark.sources.pyds_writer import register_pioneer_jsonl_sink
+
+    register_pioneer_jsonl_sink(spark)
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    n_in = src.count()
+    stream_src = str(tmp_path / "stream_src")
+    src.coalesce(2).write.parquet(stream_src)
+    out = str(tmp_path / "stream_out")
+    os.makedirs(out)
+    q = (
+        spark.readStream.schema(src.schema)
+        .parquet(stream_src)
+        .writeStream.format("pioneer_jsonl")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    manifests = sorted(glob.glob(os.path.join(out, "_BATCH_*_MANIFEST.json")))
+    assert manifests, "no batch manifests published"
+    total = sum(json.load(open(m))["total_rows"] for m in manifests)
+    assert total == n_in
+    n_lines = 0
+    for p in glob.glob(os.path.join(out, "batch-*-part-*.jsonl")):
+        with open(p) as f:
+            n_lines += sum(1 for _ in f)
+    assert n_lines == n_in
