@@ -403,3 +403,82 @@ def arrowgroup_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "arrowcogroup_user_activity",
+    """
+    WITH e AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY user_id),
+    o AS (SELECT c_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_custkey <= 150 GROUP BY c_custkey)
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(CASE WHEN COALESCE(e.n_events, 0) = 0 THEN 0.0
+                     ELSE CAST(COALESCE(o.n_orders, 0) AS DOUBLE)
+                          / e.n_events END AS DOUBLE) AS orders_per_event
+    FROM e FULL OUTER JOIN o USING (user_id)
+    WHERE COALESCE(e.user_id, o.user_id) <= 150
+    ORDER BY user_id
+    """,
+    "udf",
+    "join",
+)
+def arrowcogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInArrow (Spark 4): the two-table-per-key member
+    of the Arrow UDF matrix — for every user key, BOTH groups (their
+    events and their orders) arrive as pyarrow Tables in one call, so
+    cross-source per-entity logic needs no join materialization in
+    Python.  Here the kernel is a per-user activity reconciliation
+    (event count, order count, orders-per-event) whose oracle is the
+    equivalent FULL OUTER JOIN of two aggregates; either side may be
+    empty for a key, the cogroup analogue of outer-join semantics.
+
+    Scale shape: one shuffle per input on the cogroup key, then local
+    per-key kernels; the ratio is a single IEEE division of two exact
+    counts.  Restricted to user_id <= 150 (the fixture's customer key
+    overlap) to keep the demo output bounded.
+    """
+    import pyarrow as pa
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 150)
+        .select("user_id")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 150)
+    od = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+
+    def stats(left: pa.Table, right: pa.Table) -> pa.Table:
+        n_events = left.num_rows
+        n_orders = right.num_rows
+        src = left if n_events else right
+        uid = src.column("user_id")[0].as_py()
+        ratio = 0.0 if n_events == 0 else float(n_orders) / float(n_events)
+        return pa.table(
+            {
+                "user_id": pa.array([uid], type=pa.int64()),
+                "n_events": pa.array([n_events], type=pa.int64()),
+                "n_orders": pa.array([n_orders], type=pa.int64()),
+                "orders_per_event": pa.array([ratio], type=pa.float64()),
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInArrow(
+            stats,
+            schema=(
+                "user_id long, n_events long, n_orders long,"
+                " orders_per_event double"
+            ),
+        )
+        .orderBy("user_id")
+    )
