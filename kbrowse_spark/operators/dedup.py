@@ -569,8 +569,13 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # cos >= 0.35 compared in exact integers: cos^2 = dot^2/(na2*nb2) and
 # 0.35^2 = 49/400, so the predicate is 400*dot^2 >= 49*na2*nb2 with
-# dot > 0.  Worst-case magnitudes (|q| <= 2048, dim 64): dot <= 2^27,
-# 400*dot^2 < 2^62 — no int64 overflow in either engine.
+# dot > 0.  Magnitudes: with |q| <= Q at dim d, dot <= d*Q^2, so
+# 400*dot^2 <= 400*d^2*Q^4 — at d=64, Q=2048 that is ~2.9e19 > 2^63-1,
+# i.e. int64 is NOT safe in general (Spark with ANSI off would wrap
+# silently while DuckDB raises, diverging exactly at the overflow).
+# The products are therefore evaluated in 128-bit-capable arithmetic:
+# DECIMAL(38,0) on the Spark side, HUGEINT in the DuckDB oracle —
+# safe for Q up to ~10^7 at dim 64 (400*64^2*Q^4 < 10^38).
 _SEMDEDUP_NUM = 49
 _SEMDEDUP_DEN = 400
 
@@ -597,7 +602,9 @@ _SEMDEDUP_DEN = 400
            CAST(COUNT(*) AS BIGINT) AS n_dominators,
            CAST(MIN(keeper) AS BIGINT) AS min_keeper
     FROM pairs
-    WHERE dot > 0 AND {_SEMDEDUP_DEN} * dot * dot >= {_SEMDEDUP_NUM} * na2 * nb2
+    WHERE dot > 0
+      AND {_SEMDEDUP_DEN} * CAST(dot AS HUGEINT) * dot
+          >= {_SEMDEDUP_NUM} * CAST(na2 AS HUGEINT) * nb2
     GROUP BY pruned, cell
     ORDER BY vec_id
     """,
@@ -621,9 +628,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the cell key that AQE can split if a cell is skewed.
 
     Fixed-point determinism: embeddings quantize to round(x*1024)
-    BIGINTs; the cosine threshold compares 400*dot^2 >= 49*na2*nb2 in
-    exact int64 (cos >= 0.35 since 0.35^2 = 49/400), so the pruned set
-    is bit-identical across engines and partition orders.
+    BIGINTs; the cosine threshold compares 400*dot^2 >= 49*na2*nb2
+    exactly (cos >= 0.35 since 0.35^2 = 49/400) with the products in
+    128-bit-capable arithmetic (Spark DECIMAL(38,0) / DuckDB HUGEINT —
+    int64 would wrap at |q| ~ 1540 for dim 64), so the pruned set is
+    bit-identical across engines and partition orders.
     """
     emb = load(spark, sf_dir, "embeddings")
     q = emb.select(
@@ -665,8 +674,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("dot") > 0)
             & (
-                F.lit(_SEMDEDUP_DEN) * F.col("dot") * F.col("dot")
-                >= F.lit(_SEMDEDUP_NUM) * F.col("na2") * F.col("nb2")
+                F.lit(_SEMDEDUP_DEN).cast("decimal(3,0)")
+                * F.col("dot").cast("decimal(19,0)")
+                * F.col("dot").cast("decimal(19,0)")
+                >= F.lit(_SEMDEDUP_NUM).cast("decimal(2,0)")
+                * F.col("na2").cast("decimal(19,0)")
+                * F.col("nb2").cast("decimal(19,0)")
             )
         )
     )

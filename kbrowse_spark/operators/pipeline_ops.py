@@ -582,24 +582,33 @@ def quantile_prune_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the corpus distribution, which is how production pipelines
     budget pruning (e.g. "drop the worst 25%").
 
-    Scale posture — deliberately NOT a global row_number window (an
-    unpartitioned window collapses onto one task): the cut row is found
-    with ``orderBy().limit(k)`` — Spark executes TakeOrderedAndProject
-    (per-partition partial top-k, k-row driver merge) — and its max
-    (score, doc_id) pair is broadcast back as a 1-row threshold; the
-    prune itself is then an embarrassingly-parallel filter.  k comes
-    from a corpus count() in the builder (one cheap metadata-bounded
-    job, same pattern as the k-means init collect); at 100 TB with a
-    soft budget you would swap the exact order statistic for
-    approx_percentile and skip the count entirely.
+    Scale posture — deliberately NOT a global row_number window over
+    the corpus (an unpartitioned window collapses onto one task), and
+    fully LAZY (building the plan runs no Spark job — the corpus count
+    is a 1-row aggregate attached by broadcast, not a driver count()).
+    The global rank of a row decomposes as
+
+        rank = (#rows with a strictly smaller score)      [cum_below]
+             + (row_number among its own score by doc_id) [rk]
+
+    ``cum_below`` comes from a cumulative sum over the per-score
+    histogram — an unpartitioned window, but over AGGREGATED rows whose
+    count is bounded by the score's value domain ([0, 1e6] by
+    construction: each term is capped), not by corpus size, so it is
+    100 TB-safe by value-domain bound.  ``rk`` is a window partitioned
+    by score (AQE splits a skewed score group).  The filter
+    ``cum_below + rk <= ceil(N/4)`` then prunes in place; N rides in as
+    a broadcast 1-row aggregate so k is computed inside the plan.
+    Earlier rounds used orderBy().limit(k) + TakeOrderedAndProject,
+    but k here is N/4 — a quarter of the corpus funneled through one
+    task/driver merge — and the builder needed an eager count() for
+    the limit literal; the histogram-rank form fixes both.
 
     The quality score is the exact-integer form of text_quality_score's
     weighting (scaled 1e6, floor division), so the order statistic is
     engine-deterministic with (score, doc_id) tie-break.
     """
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()
-    k = -(-_PRUNE_FRAC_NUM * n_docs // _PRUNE_FRAC_DEN)  # ceil
     t = d.select(
         "doc_id",
         "lang",
@@ -615,26 +624,25 @@ def quantile_prune_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr(_QSCORE).cast("long").alias("score_scaled"),
     )
-    cut = (
-        s.orderBy("score_scaled", "doc_id")
-        .limit(int(k))
-        .agg(
-            F.max(F.struct("score_scaled", "doc_id")).alias("cut")
-        )
-        .select(
-            F.col("cut.score_scaled").alias("cut_score"),
-            F.col("cut.doc_id").alias("cut_doc"),
-        )
+    hist = s.groupBy("score_scaled").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = W.orderBy("score_scaled").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = hist.select(
+        "score_scaled",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("cum_below"),
+    )
+    tot = s.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_grp = W.partitionBy("score_scaled").orderBy("doc_id")
+    k_expr = F.expr(
+        f"({_PRUNE_FRAC_NUM} * n_docs + {_PRUNE_FRAC_DEN} - 1)"
+        f" DIV {_PRUNE_FRAC_DEN}"
     )
     return (
-        s.crossJoin(F.broadcast(cut))
-        .filter(
-            (F.col("score_scaled") < F.col("cut_score"))
-            | (
-                (F.col("score_scaled") == F.col("cut_score"))
-                & (F.col("doc_id") <= F.col("cut_doc"))
-            )
-        )
+        s.withColumn("rk", F.row_number().over(w_grp))
+        .join(F.broadcast(cum), "score_scaled")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_below") + F.col("rk") <= k_expr)
         .select("doc_id", "lang", "score_scaled")
         .orderBy("doc_id")
     )

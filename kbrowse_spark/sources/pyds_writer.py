@@ -76,16 +76,33 @@ class PioneerJsonlWriter(DataSourceArrowWriter):
         import glob
         import json
         import os
+        import re
         import shutil
 
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        prior_files: list[dict] = []
+        base = 0
         if self.overwrite:
             for p in glob.glob(os.path.join(self.path, "part-*.jsonl")):
                 os.remove(p)
-        files = []
+        else:
+            # Append: carry forward the previously PUBLISHED files (the
+            # manifest is the publish point, so only it counts as prior
+            # output) and number new parts past every part file on disk
+            # — including unpublished crash leftovers — so a rename can
+            # never clobber existing data.
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    prior_files = json.load(f).get("files", [])
+            for p in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                m = re.fullmatch(r"part-(\d+)\.jsonl", os.path.basename(p))
+                if m:
+                    base = max(base, int(m.group(1)) + 1)
+        files = list(prior_files)
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            final = f"part-{i:05d}.jsonl"
+            final = f"part-{base + i:05d}.jsonl"
             os.replace(
                 os.path.join(self.path, "_tmp", m.tmp_name),
                 os.path.join(self.path, final),

@@ -5,6 +5,12 @@ parquet tables, then compares row count, column names, and exact values
 (order-insensitive).  Used by tests and by the dev loop while adding
 queries; stricter than the driver (exact equality, no hashing) so that
 passing here implies passing there.
+
+Queries with ``oracle=None`` (approx sketches, libm transcendentals,
+stub inference) get a QUANTITATIVE check from tests/quant_checks.py
+when one is registered — tolerance against an exact DuckDB aggregate,
+ULP-bounded float comparison, re-parse equality, or shape+determinism —
+so "no SQL oracle" no longer means "no value verification".
 """
 
 from __future__ import annotations
@@ -60,52 +66,56 @@ def _spark_dtype_family(dt: str) -> str:
     }.get(dt, dt)
 
 
-def _duck_dtype_family(pd_dtype, sample) -> str:
-    s = str(pd_dtype)
-    if s.startswith(("int", "uint")):
+_DUCK_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _duck_type_family(type_str: str) -> str:
+    """Pandas dtype family the DRIVER's gate would materialize for a
+    DuckDB logical type (it fetches the oracle via ``.df()``):
+    HUGEINT — the un-cast SUM of integers — lands as float64 while
+    Spark's bigint stays int64 (the classic hash-mismatch), DECIMAL as
+    object(Decimal), and any nested type crashes its canonicalizer.
+    Deriving the family from the PLANNED result schema means the
+    oracle only has to execute once."""
+    t = type_str.upper()
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+        return "UNHASHABLE"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "float"  # pandas has no int128: becomes float64 in the gate
+    if t in _DUCK_INT_TYPES:
         return "int"
-    if s.startswith("float"):
+    if t in ("DOUBLE", "FLOAT", "REAL"):
         return "float"
-    if s.startswith("datetime64"):
-        return "datetime"
-    if s == "bool":
+    if t == "BOOLEAN":
         return "bool"
-    if s == "object":
-        if isinstance(sample, list):
-            return "UNHASHABLE"
-        if isinstance(sample, bytes):
-            return "bytes"
-        import decimal
-
-        if isinstance(sample, decimal.Decimal):
-            return "decimal"
-        return "str"
-    return s
+    if t == "DATE" or t.startswith("TIMESTAMP"):
+        return "datetime"
+    if t in ("BLOB", "BYTEA"):
+        return "bytes"
+    return "str"  # VARCHAR, ENUM, UUID, JSON
 
 
-def _pandas_dtype_hazards(spark_dtypes: dict, duck_df) -> list[str]:
+def _dtype_hazards(spark_dtypes: dict, duck_cols, duck_types) -> list[str]:
     """Columns whose pandas dtype family would differ between the
     Spark result and the DuckDB oracle in the driver's harness.
-    NULL-driven int->float64 promotion happens on BOTH sides, so a
-    duck float64 column that contains NaN is accepted against a Spark
-    int column."""
+    NULL-driven int->float64 promotion happens on BOTH sides (the gate
+    materializes the Spark result through pandas too), so int-vs-int
+    stays compatible regardless of nulls."""
     bad = []
-    for c in duck_df.columns:
+    for c, t in zip(duck_cols, duck_types):
         if c not in spark_dtypes:
             continue  # column-set mismatch reported separately
-        col = duck_df[c]
-        sample = None
-        if str(col.dtype) == "object":
-            nn = col.dropna()
-            sample = nn.iloc[0] if len(nn) else None
         sfam = _spark_dtype_family(spark_dtypes[c])
-        dfam = _duck_dtype_family(col.dtype, sample)
+        dfam = _duck_type_family(str(t))
         if sfam == "UNHASHABLE" or dfam == "UNHASHABLE":
             bad.append(f"{c}: list/struct output (gate crashes)")
-        elif sfam == "int" and dfam == "float" and col.isna().any():
-            continue  # nullable int promotes to float on both sides
         elif sfam != dfam:
-            bad.append(f"{c}: spark {spark_dtypes[c]} vs duck pandas {col.dtype}")
+            bad.append(f"{c}: spark {spark_dtypes[c]} vs duck {t}")
     return bad
 
 
@@ -138,26 +148,35 @@ def compare(spark, qdef, sf_dir: str = DEFAULT_SF_DIR) -> dict:
         }
 
     if qdef.oracle is None:
-        return {
+        result = {
             "name": qdef.name,
             "ok": True,
             "oracle": False,
             "spark_rows": len(spark_rows),
         }
+        from tests.quant_checks import CHECKS
+
+        check = CHECKS.get(qdef.name)
+        if check is not None:
+            con = duckdb_connect(sf_dir)
+            try:
+                q = check(spark, sf_dir, qdef, spark_rows, spark_cols, con)
+            finally:
+                con.close()
+            result["quant"] = q.get("mode", "quantitative")
+            if not q["ok"]:
+                result["ok"] = False
+                result["why"] = f"quantitative check failed: {q.get('why')}"
+        return result
 
     con = duckdb_connect(sf_dir)
     try:
-        cur = con.execute(qdef.oracle)
-        duck_cols = [d[0] for d in cur.description]
-        duck_rows = cur.fetchall()
-        # The DRIVER materializes both sides via pandas, where dtype
-        # families matter: DuckDB HUGEINT (un-cast SUM of integers)
-        # becomes float64 while Spark's bigint stays int64, and any
-        # list-typed column crashes its canonicalizer outright.  Check
-        # dtype families here so a fetchall()-equal result that would
-        # still hash-mismatch (or error) in the gate FAILS locally.
-        ddf = con.execute(qdef.oracle).df()
-        dtype_bad = _pandas_dtype_hazards(dict(sdf.dtypes), ddf)
+        # Plan first (no execution) to get the result schema for the
+        # gate-side pandas dtype-family hazards, then execute ONCE.
+        rel = con.sql(qdef.oracle)
+        duck_cols = list(rel.columns)
+        dtype_bad = _dtype_hazards(dict(sdf.dtypes), duck_cols, rel.types)
+        duck_rows = rel.fetchall()
     finally:
         con.close()
     if dtype_bad:

@@ -1,0 +1,277 @@
+"""Quantitative checks for catalog queries that have no SQL oracle.
+
+Seven queries are rows-only by design — approx sketches (HLL,
+t-digest), libm transcendentals, JSON rendering, and the two honest
+stub-inference plans.  Each still admits a strong check short of exact
+value hashing:
+
+* HLL estimates — within a relative tolerance of the exact
+  ``COUNT(DISTINCT …)`` computed by DuckDB on the same parquet;
+* ``percentile_approx`` — the returned value's RANK inside its group
+  must sit within the sketch's documented rank-error bound of the
+  target quantile (computed against DuckDB order statistics);
+* transcendentals — per-cell comparison against DuckDB's libm within a
+  1e-12 relative tolerance (≈ last-few-ulps; exactly the divergence
+  that makes them unfit for hash equality);
+* JSON round-trip — re-parse the rendered text and compare the parsed
+  fields against the source rows from DuckDB (render spacing differs
+  across engines; parsed VALUES must not);
+* stub inference — exact schema/shape invariants plus determinism
+  (two independent builds collect to identical canonical rows).
+
+Registered per query name in ``CHECKS``; ``tests/oracle_check.compare``
+consults this for every ``oracle=None`` query, so a passing run means
+every catalog entry has a value-level verification, not just
+"produced rows".
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+# Per Spark docs, percentile_approx(…, accuracy) guarantees a rank
+# error of at most n/accuracy within the aggregated group.
+_PCTL_ACCURACY = 10000
+_HLL_REL_TOL = 0.05  # approx_count_distinct rsd=0.02; HLL_4 lgK=12 ~ 1.6%
+_LIBM_REL_TOL = 1e-12
+
+
+def _cols(colnames):
+    return {c: i for i, c in enumerate(colnames)}
+
+
+def _fail(mode: str, why: str) -> dict:
+    return {"ok": False, "mode": mode, "why": why}
+
+
+def _ok(mode: str) -> dict:
+    return {"ok": True, "mode": mode, "why": None}
+
+
+def _deterministic(spark, sf_dir, qdef, rows) -> str | None:
+    """Rebuild the query from scratch and require identical rows."""
+    again = [tuple(r) for r in qdef.builder(spark, sf_dir).collect()]
+    if sorted(map(repr, again)) != sorted(map(repr, rows)):
+        return "two independent builds produced different rows"
+    return None
+
+
+def check_approx_distinct_parts(spark, sf_dir, qdef, rows, colnames, con):
+    mode = f"HLL within {_HLL_REL_TOL:.0%} of exact COUNT(DISTINCT)"
+    c = _cols(colnames)
+    exact = dict(
+        con.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_partkey) FROM lineitem"
+            " GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    if {r[c["l_returnflag"]] for r in rows} != set(exact):
+        return _fail(mode, "group keys differ from exact aggregation")
+    for r in rows:
+        flag = r[c["l_returnflag"]]
+        if r[c["exact_parts"]] != exact[flag]:
+            return _fail(
+                mode,
+                f"exact_parts[{flag}]={r[c['exact_parts']]}"
+                f" != duck {exact[flag]}",
+            )
+        err = abs(r[c["approx_parts"]] - exact[flag]) / exact[flag]
+        if err > _HLL_REL_TOL:
+            return _fail(
+                mode,
+                f"approx_parts[{flag}]={r[c['approx_parts']]} vs exact"
+                f" {exact[flag]}: rel err {err:.4f} > {_HLL_REL_TOL}",
+            )
+    return _ok(mode)
+
+
+def check_sketch_hll_rollup_merge(spark, sf_dir, qdef, rows, colnames, con):
+    mode = f"merged HLL within {_HLL_REL_TOL:.0%} of exact COUNT(DISTINCT)"
+    c = _cols(colnames)
+    exact = {
+        k: (u, d)
+        for k, u, d in con.execute(
+            "SELECT event_type, COUNT(DISTINCT user_id),"
+            " COUNT(DISTINCT date_trunc('day', ts))"
+            " FROM events GROUP BY event_type"
+        ).fetchall()
+    }
+    if {r[c["event_type"]] for r in rows} != set(exact):
+        return _fail(mode, "group keys differ from exact aggregation")
+    for r in rows:
+        et = r[c["event_type"]]
+        users, days = exact[et]
+        if r[c["n_days"]] != days:
+            return _fail(
+                mode, f"n_days[{et}]={r[c['n_days']]} != duck {days}"
+            )
+        err = abs(r[c["approx_users"]] - users) / users
+        if err > _HLL_REL_TOL:
+            return _fail(
+                mode,
+                f"approx_users[{et}]={r[c['approx_users']]} vs exact"
+                f" {users}: rel err {err:.4f} > {_HLL_REL_TOL}",
+            )
+    return _ok(mode)
+
+
+def check_approx_percentile_prices(spark, sf_dir, qdef, rows, colnames, con):
+    mode = f"quantile rank within n/{_PCTL_ACCURACY} of target (order stats)"
+    c = _cols(colnames)
+    exact_n = dict(
+        con.execute(
+            "SELECT o_orderpriority, COUNT(*) FROM orders"
+            " GROUP BY o_orderpriority"
+        ).fetchall()
+    )
+    for r in rows:
+        grp = r[c["o_orderpriority"]]
+        n = exact_n.get(grp)
+        if n is None or r[c["n"]] != n:
+            return _fail(mode, f"group count n[{grp}]={r[c['n']]} != {n}")
+        for col, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            v = r[c[col]]
+            cnt_lt, cnt_le = con.execute(
+                "SELECT COUNT(*) FILTER (o_totalprice < ?),"
+                " COUNT(*) FILTER (o_totalprice <= ?)"
+                " FROM orders WHERE o_orderpriority = ?",
+                [v, v, grp],
+            ).fetchone()
+            if cnt_le == cnt_lt:
+                return _fail(
+                    mode, f"{col}[{grp}]={v} is not a data value in its group"
+                )
+            # value occupies 1-based ranks (cnt_lt+1 .. cnt_le); require
+            # overlap with [q*n - tol, q*n + tol].
+            tol = max(2.0, n / _PCTL_ACCURACY)
+            if cnt_lt + 1 > q * n + tol or cnt_le < q * n - tol:
+                return _fail(
+                    mode,
+                    f"{col}[{grp}]={v} rank range [{cnt_lt + 1},{cnt_le}]"
+                    f" misses target {q * n:.1f} ± {tol:.1f}",
+                )
+    return _ok(mode)
+
+
+def check_scalar_transcendental(spark, sf_dir, qdef, rows, colnames, con):
+    mode = f"vs DuckDB libm within rel {_LIBM_REL_TOL:g}"
+    c = _cols(colnames)
+    duck = {
+        r[0]: r
+        for r in con.execute(
+            "SELECT p_partkey, pow(CAST(p_size AS DOUBLE), 2.0),"
+            " ln(p_retailprice), log10(p_retailprice),"
+            " exp(CAST(p_size AS DOUBLE) / 50.0),"
+            " sin(CAST(p_size AS DOUBLE)),"
+            " atan2(CAST(p_size AS DOUBLE), p_retailprice)"
+            " FROM part WHERE p_partkey < 100 ORDER BY p_partkey"
+        ).fetchall()
+    }
+    names = ("size_sq", "ln_price", "log10_price", "exp_scaled",
+             "sin_size", "atan2_sp")
+    if {r[c["p_partkey"]] for r in rows} != set(duck):
+        return _fail(mode, "key sets differ")
+    for r in rows:
+        d = duck[r[c["p_partkey"]]]
+        for i, col in enumerate(names, start=1):
+            a, b = r[c[col]], d[i]
+            if not math.isclose(a, b, rel_tol=_LIBM_REL_TOL, abs_tol=1e-300):
+                return _fail(
+                    mode,
+                    f"{col}[{r[c['p_partkey']]}]: spark {a!r} vs duck {b!r}",
+                )
+    return _ok(mode)
+
+
+def check_json_render_roundtrip(spark, sf_dir, qdef, rows, colnames, con):
+    mode = "re-parse equality vs source rows"
+    c = _cols(colnames)
+    src = {
+        r[0]: r
+        for r in con.execute(
+            "SELECT event_id, event_type, user_id, value FROM events"
+            " WHERE event_id < 100"
+        ).fetchall()
+    }
+    if {r[c["event_id"]] for r in rows} != set(src):
+        return _fail(mode, "key sets differ")
+    for r in rows:
+        eid = r[c["event_id"]]
+        _, etype, uid, value = src[eid]
+        parsed = json.loads(r[c["j"]])
+        if parsed.get("event_type") != etype:
+            return _fail(mode, f"event_type[{eid}]: {parsed!r} vs {etype!r}")
+        if parsed.get("user_id") != uid:
+            return _fail(mode, f"user_id[{eid}]: {parsed!r} vs {uid!r}")
+        pv, sv = parsed.get("value"), value
+        if pv is None if sv is not None else sv is None:
+            return _fail(mode, f"value[{eid}] null mismatch")
+        if sv is not None and not math.isclose(pv, sv, rel_tol=1e-15):
+            return _fail(mode, f"value[{eid}]: {pv!r} vs {sv!r}")
+        # the from_json leg must reproduce the struct fields exactly
+        if r[c["back_type"]] != etype or r[c["back_user"]] != uid:
+            return _fail(
+                mode,
+                f"from_json[{eid}]: ({r[c['back_type']]!r},"
+                f" {r[c['back_user']]!r}) vs ({etype!r}, {uid!r})",
+            )
+    return _ok(mode)
+
+
+def check_embed_batch_inference(spark, sf_dir, qdef, rows, colnames, con):
+    mode = "shape invariants (dim=16, unit norm) + determinism"
+    c = _cols(colnames)
+    (n_docs,) = con.execute("SELECT COUNT(*) FROM documents").fetchone()
+    if len(rows) != n_docs:
+        return _fail(mode, f"{len(rows)} rows != {n_docs} documents")
+    for r in rows:
+        if r[c["dim"]] != 16:
+            return _fail(mode, f"dim[{r[c['doc_id']]}]={r[c['dim']]} != 16")
+        # the stub normalizes in float32; norm recomputed in float64
+        if abs(r[c["norm"]] - 1.0) > 1e-5:
+            return _fail(
+                mode, f"norm[{r[c['doc_id']]}]={r[c['norm']]!r} not ~1.0"
+            )
+    why = _deterministic(spark, sf_dir, qdef, rows)
+    return _fail(mode, why) if why else _ok(mode)
+
+
+def check_multimodal_feature_extract(spark, sf_dir, qdef, rows, colnames, con):
+    mode = "exact n_bytes/n_frames vs DuckDB + field consistency + determinism"
+    c = _cols(colnames)
+    n_bytes = dict(
+        con.execute(
+            "SELECT doc_id, octet_length(encode(text)) FROM documents"
+        ).fetchall()
+    )
+    if {r[c["doc_id"]] for r in rows} != set(n_bytes):
+        return _fail(mode, "doc_id sets differ from documents table")
+    for r in rows:
+        did = r[c["doc_id"]]
+        if r[c["n_bytes"]] != n_bytes[did]:
+            return _fail(
+                mode, f"n_bytes[{did}]={r[c['n_bytes']]} != {n_bytes[did]}"
+            )
+        if r[c["n_frames"]] != 1 + n_bytes[did] % 4:
+            return _fail(mode, f"n_frames[{did}]={r[c['n_frames']]} wrong")
+        ck = r[c["checksum"]]
+        if not (0 <= ck < 1 << 31):
+            return _fail(mode, f"checksum[{did}]={ck} out of range")
+        if r[c["fake_width"]] != 1 + ck % 64:
+            return _fail(mode, f"fake_width[{did}] inconsistent with checksum")
+        if r[c["fake_height"]] != 1 + (ck // 64) % 64:
+            return _fail(mode, f"fake_height[{did}] inconsistent with checksum")
+    why = _deterministic(spark, sf_dir, qdef, rows)
+    return _fail(mode, why) if why else _ok(mode)
+
+
+CHECKS = {
+    "approx_distinct_parts": check_approx_distinct_parts,
+    "sketch_hll_rollup_merge": check_sketch_hll_rollup_merge,
+    "approx_percentile_prices": check_approx_percentile_prices,
+    "scalar_transcendental": check_scalar_transcendental,
+    "json_render_roundtrip": check_json_render_roundtrip,
+    "embed_batch_inference": check_embed_batch_inference,
+    "multimodal_feature_extract": check_multimodal_feature_extract,
+}

@@ -24,7 +24,13 @@ def main() -> int:
         try:
             r = compare(spark, q)
             if r["ok"]:
-                extra = "(rows-only)" if not r.get("oracle") else ""
+                extra = ""
+                if not r.get("oracle"):
+                    extra = (
+                        f"(quantitative: {r['quant']})"
+                        if "quant" in r
+                        else "(rows-only)"
+                    )
                 print(f"PASS {name} rows={r.get('spark_rows')} {extra}")
             else:
                 failed += 1

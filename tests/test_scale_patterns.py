@@ -265,16 +265,31 @@ def test_semdedup_prunes_within_cell_only(spark, tmp_path):
     assert out[1]["cell"] == 0
 
 
-def test_quantile_prune_uses_takeordered_not_global_window(spark, sf_dir):
-    # The order-statistic cut must compile to TakeOrderedAndProject
-    # (per-partition partial top-k), never an unpartitioned row_number
-    # window collapsing the corpus onto one task.
+def test_quantile_prune_lazy_histogram_rank(spark, sf_dir):
+    # The rank-budget cut must (a) build lazily — constructing the
+    # DataFrame runs NO Spark job (the corpus count is an in-plan 1-row
+    # aggregate, not a driver count()) — and (b) never funnel k = N/4
+    # corpus rows through a single task: no TakeOrdered/GlobalLimit of
+    # the corpus; the only unpartitioned window runs over the per-score
+    # histogram, whose size is bounded by the score value domain.
     from kbrowse_spark.operators.pipeline_ops import quantile_prune_quality
 
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
     df = quantile_prune_quality(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
-    assert "Window" not in plan
+    after = set(tracker.getJobIdsForGroup(None))
+    # spark.read.parquet runs a 1-task footer/schema-inference job (it
+    # does for every builder); what must NOT appear is an action job —
+    # count/collect/take — i.e. the builder scanning data eagerly.
+    for jid in after - before:
+        info = tracker.getJobInfo(jid)
+        for sid in info.stageIds if info else ():
+            si = tracker.getStageInfo(sid)
+            assert si is None or not any(
+                a in si.name for a in ("count at", "collect at", "take at")
+            ), f"eager action in builder: {si.name}"
+    assert "TakeOrderedAndProject" not in plan
     # and the gate semantics: ceil(N/4) rows pruned
     import math
 

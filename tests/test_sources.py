@@ -209,6 +209,25 @@ def test_pioneer_jsonl_sink_two_phase_commit(spark, sf_dir, tmp_path):
             total += sum(1 for _ in f)
     assert total == 10
 
+    # append mode keeps prior parts: new files get collision-free
+    # names past the max existing index and the manifest merges both
+    # commits' entries (the exactly-once contract for append).
+    ev.limit(7).repartition(2).write.format("pioneer_jsonl").option(
+        "path", out
+    ).mode("append").save()
+    manifest3 = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest3["total_rows"] == 17
+    prior_names = {f["file"] for f in manifest2["files"]}
+    assert prior_names < {f["file"] for f in manifest3["files"]}
+    total = 0
+    for p in glob.glob(os.path.join(out, "part-*.jsonl")):
+        with open(p) as f:
+            total += sum(1 for _ in f)
+    assert total == 17
+    assert len({f["file"] for f in manifest3["files"]}) == len(
+        manifest3["files"]
+    )
+
 
 def test_pioneer_jsonl_stream_writer_per_batch_commit(spark, sf_dir, tmp_path):
     """Streaming custom sink: availableNow drive of the events file

@@ -49,7 +49,7 @@ AUDIT = [
     ("ngram_novelty_rate", "no posting-list rejoin: doc-keyed join of two aggs"),
     ("semdedup_prune", "cell-blocked pair join, no corpus-wide cross product"),
     ("bm25_term_scores", "term filter before shuffle, WindowGroupLimit top-k"),
-    ("quantile_prune_quality", "TakeOrdered cut + broadcast threshold, no global window"),
+    ("quantile_prune_quality", "lazy histogram-rank cut: value-domain-bounded cum window + per-score row_number"),
     ("pagerank_interaction", "cached loop-invariant edges, 2 shuffles/iteration"),
 ]
 
