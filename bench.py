@@ -53,6 +53,14 @@ HEADLINE = [
     # novelty op shares the cached shingle subtree with dedup_minhash)
     "bm25_term_scores",
     "ngram_novelty_rate",
+    # round 5: cover the driver-loop iterative family beyond kmeans
+    # (pagerank), the cell-blocked semantic-prune join, the sharded
+    # prefix-sum packer, and the Arrow grouped-map path — so
+    # regressions in those plan shapes show up in the bench trend.
+    "pagerank_interaction",
+    "semdedup_prune",
+    "token_budget_packing",
+    "arrowgroup_centroids",
 ]
 
 

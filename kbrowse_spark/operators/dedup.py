@@ -254,10 +254,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cap for the inverted shingle index: a shingle
+# shared by more than this many documents is boilerplate (page chrome,
+# license headers) — it contributes quadratic candidate pairs in the
+# self-join (the one skew key that breaks this plan at 100x scale) and
+# no deduplication signal.  Dropping it BEFORE the join bounds any
+# single join key's fan-out at _NGRAM_DF_CAP^2 and is standard
+# MinHash-pipeline practice.  Chosen far above any fixture df (max 25
+# at sf0.1) so small-SF results are unaffected; both engines apply the
+# same cap so the oracle stays exact at every scale.
+_NGRAM_DF_CAP = 1000
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+    WITH sh0 AS ({_SQL_SHINGLES}),
+    hot AS (SELECT shingle FROM sh0
+            GROUP BY shingle HAVING COUNT(*) > {_NGRAM_DF_CAP}),
+    sh AS (SELECT * FROM sh0
+           WHERE shingle NOT IN (SELECT shingle FROM hot)),
     d AS (SELECT doc_id, lang FROM documents),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -279,9 +295,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity via inverted-index join (blocked by
     lang).  Pairs sharing >=1 shingle are generated by the shingle
     self-join — an inverted index, not an all-pairs product — then
-    scored exactly.  Hot shingles are the skew risk at scale; AQE skew
-    handling plus the lang block bound the fan-out."""
-    sh = _shingles_df(spark, sf_dir)
+    scored exactly.
+
+    Skew control: shingles with document frequency above
+    ``_NGRAM_DF_CAP`` are dropped before the self-join (broadcast
+    anti-join — the hot set is tiny by definition), so no join key can
+    fan out quadratically on boilerplate text; similarity is then
+    computed over the capped shingle sets (boilerplate deliberately
+    contributes no similarity signal, which also improves dedup
+    quality).  Residual moderate skew is AQE's job; the lang block
+    bounds fan-out further."""
+    sh0 = _shingles_df(spark, sf_dir)
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
     langs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     sh_l = sh.join(langs, "doc_id").select("doc_id", "lang", "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,118 @@
+"""Kafka CONNECTOR plan-path tests — no broker required.
+
+Round-4 gap: every Kafka behavior was verified as pure option math +
+fixture equivalence; ``spark.read.format("kafka")`` plan construction
+itself had never executed.  These tests push the planner's emitted
+assign/startingOffsets/endingOffsets JSON through the real
+DataFrameReader:
+
+* with the spark-sql-kafka jar deployed, ANALYSIS must succeed with no
+  broker contact and yield the fixed 7-column Kafka envelope schema
+  (the reference's scan contract, `src/kbrowse/search.clj:34-42`);
+* without the jar (this container), resolution must fail with the
+  MISSING-DATA-SOURCE error — i.e. the options were structurally
+  accepted all the way to source lookup, and the only absent piece is
+  the connector artifact, not our option plumbing.
+
+The live-broker protocol tests stay in test_kafka_integration.py
+behind KBROWSE_IT_BOOTSTRAP.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from kbrowse_spark.sources.kafka import (
+    ending_offsets_json,
+    kafka_batch_options,
+    resolve_partitions,
+    starting_offsets_json,
+)
+
+ENVELOPE_COLS = [
+    "key", "value", "topic", "partition", "offset", "timestamp",
+    "timestampType",
+]
+
+
+def _kafka_jar_present(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:  # noqa: BLE001 - py4j wraps ClassNotFoundException
+        return False
+
+
+def _planned_options() -> dict[str, str]:
+    """A realistic planner output: two heterogeneous topics, explicit
+    partition list pruned per topic, per-partition offset window."""
+    assignment = resolve_partitions(
+        ["orders", "events"],
+        {"orders": 4, "events": 2},
+        explicit=[0, 1, 3],
+        default_partition_key=None,
+    )
+    earliest = {(t, p): 5 for t, ps in assignment.items() for p in ps}
+    latest = {(t, p): 500 for t, ps in assignment.items() for p in ps}
+    return kafka_batch_options(
+        "broker-1:9092,broker-2:9092",
+        assignment,
+        starting_offsets=starting_offsets_json(
+            assignment, earliest, latest, relative_offset=-100
+        ),
+        ending_offsets=ending_offsets_json(assignment, latest),
+        min_partitions=8,
+    )
+
+
+def test_planner_options_reach_kafka_source_resolution(spark):
+    opts = _planned_options()
+    # sanity on the emitted JSON before handing it to Spark
+    assert json.loads(opts["assign"]) == {"orders": [0, 1, 3], "events": [0, 1]}
+    starts = json.loads(opts["startingOffsets"])
+    assert starts["orders"]["3"] == 400  # latest-100, within [5, 500]
+
+    reader = spark.read.format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+
+    if _kafka_jar_present(spark):
+        df = reader.load()  # analysis only — no job, no broker contact
+        assert [f.name for f in df.schema.fields] == ENVELOPE_COLS
+    else:
+        with pytest.raises(Exception) as ei:
+            reader.load()
+        msg = str(ei.value)
+        # must be the missing-artifact error, not option rejection
+        assert "kafka" in msg.lower()
+        assert "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg, msg
+
+
+def test_planner_builds_reader_through_load_envelope(spark, monkeypatch):
+    """The REAL planner path (`plans/planner.py:load_envelope`) with
+    broker metadata stubbed: it must construct the kafka reader and
+    reach source resolution (or full analysis when the jar is
+    deployed)."""
+    from kbrowse_spark.plans import planner
+    from kbrowse_spark.plans.query_spec import QuerySpec
+
+    monkeypatch.setattr(
+        planner, "_broker_partition_counts", lambda spec: {"golden": 3}
+    )
+    spec = QuerySpec(
+        bootstrap_servers="broker-1:9092", topics=["golden"], partitions=[0, 2]
+    ).validate()
+
+    if _kafka_jar_present(spark):
+        df = planner.load_envelope(spark, spec)
+        assert [f.name for f in df.schema.fields] == ENVELOPE_COLS
+    else:
+        with pytest.raises(Exception) as ei:
+            planner.load_envelope(spark, spec)
+        msg = str(ei.value)
+        assert "kafka" in msg.lower()
+        assert "Failed to find" in msg or "DATA_SOURCE_NOT_FOUND" in msg, msg

@@ -295,3 +295,34 @@ def test_quantile_prune_lazy_histogram_rank(spark, sf_dir):
 
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert df.count() == math.ceil(n_docs / 4)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path, monkeypatch):
+    """A boilerplate shingle shared by every document must NOT explode
+    the inverted-index self-join: with the df cap, the ~N^2/2
+    boilerplate-only candidate pairs disappear, while genuine near-dups
+    (sharing below-cap shingles) are still found."""
+    import os
+
+    from kbrowse_spark.operators import dedup
+
+    boiler = "this content is provided under the standard license terms"
+    rows = []
+    for i in range(40):  # 40 docs sharing only boilerplate -> df=40 > cap
+        rows.append((i, f"{boiler} unique{i} tail{i} word{i}", "en", "web", 0))
+    phrase = "quick brown fox jumps over the lazy dog today"
+    rows.append((100, phrase + " alpha", "en", "web", 0))
+    rows.append((101, phrase + " beta", "en", "web", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+
+    monkeypatch.setattr(dedup, "_NGRAM_DF_CAP", 20)
+    out = dedup.dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    # genuine near-dup survives (its shingles have df=2 <= cap)
+    assert (100, 101) in pairs
+    # without the cap the boilerplate docs are all mutual near-dups:
+    # 40*39/2 = 780 pairs; with it, their only surviving shingles are
+    # per-doc unique tails -> no candidates at all.
+    assert len(pairs) == 1, sorted(pairs)[:10]

@@ -24,17 +24,33 @@ SCHEMA_A = json.dumps(
 SCHEMA_B = json.dumps(
     {"type": "record", "name": "EvB", "fields": [{"name": "n", "type": "long"}]}
 )
-SCHEMAS = {1: SCHEMA_A, 2: SCHEMA_B}
+# Schema EVOLUTION of EvA: same record name, one added field with a
+# default — the second writer schema a topic accumulates over time.
+SCHEMA_A2 = json.dumps(
+    {
+        "type": "record",
+        "name": "EvA",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tag", "type": "string"},
+            {"name": "score", "type": "long", "default": 0},
+        ],
+    }
+)
+SCHEMAS = {1: SCHEMA_A, 2: SCHEMA_B, 3: SCHEMA_A2}
 
 
 @pytest.fixture(scope="module")
 def registry():
-    """Fake Confluent registry: GET /schemas/ids/{id}; counts requests."""
+    """Fake Confluent registry: GET /schemas/ids/{id}; counts requests
+    and records each request's Authorization header (or None)."""
     hits = []
+    auths = []
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
             hits.append(self.path)
+            auths.append(self.headers.get("Authorization"))
             sid = int(self.path.rsplit("/", 1)[1])
             if sid not in SCHEMAS:
                 self.send_error(404)
@@ -52,7 +68,7 @@ def registry():
     srv = HTTPServer(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_port}", hits
+    yield f"http://127.0.0.1:{srv.server_port}", hits, auths
     srv.shutdown()
 
 
@@ -79,7 +95,7 @@ def test_client_caches(registry):
         SchemaRegistryError,
     )
 
-    url, hits = registry
+    url, hits, _ = registry
     hits.clear()
     c = SchemaRegistryClient(url)
     assert json.loads(c.get_schema(1))["name"] == "EvA"
@@ -96,7 +112,7 @@ def test_registry_udf_resolves_per_header_id(spark, registry):
 
     from kbrowse_spark.functions.avro import avro_registry_udf
 
-    url, hits = registry
+    url, hits, _ = registry
     rec_a = _wire(1, _zigzag(7) + _zigzag(2) + b"hi")  # EvA{id:7, tag:"hi"}
     rec_b = _wire(2, _zigzag(42))  # EvB{n:42}
     df = spark.createDataFrame(
@@ -124,7 +140,7 @@ def test_build_scan_with_registry(spark, registry, tmp_path):
     from kbrowse_spark.plans.query_spec import QuerySpec
     from kbrowse_spark.sources.fixture import ENVELOPE_SCHEMA
 
-    url, _ = registry
+    url, _, _ = registry
     ts = datetime.datetime(2024, 1, 1)
     rec = _wire(1, _zigzag(9) + _zigzag(3) + b"abc")
     df = spark.createDataFrame(
@@ -154,7 +170,7 @@ def test_service_injects_cluster_registry(spark, registry, tmp_path):
     from kbrowse_spark.service.app import create_app
     from kbrowse_spark.sources.fixture import ENVELOPE_SCHEMA
 
-    url, _ = registry
+    url, _, _ = registry
     ts = datetime.datetime(2024, 1, 1)
     rec = _wire(1, _zigzag(5) + _zigzag(2) + b"ok")
     df = spark.createDataFrame(
@@ -183,3 +199,90 @@ def test_config_parses_registry_urls(tmp_path):
     )
     cfg = EngineConfig.load(str(p))
     assert cfg.schema_registry_urls == {"broker1:9092": "http://reg1:8081"}
+
+
+def test_client_auth_passthrough(registry):
+    """Basic credentials — URL-embedded (Confluent's
+    basic.auth.credentials.source=URL convention) or explicit tuple —
+    must arrive as an Authorization header, and the userinfo must be
+    stripped from the request URL."""
+    import base64
+
+    from kbrowse_spark.sources.schema_registry import SchemaRegistryClient
+
+    url, hits, auths = registry
+    expected = "Basic " + base64.b64encode(b"alice:s3cr%t").decode()
+
+    hits.clear()
+    auths.clear()
+    with_userinfo = url.replace("http://", "http://alice:s3cr%25t@")
+    c = SchemaRegistryClient(with_userinfo)
+    assert json.loads(c.get_schema(1))["name"] == "EvA"
+    assert auths == [expected]
+    assert "@" not in c.base_url  # credentials never hit the wire in the URL
+
+    hits.clear()
+    auths.clear()
+    c2 = SchemaRegistryClient(url, auth=("alice", "s3cr%t"))
+    assert json.loads(c2.get_schema(2))["name"] == "EvB"
+    assert auths == [expected]
+
+    # and the default stays unauthenticated
+    auths.clear()
+    SchemaRegistryClient(url).get_schema(1)
+    assert auths == [None]
+
+
+def test_client_negative_cache(registry):
+    """A 404 is negative-cached for negative_ttl seconds: repeat
+    lookups of a poison schema id don't re-hit the registry until the
+    TTL lapses; transport-level errors are NOT negative-cached."""
+    import time
+
+    from kbrowse_spark.sources.schema_registry import (
+        SchemaNotFoundError,
+        SchemaRegistryClient,
+        SchemaRegistryError,
+    )
+
+    url, hits, _ = registry
+    hits.clear()
+    c = SchemaRegistryClient(url, negative_ttl=0.2)
+    for _ in range(3):
+        with pytest.raises(SchemaNotFoundError):
+            c.get_schema(999)
+    assert len(hits) == 1  # one wire 404, two negative-cache hits
+    time.sleep(0.25)
+    with pytest.raises(SchemaNotFoundError):
+        c.get_schema(999)
+    assert len(hits) == 2  # TTL lapsed: re-validated against the registry
+
+    # unreachable registry -> plain SchemaRegistryError, retried freely
+    dead = SchemaRegistryClient("http://127.0.0.1:1", timeout=0.2)
+    for _ in range(2):
+        with pytest.raises(SchemaRegistryError) as ei:
+            dead.get_schema(1)
+        assert not isinstance(ei.value, SchemaNotFoundError)
+
+
+def test_schema_evolution_two_writer_schemas_one_topic(spark, registry):
+    """Schema evolution: one topic carries records written under EvA v1
+    (id 1) and EvA v2 (id 3, adds a defaulted field); each record
+    decodes against its OWN writer schema resolved by wire-header id —
+    the exact guarantee the Confluent wire format exists for."""
+    from pyspark.sql import functions as F
+
+    from kbrowse_spark.functions.avro import avro_registry_udf
+
+    url, _, _ = registry
+    v1 = _wire(1, _zigzag(7) + _zigzag(2) + b"hi")
+    v2 = _wire(3, _zigzag(8) + _zigzag(2) + b"yo" + _zigzag(99))
+    df = spark.createDataFrame([(1, v1), (2, v2)], "i int, value binary")
+    out = {
+        r["i"]: json.loads(r["s"])
+        for r in df.select(
+            "i", avro_registry_udf(url)(F.col("value")).alias("s")
+        ).collect()
+    }
+    assert out[1] == {"id": 7, "tag": "hi"}
+    assert out[2] == {"id": 8, "tag": "yo", "score": 99}
