@@ -61,6 +61,9 @@ HEADLINE = [
     "semdedup_prune",
     "token_budget_packing",
     "arrowgroup_centroids",
+    # round 5 second wave: substring-span dedup (gram index + semi-join
+    # + span-merge windows) — the heaviest new text operator
+    "dedup_substring_spans",
 ]
 
 

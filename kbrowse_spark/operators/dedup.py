@@ -340,6 +340,134 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Substring-level dedup: word-window rolling-hash index.  Window of 8
+# words, stride 1; windows whose hash appears in >= 2 distinct docs are
+# duplicated material; adjacent/overlapping duplicated windows merge
+# into SPANS (union coverage, so overlapping windows never double-count
+# words).  This is the streaming-friendly formulation of exact
+# substring deduplication (the suffix-array variant is an offline
+# batch job; a windowed inverted index gives the same per-doc signal).
+_SPAN_GRAM = 8
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - {_SPAN_GRAM - 1})) AS i
+      FROM w WHERE len(w) >= {_SPAN_GRAM}),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(w[i:i + {_SPAN_GRAM - 1}], ' ')) AS h
+      FROM pos),
+    dup AS (
+      SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    marked AS (
+      SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM dup)),
+    flag AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_SPAN_GRAM} THEN 0 ELSE 1 END AS new_span
+      FROM marked),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flag),
+    spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {_SPAN_GRAM} AS e
+      FROM sp GROUP BY doc_id, span_id),
+    summary AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             CAST(SUM(e - s) AS BIGINT) AS dup_words
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id, s.n_dup_spans, s.dup_words,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           CAST(s.dup_words AS DOUBLE)
+             / len(string_split(d.text, ' ')) AS dup_frac
+    FROM summary s JOIN documents d USING (doc_id)
+    ORDER BY doc_id
+    """,
+    "dedup",
+    "text",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication signal (the "dedup the spans,
+    not the docs" primitive of training-data curation): every 8-word
+    window is rolling-hashed; windows whose hash occurs in >= 2
+    distinct documents are duplicated material; per document, adjacent
+    or overlapping duplicated windows merge into maximal spans and the
+    result reports span count, covered word count (union coverage —
+    overlapping windows never double-count), and the duplicated
+    fraction of the document.
+
+    Scale shape: the window index is doc-keyed until the hash groupBy
+    (map-side combined — duplicated hashes collapse early); the
+    cross-doc membership test is a LEFT SEMI join (each gram row
+    matches at most once, so a boilerplate hash shared by millions of
+    docs cannot fan out — unlike a candidate-pair self-join, which is
+    why this operator needs no df cap); span assembly is two windows
+    partitioned by doc_id.  At 100 TB the same plan runs with the gram
+    index persisted next to the corpus, stride > 1 trading recall for
+    cost (stride 1 here: fixtures are small).
+    """
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.expr(f"size(w) >= {_SPAN_GRAM}"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_SPAN_GRAM}),"
+                    f" i -> md5(concat_ws(' ', slice(w, i + 1, {_SPAN_GRAM}))))"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    marked = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    flag = marked.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_doc) <= _SPAN_GRAM, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    spans = (
+        flag.withColumn("span_id", F.sum("new_span").over(w_doc))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + _SPAN_GRAM).alias("e"),
+        )
+    )
+    summary = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_words"),
+    )
+    n_words = F.expr("size(split(text, ' '))").cast("long")
+    return (
+        summary.join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "dup_words",
+            n_words.alias("n_words"),
+            (F.col("dup_words").cast("double") / n_words).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # SimHash: 60-bit fingerprint from per-word md5 bits; near-dup candidates
 # via 4x15-bit bands, verified by Hamming distance.  60 bits (15 hex
 # chars) so the base hash parses into a positive signed BIGINT

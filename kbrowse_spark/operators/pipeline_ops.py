@@ -646,3 +646,221 @@ def quantile_prune_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "score_scaled")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-stratum reservoir (fixed-k sample per group)
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 40
+
+
+@register(
+    "sample_reservoir_per_stratum",
+    f"""
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {_RESERVOIR_K}
+    ORDER BY lang, rk
+    """,
+    "pipeline",
+)
+def sample_reservoir_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE sample per stratum (exactly k docs per lang, or all
+    of a smaller stratum) — the budgeted companion to the fixed-RATE
+    ``sample_stratified``.  Ranking by a salted md5 of the key is the
+    deterministic equivalent of a uniform reservoir: every doc gets an
+    i.i.d.-uniform rank, the k smallest win, and re-running (or adding
+    executors) cannot change the sample.
+
+    Scale shape: rank <= k over a window partitioned by stratum is
+    Spark's WindowGroupLimit pattern — each partition keeps a k-row
+    heap BEFORE the shuffle, so the exchange carries ~k rows per
+    stratum per map task, not the corpus (the plan-shape test pins
+    this).  The md5 tie-break includes doc_id so the order is total.
+    """
+    d = load(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        d.select("doc_id", "lang", rk.alias("rk"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff: what changed between two corpus versions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH new_snap AS (
+      SELECT doc_id, md5(text) AS h FROM documents),
+    old_snap AS (
+      -- prior corpus version, derived deterministically: ~1/11 of the
+      -- docs had not been ingested yet (absent -> 'added' now), every
+      -- 13th doc carried an older revision (text differs -> 'changed'),
+      -- and a retired shard of ids +1000000 existed (-> 'removed').
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN md5(reverse(text))
+                  ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 17 = 0),
+    diff AS (
+      SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN n.h <> o.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM new_snap n FULL OUTER JOIN old_snap o USING (doc_id))
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM diff GROUP BY status
+    ORDER BY status
+    """,
+    "pipeline",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest diff between two corpus snapshots by content
+    hash: FULL OUTER join on doc_id classifying every doc as added /
+    removed / changed / unchanged — the audit that gates an incremental
+    training-data refresh (how much actually moved?) and sizes the
+    downstream recompute (only 'added' + 'changed' re-enter the dedup
+    and quality pipeline).
+
+    The 'old' snapshot is derived deterministically from the fixture
+    (a subset, some older revisions, a retired shard) so both engines
+    construct identical inputs; in production the two sides are two
+    snapshot tables / manifests.
+
+    Scale shape: one doc_id-keyed FULL OUTER sort-merge join of two
+    hash projections (16-byte rows, column-pruned at the scan), then a
+    4-group aggregate — no full-text movement; md5 computes at the
+    scan.  Works unchanged as an anti-join pair if only one direction
+    is needed.
+    """
+    d = load(spark, sf_dir, "documents")
+    new_snap = d.select("doc_id", F.md5("text").alias("h"))
+    old_snap = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.md5(F.reverse(F.col("text")))
+            ).otherwise(F.md5(F.col("text"))).alias("h"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("h"),
+            )
+        )
+    )
+    n, o = new_snap.alias("n"), old_snap.alias("o")
+    diff = n.join(o, F.col("n.doc_id") == F.col("o.doc_id"), "full_outer").select(
+        F.coalesce(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("n.h") != F.col("o.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length histogram: padding/packing efficiency audit
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKET = 64  # tokens per histogram bucket
+
+
+@register(
+    "seq_length_histogram",
+    f"""
+    WITH sized AS (
+      SELECT len(string_split(text, ' ')) AS n FROM documents),
+    b AS (
+      SELECT (n // {_LEN_BUCKET}) * {_LEN_BUCKET} AS bucket_start,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS total_tokens
+      FROM sized GROUP BY n // {_LEN_BUCKET})
+    SELECT CAST(bucket_start AS BIGINT) AS bucket_start,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           total_tokens,
+           CAST(SUM(n_docs) OVER (ORDER BY bucket_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_docs,
+           CAST(SUM(n_docs) OVER (ORDER BY bucket_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / SUM(n_docs) OVER () AS cum_frac
+    FROM b ORDER BY bucket_start
+    """,
+    "pipeline",
+    "text",
+)
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in fixed-width buckets with cumulative
+    document share — the audit that sizes context budgets and padding
+    waste before packing (what fraction of docs fit in 512? how much
+    of the token mass sits in the tail?).  Companion diagnostic to
+    ``token_budget_packing``.
+
+    Scale shape: one map-side-combined aggregate to <= max_len/64
+    buckets; the cumulative windows run over those AGGREGATED rows
+    (value-domain bounded, like quantile_prune_quality's histogram),
+    never the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(F.expr("size(split(text, ' '))").alias("n"))
+    b = (
+        sized.groupBy(
+            F.expr(f"(n DIV {_LEN_BUCKET}) * {_LEN_BUCKET}").alias(
+                "bucket_start"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+        )
+    )
+    w_cum = W.orderBy("bucket_start").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.orderBy("bucket_start").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return b.select(
+        F.col("bucket_start").cast("long").alias("bucket_start"),
+        "n_docs",
+        "total_tokens",
+        F.sum("n_docs").over(w_cum).alias("cum_docs"),
+        (
+            F.sum("n_docs").over(w_cum).cast("double")
+            / F.sum("n_docs").over(w_all)
+        ).alias("cum_frac"),
+    ).orderBy("bucket_start")

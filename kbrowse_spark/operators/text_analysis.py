@@ -494,3 +494,129 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter counting
+# ---------------------------------------------------------------------------
+
+# D independent hash rows x W buckets.  Point estimate for a term is
+# MIN over rows of its bucket's count — always >= the true count, with
+# overestimate bounded by (e/W)*total_tokens per row (standard CMS
+# guarantee).  The hash is md5-derived so both engines agree bit-for-
+# bit, making the sketch itself oracle-checkable — unlike HLL, whose
+# register layout is engine-specific.
+_CMS_ROWS = 4
+_CMS_WIDTH = 256
+_CMS_PROBES = ("data", "quality", "spark", "stream", "the", "zebra")
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH words AS (
+      SELECT lang, lower(unnest(string_split(text, ' '))) AS word
+      FROM documents),
+    wfil AS (SELECT lang, word FROM words WHERE word != ''),
+    pairs AS (
+      SELECT lang, word, j,
+             ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || word),
+                             1, 8))::BIGINT % {_CMS_WIDTH} AS bucket
+      FROM wfil
+      CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_ROWS - 1})) AS j)),
+    sketch_lang AS (
+      SELECT lang, j, bucket, COUNT(*) AS n
+      FROM pairs GROUP BY lang, j, bucket),
+    sketch AS (
+      SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS n
+      FROM sketch_lang GROUP BY j, bucket),
+    probes AS (SELECT unnest({list(_CMS_PROBES)}) AS term),
+    pb AS (
+      SELECT term, j,
+             ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || term),
+                             1, 8))::BIGINT % {_CMS_WIDTH} AS bucket
+      FROM probes
+      CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_ROWS - 1})) AS j)),
+    est AS (
+      SELECT term, CAST(MIN(COALESCE(s.n, 0)) AS BIGINT) AS cms_estimate
+      FROM pb LEFT JOIN sketch s USING (j, bucket) GROUP BY term),
+    exact AS (
+      SELECT word AS term, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM wfil WHERE word IN {_CMS_PROBES!r} GROUP BY word)
+    SELECT e.term, CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count,
+           e.cms_estimate
+    FROM est e LEFT JOIN exact x USING (term)
+    ORDER BY term
+    """,
+    "text",
+    "approx",
+    "rollup",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, with point
+    estimates for a probe-term list next to the exact counts.
+
+    The sketch is built PER LANG and then MERGED by summing (row,
+    bucket) cells — the mergeability that makes CMS the streaming /
+    shard-parallel answer to "how often does this term occur", same
+    role as the HLL rollup for distinct counts.  Because the D=4 hash
+    rows are md5-derived, the whole sketch (and so the estimate) is
+    bit-identical in both engines: this approx operator gets an EXACT
+    value oracle, estimates-vs-exact included (estimate >= exact always
+    holds by construction; 'zebra' shows pure collision noise on an
+    absent term).
+
+    Scale shape: the token stream fans out x4 (one row per hash row),
+    but map-side combine collapses it to <= lang x 4 x 256 rows before
+    the shuffle; the merged sketch is 1024 rows and broadcast to the
+    probe lookup.  At 100 TB the sketch table is maintained
+    incrementally per ingest shard and merged at query time — the same
+    plan shape as the per-day HLL rollup.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket_of = (
+        "CAST(conv(substring(md5(concat('cms', CAST(j AS STRING), ':', {t}))"
+        ", 1, 8), 16, 10) AS BIGINT) % {w}"
+    )
+    words = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    pairs = words.withColumn(
+        "j", F.explode(F.expr(f"sequence(0, {_CMS_ROWS - 1})"))
+    ).withColumn(
+        "bucket", F.expr(bucket_of.format(t="word", w=_CMS_WIDTH))
+    )
+    sketch_lang = pairs.groupBy("lang", "j", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sketch = sketch_lang.groupBy("j", "bucket").agg(F.sum("n").alias("n"))
+    probes = (
+        spark.createDataFrame([(t,) for t in _CMS_PROBES], "term string")
+        .withColumn("j", F.explode(F.expr(f"sequence(0, {_CMS_ROWS - 1})")))
+        .withColumn("bucket", F.expr(bucket_of.format(t="term", w=_CMS_WIDTH)))
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        words.filter(F.col("word").isin(*_CMS_PROBES))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, est.term == exact.word, "left")
+        .select(
+            "term",
+            F.coalesce(F.col("exact_count"), F.lit(0))
+            .cast("long")
+            .alias("exact_count"),
+            "cms_estimate",
+        )
+        .orderBy("term")
+    )

@@ -158,3 +158,16 @@ def test_novelty_materialized_index_within_2x_of_warm(spark, sf_dir, tmp_path):
     # generous bound for shared-box jitter; the uncached text-reshingle
     # path is ~10x warm, so this still separates the two regimes
     assert from_index <= max(2.5 * warm, warm + 1.0), (from_index, warm)
+
+
+def test_cms_estimate_dominates_exact(spark, sf_dir):
+    """CMS property: every probe estimate >= its exact count (never
+    undercounts); an absent probe ('zebra') shows exact 0 with pure
+    collision noise as its estimate."""
+    from kbrowse_spark.catalog import all_queries
+
+    rows = {r["term"]: r for r in all_queries()["cms_heavy_hitters"]
+            .builder(spark, sf_dir).collect()}
+    assert "zebra" in rows and rows["zebra"]["exact_count"] == 0
+    for term, r in rows.items():
+        assert r["cms_estimate"] >= r["exact_count"], term

@@ -60,3 +60,27 @@ def test_token_packing_window_is_sharded(spark, sf_dir):
     # The per-document running sum must be partitioned by shard; the
     # only unpartitioned window runs over one row per shard.
     assert "windowspecdefinition(shard" in plan
+
+
+def test_snapshot_diff_counts_reconcile(spark, sf_dir):
+    """The four diff classes must reconcile exactly with the modular
+    arithmetic that derives the old snapshot."""
+    from kbrowse_spark.operators.pipeline_ops import corpus_snapshot_diff
+
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    expect = {
+        "added": sum(1 for i in ids if i % 11 == 0),
+        "removed": sum(1 for i in ids if i % 17 == 0),
+        "changed": sum(1 for i in ids if i % 11 != 0 and i % 13 == 0),
+        "unchanged": sum(1 for i in ids if i % 11 != 0 and i % 13 != 0),
+    }
+    got = {
+        r["status"]: r["n_docs"]
+        for r in corpus_snapshot_diff(spark, sf_dir).collect()
+    }
+    assert got == {k: v for k, v in expect.items() if v > 0}

@@ -326,3 +326,107 @@ def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path, monkeypatch):
     # 40*39/2 = 780 pairs; with it, their only surviving shingles are
     # per-doc unique tails -> no candidates at all.
     assert len(pairs) == 1, sorted(pairs)[:10]
+
+
+def test_substring_spans_union_coverage(spark, tmp_path):
+    """Two docs sharing one contiguous 12-word run: overlapping
+    duplicated windows must merge into ONE span whose coverage is the
+    union (12 words), never the sum of window lengths; a doc sharing
+    nothing reports no row."""
+    import os
+
+    from kbrowse_spark.operators.dedup import _SPAN_GRAM, dedup_substring_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-word duplicated run
+    docs = [
+        (0, f"alpha beta {shared} gamma delta", "en", "web", 0),
+        (1, f"{shared} omega psi chi phi upsilon", "en", "web", 0),
+        (2, "nothing in common with the others here at all", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r["doc_id"]: r for r in dedup_substring_spans(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    for did in (0, 1):
+        assert out[did]["n_dup_spans"] == 1
+        # union coverage: 12 shared words = 5 overlapping 8-gram
+        # windows, merged; NOT 5 * 8 = 40
+        assert out[did]["dup_words"] == 12, out[did]
+        assert 12 - _SPAN_GRAM < out[did]["dup_words"] <= out[did]["n_words"]
+    assert abs(out[0]["dup_frac"] - 12 / out[0]["n_words"]) < 1e-12
+
+
+def test_reservoir_sample_fixed_k_and_grouplimit_plan(spark, sf_dir):
+    """Exactly min(k, stratum size) docs per lang, deterministic across
+    runs, and the rank filter must push into WindowGroupLimit (per-
+    partition k-row heaps before the shuffle — the plan shape that keeps
+    a fixed-size sample from shuffling the corpus)."""
+    from pyspark.sql import functions as F
+
+    from kbrowse_spark.operators.pipeline_ops import (
+        _RESERVOIR_K,
+        sample_reservoir_per_stratum,
+    )
+
+    df = sample_reservoir_per_stratum(spark, sf_dir)
+    got = df.groupBy("lang").count().collect()
+    strata = {
+        r["lang"]: r["count"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .collect()
+    }
+    for r in got:
+        assert r["count"] == min(_RESERVOIR_K, strata[r["lang"]])
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, sample_reservoir_per_stratum(spark, sf_dir).collect())
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (the 100 TB selective-join
+    lever beyond static pushdown): a selective predicate on the build
+    side must inject a might_contain() runtime filter into the probe
+    side's scan, so the big table is pre-filtered BEFORE the shuffle.
+    Thresholds are tuned for fixture scale; at production scale the
+    defaults (10 GB application side) trigger on their own."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        # and the filtered join still computes the right thing
+        n = {r["o_orderpriority"]: r["count"] for r in j.collect()}
+        o_keys = [r["o_orderkey"] for r in o.select("o_orderkey").collect()]
+        expected = (
+            li.filter(li.l_orderkey.isin(o_keys[:0] or o_keys)).count()
+            if o_keys
+            else 0
+        )
+        assert n.get("1-URGENT", 0) == expected
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
