@@ -430,3 +430,29 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observe_metrics_ride_the_action(spark, sf_dir):
+    """Pipeline observability at scale: Observation metrics (row
+    counts, null rates, bounds) are computed as accumulators on the
+    EXISTING action — no second scan of the input. This is the
+    data-quality telemetry hook a 100 TB curation DAG reports per
+    stage."""
+    from pyspark.sql import Observation
+
+    obs = Observation("scan_health")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    kept = observed.filter(F.col("doc_id") % 2 == 0).count()
+    m = obs.get
+    n = d.count()
+    assert m["rows_scanned"] == n  # observed at attachment point, pre-filter
+    assert m["null_texts"] == 0
+    assert kept < n
+    assert m["min_doc"] >= 0 and m["max_doc"] > m["min_doc"]
