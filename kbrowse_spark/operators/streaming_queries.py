@@ -766,6 +766,81 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_full_join",
+    """
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           COALESCE(v.user_id, p.user_id) AS user_id,
+           CAST(floor(p.value * 100) AS BIGINT) AS purchase_cents
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY view_id ASC NULLS FIRST, purchase_id ASC NULLS FIRST
+    """,
+    "streaming",
+    "join",
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last cell of the
+    streaming join matrix (inner and left outer are the two queries
+    above): unconverted views AND orphaned purchases both emit with the
+    other side null.
+
+    Both outer directions can only emit on watermark proof that no
+    match will arrive, so the flush sentinel pushes BOTH sides'
+    watermarks past every real row's match window; Spark's no-data
+    micro-batch then evicts remaining state from each side, emitting
+    the null-extended rows in both directions.  On the bounded stream
+    the result equals the batch FULL JOIN, which is the oracle.
+
+    Scale posture: same bounded state as the inner interval join —
+    view state evicts when the purchase watermark passes v_ts + 1 hour,
+    purchase state when the view watermark passes p_ts — so state is
+    interval x arrival rate on each side, never history.  The sentinel
+    join pair (flush x flush matches itself) is filtered by user id.
+    """
+    ev, _ = _events_stream_with_flush(spark, sf_dir, "fulljoin")
+    views = (
+        ev.filter(F.col("event_type").isin("view", "__flush__"))
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 second")
+    )
+    ev2, _ = _events_stream_with_flush(spark, sf_dir, "fulljoin")
+    purchases = (
+        ev2.filter(F.col("event_type").isin("purchase", "__flush__"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.floor(F.col("value") * 100).cast("long").alias("purchase_cents"),
+        )
+        .withWatermark("p_ts", "1 second")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        "purchase_cents",
+    )
+    result = _run_to_memory(joined, "append")
+    return result.filter(F.col("user_id") != -1).orderBy(
+        F.col("view_id").asc_nulls_first(),
+        F.col("purchase_id").asc_nulls_first(),
+    )
+
+
+@register(
     "stream_foreachbatch_export",
     """
     SELECT event_type,
