@@ -597,8 +597,10 @@ def quantile_prune_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction: each term is capped), not by corpus size, so it is
     100 TB-safe by value-domain bound.  ``rk`` is a window partitioned
     by score (AQE splits a skewed score group).  The filter
-    ``cum_below + rk <= ceil(N/4)`` then prunes in place; N rides in as
-    a broadcast 1-row aggregate so k is computed inside the plan.
+    ``cum_below + rk <= ceil(N/4)`` then prunes in place; N is the
+    histogram's own unbounded window sum, so the corpus is scanned
+    exactly twice (histogram + ranked rows), never a third time for
+    the count.
     Earlier rounds used orderBy().limit(k) + TakeOrderedAndProject,
     but k here is N/4 — a quarter of the corpus funneled through one
     task/driver merge — and the builder needed an eager count() for
@@ -628,11 +630,17 @@ def quantile_prune_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = W.orderBy("score_scaled").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
+    w_all = W.orderBy("score_scaled").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    # n_docs rides along as a histogram window sum — the corpus is
+    # scanned exactly once for the histogram and once for the ranked
+    # rows, never a third time for the count.
     cum = hist.select(
         "score_scaled",
         (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("cum_below"),
+        F.sum("cnt").over(w_all).alias("n_docs"),
     )
-    tot = s.agg(F.count(F.lit(1)).alias("n_docs"))
     w_grp = W.partitionBy("score_scaled").orderBy("doc_id")
     k_expr = F.expr(
         f"({_PRUNE_FRAC_NUM} * n_docs + {_PRUNE_FRAC_DEN} - 1)"
@@ -641,7 +649,6 @@ def quantile_prune_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.withColumn("rk", F.row_number().over(w_grp))
         .join(F.broadcast(cum), "score_scaled")
-        .crossJoin(F.broadcast(tot))
         .filter(F.col("cum_below") + F.col("rk") <= k_expr)
         .select("doc_id", "lang", "score_scaled")
         .orderBy("doc_id")
@@ -713,13 +720,15 @@ def sample_reservoir_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- prior corpus version, derived deterministically: ~1/11 of the
       -- docs had not been ingested yet (absent -> 'added' now), every
       -- 13th doc carried an older revision (text differs -> 'changed'),
-      -- and a retired shard of ids +1000000 existed (-> 'removed').
+      -- and a retired shard existed (-> 'removed'); retired ids are
+      -- NEGATIVE (-(id+1)) so they can never collide with a real
+      -- non-negative doc_id at any corpus scale.
       SELECT doc_id,
              CASE WHEN doc_id % 13 = 0 THEN md5(reverse(text))
                   ELSE md5(text) END AS h
       FROM documents WHERE doc_id % 11 <> 0
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, md5(text) AS h
+      SELECT -doc_id - 1 AS doc_id, md5(text) AS h
       FROM documents WHERE doc_id % 17 = 0),
     diff AS (
       SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
@@ -767,7 +776,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             d.filter(F.col("doc_id") % 17 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
+                (-F.col("doc_id") - 1).alias("doc_id"),
                 F.md5("text").alias("h"),
             )
         )

@@ -15,9 +15,11 @@ writer API provides:
   message naming it — task retries/speculation produce orphan temps,
   never visible output.
 * ``commit`` (driver, all tasks succeeded): rename each committed temp
-  to an ordered `part-NNNNN.jsonl` and write `_MANIFEST.json` (files +
-  row counts) LAST — readers treat the manifest as the publish point,
-  so a crash mid-commit publishes nothing.
+  to a collision-free `part-NNNNN.jsonl` (numbered past anything on
+  disk), write `_MANIFEST.json` (files + row counts), and only then
+  retire parts the new manifest does not reference — readers treat the
+  manifest as the publish point, so a crash at ANY step leaves the
+  previously published manifest and every file it names intact.
 * ``abort``: delete temps.
 
 At 100 TB the same class shape targets an object store (multipart
@@ -81,23 +83,24 @@ class PioneerJsonlWriter(DataSourceArrowWriter):
 
         manifest_path = os.path.join(self.path, "_MANIFEST.json")
         prior_files: list[dict] = []
-        base = 0
-        if self.overwrite:
-            for p in glob.glob(os.path.join(self.path, "part-*.jsonl")):
-                os.remove(p)
-        else:
+        if not self.overwrite:
             # Append: carry forward the previously PUBLISHED files (the
             # manifest is the publish point, so only it counts as prior
-            # output) and number new parts past every part file on disk
-            # — including unpublished crash leftovers — so a rename can
-            # never clobber existing data.
+            # output).
             if os.path.exists(manifest_path):
                 with open(manifest_path) as f:
                     prior_files = json.load(f).get("files", [])
-            for p in glob.glob(os.path.join(self.path, "part-*.jsonl")):
-                m = re.fullmatch(r"part-(\d+)\.jsonl", os.path.basename(p))
-                if m:
-                    base = max(base, int(m.group(1)) + 1)
+        # In BOTH modes, new parts get collision-free names past every
+        # part file on disk (including unpublished crash leftovers) and
+        # stale parts are deleted only AFTER the new manifest publishes:
+        # a crash at any point leaves the previous manifest's files
+        # intact, so the publish remains atomic for readers.
+        base = 0
+        existing = glob.glob(os.path.join(self.path, "part-*.jsonl"))
+        for p in existing:
+            m = re.fullmatch(r"part-(\d+)\.jsonl", os.path.basename(p))
+            if m:
+                base = max(base, int(m.group(1)) + 1)
         files = list(prior_files)
         for i, m in enumerate(messages):
             if m is None:
@@ -114,7 +117,14 @@ class PioneerJsonlWriter(DataSourceArrowWriter):
         tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+        os.replace(tmp, manifest_path)
+        if self.overwrite:
+            # Only after the new manifest is live: retire parts the new
+            # manifest does not reference.
+            live = {f["file"] for f in files}
+            for p in existing:
+                if os.path.basename(p) not in live:
+                    os.remove(p)
         shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
 
     def abort(self, messages):  # driver-side, on task failure

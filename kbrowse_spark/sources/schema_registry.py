@@ -60,9 +60,10 @@ class SchemaRegistryClient:
                     urllib.parse.unquote(parts.username),
                     urllib.parse.unquote(parts.password or ""),
                 )
-            netloc = parts.hostname or ""
-            if parts.port:
-                netloc += f":{parts.port}"
+            # Splice the userinfo out of the raw netloc (rather than
+            # rebuilding from .hostname, which strips IPv6 brackets and
+            # lowercases the host).
+            netloc = parts.netloc.rpartition("@")[2]
             base_url = urllib.parse.urlunsplit(
                 (parts.scheme, netloc, parts.path, parts.query, "")
             )

@@ -205,7 +205,7 @@ def check_json_render_roundtrip(spark, sf_dir, qdef, rows, colnames, con):
         if parsed.get("user_id") != uid:
             return _fail(mode, f"user_id[{eid}]: {parsed!r} vs {uid!r}")
         pv, sv = parsed.get("value"), value
-        if pv is None if sv is not None else sv is None:
+        if (pv is None) != (sv is None):
             return _fail(mode, f"value[{eid}] null mismatch")
         if sv is not None and not math.isclose(pv, sv, rel_tol=1e-15):
             return _fail(mode, f"value[{eid}]: {pv!r} vs {sv!r}")

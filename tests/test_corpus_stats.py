@@ -155,9 +155,19 @@ def test_novelty_materialized_index_within_2x_of_warm(spark, sf_dir, tmp_path):
 
     got = ngram_novelty_from_index(spark, idx).collect()
     assert got == expected
-    # generous bound for shared-box jitter; the uncached text-reshingle
-    # path is ~10x warm, so this still separates the two regimes
-    assert from_index <= max(2.5 * warm, warm + 1.0), (from_index, warm)
+    # plan-shape proof (deterministic): the index path reads parquet,
+    # never re-shingles the text — no explode/array_distinct transform
+    plan = (
+        ngram_novelty_from_index(spark, idx)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "array_distinct" not in plan and "Generate" not in plan, plan
+    # generous wall-clock bound for shared-box jitter; the uncached
+    # text-reshingle path is ~10x warm, so this still separates the
+    # two regimes even with a slow-disk tail
+    assert from_index <= max(2.5 * warm, warm + 3.0), (from_index, warm)
 
 
 def test_cms_estimate_dominates_exact(spark, sf_dir):

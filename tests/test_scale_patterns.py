@@ -290,6 +290,10 @@ def test_quantile_prune_lazy_histogram_rank(spark, sf_dir):
                 a in si.name for a in ("count at", "collect at", "take at")
             ), f"eager action in builder: {si.name}"
     assert "TakeOrderedAndProject" not in plan
+    # the per-row rank window must be PARTITIONED by score (an
+    # unpartitioned row_number over the corpus would collapse onto one
+    # task); the only unpartitioned windows run over the histogram.
+    assert "windowspecdefinition(score_scaled" in plan, plan
     # and the gate semantics: ceil(N/4) rows pruned
     import math
 
@@ -418,11 +422,7 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
         # and the filtered join still computes the right thing
         n = {r["o_orderpriority"]: r["count"] for r in j.collect()}
         o_keys = [r["o_orderkey"] for r in o.select("o_orderkey").collect()]
-        expected = (
-            li.filter(li.l_orderkey.isin(o_keys[:0] or o_keys)).count()
-            if o_keys
-            else 0
-        )
+        expected = li.filter(li.l_orderkey.isin(o_keys)).count() if o_keys else 0
         assert n.get("1-URGENT", 0) == expected
     finally:
         for k, v in prev.items():

@@ -67,7 +67,6 @@ ALLOW = {
     # UDTF protocol); the Arrow-batched alternative is the explode-of-
     # pandas_udf path exercised elsewhere.
     "udtf_tokenize": "Python UDTF protocol is per-row by definition",
-    "quantile_prune_quality": "1-row corpus-count (rank budget k) attach",
 }
 
 
