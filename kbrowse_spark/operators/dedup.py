@@ -856,3 +856,114 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_closure",
+    f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    minh AS (
+      SELECT doc_id,
+      {_sql_minhash_cols()}
+      FROM sh GROUP BY doc_id),
+    buckets AS (
+      {_sql_band_buckets()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
+                      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY src),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+    pernode AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri),
+    tcount AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM pernode GROUP BY doc_id)
+    SELECT d.doc_id, d.degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN tcount t USING (doc_id)
+    ORDER BY doc_id
+    """,
+    "dedup",
+    "graph",
+)
+def graph_triangle_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the MinHash near-dup graph: per document,
+    its near-dup degree and the number of triangles it closes.  A
+    triangle means the near-dup relation is TRANSITIVE there — high
+    triangle density justifies collapsing whole connected components to
+    one keeper (dedup_cluster_assign's policy); low density warns the
+    banding is chaining unrelated docs through hubs.
+
+    The canonical distributed formulation: with edges oriented
+    doc_a < doc_b, each triangle a<b<c is counted exactly once by the
+    wedge join (a,b)⋈(b,c) checked against edge (a,c).  Wedge volume is
+    bounded by Σ deg² of the PAIR graph (LSH-bounded, sparse by
+    construction) — never the corpus; both joins are pair-keyed
+    equi-joins.  The pair subtree is shared (cached) with the dedup
+    family, so this adds two small self-joins on top.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b2") == F.col("b"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")), "left_semi")
+        .select("a", "b", "c")
+    )
+    pernode = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    tcount = pernode.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return (
+        deg.join(tcount, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+        .orderBy("doc_id")
+    )

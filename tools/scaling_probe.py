@@ -44,6 +44,15 @@ OPS = [
     "ngram_novelty_rate",
     "semdedup_prune",
     "bm25_term_scores",
+    # round 5 additions
+    "dedup_substring_spans",
+    "cms_heavy_hitters",
+    "sample_reservoir_per_stratum",
+    "corpus_snapshot_diff",
+    "seq_length_histogram",
+    "graph_triangle_closure",
+    "quantile_prune_quality",
+    "pagerank_interaction",
 ]
 
 
