@@ -52,6 +52,7 @@ ALLOW = {
     # ANN lookups broadcast the query block by design: the corpus side
     # scales out; the query side is the bounded lookup batch.
     "ann_lsh_projection": "broadcast query vector + Hamming<=1 probe set",
+    "ann_pq_adc": "broadcast 1-row query distance table (ADC lookup)",
     "ann_ivf_label": "broadcast query vector probing nprobe cells",
     "knn_batch_topk_join": "broadcast bounded query block (design contract)",
     # TPC-H Q11/Q22 compare against scalar subqueries: 1-row attach.
