@@ -291,3 +291,93 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median absolute deviation (MAD)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_mad_outliers",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med
+      FROM c GROUP BY event_type),
+    dev AS (
+      SELECT c.event_type, c.cents, m.med,
+             ABS(c.cents - m.med) AS adev
+      FROM c JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(d.med) AS DOUBLE) AS med_cents,
+           CAST(MAX(ma.mad) AS DOUBLE) AS mad_cents,
+           CAST(SUM(CASE WHEN d.adev > 3 * ma.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(MAX(d.adev) AS DOUBLE) AS max_abs_dev
+    FROM dev d JOIN mad ma USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    "analytics",
+    "agg",
+)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via median absolute
+    deviation: values more than 3 MADs from their group median are
+    outliers — the monitoring primitive that, unlike mean/stddev
+    z-scores, does not let the outliers inflate their own threshold.
+
+    Exactness: values quantize to integer cents; exact medians with
+    linear interpolation land on representable halves/quarters, so the
+    3*MAD comparison is bit-identical across engines.  Two aggregate
+    passes (median, then MAD over deviations) with the small per-group
+    medians broadcast back — groups are event_type-cardinality, so the
+    joins are broadcast hash joins.
+
+    Scale posture: exact percentile buffers each group's values — fine
+    for low-cardinality monitoring groups; at raw 100 TB granularity
+    swap `percentile` for `approx_percentile` (rank-bounded, see
+    approx_percentile_prices) with the identical plan shape.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("med").cast("double").alias("med_cents"),
+            F.max("mad").cast("double").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("adev").cast("double").alias("max_abs_dev"),
+        )
+        .orderBy("event_type")
+    )
