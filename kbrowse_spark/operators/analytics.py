@@ -381,3 +381,113 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentile winsorization (feature clipping)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorize_value_clip",
+    """
+    WITH c AS (
+      SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    h AS (SELECT event_type, cents, COUNT(*) AS cnt
+          FROM c GROUP BY event_type, cents),
+    cum AS (
+      SELECT event_type, cents,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumn,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h),
+    cuts AS (
+      SELECT event_type,
+             MIN(CASE WHEN cumn >= (5 * n + 99) // 100 THEN cents END)
+               AS lo_cents,
+             MIN(CASE WHEN cumn >= (95 * n + 99) // 100 THEN cents END)
+               AS hi_cents
+      FROM cum GROUP BY event_type)
+    SELECT c.event_id AS event_id, c.event_type AS event_type,
+           c.cents AS cents, k.lo_cents AS lo_cents, k.hi_cents AS hi_cents,
+           LEAST(GREATEST(c.cents, k.lo_cents), k.hi_cents) AS clipped_cents,
+           CAST(c.cents < k.lo_cents OR c.cents > k.hi_cents AS INT)
+             AS was_clipped
+    FROM c JOIN cuts k USING (event_type)
+    ORDER BY event_id
+    """,
+    "analytics",
+    "agg",
+)
+def winsorize_value_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group percentile winsorization: clip each event's value into
+    its event_type's [P5, P95] band — the outlier-clamping step of
+    feature normalization (reward clipping, label smoothing, metric
+    de-spiking) that keeps heavy tails from dominating sums.
+
+    The percentile cut is an exact order statistic computed WITHOUT a
+    per-group sort of the raw rows: values quantize to integer cents
+    (bounded domain), so the cut falls out of a (event_type, cents)
+    histogram aggregate plus a cumulative window whose partition size
+    is bounded by the VALUE DOMAIN (<= 49k distinct cents here), not
+    the corpus.  Rank thresholds use pure integer arithmetic
+    (``(5*n+99) div 100`` = ceil(5n/100)) so both engines agree without
+    any floating-point quantile math.
+
+    Scale posture: two corpus scans (histogram, then clip), both
+    map-side-combinable; the per-type cuts are a handful of rows
+    broadcast back.  The same decomposition backs
+    quantile_prune_quality — this is its per-GROUP generalization.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    h = ev.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w_cum).alias("cumn"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    cuts = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cumn") >= F.expr("(5 * n + 99) div 100"), F.col("cents"))
+        ).alias("lo_cents"),
+        F.min(
+            F.when(F.col("cumn") >= F.expr("(95 * n + 99) div 100"), F.col("cents"))
+        ).alias("hi_cents"),
+    )
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            "lo_cents",
+            "hi_cents",
+            F.least(
+                F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")
+            ).alias("clipped_cents"),
+            (
+                (F.col("cents") < F.col("lo_cents"))
+                | (F.col("cents") > F.col("hi_cents"))
+            )
+            .cast("int")
+            .alias("was_clipped"),
+        )
+        .orderBy("event_id")
+    )

@@ -967,3 +967,100 @@ def graph_triangle_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keeper selection policy over near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keeper_quality",
+    f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+    minh AS (
+      SELECT doc_id,
+      {_sql_minhash_cols()}
+      FROM sh GROUP BY doc_id),
+    buckets AS (
+      {_sql_band_buckets()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
+                      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS doc_id, src AS r FROM edges
+      UNION
+      SELECT e.src AS doc_id, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.dst),
+    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    ranked AS (
+      SELECT l.doc_id, l.cluster_id, d.n_chars,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id) AS rk
+      FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+    SELECT doc_id, cluster_id, n_chars,
+           CAST(rk = 1 AS INT) AS is_keeper,
+           MAX(CASE WHEN rk = 1 THEN doc_id END)
+             OVER (PARTITION BY cluster_id) AS keeper_doc_id
+    FROM ranked
+    ORDER BY doc_id
+    """,
+    "dedup",
+    "iterative",
+)
+def dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection over near-dup clusters: instead
+    of dedup_cluster_assign's min-doc_id convention, keep the HIGHEST
+    QUALITY member of each cluster (longest document, doc_id
+    tie-break) — the policy real pipelines use so dedup removes the
+    truncated/mangled copies, not the canonical one.  Emits every
+    clustered doc with its cluster, keeper flag, and the chosen
+    keeper's id (the redirect table a dedup pass publishes).
+
+    Built ON TOP of the connected-components labels (same iterative
+    min-label propagation); the policy itself is one broadcast-sized
+    join to documents plus a per-cluster window — swapping policies
+    (length, quality logit, recency) swaps one ORDER BY.
+
+    Scale posture: the window partitions by cluster_id — cluster
+    cardinality, bounded by the near-dup graph, orders of magnitude
+    below corpus cardinality; WindowGroupLimit does not apply (we keep
+    all rows) but each partition is a handful of docs.  Labels come
+    from the checkpointed component loop, so this adds exactly one
+    join + one window to that cost.
+    """
+    from pyspark.sql import Window as W
+
+    labels = dedup_cluster_assign(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = labels.join(docs, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        ),
+    )
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.col("rk") == 1).cast("int").alias("is_keeper"),
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).over(
+            W.partitionBy("cluster_id")
+        ).alias("keeper_doc_id"),
+    ).orderBy("doc_id")

@@ -873,3 +873,275 @@ def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_docs").over(w_all)
         ).alias("cum_frac"),
     ).orderBy("bucket_start")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (constant-size filter broadcast)
+# ---------------------------------------------------------------------------
+
+# 8192-bit Bloom filter as 256 x 32-bit words (32-bit words keep every
+# mask below 2^31, so no sign-bit cases in either engine), k=4 md5-derived
+# hash functions.  Deterministic across engines => exactly oracle-checkable
+# even though Bloom filters are "approximate".  The size is deliberately
+# tight for the fixture (~600 eval shingles -> ~26% fill -> ~0.5% FP per
+# probe) so false positives actually occur and the FP accounting below is
+# exercised; production sizes at ~10 bits/element for ~1% FP.
+_BLOOM_BITS = 8192
+_BLOOM_WORD = 32
+_BLOOM_K = 4
+
+
+def _bloom_pos_spark(i: int) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat('bloom{i}-', shingle)), 1, 8),"
+        f" 16, 10) AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+def _bloom_pos_sql(i: int) -> str:
+    return (
+        f"('0x' || substr(md5('bloom{i}-' || shingle), 1, 8))::BIGINT"
+        f" % {_BLOOM_BITS}"
+    )
+
+
+@register(
+    "decontaminate_bloom",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])) AS shingle
+        FROM documents)),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {_EVAL_MOD} <> 0),
+    epos AS (
+      SELECT shingle,
+             unnest([{', '.join(_bloom_pos_sql(i) for i in range(_BLOOM_K))}])
+               AS pos
+      FROM eval_sh),
+    bitmap AS (
+      SELECT pos // {_BLOOM_WORD} AS w,
+             bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INT)) AS bits
+      FROM epos GROUP BY pos // {_BLOOM_WORD}),
+    cpos AS (
+      SELECT doc_id, shingle,
+             unnest([{', '.join(_bloom_pos_sql(i) for i in range(_BLOOM_K))}])
+               AS pos
+      FROM corpus),
+    hits AS (
+      SELECT c.doc_id, c.shingle
+      FROM cpos c JOIN bitmap b ON b.w = c.pos // {_BLOOM_WORD}
+      WHERE (b.bits & (1::BIGINT << CAST(c.pos % {_BLOOM_WORD} AS INT)))
+            = (1::BIGINT << CAST(c.pos % {_BLOOM_WORD} AS INT))),
+    cand AS (
+      SELECT doc_id, shingle FROM hits
+      GROUP BY doc_id, shingle HAVING COUNT(*) = {_BLOOM_K}),
+    bloom AS (SELECT doc_id, COUNT(*) AS bloom_hits FROM cand GROUP BY doc_id),
+    exact AS (
+      SELECT doc_id, COUNT(*) AS exact_hits FROM cand
+      WHERE shingle IN (SELECT shingle FROM eval_sh) GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id)
+    SELECT s.doc_id AS doc_id, s.n_shingles AS n_shingles,
+           COALESCE(b.bloom_hits, 0) AS bloom_hits,
+           COALESCE(e.exact_hits, 0) AS exact_hits,
+           COALESCE(b.bloom_hits, 0) - COALESCE(e.exact_hits, 0)
+             AS false_positives
+    FROM sizes s
+    LEFT JOIN bloom b ON b.doc_id = s.doc_id
+    LEFT JOIN exact e ON e.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+    "pipeline",
+    "dedup",
+    "sketch",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination: the constant-size
+    alternative to decontaminate_benchmark's broadcast shingle SET.
+
+    A real eval suite is 10^6-10^7 distinct n-grams — broadcasting the
+    raw strings costs hundreds of MB per executor.  A Bloom filter at
+    ~10 bits/element is a few MB REGARDLESS of string length, and its
+    one-sided error (no false negatives) fits this problem exactly:
+    corpus shingles are pre-screened against the filter, and only the
+    FP-bounded candidate set reaches the exact membership join — the
+    same two-phase shape Spark's own runtime row-level bloom pruning
+    uses for join inputs.
+
+    Everything is engine-deterministic: k=4 bit positions per shingle
+    derive from md5, the 2^16-bit filter is 2048 32-bit words built by
+    a bit_or aggregate (masks < 2^31, so no sign-bit divergence), and
+    the probe is a broadcast join on word index plus a mask test.  So
+    even the FALSE POSITIVES are identical in both engines, and the
+    query reports them per document (bloom_hits vs exact_hits) — the
+    operator is its own calibration harness for sizing bits/element.
+
+    Scale posture: the filter build aggregates the (small) eval side
+    only; the corpus side is one projection (4 md5s per shingle), a
+    broadcast join against <= 256 rows, and a map-side-combinable
+    count — the corpus never shuffles on shingle for the screen, only
+    candidates shuffle for the exact verify.  This fixture's 8192-bit
+    filter is deliberately tight (~600 eval shingles, ~26% fill) so
+    false positives actually occur and the FP accounting is exercised,
+    not vacuous.
+    """
+    from kbrowse_spark.operators.dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir)
+    is_eval = (F.col("doc_id") % _EVAL_MOD) == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    corpus = sh.filter(~is_eval)
+
+    pos_arr = F.array(
+        *[F.expr(_bloom_pos_spark(i)) for i in range(_BLOOM_K)]
+    ).alias("positions")
+    word = F.expr(f"pos div {_BLOOM_WORD}").alias("w")
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))"
+    ).alias("m")
+
+    bitmap = (
+        eval_sh.select(F.explode(pos_arr).alias("pos"))
+        .select(word, mask)
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    cpos = corpus.select("doc_id", "shingle", F.explode(pos_arr).alias("pos")).select(
+        "doc_id", "shingle", word, mask
+    )
+    cand = (
+        cpos.join(F.broadcast(bitmap), "w")
+        .filter((F.col("bits").bitwiseAND(F.col("m"))) == F.col("m"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == _BLOOM_K)
+        .select("doc_id", "shingle")
+    )
+    bloom_hits = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("bloom_hits"))
+    exact_hits = (
+        cand.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("exact_hits"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(bloom_hits, "doc_id", "left")
+        .join(exact_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("bloom_hits", F.lit(0)).alias("bloom_hits"),
+            F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
+            (
+                F.coalesce("bloom_hits", F.lit(0))
+                - F.coalesce("exact_hits", F.lit(0))
+            ).alias("false_positives"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (composability showcase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_curation_e2e",
+    """
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS dup_rn
+      FROM documents),
+    q AS (
+      SELECT doc_id, source, n_words FROM t
+      WHERE dup_rn = 1 AND n_chars BETWEEN 100 AND 500 AND n_words >= 20),
+    s AS (
+      SELECT doc_id, source, n_words,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT *,
+              ('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 100 AS bucket
+            FROM q)),
+    c AS (
+      SELECT doc_id, source, n_words, split
+      FROM (SELECT *,
+              row_number() OVER (PARTITION BY source, split ORDER BY doc_id)
+                AS cap_rn
+            FROM s)
+      WHERE cap_rn <= 30)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM c GROUP BY split ORDER BY split
+    """,
+    "pipeline",
+)
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE declarative plan: exact
+    content-hash dedup -> length/token quality gate -> deterministic
+    train/val/test hash split -> per-(source, split) document cap ->
+    per-split audit summary.  The point is composability: each stage
+    is the same expression family as its standalone operator
+    (dedup_exact, quality gates, split_train_val_test,
+    curation_domain_cap), and Catalyst fuses the whole chain — filters
+    collapse into the scan projection, the two window stages become two
+    WindowGroupLimit-eligible exchanges, and the final audit aggregate
+    is map-side combined.
+
+    Scale posture: exactly three shuffles end to end — the dedup
+    window's hash-partition on md5(text) (uniform by construction: the
+    key is a hash), the cap window's on (source, split), and the
+    3-group final aggregate.  No stage materializes an intermediate; a
+    100 TB run is the same plan with the summary swapped for a
+    partitioned parquet write.  The split stays stable under corpus
+    growth because it hashes doc_id, never row position.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.row_number()
+        .over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("dup_rn"),
+    )
+    q = t.filter(
+        (F.col("dup_rn") == 1)
+        & F.col("n_chars").between(100, 500)
+        & (F.col("n_words") >= 20)
+    )
+    bucket = F.expr(
+        "CAST(conv(substr(md5(concat('split-', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT) % 100"
+    )
+    s = q.withColumn(
+        "split",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
+    )
+    c = s.withColumn(
+        "cap_rn",
+        F.row_number().over(W.partitionBy("source", "split").orderBy("doc_id")),
+    ).filter(F.col("cap_rn") <= 30)
+    return (
+        c.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )

@@ -2858,3 +2858,75 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (hot-key spreading, SURVEY §2c joins + scale posture)
+# ---------------------------------------------------------------------------
+
+_SKEW_SALTS = 8
+
+
+@register(
+    "join_salted_skew",
+    f"""
+    SELECT e.user_id AS user_id, c.c_name AS c_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('e.value')} AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY e.user_id, c.c_name
+    ORDER BY e.user_id
+    """,
+    "join",
+    "scale",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted shuffle join: spread each hot join key over
+    ``_SKEW_SALTS`` reducers by appending a deterministic salt to the
+    fact side and replicating the dimension side once per salt value.
+    The salt is invisible in the result — every fact row still meets
+    exactly one dim copy — so the plain equi-join oracle stays exact.
+
+    When it matters: a 100 TB event log where a handful of power users
+    own double-digit percentages of all rows.  An unsalted sort-merge
+    join puts each hot user on ONE reducer (straggler = wall clock);
+    salting bounds any reducer at 1/S of the hottest key.  AQE's skew
+    join split is the automatic fix, but it only kicks in on sorted
+    shuffle joins after size skew is observed — the declarative salt
+    also covers aggregation-free pipelines, stream-static joins where
+    AQE is unavailable, and plans where the skew is known a priori.
+
+    Plan shape (pinned by tests/test_scale_patterns.py): the join is
+    forced to SortMergeJoin via a merge hint (standing in for a dim too
+    big to broadcast) and its join keys include the salt, so the
+    exchange hash-partitions on (key, salt) — S-way spread per key.
+    Dim replication cost is S x |dim|, independent of the fact side.
+    The salt derives from md5(event_id), not rand(): deterministic
+    under retries (a respawned task re-salts identically, so no
+    duplicate/lost rows on recompute — rand() here is a correctness
+    bug, not a style choice).
+    """
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    salt = F.expr(
+        "CAST(conv(substr(md5(concat('salt-', CAST(event_id AS STRING))),"
+        f" 1, 8), 16, 10) AS BIGINT) % {_SKEW_SALTS}"
+    )
+    big = ev.withColumn("salt", salt)
+    dim = cust.withColumn(
+        "d_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(_SKEW_SALTS - 1).cast("long"))),
+    ).hint("merge")
+    return (
+        big.join(
+            dim,
+            (F.col("user_id") == F.col("c_custkey"))
+            & (F.col("salt") == F.col("d_salt")),
+        )
+        .groupBy("user_id", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -456,3 +456,85 @@ def test_observe_metrics_ride_the_action(spark, sf_dir):
     assert m["null_texts"] == 0
     assert kept < n
     assert m["min_doc"] >= 0 and m["max_doc"] > m["min_doc"]
+
+
+def test_join_salted_skew_plan_spreads_key(spark, sf_dir):
+    """The catalog's salted-skew join must actually produce a shuffle
+    join keyed on (key, salt) — i.e. the exchange spreads each hot key
+    over the salt space — not silently collapse to a broadcast."""
+    from kbrowse_spark.catalog import all_queries
+
+    df = all_queries()["join_salted_skew"].builder(spark, sf_dir)
+    plan = _plan(df)
+    smj_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert smj_lines, f"salted join lost its sort-merge shape:\n{plan}"
+    assert "salt" in smj_lines[0] and "d_salt" in smj_lines[0], smj_lines[0]
+
+
+def test_bloom_decontaminate_fp_accounting(spark, sf_dir):
+    """Bloom screening has one-sided error: bloom_hits >= exact_hits
+    everywhere (no false negatives), the FP column reconciles, the
+    deliberately undersized fixture filter produces real false
+    positives (the calibration path is exercised, not vacuous), and
+    exact_hits agrees with the broadcast-set operator's ground truth."""
+    from kbrowse_spark.catalog import all_queries
+
+    qs = all_queries()
+    rows = qs["decontaminate_bloom"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bloom_hits >= r.exact_hits, r
+        assert r.false_positives == r.bloom_hits - r.exact_hits, r
+        assert r.bloom_hits <= r.n_shingles, r
+    assert sum(r.false_positives for r in rows) > 0, (
+        "filter sized so large the FP accounting is never exercised"
+    )
+    truth = {
+        r.doc_id: r.n_hit
+        for r in qs["decontaminate_benchmark"].builder(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.exact_hits == truth.get(r.doc_id, 0), r
+
+
+def test_winsorize_clip_invariants(spark, sf_dir):
+    """Winsorization sanity: every value lands inside its group's
+    [P5, P95] band after clipping, the bands are ordered, and the
+    clipped fraction is bounded by the tail mass (<= 5% + one
+    cents-bucket of ties per side)."""
+    from kbrowse_spark.catalog import all_queries
+
+    rows = all_queries()["winsorize_value_clip"].builder(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert r.lo_cents <= r.hi_cents, r
+        assert r.lo_cents <= r.clipped_cents <= r.hi_cents, r
+        assert r.was_clipped == int(
+            r.cents < r.lo_cents or r.cents > r.hi_cents
+        ), r
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        frac = sum(r.was_clipped for r in rs) / len(rs)
+        assert frac <= 0.11, (t, frac)
+        # exact order-statistic check against a local sort
+        cents = sorted(r.cents for r in rs)
+        n = len(cents)
+        assert rs[0].lo_cents == cents[(5 * n + 99) // 100 - 1], t
+        assert rs[0].hi_cents == cents[(95 * n + 99) // 100 - 1], t
+
+
+def test_curation_e2e_shuffle_budget(spark, sf_dir):
+    """The composed curation pipeline stays within its declared shuffle
+    budget: dedup window + cap window + the audit aggregate's two
+    distinct-agg exchanges — no hidden extra shuffle from stage
+    composition."""
+    from kbrowse_spark.catalog import all_queries
+
+    df = all_queries()["pipeline_curation_e2e"].builder(spark, sf_dir)
+    df.collect()
+    # AQE's toString appends the initial plan after the final one —
+    # count exchanges in the final section only.
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    assert n_hash_ex <= 4, f"{n_hash_ex} hash exchanges:\n{plan}"
