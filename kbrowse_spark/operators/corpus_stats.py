@@ -802,3 +802,132 @@ def bm25_term_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-feature importance resampling
+# ---------------------------------------------------------------------------
+
+# Hashed-feature importance sampling (Data Selection via Importance
+# Resampling): score raw documents by how target-like their hashed
+# n-gram feature distribution is, then keep the highest-scoring slice.
+# Feature space is a fixed 4096-bucket hash of word bigrams; the
+# importance weight of a bucket is the Laplace-smoothed target/raw
+# count ratio in 2^20 fixed point — all integer arithmetic, so both
+# engines produce bit-identical scores.
+_DSIR_BUCKETS = 4096
+_DSIR_SCALE = 1 << 20
+_DSIR_TOP = 200
+
+
+@register(
+    "dsir_hashed_importance",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(bg), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1])) AS bg
+        FROM documents)),
+    bg_cnt AS (SELECT b, COUNT(*) AS n_bg FROM f GROUP BY b),
+    tgt_cnt AS (SELECT b, COUNT(*) AS n_tgt FROM f WHERE lang = 'en'
+                GROUP BY b),
+    w AS (SELECT bg_cnt.b AS b,
+                 (COALESCE(n_tgt, 0) + 1) * {_DSIR_SCALE} // (n_bg + 1) AS wt
+          FROM bg_cnt LEFT JOIN tgt_cnt ON bg_cnt.b = tgt_cnt.b),
+    scored AS (
+      SELECT f.doc_id AS doc_id, f.lang AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(wt) AS BIGINT) AS total
+      FROM f JOIN w ON f.b = w.b
+      GROUP BY f.doc_id, f.lang)
+    SELECT doc_id, lang, n_feats, total // n_feats AS mean_importance
+    FROM scored
+    ORDER BY mean_importance DESC, doc_id
+    LIMIT {_DSIR_TOP}
+    """,
+    "corpus_stats",
+    "pipeline",
+)
+def dsir_hashed_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): rank raw documents by
+    the importance ratio of a TARGET distribution (here: lang='en'
+    docs stand in for the curated target corpus) to the RAW corpus
+    distribution, estimated over a hashed bag-of-bigrams feature space.
+    The top slice is what a pretraining pipeline keeps.
+
+    Hashing bigrams into {_DSIR_BUCKETS} buckets bounds the model state
+    by the BUCKET COUNT, not the vocabulary: the weight table is a few
+    thousand rows regardless of corpus size, so it broadcasts to every
+    executor and the per-document scoring pass never shuffles the
+    feature stream — the exact property that makes DSIR tractable at
+    100 TB where an exact-vocabulary LM would not be.
+
+    Importance weights are Laplace-smoothed count ratios in 2^20 fixed
+    point (pure int64 — wt <= 2^20, per-doc totals < 2^34), so both
+    engines agree bit-for-bit; production would use log-space floats
+    with a tolerance oracle instead.
+
+    Scale posture: one corpus scan builds both count tables (two
+    map-side-combined aggregates over the same exploded feature
+    stream); the scoring pass is a broadcast hash join (weight table)
+    feeding a doc-keyed aggregate; the final top-{_DSIR_TOP} is
+    TakeOrderedAndProject — no global sort.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+    )
+    f = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> concat_ws(' ', ws[i], ws[i+1]))"
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("bg"), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    bg_cnt = f.groupBy("b").agg(F.count(F.lit(1)).alias("n_bg"))
+    tgt_cnt = (
+        f.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_tgt"))
+    )
+    weights = bg_cnt.join(tgt_cnt, "b", "left").select(
+        "b",
+        F.expr(
+            f"(coalesce(n_tgt, 0) + 1) * {_DSIR_SCALE} DIV (n_bg + 1)"
+        ).alias("wt"),
+    )
+    scored = (
+        f.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("wt").alias("total"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.expr("total DIV n_feats").alias("mean_importance"),
+        )
+        .orderBy(F.col("mean_importance").desc(), "doc_id")
+        .limit(_DSIR_TOP)
+    )

@@ -620,3 +620,66 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility / compression statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility_stats",
+    f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT)
+             * 1000 // CAST(SUM(len(text)) AS BIGINT) AS tokens_per_kchar,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) * 1000
+             // CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}')))
+                     AS BIGINT) AS bytes_per_token_milli
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "text",
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: per language, how many tokens the
+    BPE-ish pretokenizer yields per 1000 characters and how many UTF-8
+    BYTES each token costs — the numbers that size a token budget from
+    raw corpus bytes and expose multibyte-script cost (CJK text spends
+    ~3 bytes/char, so its bytes-per-token runs far above Latin scripts
+    even at similar chars-per-token).
+
+    char length vs octet_length is deliberate: the fixture's zh/ja docs
+    make the two diverge, pinning that both engines agree on UTF-8 byte
+    accounting, not just codepoint counts.
+
+    Scale posture: ONE map-side-combined aggregate over a straight
+    corpus scan; the regex token count is a JVM expression inside
+    whole-stage codegen (no UDF), and the output is |langs| rows.
+    Ratios are integer fixed-point (per-mille), exact in both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    ).cast("long")
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.sum(F.octet_length("text").cast("long")).alias("total_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "total_bytes",
+        F.expr("total_tokens * 1000 DIV total_chars").alias("tokens_per_kchar"),
+        F.expr("total_bytes * 1000 DIV total_tokens").alias(
+            "bytes_per_token_milli"
+        ),
+    ).orderBy("lang")

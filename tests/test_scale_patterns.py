@@ -538,3 +538,31 @@ def test_curation_e2e_shuffle_budget(spark, sf_dir):
     plan = _plan(df).split("== Initial Plan ==")[0]
     n_hash_ex = plan.count("Exchange hashpartitioning")
     assert n_hash_ex <= 4, f"{n_hash_ex} hash exchanges:\n{plan}"
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Join-driven pruning: a filter that lives on the DIMENSION side
+    must still prune partitions of a partitioned FACT scan — Spark
+    plants a dynamicpruning subquery (reusing the broadcast exchange)
+    into the fact scan's PartitionFilters.  This is the star-schema
+    lever at 100 TB: the fact table is only ever read for the
+    partitions the dim filter selects, without the user restating the
+    filter on the fact side."""
+    from kbrowse_spark.sources.tables import load
+
+    out = str(tmp_path / "orders_by_status")
+    load(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    ).filter(F.col("label") == "open")
+    joined = fact.join(dim, "o_orderstatus").select("o_orderkey", "label")
+    rows = joined.collect()
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), f"no DPP subquery in:\n{plan}"
+    # value check: exactly the 'O' orders survive
+    expected = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).count()
+    assert len(rows) == expected and all(r.label == "open" for r in rows)
