@@ -64,6 +64,13 @@ HEADLINE = [
     # round 5 second wave: substring-span dedup (gram index + semi-join
     # + span-merge windows) — the heaviest new text operator
     "dedup_substring_spans",
+    # round 5 third wave: paragraph-grain keep-first dedup (segment
+    # explode + hash-keyed first-occurrence join), the composed RAG
+    # retrieve stage, and the event-time-timer sessionization path
+    # (applyInPandasWithState timeout machinery under bench watch).
+    "dedup_paragraph_keepfirst",
+    "rag_chunk_retrieval",
+    "stream_session_timeout",
 ]
 
 

@@ -1064,3 +1064,132 @@ def dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("cluster_id")
         ).alias("keeper_doc_id"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-grained keep-first dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+# Segment width in words.  CCNet dedups at paragraph grain; the fixture
+# text has no paragraph breaks, so fixed 16-word segments stand in —
+# the plan is identical for newline-split paragraphs.
+_PARA_W = 16
+# seg_idx packs into the low 16 bits of the keep-first ordering key, so
+# a document may have at most 65536 segments (= ~1M words) — far above
+# any real paragraph count per doc.
+_PARA_KEY_SHIFT = 65536
+
+
+@register(
+    "dedup_paragraph_keepfirst",
+    f"""
+    WITH segs AS (
+      SELECT doc_id, i AS seg_idx,
+             md5(array_to_string(
+               list_slice(ws, i*{_PARA_W}+1, i*{_PARA_W}+{_PARA_W}), ' ')) AS h,
+             len(list_slice(ws, i*{_PARA_W}+1, i*{_PARA_W}+{_PARA_W}))
+               AS n_words
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               unnest(generate_series(
+                 0, (len(string_split(text, ' ')) - 1) // {_PARA_W})) AS i
+        FROM documents)),
+    first_occ AS (
+      SELECT h, MIN(doc_id * {_PARA_KEY_SHIFT} + seg_idx) AS first_key
+      FROM segs GROUP BY h),
+    marked AS (
+      SELECT s.doc_id AS doc_id, s.n_words AS n_words,
+             CASE WHEN s.doc_id * {_PARA_KEY_SHIFT} + s.seg_idx = f.first_key
+                  THEN 1 ELSE 0 END AS kept
+      FROM segs s JOIN first_occ f ON s.h = f.h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(kept * n_words) AS BIGINT) AS kept_words,
+           CAST(SUM(kept * n_words) AS DOUBLE) / SUM(n_words) AS kept_ratio
+    FROM marked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "dedup",
+)
+def dedup_paragraph_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-grained dedup (Wenzek et al. 2020): hash
+    every paragraph-sized segment of every document, keep only the
+    globally FIRST occurrence of each hash (ordered by (doc_id,
+    position)), and report per-document how much text survives —
+    removing boilerplate repeated across documents without dropping
+    whole docs, the step document-grained dedup can't express.
+
+    Keep-first is decided by one integer key: ``doc_id * 65536 +
+    seg_idx`` MIN-aggregated per hash — a map-side-combinable groupBy,
+    no window over the segment stream.  Membership rides a hash-keyed
+    equi-join of the segment stream against that (hash, first_key)
+    aggregate; at 100 TB both sides partial-aggregate before the
+    shuffle and the join key is the content hash, so skew equals
+    duplication level and AQE splits the hot hashes.
+
+    Scale posture: one corpus scan explodes segments (JVM expressions
+    only), two shuffles total (hash groupBy, doc_id groupBy after the
+    join).  State never exceeds distinct-hash count; no driver
+    participation.  The kept_ratio is one IEEE division of two exact
+    ints, bit-identical in both engines.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    segs = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, (size(ws) - 1) div {_PARA_W})")
+        ).alias("seg_idx"),
+        F.col("ws"),
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5(
+            F.concat_ws(
+                " ", F.expr(f"slice(ws, seg_idx * {_PARA_W} + 1, {_PARA_W})")
+            )
+        ).alias("h"),
+        F.size(
+            F.expr(f"slice(ws, seg_idx * {_PARA_W} + 1, {_PARA_W})")
+        ).cast("long").alias("n_words"),
+    )
+    first_occ = segs.groupBy("h").agg(
+        F.min(
+            F.col("doc_id") * _PARA_KEY_SHIFT + F.col("seg_idx")
+        ).alias("first_key")
+    )
+    marked = segs.join(first_occ, "h").select(
+        "doc_id",
+        "n_words",
+        F.when(
+            F.col("doc_id") * _PARA_KEY_SHIFT + F.col("seg_idx")
+            == F.col("first_key"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("kept"),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum("n_words").alias("total_words"),
+            F.sum(F.col("kept") * F.col("n_words")).alias("kept_words"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "n_kept",
+            "total_words",
+            "kept_words",
+            (
+                F.col("kept_words").cast("double") / F.col("total_words")
+            ).alias("kept_ratio"),
+        )
+        .orderBy("doc_id")
+    )

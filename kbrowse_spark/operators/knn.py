@@ -821,3 +821,144 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style chunk retrieval (end-to-end)
+# ---------------------------------------------------------------------------
+
+_RAG_CHUNK_W = 32  # words per chunk
+_RAG_BUCKETS = 16  # hashed bag-of-words feature dimension
+_RAG_TOPK = 5
+_RAG_QUERIES = [
+    (0, "spark window join stream"),
+    (1, "customer order data table"),
+    (2, "batch merge sort filter"),
+]
+_RAG_QUERY_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _RAG_QUERIES)
+
+
+@register(
+    "rag_chunk_retrieval",
+    f"""
+    WITH words AS (
+      SELECT doc_id, (i - 1) // {_RAG_CHUNK_W} AS chunk_idx,
+             ('0x' || substr(md5(ws[i]), 1, 8))::BIGINT % {_RAG_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+    cfeat AS (
+      SELECT doc_id, chunk_idx, b, COUNT(*) AS cnt
+      FROM words GROUP BY doc_id, chunk_idx, b),
+    qwords AS (
+      SELECT query_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {_RAG_BUCKETS} AS b
+      FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS w
+            FROM (VALUES {_RAG_QUERY_VALUES}) AS q(query_id, qtext))),
+    qfeat AS (
+      SELECT query_id, b, COUNT(*) AS qcnt FROM qwords GROUP BY query_id, b),
+    scored AS (
+      SELECT q.query_id AS query_id, c.doc_id AS doc_id,
+             c.chunk_idx AS chunk_idx,
+             CAST(SUM(c.cnt * q.qcnt) AS BIGINT) AS dot
+      FROM cfeat c JOIN qfeat q ON c.b = q.b
+      GROUP BY q.query_id, c.doc_id, c.chunk_idx),
+    topk AS (
+      SELECT * FROM (
+        SELECT query_id, doc_id, chunk_idx, dot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, doc_id, chunk_idx) AS rnk
+        FROM scored) WHERE rnk <= {_RAG_TOPK})
+    SELECT t.query_id AS query_id, CAST(t.rnk AS INT) AS rnk,
+           t.doc_id AS doc_id, t.chunk_idx AS chunk_idx, t.dot AS dot,
+           array_to_string(list_slice(string_split(d.text, ' '),
+             t.chunk_idx * {_RAG_CHUNK_W} + 1,
+             t.chunk_idx * {_RAG_CHUNK_W} + 8), ' ') AS snippet
+    FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+    ORDER BY query_id, rnk
+    """,
+    "knn",
+    "pipeline",
+)
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval: chunk every document into
+    {_RAG_CHUNK_W}-word passages, featurize chunks AND queries into a
+    {_RAG_BUCKETS}-bucket hashed bag-of-words, score by sparse inner
+    product, take the top-{_RAG_TOPK} passages per query, and join the
+    winners back to source text for the answer snippet — the full
+    retrieve-stage pipeline (corpus indexing through passage return)
+    in one declarative plan.  Dense-vector retrieval over real
+    embeddings is the knn/ANN family; this operator pins the
+    COMPOSITION: chunking, dual featurization, candidate scoring,
+    per-query top-k, and text join-back.
+
+    Scoring joins the chunk feature stream against the per-bucket
+    QUERY features — a broadcast of |queries| x {_RAG_BUCKETS} rows at
+    most, so the corpus side never shuffles for scoring; the per-
+    (query, chunk) dot product is a map-side-combinable SUM, the
+    top-{_RAG_TOPK} collapses via WindowGroupLimit before any full
+    sort, and only the {_RAG_TOPK * len(_RAG_QUERIES)} winning chunk
+    keys join back to document text (a broadcast semi-sized join).
+    All scores are exact integer counts — identical in both engines.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    words = d.select(
+        "doc_id",
+        F.posexplode("ws").alias("pos", "w"),
+    ).select(
+        "doc_id",
+        (F.col("pos") / _RAG_CHUNK_W).cast("long").alias("chunk_idx"),
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+            % _RAG_BUCKETS
+        ).alias("b"),
+    )
+    cfeat = words.groupBy("doc_id", "chunk_idx", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    q = spark.createDataFrame(_RAG_QUERIES, "query_id long, qtext string")
+    qfeat = (
+        q.select("query_id", F.explode(F.split("qtext", " ")).alias("w"))
+        .select(
+            "query_id",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+                % _RAG_BUCKETS
+            ).alias("b"),
+        )
+        .groupBy("query_id", "b")
+        .agg(F.count(F.lit(1)).alias("qcnt"))
+    )
+    scored = (
+        cfeat.join(F.broadcast(qfeat), "b")
+        .groupBy("query_id", "doc_id", "chunk_idx")
+        .agg(F.sum(F.col("cnt") * F.col("qcnt")).alias("dot"))
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.col("dot").desc(), "doc_id", "chunk_idx"
+        )
+    )
+    topk = scored.withColumn("rnk", rnk).filter(F.col("rnk") <= _RAG_TOPK)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    return (
+        topk.join(docs, "doc_id")
+        .select(
+            "query_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "doc_id",
+            "chunk_idx",
+            "dot",
+            F.concat_ws(
+                " ",
+                F.expr(f"slice(ws, chunk_idx * {_RAG_CHUNK_W} + 1, 8)"),
+            ).alias("snippet"),
+        )
+        .orderBy("query_id", "rnk")
+    )

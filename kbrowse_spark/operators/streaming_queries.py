@@ -963,3 +963,128 @@ def stream_pyds_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete").orderBy("event_type")
+
+
+@register(
+    "stream_session_timeout",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    "streaming",
+    "stateful",
+)
+def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMERS: an
+    applyInPandasWithState operator buffers one open session per user
+    ((start, last, count) — three longs, bounded state) and registers a
+    timeout at last_event + gap.  Sessions close two ways, exactly as
+    in production: a later event past the gap closes the previous
+    session in-stream, and the WATERMARK closes idle sessions by firing
+    the timer — no new event for the user required.  This is the
+    pattern `session_window` can't express once the per-session state
+    or emission policy is custom (e.g. emit-on-close side effects,
+    session caps, per-session payload accumulation).
+
+    On the bounded availableNow run, the flush sentinel drags the
+    watermark past every real session's timeout, so every session
+    drains through the TIMER path (the no-data micro-batch after the
+    watermark jump) and the result equals the batch gaps-and-islands
+    oracle — the same oracle as `session_window_events`, pinning that
+    the timer formulation and the native session-window agree.
+
+    Late data: rows older than the watermark delay are dropped by the
+    stateful operator's late-row filter before reaching the function,
+    the standard streaming-sessionization contract.
+
+    Scale posture: state is per-user scalars in the executor state
+    store (no event buffering — merging is incremental), timers are
+    state-store metadata, and emission is append-mode final rows only.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    _GAP_MS = 30 * 60 * 1000
+
+    ev, _ = _events_stream_with_flush(spark, sf_dir, "session_timeout")
+    src = (
+        ev.withWatermark("ts", "1 second")
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+
+    def update(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [start_us],
+                    "end_us": [last_us + _GAP_MS * 1000],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_list: list[int] = []
+        for pdf in batches:
+            ts_list.extend(int(v) for v in pdf["ts_us"])
+        ts_list.sort()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_list[0], ts_list[0] - 1, 0
+        out = []
+        for t in ts_list:
+            if n > 0 and t - last_us > _GAP_MS * 1000:
+                out.append((key[0], start_us, last_us + _GAP_MS * 1000, n))
+                start_us, n = t, 0
+            last_us = t
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + _GAP_MS)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_us", "end_us", "n_events"]
+            )
+
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, start_us long, end_us long, n_events long"
+        ),
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    result = _run_to_memory(sessions, "append")
+    return (
+        result.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format(
+                F.timestamp_micros(F.col("start_us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            F.date_format(
+                F.timestamp_micros(F.col("end_us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

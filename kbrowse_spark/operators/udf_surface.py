@@ -482,3 +482,67 @@ def arrowcogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "udtf_analyze_ngrams",
+    """
+    SELECT doc_id, CAST(pos AS INT) AS pos, w1, w2
+    FROM (
+      SELECT doc_id,
+             unnest(generate_series(1, len(string_split(text, ' ')) - 1)) AS pos,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i])) AS w1,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i+1])) AS w2
+      FROM documents WHERE doc_id < 20)
+    ORDER BY doc_id, pos
+    """,
+    "udf",
+)
+def udtf_analyze_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze`` protocol): the
+    output schema is computed at plan time from a literal argument —
+    ``kb_ngrams(text, n)`` emits columns w1..wN for the requested
+    n-gram width, which a static ``returnType`` cannot express.  The
+    catalog query pins n=2 so a plain SQL oracle exists; the analyze
+    path itself (schema derived from the constant, non-constant n
+    rejected) is what's under test.
+
+    Scale posture: same as any UDTF — per-row Python is the slow path
+    by contract (the tokenize/shingle JVM expressions are the 100 TB
+    route); this exists to verify the API surface, bounded here to a
+    doc_id slice.
+    """
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int):
+                raise Exception("n must be a constant integer")
+            st = StructType().add("pos", IntegerType())
+            for i in range(1, n.value + 1):
+                st = st.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            ws = text.split(" ")
+            for p in range(len(ws) - n + 1):
+                yield (p + 1, *ws[p : p + n])
+
+    spark.udtf.register("kb_ngrams", udtf(NGrams))
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("kb_udtf_ngram_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.w1, t.w2
+        FROM kb_udtf_ngram_docs, LATERAL kb_ngrams(text, 2) t
+        ORDER BY doc_id, pos
+        """
+    )

@@ -68,6 +68,7 @@ ALLOW = {
     # UDTF protocol); the Arrow-batched alternative is the explode-of-
     # pandas_udf path exercised elsewhere.
     "udtf_tokenize": "Python UDTF protocol is per-row by definition",
+    "udtf_analyze_ngrams": "Python UDTF protocol is per-row by definition",
 }
 
 
