@@ -491,3 +491,188 @@ def winsorize_value_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment metric
+# ---------------------------------------------------------------------------
+
+_CUPED_CUTOFF = "2024-01-15"
+
+
+@register(
+    "cuped_adjusted_metric",
+    f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x_cents,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y_cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_cents) AS HUGEINT) AS sx,
+             CAST(SUM(y_cents) AS HUGEINT) AS sy,
+             SUM(CAST(x_cents * x_cents AS HUGEINT)) AS sxx,
+             SUM(CAST(x_cents * y_cents AS HUGEINT)) AS sxy
+      FROM per_user),
+    theta_t AS (
+      SELECT n, sx,
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS theta
+      FROM stats)
+    SELECT p.user_id AS user_id, p.x_cents AS x_cents, p.y_cents AS y_cents,
+           t.theta AS theta,
+           CAST(p.y_cents AS DOUBLE) / 100 - t.theta *
+             (CAST(p.x_cents AS DOUBLE) / 100
+              - CAST(t.sx AS DOUBLE) / t.n / 100) AS y_adj
+    FROM per_user p CROSS JOIN theta_t t
+    ORDER BY user_id
+    """,
+    "analytics",
+    "agg",
+)
+def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, "Improving the
+    Sensitivity of Online Controlled Experiments"): adjust each user's
+    post-period metric by theta x (pre-period covariate - mean), where
+    theta = cov(x,y)/var(x) — the standard trick that shrinks
+    experiment metric variance using pre-experiment behavior, cutting
+    required sample sizes severalfold.
+
+    All moments accumulate EXACTLY: per-user pre/post sums in integer
+    cents, the cross/auto products summed in 128-bit-capable arithmetic
+    (Spark DECIMAL(38,0), DuckDB HUGEINT — per-user products fit int64,
+    but n*Sxy at corpus scale does not, the SemDeDup overflow lesson).
+    theta and the adjustment are then IEEE doubles over identical
+    expression trees, so both engines agree bit-for-bit.
+
+    Scale posture: one user-keyed aggregate (map-side combinable), a
+    1-row moments aggregate, and a broadcast 1-row theta attach — the
+    corpus is scanned once and shuffled once at user grain.  No window
+    over raw events.
+    """
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    per_user = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("x_cents"),
+            F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y_cents"),
+        )
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_cents").cast("decimal(38,0)").alias("sx"),
+        F.sum("y_cents").cast("decimal(38,0)").alias("sy"),
+        F.sum(
+            (F.col("x_cents") * F.col("x_cents")).cast("decimal(38,0)")
+        ).alias("sxx"),
+        F.sum(
+            (F.col("x_cents") * F.col("y_cents")).cast("decimal(38,0)")
+        ).alias("sxy"),
+    )
+    theta_t = stats.select(
+        "n",
+        "sx",
+        (
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxy")
+                - F.col("sx") * F.col("sy")
+            ).cast("double")
+            / (
+                F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                - F.col("sx") * F.col("sx")
+            ).cast("double")
+        ).alias("theta"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(theta_t))
+        .select(
+            "user_id",
+            "x_cents",
+            "y_cents",
+            "theta",
+            (
+                F.col("y_cents").cast("double") / 100
+                - F.col("theta")
+                * (
+                    F.col("x_cents").cast("double") / 100
+                    - F.col("sx").cast("double") / F.col("n") / 100
+                )
+            ).alias("y_adj"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    counts AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, event_type)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM counts
+    ORDER BY from_type, to_type
+    """,
+    "analytics",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the behavioral model
+    behind funnel anomaly detection and session simulation.
+
+    Scale posture: the only event-grain operation is the per-user LAG
+    (one shuffle at user grain, same partitioning as sessionization —
+    at 100 TB this rides an already user-bucketed layout for free);
+    the transition counts partial-aggregate map-side, and the
+    normalizing window runs over the |types|^2-row matrix, not the
+    corpus.  The probability is a single IEEE division of two exact
+    integers.
+    """
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev"),
+    )
+    counts = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("from_type"))
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")

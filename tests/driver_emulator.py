@@ -9,6 +9,9 @@ HUGEINT->float64 vs Spark int64 mismatches are caught as value
 differences (6.0 != 6), not silently equal like ``fetchall`` was.
 
 Run from anywhere: ``python /root/repo/tests/driver_emulator.py``.
+Optional positional args restrict the sweep to the named queries
+(``python tests/driver_emulator.py cuped_adjusted_metric``) — the
+full-catalog run stays the default and the release gate.
 Prints MATCH/MISMATCH per query and a final RESULT line.
 """
 
@@ -96,8 +99,11 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    only = set(sys.argv[1:])
     bad = 0
     for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, SF)
             spd = sdf.toPandas()

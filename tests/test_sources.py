@@ -269,3 +269,31 @@ def test_pioneer_jsonl_stream_writer_per_batch_commit(spark, sf_dir, tmp_path):
         with open(p) as f:
             n_lines += sum(1 for _ in f)
     assert n_lines == n_in
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    """Schema evolution across parquet file vintages: columns added in
+    later writes must surface (NULL-filled for older files) under
+    mergeSchema — the contract that lets a 100 TB table grow columns
+    without rewriting history.  Conflicting TYPES for the same column
+    are a hard error (not silent coercion), which the second half
+    pins: evolution means adding columns, never mutating them."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.parquet(f"{base}/v1.parquet")
+    spark.createDataFrame(
+        [(2 ** 40, "b", 99)], "id long, name string, score int"
+    ).write.parquet(f"{base}/v2.parquet")
+    df = spark.read.option("mergeSchema", "true").parquet(f"{base}/*.parquet")
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string", "score": "int"}
+    rows = {r["name"]: (r["id"], r["score"]) for r in df.collect()}
+    assert rows == {"a": (1, None), "b": (2 ** 40, 99)}
+    # a TYPE conflict (id rewritten as string) must fail loudly
+    import pytest
+
+    spark.createDataFrame(
+        [("oops", "c")], "id string, name string"
+    ).write.parquet(f"{base}/v3.parquet")
+    with pytest.raises(Exception, match="[Mm]erg"):
+        spark.read.option("mergeSchema", "true").parquet(f"{base}/*.parquet")

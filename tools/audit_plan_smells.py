@@ -64,6 +64,9 @@ ALLOW = {
     # Grid densification crosses a 1-row bounds aggregate with the
     # (tiny) observed dimension table.
     "timeseries_gap_fill": "1-row bounds aggregate x type dimension",
+    # CUPED attaches the 1-row (theta, n, sx) moments aggregate to the
+    # per-user table — a broadcast of one row by construction.
+    "cuped_adjusted_metric": "1-row CUPED theta/moments attach",
     # The Python UDTF surface is row-at-a-time by nature (Spark 3.5+
     # UDTF protocol); the Arrow-batched alternative is the explode-of-
     # pandas_udf path exercised elsewhere.
