@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QueryDef]:
         analytics,
         clustering,
         corpus_stats,
+        data_quality,
         dedup,
         graph,
         kbrowse_scan,

@@ -150,3 +150,117 @@ def pagerank_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 pagerank_interaction.__doc__ = pagerank_interaction.__doc__.format(
     iters=_PR_ITERS, top=_PR_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: bounded path enumeration over the behavior graph
+# ---------------------------------------------------------------------------
+
+# Edges = event-type transitions with probability >= this bound (the
+# p-threshold is scale-free, unlike a raw count).
+_PATH_MIN_P = 0.18
+_PATH_MAX_DEPTH = 3
+
+
+@register(
+    "recursive_cte_paths",
+    f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    counts AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, event_type),
+    edges AS (
+      SELECT from_type, to_type
+      FROM (SELECT from_type, to_type,
+                   CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY from_type) AS p
+            FROM counts)
+      WHERE p >= {_PATH_MIN_P}),
+    paths AS (
+      SELECT from_type AS start_type, to_type AS end_type,
+             from_type || '>' || to_type AS path, 1 AS depth
+      FROM edges WHERE from_type = 'signup'
+      UNION ALL
+      SELECT p.start_type, e.to_type,
+             p.path || '>' || e.to_type, p.depth + 1
+      FROM paths p JOIN edges e ON p.end_type = e.from_type
+      WHERE p.depth < {_PATH_MAX_DEPTH})
+    SELECT start_type, end_type, path, CAST(depth AS INT) AS depth
+    FROM paths
+    ORDER BY depth, path
+    """,
+    "graph",
+)
+def recursive_cte_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): enumerate all
+    behavior paths of depth <= {depth} from 'signup' through the
+    event-transition graph, keeping only edges with transition
+    probability >= {minp} — the funnel-path discovery query, and the
+    SQL-surface feature (iterative UNION ALL fixpoint) that previously
+    required a driver-side loop.
+
+    The seed/edge derivation reuses the `event_transition_matrix`
+    shape (one user-grain shuffle; the recursion then iterates over
+    the |types|^2-bounded edge list, so each recursive step is a join
+    against a FEW-ROW relation — the corpus is touched once, the
+    fixpoint never re-reads it.  Depth is bounded, so the plan
+    terminates regardless of cycles (cyclic edges like view>view are
+    real and kept).
+
+    Cites kbrowse parity only by contrast: the reference has no
+    recursion surface; this is Spark-4 extension coverage.
+    """
+    from pyspark.sql import Window as W
+
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    counts = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    edges = counts.select(
+        "from_type",
+        "to_type",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type"))
+        ).alias("p"),
+    ).filter(F.col("p") >= _PATH_MIN_P)
+    edges.createOrReplaceTempView("kb_transition_edges")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE paths AS (
+          SELECT from_type AS start_type, to_type AS end_type,
+                 concat(from_type, '>', to_type) AS path, 1 AS depth
+          FROM kb_transition_edges WHERE from_type = 'signup'
+          UNION ALL
+          SELECT p.start_type, e.to_type,
+                 concat(p.path, '>', e.to_type), p.depth + 1
+          FROM paths p JOIN kb_transition_edges e
+            ON p.end_type = e.from_type
+          WHERE p.depth < {_PATH_MAX_DEPTH})
+        SELECT start_type, end_type, path, CAST(depth AS INT) AS depth
+        FROM paths
+        ORDER BY depth, path
+        """
+    )
+
+
+recursive_cte_paths.__doc__ = recursive_cte_paths.__doc__.format(
+    depth=_PATH_MAX_DEPTH, minp=_PATH_MIN_P
+)

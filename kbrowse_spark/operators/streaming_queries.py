@@ -1088,3 +1088,66 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    "streaming",
+    "stateful",
+)
+def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native STREAMING session windows: ``session_window`` inside a
+    watermarked streaming aggregation — Spark's built-in merging
+    session state (adjacent windows within the gap fuse as events
+    arrive, sessions emit when the watermark passes their close).
+    Together with the batch `session_window_events` and the
+    timer-based `stream_session_timeout`, all three sessionization
+    routes are pinned to the SAME gaps-and-islands oracle.
+
+    Scale posture: state is per-(user, open-session) in the state
+    store, merged incrementally; append mode emits each session
+    exactly once.  The flush sentinel drains end-of-stream sessions on
+    the bounded run (production: the watermark does this continually).
+    """
+    ev, _ = _events_stream_with_flush(spark, sf_dir, "native_session")
+    agg = (
+        ev.withWatermark("ts", "1 second")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    result = _run_to_memory(agg, "append")
+    return (
+        result.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format(
+                F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            F.date_format(
+                F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
