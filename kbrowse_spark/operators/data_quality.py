@@ -179,3 +179,104 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         (F.col("n_violations") == 0).cast("int").alias("ok"),
     ).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Column profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "column_profile_orders",
+    """
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(o_custkey) AS BIGINT) AS nn_cust,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn_cust,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx_cust,
+             CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_status,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS mn_status,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS mx_status,
+             CAST(COUNT(o_orderdate) AS BIGINT) AS nn_date,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
+             CAST(MIN(o_orderdate) AS VARCHAR) AS mn_date,
+             CAST(MAX(o_orderdate) AS VARCHAR) AS mx_date,
+             CAST(COUNT(o_totalprice) AS BIGINT) AS nn_price,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+             CAST(MIN(CAST(floor(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+               AS mn_price,
+             CAST(MAX(CAST(floor(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+               AS mx_price
+      FROM orders),
+    p AS (
+      SELECT 'o_custkey' AS column_name, n, n - nn_cust AS n_null,
+             nd_cust AS n_distinct, mn_cust AS min_value,
+             mx_cust AS max_value FROM a
+      UNION ALL
+      SELECT 'o_orderstatus', n, n - nn_status, nd_status, mn_status,
+             mx_status FROM a
+      UNION ALL
+      SELECT 'o_orderdate', n, n - nn_date, nd_date, mn_date, mx_date
+      FROM a
+      UNION ALL
+      SELECT 'o_totalprice_cents', n, n - nn_price, nd_price, mn_price,
+             mx_price FROM a)
+    SELECT * FROM p ORDER BY column_name
+    """,
+    "quality",
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling at scale (the `DESCRIBE`/Deequ-profile shape):
+    per column — row count, null count, exact distinct count, min and
+    max (stringified for a uniform report schema; the price column
+    profiles in integer cents so min/max are exact).
+
+    Scale posture: ALL columns profile in ONE aggregate pass — the
+    multi-distinct aggregate compiles to Spark's Expand (one replicated
+    stream per distinct column) which is the standard exact-profile
+    cost; swap COUNT(DISTINCT) for approx_count_distinct when estimates
+    suffice and the pass becomes a plain single-stream aggregate.  The
+    report pivot unions 1-row projections of that single aggregate —
+    no re-scan per column.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").cast("string").alias("mn_status"),
+        F.max("o_orderstatus").cast("string").alias("mx_status"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.min("o_orderdate").cast("string").alias("mn_date"),
+        F.max("o_orderdate").cast("string").alias("mx_date"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min(cents).cast("string").alias("mn_price"),
+        F.max(cents).cast("string").alias("mx_price"),
+    )
+
+    def prof(colname: str, suffix: str):
+        return a.select(
+            F.lit(colname).alias("column_name"),
+            F.col("n"),
+            (F.col("n") - F.col(f"nn_{suffix}")).alias("n_null"),
+            F.col(f"nd_{suffix}").alias("n_distinct"),
+            F.col(f"mn_{suffix}").alias("min_value"),
+            F.col(f"mx_{suffix}").alias("max_value"),
+        )
+
+    return (
+        prof("o_custkey", "cust")
+        .unionAll(prof("o_orderstatus", "status"))
+        .unionAll(prof("o_orderdate", "date"))
+        .unionAll(prof("o_totalprice_cents", "price"))
+        .orderBy("column_name")
+    )

@@ -566,3 +566,23 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
         F.col("o_orderstatus") == "O"
     ).count()
     assert len(rows) == expected and all(r.label == "open" for r in rows)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Join-strategy hints are the manual override when stats mislead
+    the planner at scale (e.g. a 'small' side that explodes after a
+    filter): each hint must produce its physical join operator."""
+    from kbrowse_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cases = [
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ]
+    for hint, op in cases:
+        j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+        j.collect()
+        plan = _plan(j)
+        assert op in plan, f"hint {hint!r} did not yield {op}:\n{plan}"

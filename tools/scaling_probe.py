@@ -53,6 +53,15 @@ OPS = [
     "graph_triangle_closure",
     "quantile_prune_quality",
     "pagerank_interaction",
+    # round 5 second session
+    "dsir_hashed_importance",
+    "dedup_paragraph_keepfirst",
+    "rag_chunk_retrieval",
+    "tokenizer_fertility_stats",
+    "cuped_adjusted_metric",
+    "event_transition_matrix",
+    "recursive_cte_paths",
+    "data_quality_report",
 ]
 
 
