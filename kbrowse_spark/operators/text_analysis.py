@@ -683,3 +683,84 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_token_milli"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Positional-index phrase search
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("table", "hash")
+_PHRASE_RE = r"\b" + " ".join(_PHRASE) + r"\b"
+
+
+@register(
+    "phrase_search_positional",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, ws[i] AS w, i AS p
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents))),
+    hits AS (
+      SELECT a.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_phrase
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      WHERE a.w = '{_PHRASE[0]}' AND b.w = '{_PHRASE[1]}'
+      GROUP BY a.doc_id),
+    direct AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_PHRASE_RE}')) AS BIGINT)
+               AS n_direct
+      FROM documents)
+    SELECT h.doc_id AS doc_id, h.n_phrase AS n_phrase, d.n_direct AS n_direct
+    FROM hits h JOIN direct d ON h.doc_id = d.doc_id
+    ORDER BY doc_id
+    """,
+    "text",
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query via a POSITIONAL inverted index — the search-engine
+    primitive: per-term posting lists carry word positions, and an
+    exact phrase match is an equi-join of adjacent positions (term_i at
+    p, term_{{i+1}} at p+1) — no text re-scan at query time.  The
+    operator emits the phrase count per document from the index AND
+    from a direct regex scan; the two columns agreeing (for a
+    self-overlap-free phrase) is the index-correctness invariant,
+    checked row-by-row by the oracle.
+
+    Scale posture: the posting join is keyed (doc_id, position) after
+    per-term selection — each side is filtered to ONE term's postings
+    before the join, so the join input is term-frequency-sized, not
+    corpus-sized; at 100 TB the posting lists are the materialized
+    table and only the (rare-term) selections move.  The direct-regex
+    leg exists for verification; production serves from the index.
+    """
+    d = load(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "w")
+    )
+    # the NEXT position is part of the equi-join key (not a post-join
+    # filter), so the join never materializes the per-doc tf(a) x tf(b)
+    # cross product — it matches exact adjacency directly.
+    a = pos.filter(F.col("w") == _PHRASE[0]).select(
+        "doc_id", (F.col("p") + 1).alias("p_next")
+    )
+    b = pos.filter(F.col("w") == _PHRASE[1]).select(
+        "doc_id", F.col("p").alias("p_next")
+    )
+    hits = (
+        a.join(b, ["doc_id", "p_next"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_phrase"))
+    )
+    direct = d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_PHRASE_RE), 0)
+        ).cast("long").alias("n_direct"),
+    )
+    return (
+        hits.join(direct, "doc_id")
+        .select("doc_id", "n_phrase", "n_direct")
+        .orderBy("doc_id")
+    )
