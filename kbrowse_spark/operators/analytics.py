@@ -676,3 +676,159 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(Window.partitionBy("from_type"))
         ).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-7-day WAU / stickiness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dau_wau_stickiness",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM du GROUP BY day),
+    contrib AS (
+      SELECT day + CAST(i AS INTEGER) AS tday, user_id
+      FROM du, (SELECT unnest(generate_series(0, 6)) AS i)),
+    wau AS (SELECT tday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib GROUP BY tday)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau AS dau,
+           w.wau AS wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM dau d JOIN wau w ON w.tday = d.day
+    ORDER BY day
+    """,
+    "analytics",
+    "agg",
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: daily active users, TRAILING-7-day weekly
+    active users, and DAU/WAU per day — the standard product-health
+    ratio.  WAU is an EXACT sliding distinct count, which no windowed
+    SUM can produce (users active on several days must count once).
+
+    The exact-sliding-distinct trick: dedup to (day, user) grain first,
+    then each active day CONTRIBUTES the user to the 7 target days it
+    falls within (a bounded 7x explode of the day-grain table — NOT of
+    raw events), and a plain COUNT(DISTINCT) per target day finishes.
+    At 100 TB the (day, user) dedup is the only event-grain pass;
+    everything after runs on |days| x |users| rows at most.  (The
+    approximate alternative at extreme cardinality is the HLL-sketch
+    rollup, `sketch_hll_rollup_merge`.)
+
+    Stickiness is one IEEE division of two exact counts.
+    """
+    du = (
+        load(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("i")).alias("tday"), "user_id")
+    wau = contrib.groupBy("tday").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["tday"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentile bands per group (P50 / P95 / P99)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latency_percentile_bands",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    h AS (SELECT event_type, cents, COUNT(*) AS cnt
+          FROM c GROUP BY event_type, cents),
+    cum AS (
+      SELECT event_type, cents,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cumn,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cumn >= (50 * n + 99) // 100 THEN cents END)
+             AS p50_cents,
+           MIN(CASE WHEN cumn >= (95 * n + 99) // 100 THEN cents END)
+             AS p95_cents,
+           MIN(CASE WHEN cumn >= (99 * n + 99) // 100 THEN cents END)
+             AS p99_cents
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "analytics",
+    "agg",
+)
+def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring percentile bands: EXACT P50/P95/P99 per group as
+    order statistics — the SLO dashboard numbers — without sorting raw
+    rows: the winsorize/quantile-prune histogram-rank decomposition
+    (values quantize to a bounded integer domain; the cumulative
+    window runs over the per-group HISTOGRAM, value-domain-bounded,
+    not the corpus).  Rank thresholds are ceil(p*n/100) in pure
+    integer arithmetic.
+
+    Scale posture: one map-side-combined histogram aggregate over the
+    corpus, then windows over <= |group| x |domain| rows.  Exact
+    percentiles at 100 TB are normally "impossible" because of the
+    sort; bounded-domain metrics (cents, micros, ms) make them a
+    two-aggregate plan.  Unbounded-domain metrics fall back to
+    `approx_percentile_prices`' sketch.
+    """
+    c = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    h = c.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(w_cum).alias("cumn"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def pct(p: int):
+        return F.min(
+            F.when(
+                F.col("cumn") >= F.expr(f"({p} * n + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias(f"p{p}_cents")
+
+    return (
+        cum.groupBy("event_type")
+        .agg(F.max("n").cast("long").alias("n"), pct(50), pct(95), pct(99))
+        .orderBy("event_type")
+    )
