@@ -832,3 +832,86 @@ def latency_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n").cast("long").alias("n"), pct(50), pct(95), pct(99))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC hourly bars
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ohlc_hourly_bars",
+    """
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    rn AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM c)
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT)
+             AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)
+             AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM rn
+    GROUP BY event_type, hour
+    ORDER BY event_type, hour
+    """,
+    "analytics",
+    "agg",
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation (the time-series downsampling shape):
+    per (event_type, hour) — opening value (first by event time),
+    high, low, closing value (last by event time), tick count.
+
+    open/close use ``min_by`` / ``max_by`` with a composite
+    (ts, event_id) ordering struct — ONE map-side-combinable aggregate
+    carries first-and-last semantics, NO per-group sort and no window
+    over raw rows (the oracle deliberately uses the row_number
+    formulation to cross-check the argmin/argmax semantics,
+    tie-broken identically).
+
+    Scale posture: a single hash aggregate keyed (type, hour); min_by
+    partials merge associatively, so the plan is the same two-exchange
+    shape as any sum — the reason bar-building at market-data scale is
+    an aggregate, not a sort.
+    """
+    c = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.struct("ts", "event_id").alias("ord"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        c.groupBy("event_type", "hour")
+        .agg(
+            F.min_by("cents", "ord").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", "ord").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_ticks",
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -1151,3 +1151,107 @@ def stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "stream_transition_counts",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    counts AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, event_type)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM counts
+    ORDER BY from_type, to_type
+    """,
+    "streaming",
+    "stateful",
+)
+def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL feature extraction on a stream: the event-type
+    transition counts of `event_transition_matrix`, maintained by an
+    applyInPandasWithState operator whose per-user state is just the
+    LAST seen event — each micro-batch emits only the transitions it
+    completes (including the one spanning the batch boundary via the
+    stored tail), so the downstream count table updates incrementally
+    instead of recomputing the per-user LAG over history.
+
+    This is the streaming twin of the batch operator and shares its
+    oracle — pinning that incremental state accumulation converges to
+    the batch recompute, the property every streaming feature store
+    depends on.
+
+    Ordering: events are sequenced within each batch by (ts, event_id)
+    and across batches by arrival; rows later than the watermark delay
+    are dropped by the stateful operator's late-row filter (the
+    standard contract, as in `stream_session_timeout`).
+
+    Scale posture: state is ONE tuple per user; emission is
+    transition-grain aggregated per (user, batch) in the worker before
+    it ever hits the sink; the final normalization runs over the
+    |types|^2 matrix.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+
+    def update(key, batches, state: GroupState):
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                (int(r.ts_us), int(r.event_id), str(r.event_type))
+                for r in pdf.itertuples(index=False)
+            )
+        if not rows:
+            return
+        rows.sort()
+        last = state.get[0] if state.exists else None
+        counts: dict[tuple[str, str], int] = {}
+        for _, _, et in rows:
+            if last is not None:
+                k = (last, et)
+                counts[k] = counts.get(k, 0) + 1
+            last = et
+        state.update((last,))
+        if counts:
+            yield pd.DataFrame(
+                [
+                    {"from_type": a, "to_type": b, "n": n}
+                    for (a, b), n in counts.items()
+                ]
+            )
+
+    trans = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="from_type string, to_type string, n long",
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = _run_to_memory(trans, "append")
+    counts = result.groupBy("from_type", "to_type").agg(
+        F.sum("n").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("from_type"))
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
