@@ -264,3 +264,124 @@ def recursive_cte_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 recursive_cte_paths.__doc__ = recursive_cte_paths.__doc__.format(
     depth=_PATH_MAX_DEPTH, minp=_PATH_MIN_P
 )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, deterministic)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 2
+_LPA_TOP = 20
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s, 'c' || c FROM pairs),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)"""
+    ]
+    for t in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f""",
+    cnt{t} AS (
+      SELECT e.dst AS id, l.label AS label, COUNT(*) AS n
+      FROM edges e JOIN l{t - 1} l ON l.id = e.src
+      GROUP BY e.dst, l.label),
+    l{t} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY n DESC, label) AS rk
+        FROM cnt{t}) WHERE rk = 1)"""
+        )
+    parts.append(
+        f"""
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{_LPA_ITERS}
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT {_LPA_TOP}"""
+    )
+    return "".join(parts)
+
+
+@register("lpa_communities", _lpa_oracle(), "graph")
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    customer-supplier interaction graph: every node starts as its own
+    community; each round it adopts the most frequent label among its
+    neighbors (ties -> lexicographically smallest — the determinism
+    LPA normally lacks), {iters} rounds, top-{top} communities by size.
+    Alongside connected components (reachability), PageRank
+    (authority), and triangles (cohesion), this completes the graph
+    family with the density-based grouping a curation stack uses to
+    carve a near-dup or interaction graph into clusters.
+
+    Scale posture: per round, ONE src-keyed join of the edge list
+    against the node-sized label table, one (dst, label) count
+    aggregate (map-side combinable), and one WindowGroupLimit argmax
+    over the per-node label histogram (bounded by a node's distinct
+    neighbor labels, not the corpus).  Identical shape to the PageRank
+    iteration; the edge list would be bucketed by src at 100 TB.
+    """
+    from pyspark.sql import Window as W
+
+    from kbrowse_spark.functions.cache_registry import cached
+
+    def build_edges():
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        pairs = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                    "cnode"
+                ),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                    "snode"
+                ),
+            )
+            .distinct()
+        )
+        return pairs.select(
+            F.col("cnode").alias("src"), F.col("snode").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+        )
+
+    edges = cached(spark, sf_dir, "lpa_edges", build_edges)
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("nid"), "label")
+            .groupBy("nid", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rk = F.row_number().over(
+            W.partitionBy("nid").orderBy(F.col("n").desc(), "label")
+        )
+        labels = (
+            cnt.withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .select(F.col("nid").alias("id"), "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(_LPA_TOP)
+    )
+
+
+lpa_communities.__doc__ = lpa_communities.__doc__.format(
+    iters=_LPA_ITERS, top=_LPA_TOP
+)

@@ -764,3 +764,102 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_phrase", "n_direct")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality ensemble vote
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_ensemble_vote",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN {_sql_list(_STOPWORDS)})) AS n_stop,
+             len(replace(text, ' ', '')) AS n_chars
+      FROM documents),
+    votes AS (
+      SELECT doc_id,
+             CAST(n_words >= 40 AS INT) AS v_length,
+             CAST(CAST(n_stop AS DOUBLE) / n_words >= 0.01 AS INT)
+               AS v_stopword,
+             CAST(10 * n_uniq >= 3 * n_words AS INT) AS v_diversity,
+             CAST(n_chars >= 2 * n_words AND n_chars <= 15 * n_words
+                  AS INT) AS v_wordshape
+      FROM sig)
+    SELECT doc_id, v_length, v_stopword, v_diversity, v_wordshape,
+           CAST(v_length + v_stopword + v_diversity + v_wordshape
+                AS INT) AS n_votes,
+           CAST(v_length + v_stopword + v_diversity + v_wordshape >= 3
+                AS INT) AS keep
+    FROM votes
+    ORDER BY doc_id
+    """,
+    "text",
+    "pipeline",
+)
+def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision quality gating: four independent cheap signals
+    vote per document — length, stopword presence, lexical diversity
+    (distinct/total word ratio), and word-shape sanity (chars-per-word
+    band) — and majority (>=3) decides keep/drop.  Ensembling
+    uncorrelated weak signals is the standard robustness move over any
+    single threshold (one signal's failure mode doesn't doom the doc),
+    and the per-vote breakdown is the audit trail reviewers need.
+
+    Every vote is an integer comparison (the diversity band uses
+    10*uniq >= 3*words — no float ratio; the stopword vote's single
+    IEEE division is threshold-compared identically in both engines).
+
+    Scale posture: one straight corpus scan, all signals computed in
+    one projection of JVM expressions (shared split() subtree), no
+    shuffle at all until the ORDER BY — at 100 TB this gate runs at
+    scan speed as the first pass of the curation pipeline.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws"), "text"
+    )
+    sig = d.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_uniq"),
+        F.size(
+            F.filter("ws", lambda w: w.isin(*_STOPWORDS))
+        ).alias("n_stop"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_chars"
+        ),
+    )
+    votes = sig.select(
+        "doc_id",
+        (F.col("n_words") >= 40).cast("int").alias("v_length"),
+        (
+            F.col("n_stop").cast("double") / F.col("n_words") >= 0.01
+        ).cast("int").alias("v_stopword"),
+        (10 * F.col("n_uniq") >= 3 * F.col("n_words")).cast("int").alias(
+            "v_diversity"
+        ),
+        (
+            (F.col("n_chars") >= 2 * F.col("n_words"))
+            & (F.col("n_chars") <= 15 * F.col("n_words"))
+        ).cast("int").alias("v_wordshape"),
+    )
+    total = (
+        F.col("v_length")
+        + F.col("v_stopword")
+        + F.col("v_diversity")
+        + F.col("v_wordshape")
+    )
+    return votes.select(
+        "doc_id",
+        "v_length",
+        "v_stopword",
+        "v_diversity",
+        "v_wordshape",
+        total.cast("int").alias("n_votes"),
+        (total >= 3).cast("int").alias("keep"),
+    ).orderBy("doc_id")
