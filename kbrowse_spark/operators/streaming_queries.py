@@ -1055,7 +1055,11 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n > 0 and t - last_us > _GAP_MS * 1000:
                 out.append((key[0], start_us, last_us + _GAP_MS * 1000, n))
                 start_us, n = t, 0
-            last_us = t
+            # max() guards the cross-batch case: an in-watermark but
+            # out-of-order arrival extends the open session's count
+            # without REGRESSING its end (and thus its timeout).
+            last_us = max(last_us, t)
+            start_us = min(start_us, t)
             n += 1
         state.update((start_us, last_us, n))
         state.setTimeoutTimestamp(last_us // 1000 + _GAP_MS)
