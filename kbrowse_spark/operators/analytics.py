@@ -915,3 +915,88 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-N + "other" share-of-total rollup
+# ---------------------------------------------------------------------------
+
+_TOPN_SOURCES = 5
+
+
+@register(
+    "topn_other_rollup",
+    f"""
+    WITH per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY n_docs DESC, source) AS rk
+      FROM per_src),
+    bucketed AS (
+      SELECT CASE WHEN rk <= {_TOPN_SOURCES} THEN source
+                  ELSE 'other' END AS source,
+             CASE WHEN rk <= {_TOPN_SOURCES} THEN rk
+                  ELSE {_TOPN_SOURCES + 1} END AS ord,
+             n_docs, n_chars
+      FROM ranked)
+    SELECT source, CAST(MIN(ord) AS INT) AS ord,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_docs) AS DOUBLE)
+             / SUM(SUM(n_docs)) OVER () AS share
+    FROM bucketed
+    GROUP BY source
+    ORDER BY ord
+    """,
+    "analytics",
+    "agg",
+)
+def topn_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI staple: top-{_TOPN_SOURCES} sources by document count,
+    the long tail collapsed into one 'other' row, each with its share
+    of total — the chart-ready contribution rollup.
+
+    Scale posture: the corpus collapses to |sources| rows in ONE
+    map-side-combined aggregate; ranking, bucketing, and the
+    share-of-total window all run over that aggregate (the unbounded
+    window is over <= {_TOPN_SOURCES + 1} final rows, not the corpus).
+    """
+    per_src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_docs").desc(), "source")
+    )
+    bucketed = per_src.withColumn("rk", rk).select(
+        F.when(F.col("rk") <= _TOPN_SOURCES, F.col("source"))
+        .otherwise(F.lit("other"))
+        .alias("source"),
+        F.when(F.col("rk") <= _TOPN_SOURCES, F.col("rk"))
+        .otherwise(F.lit(_TOPN_SOURCES + 1))
+        .alias("ord"),
+        "n_docs",
+        "n_chars",
+    )
+    agg = bucketed.groupBy("source").agg(
+        F.min("ord").cast("int").alias("ord"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    return agg.select(
+        "source",
+        "ord",
+        "n_docs",
+        "n_chars",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy())
+        ).alias("share"),
+    ).orderBy("ord")
