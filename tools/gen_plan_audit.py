@@ -51,6 +51,18 @@ AUDIT = [
     ("bm25_term_scores", "term filter before shuffle, WindowGroupLimit top-k"),
     ("quantile_prune_quality", "lazy histogram-rank cut: value-domain-bounded cum window + per-score row_number"),
     ("pagerank_interaction", "cached loop-invariant edges, 2 shuffles/iteration"),
+    # round 5 second session
+    ("dsir_hashed_importance", "bucket-bounded weight table broadcast to scoring pass"),
+    ("dedup_paragraph_keepfirst", "hash-keyed first-occurrence agg + equi-join + doc rollup"),
+    ("rag_chunk_retrieval", "broadcast query features, WindowGroupLimit top-k, id-only join-back"),
+    ("phrase_search_positional", "adjacency in the equi-join key (no tf x tf fanout)"),
+    ("dau_wau_stickiness", "day-grain dedup first; 7x fanout on day grain only"),
+    ("latency_percentile_bands", "histogram agg; windows bounded by value domain"),
+    ("ohlc_hourly_bars", "min_by/max_by single aggregate, no per-group sort"),
+    ("lpa_communities", "per-round: edge join + label-histogram WindowGroupLimit argmax"),
+    ("cuped_adjusted_metric", "one user-grain shuffle; 1-row moments broadcast attach"),
+    ("data_quality_report", "one conditional-agg pass per table; FK as left-join null-flag"),
+    ("topn_other_rollup", "corpus collapses to source grain before any window"),
 ]
 
 
