@@ -1259,3 +1259,112 @@ def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(W.partitionBy("from_type"))
         ).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "stream_foreachbatch_merge",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "streaming",
+    "stateful",
+)
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (the foreachBatch-upsert pattern): each
+    micro-batch's per-key aggregate is MERGED into a keyed state TABLE
+    — counters add, last-seen takes the max — the sink-side twin of
+    `stream_stateful_user_totals` (state in the table, not the stream
+    operator), and the shape every foreachBatch + MERGE INTO
+    deployment uses for streaming CDC into a warehouse table.
+
+    Exactly-once without a transactional table format: the state
+    table is VERSIONED BY BATCH ID — batch n deterministically
+    rebuilds version n from version n-1 plus its own data, so a
+    replayed batch overwrites its own version instead of
+    double-applying (the same replay-safety contract as the
+    ``batch_id=`` export, moved to read-modify-write).
+
+    Scale posture: the per-batch merge is a keyed FULL OUTER join of
+    the (key-grain) state table against the (key-grain) batch
+    aggregate — both sides collapse to key cardinality before the
+    join; nothing event-grain is rewritten.  A transactional format
+    (Delta/Iceberg MERGE) replaces the version-directory dance, not
+    the plan.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    ev = _events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/kbrowse_febmerge/{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    schema = (
+        "user_id long, n_events long, total_cents long, last_ts_us long"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        agg = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100).cast("long")
+                ).alias("total_cents"),
+                F.max(F.unix_micros("ts")).alias("last_ts_us"),
+            )
+        )
+        prev_path = f"{base}/v{batch_id - 1}"
+        if os.path.isdir(prev_path):
+            prev = s.read.schema(schema).parquet(prev_path)
+        else:
+            prev = s.createDataFrame([], schema)
+        p, b = prev.alias("p"), agg.alias("b")
+        merged = p.join(b, "user_id", "full_outer").select(
+            "user_id",
+            (
+                F.coalesce(F.col("p.n_events"), F.lit(0))
+                + F.coalesce(F.col("b.n_events"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("p.total_cents"), F.lit(0))
+                + F.coalesce(F.col("b.total_cents"), F.lit(0))
+            ).alias("total_cents"),
+            F.greatest(
+                F.coalesce(F.col("p.last_ts_us"), F.lit(0)),
+                F.coalesce(F.col("b.last_ts_us"), F.lit(0)),
+            ).alias("last_ts_us"),
+        )
+        merged.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
+
+    q = (
+        ev.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    versions = [
+        int(d[1:])
+        for d in os.listdir(base)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    final = spark.read.schema(schema).parquet(f"{base}/v{max(versions)}")
+    return final.select(
+        "user_id",
+        "n_events",
+        "total_cents",
+        F.date_format(
+            F.timestamp_micros(F.col("last_ts_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_seen"),
+    ).orderBy("user_id")

@@ -287,3 +287,47 @@ def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
     )
     run_once()
     assert sorted(r.user_id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+def test_watermark_drop_metrics_reported(spark, tmp_path):
+    """Operational accounting: rows discarded as too-late must be
+    COUNTED in the streaming progress (stateOperators'
+    numRowsDroppedByWatermark) — the metric a production pipeline
+    alerts on, distinct from the result-correctness assertion of
+    test_watermark_drops_late_data."""
+    schema = "user_id long, ts timestamp, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [(1, _ts(0, 10), 1.0), (1, _ts(1, 10), 1.0), (1, _ts(2, 0), 1.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b1.parquet")
+    time.sleep(1.1)
+    spark.createDataFrame([(1, _ts(2, 30), 1.0)], schema).coalesce(1).write.parquet(
+        f"{src}/b2.parquet"
+    )
+    time.sleep(1.1)
+    b3 = [(1, _ts(0, 20), 100.0), (1, _ts(3, 0), 1.0)]
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(f"{src}/b3.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("value").alias("total"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_metrics_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = 0
+    for p in q.recentProgress:
+        for op in (p.get("stateOperators") or []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    assert dropped >= 1, "late row was not accounted in progress metrics"
