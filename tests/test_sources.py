@@ -297,3 +297,65 @@ def test_schema_evolution_mergeschema_read(spark, tmp_path):
     ).write.parquet(f"{base}/v3.parquet")
     with pytest.raises(Exception, match="[Mm]erg"):
         spark.read.option("mergeSchema", "true").parquet(f"{base}/*.parquet")
+
+
+def _write_rowgrouped_events(path: str, n: int = 1000, rg: int = 100) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array([i % 50 for i in range(n)], pa.int64()),
+            "event_type": pa.array(
+                ["click" if i % 3 else "view" for i in range(n)]
+            ),
+            "value": pa.array([float(i) / 7 for i in range(n)], pa.float64()),
+        }
+    )
+    pq.write_table(t, path, row_group_size=rg)
+
+
+def test_pyds_pushdown_prunes_row_groups(spark, tmp_path):
+    """Python DSv2 filter pushdown: a selective event_id predicate must
+    shrink the PLANNED split list via footer min/max stats (10 row
+    groups -> 2), while every filter is returned unhandled so Spark
+    re-applies it and results stay exact."""
+    from pyspark.sql.datasource import EqualTo, LessThan
+
+    from kbrowse_spark.sources.pyds import EventsRowGroupReader
+
+    p = str(tmp_path / "rg_events.parquet")
+    _write_rowgrouped_events(p)
+    r = EventsRowGroupReader({"path": p})
+    assert len(r.partitions()) == 10
+    unhandled = list(r.pushFilters([LessThan(("event_id",), 150)]))
+    assert len(unhandled) == 1  # advisory: Spark re-applies
+    assert len(r.partitions()) == 2  # row groups [0,100) and [100,200)
+    r2 = EventsRowGroupReader({"path": p})
+    r2.pushFilters([EqualTo(("event_id",), 555)])
+    assert len(r2.partitions()) == 1
+
+
+def test_pyds_pushdown_end_to_end_exact(spark, tmp_path):
+    """With spark.sql.python.filterPushdown.enabled the pruned scan
+    must return EXACTLY the filtered rows (stats pruning is advisory;
+    Spark's re-applied predicate guarantees the values)."""
+    from kbrowse_spark.sources.pyds import register_events_rowgroup_source
+
+    p = str(tmp_path / "rg_events2.parquet")
+    _write_rowgrouped_events(p)
+    register_events_rowgroup_source(spark)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("events_rowgroups")
+            .option("path", p)
+            .load()
+            .filter(F.col("event_id") < 150)
+        )
+        got = sorted(r.event_id for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+    assert got == list(range(150))
