@@ -76,6 +76,7 @@ def all_queries() -> dict[str, QueryDef]:
         graph,
         kbrowse_scan,
         knn,
+        linkage,
         multimodal,
         pipeline_ops,
         relational,

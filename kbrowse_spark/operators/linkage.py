@@ -1,0 +1,338 @@
+"""Record-linkage and interval-analytics operators: pigeonhole
+fuzzy join, sweep-line concurrency, EWMA smoothing (SURVEY §2c
+extension surface — entity-resolution and time-series primitives a
+training-data pipeline needs next to dedup).
+
+Scale rules shared by all three:
+  * candidate generation is always BLOCKED (pigeonhole segments) or
+    SHARDED (per-day sweep partitions) — no all-pairs, no global
+    window over the raw stream;
+  * every float that feeds a comparison or an ORDER BY is either an
+    exact decimal aggregate (functions/determinism.dsum) or an
+    identical IEEE expression tree on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kbrowse_spark.catalog import register
+from kbrowse_spark.functions.determinism import sql_dsum
+from kbrowse_spark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# Fuzzy join via pigeonhole segment blocking
+# ---------------------------------------------------------------------------
+
+# Customer names are fixed-width 'Customer#ddddddddd' (9 digits).  For
+# equal-length keys, levenshtein <= 1 implies exactly one substituted
+# character, so splitting the digit block into 3 segments guarantees at
+# least 2 of the 3 segments match exactly (pigeonhole).  Joining on the
+# three 2-segment combinations therefore finds EVERY distance-<=1 pair
+# while touching only same-block candidates — the standard PassJoin /
+# Ed-Join blocking family, no all-pairs anywhere.
+_SEGS = [(10, 3), (13, 3), (16, 3)]  # 1-based (start, len) into c_name
+_KEY_PAIRS = [(0, 1), (0, 2), (1, 2)]
+
+
+def _seg_sql(alias: str, i: int) -> str:
+    s, ln = _SEGS[i]
+    return f"substr({alias}.c_name, {s}, {ln})"
+
+
+@register(
+    "fuzzy_join_pigeonhole",
+    # Independent formulation: the oracle verifies by the DIRECT
+    # quadratic join (fine at sf0.01), so a blocking bug that silently
+    # drops pairs cannot also hide in the oracle.
+    """
+    WITH pairs AS (
+      SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+             a.c_name AS a_name, b.c_name AS b_name
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    posed AS (
+      SELECT a_key, b_key,
+             (SELECT CAST(SUM(CASE WHEN substr(a_name, 9 + i, 1)
+                                      <> substr(b_name, 9 + i, 1)
+                                   THEN i ELSE 0 END) AS BIGINT)
+              FROM generate_series(1, 9) AS t(i)) AS pos_changed
+      FROM pairs)
+    SELECT pos_changed,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(a_key) AS BIGINT) AS sum_a,
+           CAST(SUM(b_key) AS BIGINT) AS sum_b,
+           CAST(SUM(a_key * b_key) AS BIGINT) AS sum_ab
+    FROM posed
+    GROUP BY pos_changed
+    ORDER BY pos_changed
+    """,
+    "linkage",
+)
+def fuzzy_join_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / fuzzy self-join: customer-name pairs within
+    edit distance 1, found by pigeonhole segment blocking instead of an
+    all-pairs comparison (reference has no linkage operator; this is
+    §2c extension surface alongside the dedup family).
+
+    Each record emits 3 blocking keys (the 3 ways to choose 2 of its 3
+    digit segments); a distance-1 pair differs in exactly one segment,
+    so it matches on EXACTLY ONE key — the equi-join both finds every
+    pair and never duplicates one, hence no DISTINCT (and no second
+    shuffle) is needed.  Verification (`levenshtein`, JVM-side) runs on
+    blocked candidates only.
+
+    Output is the per-digit-position linkage summary with
+    order-independent key checksums (sum_a/sum_b/sum_ab) — pair
+    identity is fully value-checked without shipping the O(n) pair list
+    through the gate.
+
+    Scale posture: one shuffle on the blocking key.  For real-world
+    keys (names, emails) segment blocks are balanced by construction;
+    sequential zero-padded IDs are the adversarial case — the
+    high-order segments are near-constant, so ONE of the three key
+    combinations degenerates into a hot block (AQE skew-join splits
+    it).  The standard production mitigations compose here: widen the
+    hot segment, or cap blocking-key frequency the way
+    dedup_ngram_jaccard caps shingle df.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    segs = [F.substring("c_name", s, ln) for s, ln in _SEGS]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(kid).alias("kid"),
+                F.concat_ws("|", segs[i], segs[j]).alias("kval"),
+            )
+            for kid, (i, j) in enumerate(_KEY_PAIRS)
+        ]
+    )
+    blocked = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.explode(keys).alias("bk"),
+    ).select("key", "name", "bk.kid", "bk.kval")
+
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = a.join(
+        b,
+        on=[
+            F.col("a.kid") == F.col("b.kid"),
+            F.col("a.kval") == F.col("b.kval"),
+            F.col("a.key") < F.col("b.key"),
+        ],
+    ).where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+
+    pos = None
+    for i in range(1, 10):
+        term = F.when(
+            F.substring(F.col("a.name"), 9 + i, 1)
+            != F.substring(F.col("b.name"), 9 + i, 1),
+            F.lit(i),
+        ).otherwise(F.lit(0))
+        pos = term if pos is None else pos + term
+    pairs = cand.select(
+        F.col("a.key").alias("a_key"),
+        F.col("b.key").alias("b_key"),
+        pos.cast("long").alias("pos_changed"),
+    )
+    return (
+        pairs.groupBy("pos_changed")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("a_key").alias("sum_a"),
+            F.sum("b_key").alias("sum_b"),
+            F.sum(F.col("a_key") * F.col("b_key")).alias("sum_ab"),
+        )
+        .orderBy("pos_changed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Max-concurrency sweep line (sharded prefix sum)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic duration: 60s..3599s derived from event_id.
+# (The fixture has no duration column; deriving one from the real id
+# keeps inputs driver-generated, per TESTDATA.md.)
+_DUR_SQL = "60 + event_id % 3540"
+
+
+@register(
+    "max_concurrency_sweep",
+    f"""
+    WITH iv AS (
+      SELECT event_id, ts AS start_ts,
+             ts + INTERVAL (({_DUR_SQL})) SECOND AS end_ts
+      FROM events),
+    deltas AS (
+      SELECT start_ts AS pt, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT end_ts AS pt, -1 AS delta, event_id FROM iv),
+    run AS (
+      SELECT pt, delta,
+             SUM(delta) OVER (ORDER BY pt, delta, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS conc
+      FROM deltas)
+    SELECT strftime(pt, '%Y-%m-%d') AS day,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrency,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM run
+    GROUP BY 1 ORDER BY 1
+    """,
+    "analytics",
+)
+def max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by interval sweep-line: +1 at
+    each session start, -1 at each end, running sum, per-day max.
+
+    The running sum is a GLOBAL prefix over all 2n boundary points —
+    the textbook single-task trap.  Sharded exactly like
+    token_budget_packing: each day-shard computes its local running sum
+    in parallel (window partitioned by day), then a broadcast
+    one-row-per-shard cumulative net offset shifts each shard by the
+    concurrency carried in from all earlier days (sessions that span
+    midnight are handled by construction — their -1 lands in a later
+    shard, so the day-net carries them forward).  The only unpartitioned
+    window runs over one row per day.
+
+    End events tie-break BEFORE start events at the same microsecond
+    (ORDER BY pt, delta: -1 < +1) — touching endpoints do not count as
+    concurrent; identical semantics declared in the oracle.
+
+    Scale posture: 2x fan-out of events, one shuffle on day, windows
+    stream within shards.  At 100 TB: one exchange of the boundary
+    stream; the offset table is O(days).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        F.expr(f"ts + make_interval(0, 0, 0, 0, 0, 0, {_DUR_SQL})").alias(
+            "end_ts"
+        ),
+    )
+    deltas = ev.select(
+        F.col("start_ts").alias("pt"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        ev.select(
+            F.col("end_ts").alias("pt"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    # day is a STRING key: Spark DATE surfaces as datetime.date objects
+    # through toPandas while DuckDB DATE becomes datetime64 — the
+    # driver's pandas canonicalizer would see two different renderings
+    # of the same value (same hazard class as HUGEINT sums).
+    deltas = deltas.withColumn("day", F.date_format("pt", "yyyy-MM-dd"))
+    local_run = F.sum("delta").over(
+        W.partitionBy("day")
+        .orderBy("pt", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_local = deltas.select(
+        "day", "pt", "delta", local_run.alias("local_run")
+    )
+    prior = F.coalesce(
+        F.sum("day_net").over(
+            W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    offsets = F.broadcast(
+        deltas.groupBy("day")
+        .agg(F.sum("delta").alias("day_net"))
+        .select("day", prior.alias("offset"))
+    )
+    return (
+        with_local.join(offsets, "day")
+        .groupBy("day")
+        .agg(
+            F.max(F.col("local_run") + F.col("offset"))
+            .cast("long")
+            .alias("max_concurrency"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing via higher-order fold
+# ---------------------------------------------------------------------------
+
+_ALPHA = 0.5  # binary fraction: each step is one multiply + one add, IEEE-exact
+
+
+@register(
+    "ewma_daily_revenue",
+    f"""
+    WITH daily AS (
+      SELECT n.n_name, date_trunc('day', o.o_orderdate) AS day,
+             {sql_dsum('o.o_totalprice')} AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    series AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(rev ORDER BY day) AS xs
+      FROM daily GROUP BY n_name)
+    SELECT n_name, n_days,
+           xs[len(xs)] AS last_rev,
+           list_reduce(xs, (acc, x) -> acc * {_ALPHA} + x * {_ALPHA}) AS ewma
+    FROM series
+    ORDER BY n_name
+    """,
+    "analytics",
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per
+    nation — the recursive smoother y_t = a*x_t + (1-a)*y_{t-1}
+    expressed as a JVM higher-order fold (F.aggregate) over the
+    day-ordered series, no Python in the loop and no iteration.
+
+    Determinism: daily revenue is a decimal-exact sum (dsum); the fold
+    is a LEFT fold seeded with the first element, and a = 0.5 makes
+    each step one IEEE multiply-add both engines evaluate identically
+    in the same order — so even this floating recursion hash-matches
+    DuckDB's list_reduce bit for bit.
+
+    Scale posture: the fold runs per GROUP over the aggregated daily
+    grain (365 values/nation-year), not the raw orders — collect_list
+    holds days, not orders.  At 100 TB the pre-aggregation is the same
+    two-shuffle rollup as q5; the smoother itself is O(days) per group.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    series = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "rev"))),
+            lambda s: s["rev"],
+        ).alias("xs"),
+    )
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.element_at("xs", 1),
+        lambda acc, x: acc * F.lit(_ALPHA) + x * F.lit(_ALPHA),
+    )
+    return series.select(
+        "n_name",
+        "n_days",
+        F.element_at("xs", -1).alias("last_rev"),
+        fold.alias("ewma"),
+    ).orderBy("n_name")

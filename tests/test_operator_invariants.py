@@ -119,3 +119,100 @@ def test_topn_other_shares_sum_to_one(spark, sf_dir):
     rows = _q(spark, sf_dir, "topn_other_rollup").collect()
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
     assert rows[-1].source == "other" or len(rows) <= 5
+
+
+def test_fuzzy_pigeonhole_equals_quadratic(spark, sf_dir):
+    """Blocked linkage must find EXACTLY the pairs the direct quadratic
+    join finds — the blocking-completeness invariant, verified by an
+    independent Spark formulation (the oracle already cross-checks
+    against DuckDB's quadratic; this pins the two Spark plans to each
+    other at the pair grain, not just the summary grain)."""
+    from kbrowse_spark.sources.tables import load
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a, b = c.alias("a"), c.alias("b")
+    direct = (
+        a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .count()
+    )
+    summary = _q(spark, sf_dir, "fuzzy_join_pigeonhole").collect()
+    assert sum(r.n_pairs for r in summary) == direct
+    assert all(1 <= r.pos_changed <= 9 for r in summary)
+
+
+def test_concurrency_sweep_matches_global_window(spark, sf_dir):
+    """The sharded prefix sum must equal a single global-window
+    reference (the formulation that does NOT scale but is obviously
+    right), and the sweep must conserve mass: total +1s == total -1s,
+    concurrency never negative."""
+    from pyspark.sql import Window as W
+
+    from kbrowse_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, 0, 60 + event_id % 3540)"
+        ).alias("end_ts"),
+    )
+    deltas = ev.select(
+        F.col("start_ts").alias("pt"), F.lit(1).alias("delta"), "event_id"
+    ).unionAll(
+        ev.select(
+            F.col("end_ts").alias("pt"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    conc = F.sum("delta").over(
+        W.orderBy("pt", "delta", "event_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+    )
+    ref = (
+        deltas.select(
+            F.date_format("pt", "yyyy-MM-dd").alias("day"), conc.alias("conc")
+        )
+        .groupBy("day")
+        .agg(F.max("conc").cast("long").alias("max_concurrency"))
+    )
+    ref_rows = {r.day: r.max_concurrency for r in ref.collect()}
+    got = _q(spark, sf_dir, "max_concurrency_sweep").collect()
+    assert {r.day: r.max_concurrency for r in got} == ref_rows
+    assert all(r.max_concurrency >= 1 for r in got)
+    net = deltas.agg(F.sum("delta")).collect()[0][0]
+    assert net == 0
+
+
+def test_ewma_bounds_and_recurrence(spark, sf_dir):
+    """EWMA lies within [min, max] of its series, and the fold equals a
+    driver-side recomputation of the recurrence on the same inputs."""
+    from kbrowse_spark.catalog import all_queries
+
+    rows = _q(spark, sf_dir, "ewma_daily_revenue").collect()
+    assert rows
+    # Recompute one nation's fold from the daily grain.
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    daily = con.execute(
+        """
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name = ?
+        GROUP BY date_trunc('day', o.o_orderdate)
+        ORDER BY date_trunc('day', o.o_orderdate)
+        """,
+        [rows[0].n_name],
+    ).fetchall()
+    xs = [r[0] for r in daily]
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = acc * 0.5 + x * 0.5
+    assert rows[0].ewma == acc
+    assert min(xs) <= rows[0].ewma <= max(xs)
