@@ -1000,3 +1000,168 @@ def topn_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_docs").over(Window.partitionBy())
         ).alias("share"),
     ).orderBy("ord")
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment correlation (df.stat surface, deterministically)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corr_value_props_by_type",
+    """
+    WITH obs AS (
+      SELECT event_type,
+             CAST(floor(value * 100) AS BIGINT) AS v_cents,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE value IS NOT NULL),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v_cents) AS HUGEINT) AS sx,
+             CAST(SUM(k) AS HUGEINT) AS sy,
+             SUM(CAST(v_cents * v_cents AS HUGEINT)) AS sxx,
+             SUM(CAST(k * k AS HUGEINT)) AS syy,
+             SUM(CAST(v_cents * k AS HUGEINT)) AS sxy
+      FROM obs GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)))
+             AS pearson_r
+    FROM m ORDER BY event_type
+    """,
+    "analytics",
+    "agg",
+)
+def corr_value_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (the `df.stat.corr` surface) made
+    hash-exact: all five moments accumulate in 128-bit-capable integers
+    (Spark DECIMAL(38,0) over integer cents, DuckDB HUGEINT), then r is
+    ONE IEEE expression — a division of a difference by a product of
+    two correctly-rounded sqrts — evaluated identically by both
+    engines.  Spark's built-in `corr()` is a streaming-float aggregate
+    whose result depends on partition merge order; this formulation is
+    order-independent by construction.
+
+    Scale posture: one map-side-combinable aggregate at group grain —
+    moments are 6 numbers per group, no second pass, no window.
+    """
+    v_cents = F.floor(F.col("value") * 100).cast("long")
+    k = F.get_json_object("props", "$.k").cast("long")
+    d38 = "decimal(38,0)"
+    m = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", v_cents.alias("x"), k.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast(d38).alias("sx"),
+            F.sum("y").cast(d38).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+            F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast(d38)
+    return m.select(
+        "event_type",
+        "n",
+        (
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+        ).alias("pearson_r"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence contingency (df.stat.crosstab surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chisq_type_bucket_cells",
+    """
+    WITH obs AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) // 25
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type AS et, CAST(SUM(o) AS BIGINT) AS row_n FROM obs
+      GROUP BY 1),
+    cot AS (
+      SELECT bucket AS bk, CAST(SUM(o) AS BIGINT) AS col_n FROM obs
+      GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS grand FROM obs)
+    SELECT obs.event_type, obs.bucket, obs.o,
+           t.row_n, c.col_n,
+           CAST(t.row_n AS DOUBLE) * c.col_n / n.grand AS expected,
+           (obs.o - CAST(t.row_n AS DOUBLE) * c.col_n / n.grand)
+             * (obs.o - CAST(t.row_n AS DOUBLE) * c.col_n / n.grand)
+             / (CAST(t.row_n AS DOUBLE) * c.col_n / n.grand)
+             AS chi2_cell
+    FROM obs JOIN tot t ON obs.event_type = t.et
+    JOIN cot c ON obs.bucket = c.bk
+    CROSS JOIN n
+    ORDER BY obs.event_type, obs.bucket
+    """,
+    "analytics",
+    "agg",
+)
+def chisq_type_bucket_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence contingency over event_type x props-k
+    quartile bucket (the `df.stat.crosstab` surface plus the test
+    statistic): observed counts are exact integers; each cell's
+    expected value and chi2 contribution is ONE fixed IEEE expression
+    over those integers, emitted PER CELL rather than summed — a
+    cross-cell float total would depend on aggregation order, the one
+    thing two engines never promise to share.  Callers fold the
+    contributions at whatever tolerance they need.
+
+    Scale posture: the contingency aggregate is map-side combinable at
+    (type, bucket) grain; row/column margins re-aggregate the CELL
+    table (|types| x |buckets| rows), never the raw stream, and join
+    back broadcast — the events table is scanned once.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("long") / F.lit(25))
+        .cast("long")
+        .alias("bucket"),
+    )
+    obs = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot = obs.groupBy(F.col("event_type").alias("et")).agg(
+        F.sum("o").alias("row_n")
+    )
+    cot = obs.groupBy(F.col("bucket").alias("bk")).agg(
+        F.sum("o").alias("col_n")
+    )
+    n = obs.agg(F.sum("o").alias("grand"))
+    expected = (
+        F.col("row_n").cast("double") * F.col("col_n") / F.col("grand")
+    )
+    return (
+        obs.join(F.broadcast(tot), obs.event_type == tot.et)
+        .join(F.broadcast(cot), obs.bucket == cot.bk)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "bucket",
+            "o",
+            "row_n",
+            "col_n",
+            expected.alias("expected"),
+            (
+                (F.col("o") - expected) * (F.col("o") - expected) / expected
+            ).alias("chi2_cell"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -216,3 +216,49 @@ def test_ewma_bounds_and_recurrence(spark, sf_dir):
         acc = acc * 0.5 + x * 0.5
     assert rows[0].ewma == acc
     assert min(xs) <= rows[0].ewma <= max(xs)
+
+
+def test_corr_bounds_and_agreement_with_builtin(spark, sf_dir):
+    """Exact-moment Pearson r lies in [-1, 1] and agrees with Spark's
+    own streaming corr() to float tolerance (the builtin is
+    order-dependent so equality is approximate by nature)."""
+    from kbrowse_spark.sources.tables import load
+
+    rows = _q(spark, sf_dir, "corr_value_props_by_type").collect()
+    assert rows
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("x"),
+            F.get_json_object("props", "$.k").cast("long").alias("y"),
+        )
+    )
+    builtin = {
+        r.event_type: r.r
+        for r in ev.groupBy("event_type")
+        .agg(F.corr("x", "y").alias("r"))
+        .collect()
+    }
+    for r in rows:
+        assert -1.0 <= r.pearson_r <= 1.0
+        assert abs(r.pearson_r - builtin[r.event_type]) < 1e-9
+
+
+def test_chisq_margins_reconcile(spark, sf_dir):
+    """Row/column margins attached to every cell must equal the sum of
+    observed counts over that row/column, expected values are positive,
+    and each chi2 contribution is non-negative."""
+    rows = _q(spark, sf_dir, "chisq_type_bucket_cells").collect()
+    assert rows
+    row_sum: dict[str, int] = {}
+    col_sum: dict[int, int] = {}
+    for r in rows:
+        row_sum[r.event_type] = row_sum.get(r.event_type, 0) + r.o
+        col_sum[r.bucket] = col_sum.get(r.bucket, 0) + r.o
+    for r in rows:
+        assert r.row_n == row_sum[r.event_type]
+        assert r.col_n == col_sum[r.bucket]
+        assert r.expected > 0
+        assert r.chi2_cell >= 0

@@ -359,3 +359,75 @@ def test_pyds_pushdown_end_to_end_exact(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
     assert got == list(range(150))
+
+
+def test_orc_roundtrip_preserves_values(spark, sf_dir, tmp_path):
+    """ORC is first-class in Spark (vectorized reader, predicate
+    pushdown); round-trip the orders table and prove the pushed filter
+    reaches the OrcScan."""
+    from pyspark.sql import functions as F
+
+    from kbrowse_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    dest = str(tmp_path / "orders_orc")
+    o.write.orc(dest)
+    back = spark.read.orc(dest)
+    assert back.count() == o.count()
+    a = o.agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))).collect()
+    b = back.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+    ).collect()
+    assert a == b
+    plan = (
+        back.filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)" in plan
+
+
+def test_csv_corrupt_record_modes(spark, tmp_path):
+    """The three CSV malformed-record policies a production ingest
+    needs: PERMISSIVE routes bad rows to _corrupt_record, DROPMALFORMED
+    silently drops them, FAILFAST raises."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("1,alpha\n2,beta\nnot_a_number,gamma\n3,delta\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    path = str(p)
+
+    permissive = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(path)
+    # Spark requires caching before filtering on _corrupt_record.
+    permissive = permissive.cache()
+    bad = permissive.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt_record
+    assert permissive.count() == 4
+    permissive.unpersist()
+
+    dropped = (
+        spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(path)
+    )
+    assert sorted(r.id for r in dropped.collect() if r.id is not None) == [1, 2, 3]
+
+    failfast = spark.read.schema(
+        StructType(schema.fields[:2])
+    ).option("mode", "FAILFAST").csv(path)
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        failfast.collect()
