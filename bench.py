@@ -71,6 +71,12 @@ HEADLINE = [
     "dedup_paragraph_keepfirst",
     "rag_chunk_retrieval",
     "stream_session_timeout",
+    # round 5 fourth wave: pigeonhole-blocked fuzzy join (record
+    # linkage candidate generation + short-segment verify) and the
+    # sweep-line concurrency prefix sum — two more plan families under
+    # bench watch.
+    "fuzzy_join_pigeonhole",
+    "max_concurrency_sweep",
 ]
 
 

@@ -28,18 +28,23 @@ from kbrowse_spark.sources.tables import load
 
 # Customer names are fixed-width 'Customer#ddddddddd' (9 digits).  For
 # equal-length keys, levenshtein <= 1 implies exactly one substituted
-# character, so splitting the digit block into 3 segments guarantees at
-# least 2 of the 3 segments match exactly (pigeonhole).  Joining on the
-# three 2-segment combinations therefore finds EVERY distance-<=1 pair
-# while touching only same-block candidates — the standard PassJoin /
-# Ed-Join blocking family, no all-pairs anywhere.
-_SEGS = [(10, 3), (13, 3), (16, 3)]  # 1-based (start, len) into c_name
-_KEY_PAIRS = [(0, 1), (0, 2), (1, 2)]
-
-
-def _seg_sql(alias: str, i: int) -> str:
-    s, ln = _SEGS[i]
-    return f"substr({alias}.c_name, {s}, {ln})"
+# character, so splitting the digit block into 4 segments guarantees
+# exactly 3 of the 4 segments match (pigeonhole).  Joining on the four
+# 3-segment combinations therefore finds EVERY distance-<=1 pair while
+# touching only same-block candidates — the standard PassJoin / Ed-Join
+# blocking family, no all-pairs anywhere.
+#
+# Why 4 segments and not the minimal 3: the adversarial key shape here
+# is SEQUENTIAL zero-padded ids, where any key built only from
+# high-order digits is near-constant.  The widest such key is the one
+# that omits the low segment; with 4 segments of (3,2,2,2) digits that
+# key still pins 7 high digits, so its blocks hold ~10^2 records
+# instead of the ~10^3 a 2-of-3 scheme leaves — candidate volume drops
+# an order of magnitude on exactly the data that stresses it.
+_SEGS = [(10, 3), (13, 2), (15, 2), (17, 2)]  # 1-based (start, len)
+# Each key omits exactly one segment; a distance-1 pair differs in one
+# segment, hence matches exactly ONE key — complete and duplicate-free.
+_KEY_TRIPLES = [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)]
 
 
 @register(
@@ -77,12 +82,12 @@ def fuzzy_join_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs comparison (reference has no linkage operator; this is
     §2c extension surface alongside the dedup family).
 
-    Each record emits 3 blocking keys (the 3 ways to choose 2 of its 3
+    Each record emits 4 blocking keys (the 4 ways to choose 3 of its 4
     digit segments); a distance-1 pair differs in exactly one segment,
-    so it matches on EXACTLY ONE key — the equi-join both finds every
-    pair and never duplicates one, hence no DISTINCT (and no second
-    shuffle) is needed.  Verification (`levenshtein`, JVM-side) runs on
-    blocked candidates only.
+    so it matches on EXACTLY ONE key (the one omitting that segment) —
+    the equi-join both finds every pair and never duplicates one, hence
+    no DISTINCT (and no second shuffle) is needed.  Verification
+    (`levenshtein`, JVM-side) runs on blocked candidates only.
 
     Output is the per-digit-position linkage summary with
     order-independent key checksums (sum_a/sum_b/sum_ab) — pair
@@ -91,29 +96,49 @@ def fuzzy_join_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: one shuffle on the blocking key.  For real-world
     keys (names, emails) segment blocks are balanced by construction;
-    sequential zero-padded IDs are the adversarial case — the
-    high-order segments are near-constant, so ONE of the three key
-    combinations degenerates into a hot block (AQE skew-join splits
-    it).  The standard production mitigations compose here: widen the
-    hot segment, or cap blocking-key frequency the way
+    sequential zero-padded IDs are the adversarial case — the key
+    omitting the low segment degenerates into hot blocks (bounded at
+    ~10^2 rows by the 4-segment split; AQE skew-join spreads what
+    remains).  The further production mitigations compose here: more
+    segments for longer keys, or cap blocking-key frequency the way
     dedup_ngram_jaccard caps shingle df.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     segs = [F.substring("c_name", s, ln) for s, ln in _SEGS]
+    # kval pins the shared 'Customer#' prefix AND the three kept
+    # segments — i.e. every character OUTSIDE the omitted segment — so
+    # within a block the full-name edit distance collapses to the edit
+    # distance of the omitted segment alone (`rest`, 2-3 chars).  The
+    # verify step therefore runs the DP on 2-3 characters, not 18.
     keys = F.array(
         *[
             F.struct(
                 F.lit(kid).alias("kid"),
-                F.concat_ws("|", segs[i], segs[j]).alias("kval"),
+                F.concat_ws(
+                    "|",
+                    F.substring("c_name", 1, 9),
+                    *[segs[i] for i in tri],
+                ).alias("kval"),
+                segs[kid].alias("rest"),
             )
-            for kid, (i, j) in enumerate(_KEY_PAIRS)
+            for kid, tri in enumerate(_KEY_TRIPLES)
         ]
     )
     blocked = c.select(
         F.col("c_custkey").alias("key"),
         F.col("c_name").alias("name"),
         F.explode(keys).alias("bk"),
-    ).select("key", "name", "bk.kid", "bk.kval")
+    ).select("key", "name", "bk.kid", "bk.kval", "bk.rest")
+    # Spread the verify work: the dimension-sized probe side would
+    # otherwise inherit the scan's partitioning (ONE task for a single
+    # small file), serializing every candidate comparison.  The
+    # explicit partition count keeps AQE from coalescing the tiny
+    # exchange back into one task; at cluster scale the scan arrives
+    # pre-split and this exchange is the join's natural
+    # co-partitioning anyway.
+    blocked = blocked.repartition(
+        spark.sparkContext.defaultParallelism, "kid", "kval"
+    )
 
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = a.join(
@@ -123,7 +148,7 @@ def fuzzy_join_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.kval") == F.col("b.kval"),
             F.col("a.key") < F.col("b.key"),
         ],
-    ).where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+    ).where(F.levenshtein(F.col("a.rest"), F.col("b.rest")) <= 1)
 
     pos = None
     for i in range(1, 10):
@@ -204,8 +229,13 @@ def max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrent; identical semantics declared in the oracle.
 
     Scale posture: 2x fan-out of events, one shuffle on day, windows
-    stream within shards.  At 100 TB: one exchange of the boundary
-    stream; the offset table is O(days).
+    stream within shards; the offset table is O(days).  The boundary
+    stream is DERIVED twice (once for the per-shard windows, once for
+    the day-net aggregate) — both derivations read only (event_id, ts)
+    with column pruning, and at 100 TB the day-net side collapses to a
+    map-side-combined count per day, so the second pass ships bytes,
+    not rows.  Materialize the boundary table once if events is remote
+    cold storage.
     """
     ev = load(spark, sf_dir, "events").select(
         "event_id",

@@ -58,6 +58,7 @@ ALLOW = {
     # TPC-H Q11/Q22 compare against scalar subqueries: 1-row attach.
     "q11_important_stock": "1-row group-total threshold attach",
     "q22_idle_customer_balance": "1-row avg-acctbal threshold attach",
+    "chisq_type_bucket_cells": "1-row grand-total attach to the cell table",
     # Theta/band join is non-equi by definition; the catalog documents
     # the band-partitioned rewrite as the at-scale plan.
     "join_theta_price_band": "declared theta join (non-equi) demo",

@@ -63,6 +63,11 @@ AUDIT = [
     ("cuped_adjusted_metric", "one user-grain shuffle; 1-row moments broadcast attach"),
     ("data_quality_report", "one conditional-agg pass per table; FK as left-join null-flag"),
     ("topn_other_rollup", "corpus collapses to source grain before any window"),
+    ("fuzzy_join_pigeonhole", "blocked candidate equi-join; verify on omitted segment only"),
+    ("max_concurrency_sweep", "per-day sharded prefix sum + broadcast carry-in offsets"),
+    ("ewma_daily_revenue", "day-grain rollup then per-group JVM fold; no window over orders"),
+    ("corr_value_props_by_type", "single map-side-combinable moments aggregate"),
+    ("chisq_type_bucket_cells", "cell-grain contingency; margins re-aggregate cells, broadcast back"),
 ]
 
 
