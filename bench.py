@@ -77,6 +77,10 @@ HEADLINE = [
     # bench watch.
     "fuzzy_join_pigeonhole",
     "max_concurrency_sweep",
+    # incremental-ingest dedup: new-batch probe of the standing LSH
+    # index (shares the cached bucket table with dedup_minhash_lsh, so
+    # the delta it adds IS the incremental probe cost).
+    "dedup_incremental_minhash",
 ]
 
 

@@ -2930,3 +2930,65 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_nullsafe_buckets",
+    """
+    WITH a AS (
+      SELECT event_type,
+             nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5, 0)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5, 0)
+               AS bucket,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS bucket_cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT a.event_type, a.bucket, a.n, b.bucket_cents
+    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    ORDER BY a.event_type, a.bucket NULLS FIRST
+    """,
+    "join",
+)
+def join_nullsafe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / SQL IS NOT DISTINCT FROM): the NULL
+    bucket on the left matches the NULL bucket on the right instead of
+    silently dropping — the join-matrix cell a standard equi-join
+    cannot express (its NULL keys never compare equal).
+
+    Catalyst plans `<=>` as a HASHED join key (null-safe equality is
+    still an equality), so this stays a shuffle/broadcast HASH join,
+    not a nested loop — the property that matters at scale.  Both
+    inputs are pre-aggregated to bucket grain before the join; NULL
+    ordering declared explicitly on both engines (Spark defaults nulls
+    first, DuckDB nulls last).
+    """
+    ev = load(spark, sf_dir, "events")
+    bucket = F.nullif(
+        F.get_json_object("props", "$.k").cast("long") % 5, F.lit(0)
+    )
+    a = ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    b = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("bucket_cents")
+        )
+    )
+    return (
+        a.join(b, a["bucket"].eqNullSafe(b["bucket"]))
+        .select("event_type", a["bucket"].alias("bucket"), "n", "bucket_cents")
+        .orderBy(F.col("event_type"), F.col("bucket").asc_nulls_first())
+    )

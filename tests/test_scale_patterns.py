@@ -586,3 +586,46 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         j.collect()
         plan = _plan(j)
         assert op in plan, f"hint {hint!r} did not yield {op}:\n{plan}"
+
+
+def test_incremental_minhash_from_index_matches_inline(spark, sf_dir, tmp_path):
+    """The production incremental path (base dedup state read from the
+    materialized parquet index, only the new batch shingled) must give
+    byte-identical pairs to the inline oracle-checked formulation —
+    and its documents scan must be pruned to the new-batch slice (the
+    standing corpus is never re-read, which is the entire point of
+    incremental ingest)."""
+    from kbrowse_spark.catalog import all_queries
+    from kbrowse_spark.operators.dedup import (
+        incremental_minhash_from_index,
+        materialize_minhash_index,
+    )
+
+    idx = str(tmp_path / "minhash_index")
+    materialize_minhash_index(spark, sf_dir, idx)
+    inline = all_queries()["dedup_incremental_minhash"].builder(
+        spark, sf_dir
+    )
+    from_index = incremental_minhash_from_index(spark, sf_dir, idx)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, from_index.collect())
+    )
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    # Every scan of the documents table (the scans projecting `text`)
+    # must carry the new-batch pushdown filter — the standing corpus is
+    # never re-read from documents.  (Plan lines are width-truncated,
+    # so match on filters/columns, not file paths.)
+    doc_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "text#" in ln
+    ]
+    assert doc_scans, "expected at least one documents scan"
+    assert all("% 10" in ln for ln in doc_scans)
+    # The base corpus arrives from the materialized index: scans that
+    # read a `shingle` COLUMN from parquet exist only on that path
+    # (the inline formulation derives shingles from text).
+    assert any(
+        "FileScan parquet" in ln and "shingle#" in ln
+        for ln in plan.splitlines()
+    )

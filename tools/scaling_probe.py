@@ -62,6 +62,12 @@ OPS = [
     "event_transition_matrix",
     "recursive_cte_paths",
     "data_quality_report",
+    # round 5 third session
+    "fuzzy_join_pigeonhole",
+    "max_concurrency_sweep",
+    "ewma_daily_revenue",
+    "corr_value_props_by_type",
+    "chisq_type_bucket_cells",
 ]
 
 
