@@ -1368,3 +1368,199 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.col("last_ts_us")), "yyyy-MM-dd HH:mm:ss"
         ).alias("last_seen"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup alerts: incoming docs probe the standing LSH index
+# ---------------------------------------------------------------------------
+
+
+def _neardup_alert_oracle() -> str:
+    from kbrowse_spark.operators.dedup import (
+        _INC_NEW_SQL,
+        _SQL_SHINGLES,
+        _sql_band_buckets,
+        _sql_minhash_cols,
+        JACCARD_THRESHOLD,
+    )
+
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    minh AS (
+      SELECT doc_id,
+      {_sql_minhash_cols()}
+      FROM sh GROUP BY doc_id),
+    buckets AS (
+      {_sql_band_buckets()}),
+    newb AS (SELECT * FROM buckets WHERE {_INC_NEW_SQL}),
+    oldb AS (SELECT * FROM buckets WHERE NOT ({_INC_NEW_SQL})),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM newb a JOIN oldb b
+        ON a.band = b.band AND a.bucket = b.bucket),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT v.doc_a, v.doc_b,
+           CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common) AS jaccard
+    FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
+                    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("stream_neardup_alerts", _neardup_alert_oracle(), "streaming", "dedup")
+def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate ALERTING: documents arriving on a
+    stream probe the standing corpus's LSH bucket index inside
+    foreachBatch — each micro-batch is shingled and signed as a small
+    batch plan, its band buckets equi-join the (cached / materialized)
+    index, and exact-Jaccard-verified hits land in a per-batch-id
+    alert directory (idempotent overwrite => replay-safe, the same
+    exactly-once contract as the foreachBatch export).
+
+    This is `dedup_incremental_minhash`'s new-vs-base arm moved into
+    follow mode — the ingest-time "this document already exists"
+    signal a crawler pipeline wants BEFORE writing to the corpus.
+    Within-stream (new x new) pairs are deliberately out of scope
+    here: that's the batch operator's job at compaction time; alerting
+    is about the standing corpus.
+
+    Scale posture: per-batch cost tracks the BATCH (shingle + sign +
+    one equi-join probe + candidate-only verify); the index side is
+    the cached signature table (at 100 TB: the materialized parquet
+    index of `materialize_minhash_index`, bucket-partitioned so each
+    probe prunes to touched buckets).
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from kbrowse_spark.operators.dedup import (
+        _COEFFS,
+        _MINHASH_P,
+        _minhash_buckets,
+        _shingles_df,
+        JACCARD_THRESHOLD,
+        NUM_BANDS,
+        ROWS_PER_BAND,
+    )
+
+    is_new = (F.col("doc_id") % 10) == 0
+    base_sh = _shingles_df(spark, sf_dir).filter(~is_new)
+    base_buckets = _minhash_buckets(spark, sf_dir).filter(~is_new)
+    base_sizes = base_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    path = table_path(sf_dir, "documents")
+    static = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(_stage_stream_dir(path))
+        .filter(is_new)
+        .select("doc_id", "text")
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_base = f"/tmp/kbrowse_neardup_alerts/{tag}"
+    shutil.rmtree(out_base, ignore_errors=True)
+    os.makedirs(out_base, exist_ok=True)
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sh = batch_df.select(
+            "doc_id", F.split("text", " ").alias("w")
+        ).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+                )
+            ).alias("shingle"),
+        )
+        sh = sh.localCheckpoint(eager=True)  # batch-sized; reused 3x below
+        h = "CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+        minh = sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.expr(f"({a} * {h} + {b}) % {_MINHASH_P}")).alias(
+                    f"m{i}"
+                )
+                for i, (a, b) in enumerate(_COEFFS)
+            ]
+        )
+        bands = []
+        for band in range(NUM_BANDS):
+            cols = [
+                F.col(f"m{band * ROWS_PER_BAND + j}").cast("string")
+                for j in range(ROWS_PER_BAND)
+            ]
+            bands.append(
+                minh.select(
+                    "doc_id",
+                    F.lit(band).alias("band"),
+                    F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+                )
+            )
+        newb = bands[0]
+        for extra in bands[1:]:
+            newb = newb.unionByName(extra)
+        a, b = newb.alias("a"), base_buckets.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        x, y = sh.alias("x"), base_sh.alias("y")
+        verified = (
+            cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+            .join(
+                y,
+                (F.col("y.doc_id") == F.col("doc_b"))
+                & (F.col("y.shingle") == F.col("x.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        new_sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        sa, sb = new_sizes.alias("sa"), base_sizes.alias("sb")
+        jac = F.col("n_common").cast("double") / (
+            F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+        )
+        alerts = (
+            verified.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        alerts.write.mode("overwrite").parquet(f"{out_base}/b{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", f"{out_base}/_checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    dirs = [
+        f"{out_base}/{d}"
+        for d in sorted(os.listdir(out_base))
+        if d.startswith("b")
+    ]
+    if not dirs:
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double"
+        )
+    return spark.read.parquet(*dirs).distinct().orderBy("doc_a", "doc_b")
