@@ -20,7 +20,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _REGISTRY: dict[tuple, DataFrame] = {}
-_LOCK = threading.Lock()
+# Reentrant: a cached entry's builder may itself resolve another
+# cached entry (minhash buckets build from the cached shingle table);
+# a plain Lock would deadlock that nesting on first materialization.
+_LOCK = threading.RLock()
 
 
 def cached(

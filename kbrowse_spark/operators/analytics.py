@@ -1014,7 +1014,9 @@ def topn_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(floor(value * 100) AS BIGINT) AS v_cents,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-      FROM events WHERE value IS NOT NULL),
+      FROM events
+      WHERE value IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL),
     m AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
@@ -1026,8 +1028,10 @@ def topn_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM obs GROUP BY event_type)
     SELECT event_type, n,
            CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)))
+             / nullif(
+                 sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)),
+                 0.0)
              AS pearson_r
     FROM m ORDER BY event_type
     """,
@@ -1052,13 +1056,22 @@ def corr_value_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = "decimal(38,0)"
     m = (
         load(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull())
+        # Drop incomplete pairs on BOTH axes — df.stat.corr semantics
+        # (a row missing '$.k' must not inflate n).
+        .filter(
+            F.col("value").isNotNull()
+            & F.get_json_object("props", "$.k").isNotNull()
+        )
         .select("event_type", v_cents.alias("x"), k.alias("y"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").cast(d38).alias("sx"),
-            F.sum("y").cast(d38).alias("sy"),
+            # Cast BEFORE summing: the accumulator itself must be
+            # 128-bit-capable (a BIGINT sum would overflow exactly
+            # where the docstring promises it can't — and DuckDB's
+            # SUM(BIGINT) accumulates in HUGEINT).
+            F.sum(F.col("x").cast(d38)).alias("sx"),
+            F.sum(F.col("y").cast(d38)).alias("sy"),
             F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
             F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
             F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
@@ -1070,9 +1083,14 @@ def corr_value_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (
             (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (
+            # nullif guards the zero-variance group (single row, or a
+            # constant x/y): ANSI Spark would throw DIVIDE_BY_ZERO on
+            # the exact-zero denominator while DuckDB yields NULL —
+            # NULL on both engines is the df.stat.corr NaN analogue.
+            / F.nullif(
                 F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-                * F.sqrt((nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+                * F.sqrt((nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+                F.lit(0.0),
             )
         ).alias("pearson_r"),
     ).orderBy("event_type")
@@ -1091,7 +1109,9 @@ def corr_value_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(json_extract_string(props, '$.k') AS BIGINT) // 25
                AS bucket,
              CAST(COUNT(*) AS BIGINT) AS o
-      FROM events GROUP BY 1, 2),
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY 1, 2),
     tot AS (
       SELECT event_type AS et, CAST(SUM(o) AS BIGINT) AS row_n FROM obs
       GROUP BY 1),
@@ -1129,11 +1149,19 @@ def chisq_type_bucket_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (|types| x |buckets| rows), never the raw stream, and join
     back broadcast — the events table is scanned once.
     """
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        (F.get_json_object("props", "$.k").cast("long") / F.lit(25))
-        .cast("long")
-        .alias("bucket"),
+    # Rows without '$.k' are excluded OUTRIGHT (not routed to a NULL
+    # bucket): the inner margin joins below compare bucket by plain
+    # equality, so a NULL cell would be counted into row_n yet dropped
+    # from the output — margins would stop reconciling.
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.get_json_object("props", "$.k").isNotNull())
+        .select(
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("long") / F.lit(25))
+            .cast("long")
+            .alias("bucket"),
+        )
     )
     obs = ev.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("o")

@@ -52,6 +52,22 @@ def _affine_coeffs(i: int) -> tuple[int, int]:
 _COEFFS = [_affine_coeffs(i) for i in range(NUM_HASHES)]
 
 
+def _shingle_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word 3-grams of a documents-shaped
+    DataFrame — the ONE definition of the shingle expression; every
+    batch/incremental/streaming dedup path derives from it (the SQL
+    mirror is _SQL_SHINGLES)."""
+    return d.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+            )
+        ).alias("shingle"),
+    )
+
+
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct word 3-grams per document.
 
@@ -64,21 +80,7 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     from kbrowse_spark.functions.cache_registry import cached
 
-    def build():
-        return (
-            d.select("doc_id", F.split("text", " ").alias("w"))
-            .select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        "array_distinct(transform(sequence(0, size(w) - 3),"
-                        " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-                    )
-                ).alias("shingle"),
-            )
-        )
-
-    return cached(spark, sf_dir, "doc_shingles", build)
+    return cached(spark, sf_dir, "doc_shingles", lambda: _shingle_rows(d))
 
 
 # DuckDB mirror of the shingle expansion (1-based list indexing there).
@@ -144,12 +146,12 @@ def _sql_band_buckets() -> str:
     return "\n      UNION ALL\n      ".join(parts)
 
 
-def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, bucket) LSH signature table — one row per (doc,
-    band); cached by key so every minhash-family query in a session
-    shares one materialization (at cluster scale: a maintained state
-    table, see materialize_minhash_index)."""
-    sh = _shingles_df(spark, sf_dir)
+def _band_buckets_of(sh: DataFrame) -> DataFrame:
+    """shingles -> (doc_id, band, bucket): k affine minhashes as MIN
+    aggregates over one shingle scan, grouped into NUM_BANDS md5 band
+    buckets.  The ONE definition of the signature layout — batch,
+    incremental, and streaming paths all call this (SQL mirror:
+    _sql_minhash_cols + _sql_band_buckets)."""
     base = "CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
     minh = sh.groupBy("doc_id").agg(
         *[
@@ -173,9 +175,18 @@ def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = band_rows[0]
     for extra in band_rows[1:]:
         buckets = buckets.unionByName(extra)
+    return buckets
+
+
+def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket) LSH signature table — one row per (doc,
+    band); cached by key so every minhash-family query in a session
+    shares one materialization (at cluster scale: a maintained state
+    table, see materialize_minhash_index)."""
     from kbrowse_spark.functions.cache_registry import cached
 
-    return cached(spark, sf_dir, "minhash_buckets", lambda b=buckets: b)
+    sh = _shingles_df(spark, sf_dir)
+    return cached(spark, sf_dir, "minhash_buckets", lambda: _band_buckets_of(sh))
 
 
 @register(
@@ -1361,47 +1372,20 @@ def incremental_minhash_from_index(
     by pytest)."""
     from kbrowse_spark.functions.cache_registry import cached
 
-    def _build_new_sh() -> DataFrame:
-        d = load(spark, sf_dir, "documents").filter(
-            (F.col("doc_id") % 10) == 0
-        )
-        return d.select("doc_id", F.split("text", " ").alias("w")).select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(w) - 3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-                )
-            ).alias("shingle"),
-        )
-
     # The batch is small by definition — cache it once instead of
     # re-shingling per downstream reference (signatures, sizes, both
     # verification sides).
-    new_sh = cached(spark, sf_dir, "inc_new_shingles", _build_new_sh)
-    base = "CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
-    minh = new_sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"({a} * {base} + {b}) % {_MINHASH_P}")).alias(f"m{i}")
-            for i, (a, b) in enumerate(_COEFFS)
-        ]
-    )
-    band_rows = []
-    for band in range(NUM_BANDS):
-        cols = [
-            F.col(f"m{band * ROWS_PER_BAND + j}").cast("string")
-            for j in range(ROWS_PER_BAND)
-        ]
-        band_rows.append(
-            minh.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("bucket"),
+    new_sh = cached(
+        spark,
+        sf_dir,
+        "inc_new_shingles",
+        lambda: _shingle_rows(
+            load(spark, sf_dir, "documents").filter(
+                (F.col("doc_id") % 10) == 0
             )
-        )
-    newb = band_rows[0]
-    for extra in band_rows[1:]:
-        newb = newb.unionByName(extra)
+        ),
+    )
+    newb = _band_buckets_of(new_sh)
     oldb = spark.read.parquet(f"{index_dir}/buckets")
     old_sh = spark.read.parquet(f"{index_dir}/shingles")
     old_sizes = spark.read.parquet(f"{index_dir}/sizes")
@@ -1437,9 +1421,13 @@ def incremental_minhash_from_index(
         .distinct()
     )
     cand = cand_nb.unionByName(cand_nn)
-    all_sh = new_sh.unionByName(old_sh)
     all_sizes = new_sizes.unionByName(old_sizes)
-    x, y = all_sh.alias("x"), all_sh.alias("y")
+    # doc_a is a NEW doc in both candidate arms, so the x side binds
+    # only the batch's shingles — scanning the full index shingle
+    # table there would be a per-increment full-corpus read for zero
+    # matches.  The y side (doc_b) genuinely needs base + new.
+    x = new_sh.alias("x")
+    y = new_sh.unionByName(old_sh).alias("y")
     verified = (
         cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
         .join(

@@ -19,7 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kbrowse_spark.catalog import register
-from kbrowse_spark.functions.determinism import sql_dsum
+from kbrowse_spark.functions.determinism import dsum, sql_dsum
 from kbrowse_spark.sources.tables import load
 
 # ---------------------------------------------------------------------------
@@ -342,11 +342,7 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("rev")
-        )
+        .agg(dsum("o_totalprice").alias("rev"))
     )
     series = daily.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_days"),

@@ -1442,13 +1442,11 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from kbrowse_spark.operators.dedup import (
-        _COEFFS,
-        _MINHASH_P,
+        _band_buckets_of,
         _minhash_buckets,
+        _shingle_rows,
         _shingles_df,
         JACCARD_THRESHOLD,
-        NUM_BANDS,
-        ROWS_PER_BAND,
     )
 
     is_new = (F.col("doc_id") % 10) == 0
@@ -1471,43 +1469,9 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out_base, exist_ok=True)
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sh = batch_df.select(
-            "doc_id", F.split("text", " ").alias("w")
-        ).select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(w) - 3),"
-                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-                )
-            ).alias("shingle"),
-        )
-        sh = sh.localCheckpoint(eager=True)  # batch-sized; reused 3x below
-        h = "CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
-        minh = sh.groupBy("doc_id").agg(
-            *[
-                F.min(F.expr(f"({a} * {h} + {b}) % {_MINHASH_P}")).alias(
-                    f"m{i}"
-                )
-                for i, (a, b) in enumerate(_COEFFS)
-            ]
-        )
-        bands = []
-        for band in range(NUM_BANDS):
-            cols = [
-                F.col(f"m{band * ROWS_PER_BAND + j}").cast("string")
-                for j in range(ROWS_PER_BAND)
-            ]
-            bands.append(
-                minh.select(
-                    "doc_id",
-                    F.lit(band).alias("band"),
-                    F.md5(F.concat_ws(",", *cols)).alias("bucket"),
-                )
-            )
-        newb = bands[0]
-        for extra in bands[1:]:
-            newb = newb.unionByName(extra)
+        # batch-sized; reused 3x below (signatures, sizes, verify)
+        sh = _shingle_rows(batch_df).localCheckpoint(eager=True)
+        newb = _band_buckets_of(sh)
         a, b = newb.alias("a"), base_buckets.alias("b")
         cand = (
             a.join(
@@ -1563,4 +1527,13 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_a long, doc_b long, jaccard double"
         )
-    return spark.read.parquet(*dirs).distinct().orderBy("doc_a", "doc_b")
+    # Eager checkpoint: a later invocation for the same sf_dir rmtree's
+    # out_base, which would yank the parquet files out from under a
+    # still-lazy returned plan (same hazard + fix as
+    # stream_foreachbatch_export).
+    return (
+        spark.read.parquet(*dirs)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
