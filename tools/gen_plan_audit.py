@@ -68,6 +68,8 @@ AUDIT = [
     ("ewma_daily_revenue", "day-grain rollup then per-group JVM fold; no window over orders"),
     ("corr_value_props_by_type", "single map-side-combinable moments aggregate"),
     ("chisq_type_bucket_cells", "cell-grain contingency; margins re-aggregate cells, broadcast back"),
+    ("dedup_incremental_minhash", "new x base + new x new candidate joins only; base x base never built"),
+    ("join_nullsafe_buckets", "null-safe key hashed (coalesce+isnull) — hash join, not NLJ"),
 ]
 
 
