@@ -262,3 +262,20 @@ def test_chisq_margins_reconcile(spark, sf_dir):
         assert r.col_n == col_sum[r.bucket]
         assert r.expected > 0
         assert r.chi2_cell >= 0
+
+
+def test_stream_alerts_equal_batch_incremental_arm(spark, sf_dir):
+    """The streaming foreachBatch probe must produce EXACTLY the
+    new-vs-base pairs of the batch incremental operator — the
+    streaming/batch twin invariant (same check stream_transition_counts
+    has against event_transition_matrix)."""
+    batch = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _q(spark, sf_dir, "dedup_incremental_minhash").collect()
+        if r.pair_type == "new_vs_base"
+    }
+    stream = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _q(spark, sf_dir, "stream_neardup_alerts").collect()
+    }
+    assert batch == stream
