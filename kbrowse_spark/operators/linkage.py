@@ -362,3 +362,110 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("xs", -1).alias("last_rev"),
         fold.alias("ewma"),
     ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Holt linear smoothing (level + trend double fold)
+# ---------------------------------------------------------------------------
+
+# alpha = beta = 0.5: every step is IEEE multiply-adds both engines
+# evaluate identically (binary-fraction coefficients, same expression
+# shape), so even the two-variable recursion hash-matches bit for bit.
+
+
+@register(
+    "holt_linear_forecast",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT n.n_name, date_trunc('day', o.o_orderdate) AS day,
+             {sql_dsum('o.o_totalprice')} AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    numbered AS (
+      SELECT n_name, rev,
+             CAST(row_number() OVER (PARTITION BY n_name ORDER BY day)
+                  AS BIGINT) AS rn
+      FROM daily),
+    counts AS (
+      SELECT n_name, CAST(MAX(rn) AS BIGINT) AS n_days
+      FROM numbered GROUP BY 1),
+    rec AS (
+      SELECT n_name, rn, rev AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT d.n_name, d.rn,
+             0.5 * d.rev + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * d.rev + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM rec r JOIN numbered d
+        ON d.n_name = r.n_name AND d.rn = r.rn + 1)
+    SELECT r.n_name, c.n_days,
+           r.l AS level, r.b AS trend,
+           r.l + r.b AS forecast_next
+    FROM rec r JOIN counts c
+      ON r.n_name = c.n_name AND r.rn = c.n_days
+    ORDER BY r.n_name
+    """,
+    "analytics",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per nation: the
+    two-variable recursion  l_t = a*x_t + (1-a)(l+b),
+    b_t = B(l_t - l_{t-1}) + (1-B)b  as ONE JVM higher-order fold with
+    a struct accumulator — level and trend evolve together, and the
+    one-step-ahead forecast is level + trend.  Extends
+    ewma_daily_revenue from smoothing to trend-aware forecasting.
+
+    The recursion seeds from the first observation (l = x_1, b = 0).
+    The oracle replays the SAME recursion as a DuckDB recursive CTE
+    stepping day by day (struct-accumulator list_reduce mis-evaluates
+    in this DuckDB build — single self-referential application,
+    caught during development); a = B = 0.5 and mirrored expression
+    shapes keep a ~600-step two-variable floating recursion
+    bit-identical across engines.
+
+    Scale posture: identical to ewma_daily_revenue — the fold runs
+    over the aggregated DAILY grain per group, never the raw orders;
+    the rollup below it is the standard two-shuffle star aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    series = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "rev"))),
+            lambda s: s["rev"],
+        ).alias("xs"),
+    )
+
+    def merge(acc, x):
+        l_new = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (
+                F.lit(0.5) * (l_new - acc["l"]) + F.lit(0.5) * acc["b"]
+            ).alias("b"),
+        )
+
+    st = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.struct(
+            F.element_at("xs", 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        merge,
+    )
+    return series.select(
+        "n_name",
+        "n_days",
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        (st["l"] + st["b"]).alias("forecast_next"),
+    ).orderBy("n_name")

@@ -279,3 +279,38 @@ def test_stream_alerts_equal_batch_incremental_arm(spark, sf_dir):
         for r in _q(spark, sf_dir, "stream_neardup_alerts").collect()
     }
     assert batch == stream
+
+
+def test_holt_fold_equals_driver_recurrence(spark, sf_dir):
+    """The Holt struct fold equals a driver-side recomputation of the
+    level/trend recurrence on the same daily inputs, and the forecast
+    is exactly level + trend."""
+    import duckdb
+
+    rows = _q(spark, sf_dir, "holt_linear_forecast").collect()
+    assert rows
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    daily = con.execute(
+        """
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_name = ?
+        GROUP BY date_trunc('day', o.o_orderdate)
+        ORDER BY date_trunc('day', o.o_orderdate)
+        """,
+        [rows[0].n_name],
+    ).fetchall()
+    xs = [r[0] for r in daily]
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        l_new = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (l_new - l) + 0.5 * b
+        l = l_new
+    assert rows[0].level == l
+    assert rows[0].trend == b
+    assert rows[0].forecast_next == l + b
