@@ -1193,3 +1193,97 @@ def chisq_type_bucket_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Welch z-test (experiment readout from exact moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_welch",
+    """
+    WITH assigned AS (
+      SELECT user_id % 2 AS arm,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    m AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS HUGEINT) AS s1,
+             SUM(CAST(cents * cents AS HUGEINT)) AS s2
+      FROM assigned GROUP BY arm),
+    w AS (
+      SELECT arm, n,
+             CAST(s1 AS DOUBLE) / n AS mean_cents,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
+               AS var_cents
+      FROM m)
+    SELECT t.n AS n_treat, c.n AS n_ctrl,
+           t.mean_cents AS mean_treat, c.mean_cents AS mean_ctrl,
+           t.mean_cents - c.mean_cents AS lift_cents,
+           (t.mean_cents - c.mean_cents)
+             / sqrt(t.var_cents / t.n + c.var_cents / c.n) AS z_welch
+    FROM (SELECT * FROM w WHERE arm = 1) t
+    CROSS JOIN (SELECT * FROM w WHERE arm = 0) c
+    """,
+    "analytics",
+    "agg",
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout: Welch z-statistic for the
+    treatment/control mean difference (assignment: user_id parity —
+    the deterministic hash-split every experimentation platform uses),
+    completing the experimentation pair with cuped_adjusted_metric.
+
+    Determinism contract (same as the corr/CUPED family): counts and
+    sums accumulate exactly (integer cents, 128-bit accumulators);
+    mean, variance (the one-pass E[x^2] - E[x]^2 form computed from
+    exact sums, so no catastrophic cancellation noise differs between
+    engines), and z are ONE IEEE expression tree mirrored on both
+    sides.
+
+    Scale posture: one map-side-combinable aggregate to 2 rows, then a
+    2-row cross join — the whole readout moves 8 numbers.
+    """
+    cents = F.floor(F.col("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    m = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select((F.col("user_id") % 2).alias("arm"), cents.alias("cents"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast(d38)).alias("s1"),
+            F.sum((F.col("cents") * F.col("cents")).cast(d38)).alias("s2"),
+        )
+    )
+    w = m.select(
+        "arm",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_cents"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var_cents"),
+    )
+    t = w.filter(F.col("arm") == 1).alias("t")
+    c = w.filter(F.col("arm") == 0).alias("c")
+    return t.crossJoin(F.broadcast(c)).select(
+        F.col("t.n").alias("n_treat"),
+        F.col("c.n").alias("n_ctrl"),
+        F.col("t.mean_cents").alias("mean_treat"),
+        F.col("c.mean_cents").alias("mean_ctrl"),
+        (F.col("t.mean_cents") - F.col("c.mean_cents")).alias("lift_cents"),
+        (
+            (F.col("t.mean_cents") - F.col("c.mean_cents"))
+            / F.sqrt(
+                F.col("t.var_cents") / F.col("t.n")
+                + F.col("c.var_cents") / F.col("c.n")
+            )
+        ).alias("z_welch"),
+    )

@@ -314,3 +314,19 @@ def test_holt_fold_equals_driver_recurrence(spark, sf_dir):
     assert rows[0].level == l
     assert rows[0].trend == b
     assert rows[0].forecast_next == l + b
+
+
+def test_welch_readout_coherence(spark, sf_dir):
+    """Arms partition the population; lift = mean difference exactly;
+    z has the sign of the lift; variances positive."""
+    from kbrowse_spark.sources.tables import load
+
+    r = _q(spark, sf_dir, "ab_test_welch").collect()[0]
+    total = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .count()
+    )
+    assert r.n_treat + r.n_ctrl == total
+    assert r.lift_cents == r.mean_treat - r.mean_ctrl
+    assert (r.z_welch >= 0) == (r.lift_cents >= 0)
