@@ -59,6 +59,7 @@ ALLOW = {
     "q11_important_stock": "1-row group-total threshold attach",
     "q22_idle_customer_balance": "1-row avg-acctbal threshold attach",
     "chisq_type_bucket_cells": "1-row grand-total attach to the cell table",
+    "ab_test_welch": "1-row treatment x 1-row control readout join",
     # Theta/band join is non-equi by definition; the catalog documents
     # the band-partitioned rewrite as the at-scale plan.
     "join_theta_price_band": "declared theta join (non-equi) demo",
