@@ -469,3 +469,94 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         st["b"].alias("trend"),
         (st["l"] + st["b"]).alias("forecast_next"),
     ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_dow_indices",
+    f"""
+    WITH daily AS (
+      SELECT n.n_name, date_trunc('day', o.o_orderdate) AS day,
+             CAST(dayofweek(o.o_orderdate) + 1 AS BIGINT) AS dow,
+             {sql_dsum('o.o_totalprice')} AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3),
+    per_dow AS (
+      SELECT n_name, dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             {sql_dsum('rev')} AS dow_rev
+      FROM daily GROUP BY 1, 2),
+    overall AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS tot_days,
+             {sql_dsum('rev')} AS tot_rev
+      FROM daily GROUP BY 1)
+    SELECT p.n_name, p.dow, p.n_days,
+           p.dow_rev / p.n_days AS dow_mean,
+           (p.dow_rev / p.n_days) / (o.tot_rev / o.tot_days)
+             AS seasonal_index
+    FROM per_dow p JOIN overall o ON p.n_name = o.n_name
+    ORDER BY p.n_name, p.dow
+    """,
+    "analytics",
+)
+def seasonal_dow_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: each nation's mean daily revenue per
+    weekday, and the seasonal index (weekday mean / overall daily
+    mean) — the multiplicative-decomposition table behind
+    deseasonalized trend views and the divisor for seasonally-adjusted
+    anomaly thresholds.
+
+    Determinism: every sum is decimal-exact (dsum, including the
+    re-aggregation of daily revenue, which is itself a rounded DOUBLE
+    re-cast through the same decimal grid in both engines); the means
+    and the index are IEEE divisions of identical operands.  Weekday
+    numbering is Spark's 1 = Sunday .. 7 = Saturday (DuckDB's
+    dayofweek is 0-based Sunday, shifted by +1 in the oracle).
+
+    Scale posture: two map-side-combinable aggregates over the daily
+    grain (which itself is the standard star rollup) and a broadcast
+    join on nation — the orders table is scanned once; nothing is
+    event-grain past the first aggregate.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        )
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    per_dow = daily.groupBy("n_name", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"), dsum("rev").alias("dow_rev")
+    )
+    overall = daily.groupBy(F.col("n_name").alias("o_name")).agg(
+        F.count(F.lit(1)).alias("tot_days"), dsum("rev").alias("tot_rev")
+    )
+    return (
+        per_dow.join(
+            F.broadcast(overall), per_dow.n_name == overall.o_name
+        )
+        .select(
+            "n_name",
+            "dow",
+            "n_days",
+            (F.col("dow_rev") / F.col("n_days")).alias("dow_mean"),
+            (
+                (F.col("dow_rev") / F.col("n_days"))
+                / (F.col("tot_rev") / F.col("tot_days"))
+            ).alias("seasonal_index"),
+        )
+        .orderBy("n_name", "dow")
+    )

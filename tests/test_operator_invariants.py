@@ -330,3 +330,18 @@ def test_welch_readout_coherence(spark, sf_dir):
     assert r.n_treat + r.n_ctrl == total
     assert r.lift_cents == r.mean_treat - r.mean_ctrl
     assert (r.z_welch >= 0) == (r.lift_cents >= 0)
+
+
+def test_seasonal_indices_weighted_mean_is_one(spark, sf_dir):
+    """Seasonal indices weighted by day counts average to exactly the
+    overall mean (index weighted-mean == 1 within float tolerance),
+    and every weekday appears for every nation."""
+    rows = _q(spark, sf_dir, "seasonal_dow_indices").collect()
+    per_nation: dict[str, list] = {}
+    for r in rows:
+        per_nation.setdefault(r.n_name, []).append(r)
+    for name, rs in per_nation.items():
+        assert sorted(r.dow for r in rs) == [1, 2, 3, 4, 5, 6, 7]
+        tot = sum(r.n_days for r in rs)
+        wmean = sum(r.seasonal_index * r.n_days for r in rs) / tot
+        assert abs(wmean - 1.0) < 1e-9
