@@ -114,20 +114,28 @@ def main() -> int:
             except Exception:  # noqa: BLE001
                 pass
 
-    # Min-of-2 per query: single samples on a shared box regularly read
-    # 3-5x high under neighbor load (docs/SCALING_MEASUREMENTS.md); the
-    # minimum is the engine's actual throughput.
+    # Min-of-3 per query: single samples on a shared box regularly read
+    # 3-5x high under neighbor load (docs/SCALING_MEASUREMENTS.md — the
+    # r5 "q1 6x regression" was exactly this artifact); the minimum is
+    # the engine's actual throughput.  We also report each query's
+    # max/min spread so a contended run is SELF-IDENTIFYING: spread > 2
+    # on several queries means the box was busy and the round's numbers
+    # should be read as upper bounds, not a trend.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = qs[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     total = round(sum(times.values()), 3)
+    n_contended = sum(1 for s in spreads.values() if s > 2.0)
     print(
         json.dumps(
             {
@@ -135,6 +143,12 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spreads,
+                # >25% of queries with max/min spread over 2x = the box
+                # was under sustained neighbor load during the run.
+                "contended": n_contended > len(HEADLINE) / 4,
+                "n_spread_gt2": n_contended,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1050,6 +1050,13 @@ def corr_value_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: one map-side-combinable aggregate at group grain —
     moments are 6 numbers per group, no second pass, no window.
+
+    Range ceiling: the cross terms (n*sxy, sx*sx, ...) multiply two
+    DECIMAL(38,0) values, which Spark caps at precision 38 — exactness
+    holds while every product stays below ~1e38 (comfortable for
+    |x|,|y| <= ~1e9 cents over <= ~1e10 rows/group; DuckDB HUGEINT has
+    the same ~1.7e38 ceiling).  Beyond that, compute the numerators
+    from centered decimal means instead of raw cross-moments.
     """
     v_cents = F.floor(F.col("value") * 100).cast("long")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -1158,9 +1165,11 @@ def chisq_type_bucket_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.get_json_object("props", "$.k").isNotNull())
         .select(
             "event_type",
-            (F.get_json_object("props", "$.k").cast("long") / F.lit(25))
-            .cast("long")
-            .alias("bucket"),
+            # Integer `div`, not float `/` + cast: the float round-trip
+            # diverges from DuckDB's integer `//` for |k| above 2^53.
+            F.expr(
+                "CAST(get_json_object(props, '$.k') AS BIGINT) div 25"
+            ).alias("bucket"),
         )
     )
     obs = ev.groupBy("event_type", "bucket").agg(
@@ -1245,6 +1254,11 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: one map-side-combinable aggregate to 2 rows, then a
     2-row cross join — the whole readout moves 8 numbers.
+
+    Range ceiling: "exact" holds while cents*cents fits BIGINT before
+    its cast into the DECIMAL(38,0) accumulator (|cents| <= ~3e9) and
+    the accumulated sums stay below ~1e38 — the same documented ceiling
+    as corr_value_props_by_type; past it, center first.
     """
     cents = F.floor(F.col("value") * 100).cast("long")
     d38 = "decimal(38,0)"

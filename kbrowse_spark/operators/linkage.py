@@ -104,6 +104,30 @@ def fuzzy_join_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard caps shingle df.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # Loud shape guard: the segment layout below assumes the fixed
+    # 'Customer#ddddddddd' key width — the constant prefix is pinned
+    # into every blocking key, so an edit INSIDE chars 1-9 would match
+    # no key and the pair would be silently dropped.  Rather than
+    # silently miss on other key shapes, any non-conforming row aborts
+    # the job (JVM-side CASE + raise_error: one cheap regex per row, no
+    # extra action, no effect on pushdown).
+    c = c.withColumn(
+        "c_name",
+        F.when(
+            F.col("c_name").rlike(r"^Customer#[0-9]{9}$"), F.col("c_name")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fuzzy_join_pigeonhole: key violates the "
+                        "fixed-width 'Customer#ddddddddd' shape the "
+                        "blocking scheme assumes: "
+                    ),
+                    F.col("c_name"),
+                )
+            )
+        ),
+    )
     segs = [F.substring("c_name", s, ln) for s, ln in _SEGS]
     # kval pins the shared 'Customer#' prefix AND the three kept
     # segments — i.e. every character OUTSIDE the omitted segment — so

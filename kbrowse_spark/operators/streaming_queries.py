@@ -84,17 +84,39 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run a bounded stream (availableNow) into a memory sink and return
-    the materialized result as a batch DataFrame."""
+    the materialized result as a batch DataFrame.
+
+    State partitioning: stateful-operator cost here is dominated by
+    per-partition state-store commit file I/O, not data volume (profiled
+    r6: 32 partitions -> ~1.9 s/batch, 8 -> ~1.1 s for the same 100k
+    rows — the r5 "tumbling drift" was exactly this fixed overhead).
+    These bounded replays use throwaway checkpoints, so we right-size
+    the stream's shuffle/state partitions to a small count and restore
+    the session conf afterwards.  A PRODUCTION stream must pick its own
+    number instead (state partition count is frozen into the checkpoint
+    for the life of the query — size it to peak state, e.g. 2-3x cores,
+    via KBROWSE_STREAM_STATE_PARTITIONS).
+    """
+    import os
+
+    spark = df.sparkSession
     name = f"stream_result_{next(_counter)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    n_state = os.environ.get("KBROWSE_STREAM_STATE_PARTITIONS", "8")
+    try:
+        spark.conf.set(key, n_state)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, saved)
+    return spark.table(name)
 
 
 @register(
@@ -1463,8 +1485,18 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
 
+    # Per-invocation isolation: a fixed fixture-keyed dir would let two
+    # concurrent runs (parallel pytest workers, two sessions on one
+    # box) rmtree each other's in-flight checkpoints.  pid+uuid makes
+    # the staging dir private to this call; rmtree is then a no-op kept
+    # only for crash-leftover hygiene on pid reuse.
+    import uuid
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    out_base = f"/tmp/kbrowse_neardup_alerts/{tag}"
+    out_base = (
+        f"/tmp/kbrowse_neardup_alerts/{tag}-{os.getpid()}"
+        f"-{uuid.uuid4().hex[:8]}"
+    )
     shutil.rmtree(out_base, ignore_errors=True)
     os.makedirs(out_base, exist_ok=True)
 

@@ -219,52 +219,6 @@ def check_json_render_roundtrip(spark, sf_dir, qdef, rows, colnames, con):
     return _ok(mode)
 
 
-def check_embed_batch_inference(spark, sf_dir, qdef, rows, colnames, con):
-    mode = "shape invariants (dim=16, unit norm) + determinism"
-    c = _cols(colnames)
-    (n_docs,) = con.execute("SELECT COUNT(*) FROM documents").fetchone()
-    if len(rows) != n_docs:
-        return _fail(mode, f"{len(rows)} rows != {n_docs} documents")
-    for r in rows:
-        if r[c["dim"]] != 16:
-            return _fail(mode, f"dim[{r[c['doc_id']]}]={r[c['dim']]} != 16")
-        # the stub normalizes in float32; norm recomputed in float64
-        if abs(r[c["norm"]] - 1.0) > 1e-5:
-            return _fail(
-                mode, f"norm[{r[c['doc_id']]}]={r[c['norm']]!r} not ~1.0"
-            )
-    why = _deterministic(spark, sf_dir, qdef, rows)
-    return _fail(mode, why) if why else _ok(mode)
-
-
-def check_multimodal_feature_extract(spark, sf_dir, qdef, rows, colnames, con):
-    mode = "exact n_bytes/n_frames vs DuckDB + field consistency + determinism"
-    c = _cols(colnames)
-    n_bytes = dict(
-        con.execute(
-            "SELECT doc_id, octet_length(encode(text)) FROM documents"
-        ).fetchall()
-    )
-    if {r[c["doc_id"]] for r in rows} != set(n_bytes):
-        return _fail(mode, "doc_id sets differ from documents table")
-    for r in rows:
-        did = r[c["doc_id"]]
-        if r[c["n_bytes"]] != n_bytes[did]:
-            return _fail(
-                mode, f"n_bytes[{did}]={r[c['n_bytes']]} != {n_bytes[did]}"
-            )
-        if r[c["n_frames"]] != 1 + n_bytes[did] % 4:
-            return _fail(mode, f"n_frames[{did}]={r[c['n_frames']]} wrong")
-        ck = r[c["checksum"]]
-        if not (0 <= ck < 1 << 31):
-            return _fail(mode, f"checksum[{did}]={ck} out of range")
-        if r[c["fake_width"]] != 1 + ck % 64:
-            return _fail(mode, f"fake_width[{did}] inconsistent with checksum")
-        if r[c["fake_height"]] != 1 + (ck // 64) % 64:
-            return _fail(mode, f"fake_height[{did}] inconsistent with checksum")
-    why = _deterministic(spark, sf_dir, qdef, rows)
-    return _fail(mode, why) if why else _ok(mode)
-
 
 CHECKS = {
     "approx_distinct_parts": check_approx_distinct_parts,
@@ -272,6 +226,4 @@ CHECKS = {
     "approx_percentile_prices": check_approx_percentile_prices,
     "scalar_transcendental": check_scalar_transcendental,
     "json_render_roundtrip": check_json_render_roundtrip,
-    "embed_batch_inference": check_embed_batch_inference,
-    "multimodal_feature_extract": check_multimodal_feature_extract,
 }

@@ -141,6 +141,22 @@ def test_fuzzy_pigeonhole_equals_quadratic(spark, sf_dir):
     assert all(1 <= r.pos_changed <= 9 for r in summary)
 
 
+def test_fuzzy_pigeonhole_rejects_malformed_keys(spark, tmp_path):
+    """The blocking scheme pins the fixed 'Customer#ddddddddd' width
+    into every key; a record outside that shape would be SILENTLY
+    unmatched, so the operator must abort loudly instead (ADVICE r5:
+    the prefix blind spot must fail, not drop)."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, "Customer#000000001"), (2, "Kustomer#000000001")],
+        "c_custkey long, c_name string",
+    )
+    bad.write.parquet(str(tmp_path / "customer.parquet"))
+    with pytest.raises(Exception, match="fixed-width"):
+        _q(spark, str(tmp_path), "fuzzy_join_pigeonhole").collect()
+
+
 def test_concurrency_sweep_matches_global_window(spark, sf_dir):
     """The sharded prefix sum must equal a single global-window
     reference (the formulation that does NOT scale but is obviously

@@ -629,3 +629,111 @@ def test_incremental_minhash_from_index_matches_inline(spark, sf_dir, tmp_path):
         "FileScan parquet" in ln and "shingle#" in ln
         for ln in plan.splitlines()
     )
+
+
+def test_plan_audit_flags_raw_global_window(spark, sf_dir):
+    """The audit's SinglePartition check (tools/audit_plan_smells.py)
+    must flag a global window over RAW corpus rows — the shape where
+    'No Partition Defined' really does serialize the pipeline — while
+    accepting the two benign single-partition shapes: a global
+    aggregate's final stage and a driver-bound limit."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_plan_smells",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "audit_plan_smells.py",
+        ),
+    )
+    audit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(audit)
+
+    from pyspark.sql import Window as W
+
+    from kbrowse_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    # The smell: running total over every raw row, no partition key.
+    bad = li.select(
+        F.sum("l_quantity")
+        .over(W.orderBy("l_orderkey").rowsBetween(W.unboundedPreceding, 0))
+        .alias("running")
+    )
+    assert any(
+        s.startswith("SinglePartition->") for s in audit.find_smells(_plan(bad))
+    ), _plan(bad)
+
+    # Benign shape 1: global aggregate (final stage consumes one
+    # partial-agg row per partition).
+    ok_agg = li.agg(F.sum("l_quantity").alias("s"))
+    assert not audit.find_smells(_plan(ok_agg))
+
+    # Benign shape 2: driver-bound top-k.
+    ok_topk = li.orderBy("l_orderkey").limit(5)
+    assert not audit.find_smells(_plan(ok_topk))
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Pin the claimed 100x-safety of the UN-salted fact-fact joins:
+    with AQE skew-join enabled (session default), a deliberately skewed
+    sort-merge join must show the skew=true marker in the final
+    adaptive plan — i.e. Spark really does split the hot partition at
+    runtime, so manual salting (join_salted_skew) is an optimization,
+    not a correctness requirement."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        # Shrink the skew thresholds so a ~MB hot key triggers the
+        # runtime split at test scale; disable broadcast so the join
+        # is the shuffle join AQE's skew handling applies to.
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        # 200k rows, 99% on key 0 — one shuffle partition dwarfs the
+        # rest, the textbook skew shape.
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        # Global agg downstream, NOT groupBy("k"): a same-key groupBy
+        # would REQUIRE the join's hash partitioning, and AQE declines
+        # to split a skewed partition when the split would break a
+        # downstream distribution requirement (that's also the caveat
+        # worth pinning: skew-join rescue does not apply under a
+        # same-key reuse — those plans still want manual salting).
+        joined = left.join(right, "k").agg(
+            F.sum(F.length("pad")).alias("s")
+        )
+        # Execute through the SAME _jdf so the adaptive plan we read is
+        # the finalized one (a .write would spawn a fresh execution and
+        # leave this one isFinalPlan=false).
+        joined.collect()
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

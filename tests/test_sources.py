@@ -386,7 +386,14 @@ def test_orc_roundtrip_preserves_values(spark, sf_dir, tmp_path):
         .executedPlan()
         .toString()
     )
-    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)" in plan
+    # Tolerant of filter ordering / whitespace shifts across Spark
+    # minor versions: require only that the LessThan predicate appears
+    # inside the PushedFilters line.
+    import re
+
+    m = re.search(r"PushedFilters: \[[^\]]*\]", plan)
+    assert m, plan
+    assert re.search(r"LessThan\(o_orderkey, ?100", m.group(0)), m.group(0)
 
 
 def test_csv_corrupt_record_modes(spark, tmp_path):

@@ -74,7 +74,87 @@ ALLOW = {
     # pandas_udf path exercised elsewhere.
     "udtf_tokenize": "Python UDTF protocol is per-row by definition",
     "udtf_analyze_ngrams": "Python UDTF protocol is per-row by definition",
+    # --- SinglePartition->Sort allow-list: global windows/sorts that
+    # run over AGGREGATED, bounded-by-construction row sets, never the
+    # raw corpus.  Each entry states the bound.
+    "max_concurrency_sweep": (
+        "global window over per-(day,shard) carry-in aggregates "
+        "(<= days x shards rows by construction, linkage.py)"
+    ),
+    "token_budget_packing": (
+        "global window over 1-row-per-shard prefix-sum carry-ins "
+        "(<= n_shards rows by construction, pipeline_ops.py)"
+    ),
+    "seq_length_histogram": (
+        "global cumulative window over the value-domain bucket table "
+        "(<= n_buckets rows — value domain, not corpus, pipeline_ops.py)"
+    ),
+    "quantile_prune_quality": (
+        "global cdf window over the value-domain score-bucket table "
+        "(<= n_buckets rows by construction, pipeline_ops.py)"
+    ),
+    "topn_other_rollup": (
+        "share-of-total window over the top-N+other rollup "
+        "(<= N+1 rows by construction, analytics.py)"
+    ),
 }
+
+
+# Operators for which an Exchange SinglePartition child is the NORMAL
+# final-stage shape, not a smell: a global aggregate's final stage
+# consumes one partial-agg row per upstream partition (O(partitions)
+# rows), and driver-bound collect limits are single-partition by
+# definition.
+_SP_OK_PARENTS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+)
+
+_TREE_PREFIX = re.compile(r"^[\s:+-]*")
+_NODE_NAME = re.compile(r"^(?:\*\(\d+\)\s*)?([A-Za-z]+)")
+
+
+def _single_partition_consumers(plan: str) -> list[str]:
+    """Names of operators consuming an `Exchange SinglePartition`.
+
+    Parses the explain tree's indentation: a node's parent is the
+    nearest preceding line with a strictly shorter tree prefix.  Only
+    non-aggregate/limit consumers are returned — those are the global
+    windows/sorts that serialize a pipeline mid-stream at scale.
+    """
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        my = len(_TREE_PREFIX.match(ln).group(0))
+        for j in range(i - 1, -1, -1):
+            pj = _TREE_PREFIX.match(lines[j]).group(0)
+            if len(pj) < my and lines[j][len(pj):].strip():
+                m = _NODE_NAME.match(lines[j][len(pj):])
+                parent = m.group(1) if m else lines[j][len(pj):][:30]
+                if not parent.startswith(_SP_OK_PARENTS):
+                    out.append(parent)
+                break
+    return out
+
+
+def find_smells(plan: str) -> list[str]:
+    """All plan smells in one executed-plan string (pure function so
+    tests can pin that a raw-row global window IS flagged)."""
+    smells = []
+    if re.search(r"CartesianProduct", plan):
+        smells.append("CartesianProduct")
+    if re.search(r"BroadcastNestedLoopJoin", plan):
+        smells.append("BroadcastNestedLoopJoin")
+    if re.search(r"BatchEvalPython", plan):
+        smells.append("row-at-a-time PythonUDF")
+    for parent in _single_partition_consumers(plan):
+        smells.append(f"SinglePartition->{parent}")
+    return smells
 
 
 def main() -> int:
@@ -94,13 +174,7 @@ def main() -> int:
             print(f"ERR  {name}: {type(e).__name__} {str(e)[:120]}")
             flagged += 1
             continue
-        smells = []
-        if re.search(r"CartesianProduct", plan):
-            smells.append("CartesianProduct")
-        if re.search(r"BroadcastNestedLoopJoin", plan):
-            smells.append("BroadcastNestedLoopJoin")
-        if re.search(r"BatchEvalPython", plan):
-            smells.append("row-at-a-time PythonUDF")
+        smells = find_smells(plan)
         if smells:
             if name in ALLOW:
                 print(f"ok   {name}: {','.join(smells)} (allowed: {ALLOW[name]})")
