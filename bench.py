@@ -81,6 +81,12 @@ HEADLINE = [
     # index (shares the cached bucket table with dedup_minhash_lsh, so
     # the delta it adds IS the incremental probe cost).
     "dedup_incremental_minhash",
+    # round 6: the O(log n) large-star/small-star CC (iterative join
+    # family with per-round checksum), and the vocab-blocked PMI pair
+    # mining (bounded candidate self-join) — two more plan families
+    # under bench watch.
+    "dedup_cc_star",
+    "pmi_cooccurrence",
 ]
 
 

@@ -931,3 +931,117 @@ def dsir_hashed_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mean_importance").desc(), "doc_id")
         .limit(_DSIR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence mining over a top-vocab block
+# ---------------------------------------------------------------------------
+
+_PMI_VOCAB = 50  # top tokens by document frequency
+_PMI_MIN_PAIRS = 5  # minimum co-occurrence support
+_PMI_SCALE = 1_000_000  # fixed-point PMI ratio scale
+_PMI_TOP = 100  # output pairs
+
+
+@register(
+    "pmi_cooccurrence",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM dt GROUP BY token),
+    vocab AS (
+      SELECT token, n_docs FROM df
+      ORDER BY n_docs DESC, token LIMIT {_PMI_VOCAB}),
+    vt AS (
+      SELECT dt.doc_id, dt.token FROM dt JOIN vocab USING (token)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM vt a JOIN vt b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2)
+    SELECT p.tok_a, p.tok_b, p.n_ab,
+           va.n_docs AS n_a, vb.n_docs AS n_b,
+           CAST((p.n_ab * n.n_total * {_PMI_SCALE})
+                // (va.n_docs * vb.n_docs) AS BIGINT) AS pmi_ratio_fp
+    FROM pairs p
+    JOIN vocab va ON va.token = p.tok_a
+    JOIN vocab vb ON vb.token = p.tok_b
+    CROSS JOIN n
+    WHERE p.n_ab >= {_PMI_MIN_PAIRS}
+    ORDER BY pmi_ratio_fp DESC, tok_a, tok_b
+    LIMIT {_PMI_TOP}
+    """,
+    "text",
+    "agg",
+)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information co-occurrence mining (collocation /
+    association discovery) restricted to the top-50-df vocabulary:
+    for token pair (a, b), PMI = log(P(ab) / (P(a)P(b))) — emitted as
+    the FIXED-POINT ratio (n_ab * N * 1e6) div (n_a * n_b) instead of
+    its log, because the ratio is exact integer arithmetic both engines
+    share while log's last-ulp rounding is not co-guaranteed.  PMI > 0
+    is exactly ratio_fp > 1e6; ranking by ratio is ranking by PMI (log
+    is monotone).
+
+    Scale posture: the vocab block is the candidate bound — the
+    doc-token self-join fans out at most C(|vocab ∩ doc|, 2) <= C(50,2)
+    pairs per document, independent of corpus size (the same blocked-
+    candidates discipline as the dedup family; widening the vocabulary
+    widens cost quadratically and is the tuning knob).  The vocab and
+    margin tables re-attach BROADCAST; one shuffle on doc_id for the
+    pair join, one for the pair aggregate.
+    """
+    d = load(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    df_counts = dt.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    vocab = df_counts.orderBy(F.col("n_docs").desc(), "token").limit(
+        _PMI_VOCAB
+    )
+    vt = dt.join(F.broadcast(vocab.select("token")), "token").select(
+        "doc_id", "token"
+    )
+    n_total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    a, b = vt.alias("a"), vt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("tok_a"), F.col("b.token").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    va = vocab.select(
+        F.col("token").alias("tok_a"), F.col("n_docs").alias("n_a")
+    )
+    vb = vocab.select(
+        F.col("token").alias("tok_b"), F.col("n_docs").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"(n_ab * n_total * {_PMI_SCALE}) div (n_a * n_b)"
+            ).alias("pmi_ratio_fp"),
+        )
+        .orderBy(F.col("pmi_ratio_fp").desc(), "tok_a", "tok_b")
+        .limit(_PMI_TOP)
+    )

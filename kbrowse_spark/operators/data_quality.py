@@ -280,3 +280,161 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(prof("o_totalprice_cents", "price"))
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5  # the usual "hide in a crowd of k" threshold
+_KANON_CHARS_BUCKET = 100  # n_chars quantized to 100-char buckets
+
+
+@register(
+    "kanonymity_report",
+    f"""
+    WITH q AS (
+      SELECT lang, source,
+             CAST(n_chars AS BIGINT) // {_KANON_CHARS_BUCKET} AS len_bucket
+      FROM documents),
+    groups AS (
+      SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS grp_n
+      FROM q GROUP BY 1, 2, 3)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN grp_n < {_KANON_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_groups_below_k,
+           CAST(SUM(CASE WHEN grp_n < {_KANON_K} THEN grp_n ELSE 0 END)
+                AS BIGINT) AS n_rows_suppressed,
+           CAST(SUM(CASE WHEN grp_n < {_KANON_K} THEN grp_n ELSE 0 END)
+                AS DOUBLE) / SUM(grp_n) AS suppression_rate
+    FROM groups
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "quality",
+    "pipeline",
+)
+def kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length bucket): a released training corpus leaks re-identification
+    risk through exactly these low-cardinality joins, and the standard
+    mitigation is to SUPPRESS rows whose quasi-identifier group has
+    fewer than k members.  Reports, per language: group count, minimum
+    group size (the k the data actually achieves), and how many
+    rows/groups suppression at k={_KANON_K} would cost — the
+    governance-side counterpart of text_scrub_pii.
+
+    Scale posture: two map-side-combinable aggregates (corpus -> group
+    grain -> language grain); no window, no join.  The only float is
+    one division per output row over exact integer sums.
+    """
+    d = load(spark, sf_dir, "documents")
+    groups = (
+        d.select(
+            "lang",
+            "source",
+            F.expr(
+                f"CAST(n_chars AS BIGINT) div {_KANON_CHARS_BUCKET}"
+            ).alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    below = F.when(F.col("grp_n") < _KANON_K, F.col("grp_n")).otherwise(0)
+    return (
+        groups.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("grp_n").alias("n_rows"),
+            F.min("grp_n").alias("min_group_size"),
+            F.sum(
+                F.when(F.col("grp_n") < _KANON_K, 1).otherwise(0)
+            ).alias("n_groups_below_k"),
+            F.sum(below).alias("n_rows_suppressed"),
+        )
+        .select(
+            "lang",
+            "n_groups",
+            "n_rows",
+            "min_group_size",
+            "n_groups_below_k",
+            "n_rows_suppressed",
+            (
+                F.col("n_rows_suppressed").cast("double") / F.col("n_rows")
+            ).alias("suppression_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding profile
+# ---------------------------------------------------------------------------
+
+_DIM_SCALE = 1_000_000
+
+
+@register(
+    "embedding_dim_profile",
+    f"""
+    WITH pos AS (
+      SELECT embedding,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings)
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(embedding[dim]) AS DOUBLE) AS min_v,
+           CAST(MAX(embedding[dim]) AS DOUBLE) AS max_v,
+           CAST(SUM(CAST(floor(CAST(embedding[dim] AS DOUBLE)
+                               * {_DIM_SCALE}) AS BIGINT)) AS BIGINT)
+             AS sum_fp,
+           CAST(SUM(CASE WHEN embedding[dim] >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonneg
+    FROM pos
+    GROUP BY dim
+    ORDER BY dim
+    """,
+    "knn",
+    "quality",
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column: min/max, a
+    fixed-point sum (mean = sum_fp/n/1e6), and the sign balance — the
+    drift/health check an embedding pipeline runs before trusting a
+    vector index (a dead dimension, an exploding scale, or a sign
+    collapse shows up here first).
+
+    Determinism: comparisons (min/max) move float VALUES untouched
+    (float32 -> float64 widening is exact); the only arithmetic
+    aggregate is an integer sum of floor(v * 1e6) — both engines widen
+    the float32 identically, multiply once in double, floor toward
+    -inf, and sum exact BIGINTs, so even the reduction order cannot
+    introduce drift.
+
+    Scale posture: posexplode fans each vector into dim rows BUT the
+    aggregate is map-side combinable at dim grain (64 groups), so each
+    input split reduces to 64 partial rows before the shuffle — the
+    explode never hits the exchange.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    pos = e.select(F.posexplode("embedding").alias("pos", "v"))
+    vd = F.col("v").cast("double")
+    return (
+        pos.select((F.col("pos") + 1).cast("int").alias("dim"), vd.alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.sum(F.floor(F.col("v") * _DIM_SCALE).cast("long"))
+            .cast("long")
+            .alias("sum_fp"),
+            F.sum(F.when(F.col("v") >= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_nonneg"),
+        )
+        .orderBy("dim")
+    )

@@ -272,6 +272,110 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_MIN = 0.5
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    minh AS (
+      SELECT doc_id,
+      {_sql_minhash_cols()}
+      FROM sh GROUP BY doc_id),
+    buckets AS (
+      {_sql_band_buckets()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    directed AS (
+      SELECT v.doc_a AS doc_sub, v.doc_b AS doc_sup,
+             sa.n AS n_sub, v.n_common,
+             CAST(v.n_common AS DOUBLE) / sa.n AS containment
+      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
+      UNION ALL
+      SELECT v.doc_b, v.doc_a, sb.n, v.n_common,
+             CAST(v.n_common AS DOUBLE) / sb.n
+      FROM verified v JOIN sizes sb ON sb.doc_id = v.doc_b)
+    SELECT doc_sub, doc_sup, n_sub, n_common, containment
+    FROM directed
+    WHERE containment >= {_CONTAINMENT_MIN}
+    ORDER BY doc_sub, doc_sup
+    """,
+    "dedup",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT over LSH candidates — the
+    quote/sub-document duplication measure Jaccard misses:
+    C(A->B) = |A ∩ B| / |A| is ~1 when A is quoted inside a much larger
+    B even though Jaccard(A,B) is tiny.  Emits both directions of each
+    verified candidate pair at containment >= 0.5.
+
+    Reuses the shared MinHash machinery (one cached signature table per
+    session); the exact intersection runs on LSH candidates only, so
+    the plan shape — and its 100 TB posture — is identical to
+    dedup_minhash_lsh.  Recall caveat, stated rather than hidden:
+    banding targets the symmetric Jaccard threshold, so a tiny doc
+    inside a huge one may not collide in any band; a production
+    quote-detector re-bands on the smaller side's signature alone
+    (or uses the substring-span operator, which this catalog also
+    ships) — candidate generation is the knob, the containment math is
+    unchanged.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    buckets = _minhash_buckets(spark, sf_dir)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    verified = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    fwd = verified.join(sa, F.col("sa.doc_id") == F.col("doc_a")).select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_sup"),
+        F.col("sa.n").alias("n_sub"),
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("sa.n")).alias("containment"),
+    )
+    rev = verified.join(sb, F.col("sb.doc_id") == F.col("doc_b")).select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_sup"),
+        F.col("sb.n").alias("n_sub"),
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("sb.n")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= _CONTAINMENT_MIN)
+        .orderBy("doc_sub", "doc_sup")
+    )
+
+
 # Document-frequency cap for the inverted shingle index: a shingle
 # shared by more than this many documents is boilerplate (page chrome,
 # license headers) — it contributes quadratic candidate pairs in the
@@ -730,6 +834,175 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    from pyspark.sql import Window as W
+
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star CC over undirected (doc_a,
+    doc_b) pairs.  Returns (labels df: doc_id -> cluster_id = component
+    min, rounds used).  Factored out so tests can pin the O(log n)
+    round count on a chain graph — the case that defeats plain
+    min-label propagation."""
+
+    def sym(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ).unionByName(
+            df.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum("u"),
+            F.sum("v"),
+            F.sum(F.col("u") * F.col("v")),
+        ).collect()[0]
+        return tuple(row)
+
+    # Directed canonical form: u = larger endpoint, v = smaller.
+    stars = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = checksum(stars)
+    rounds = 0
+    for _ in range(32):  # O(log n) convergence; 2^32 >> any corpus
+        rounds += 1
+        # LARGE-STAR on the symmetric view: for each node u with
+        # m = min(N(u) ∪ {u}), hook every LARGER neighbor onto m.
+        e = sym(
+            stars.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+        )
+        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("u"), F.col("mn"))
+        large = (
+            e.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("lu"), m.alias("lv"))
+            .where(F.col("lu") != F.col("lv"))
+            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .distinct()
+        )
+        # SMALL-STAR on the directed (larger -> smaller) form: every
+        # node u hooks itself and its smaller neighbors onto the
+        # minimum among them.
+        smins = large.groupBy("u").agg(F.min("v").alias("mn"))
+        relink = (
+            large.join(smins, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        self_link = smins.select("u", F.col("mn").alias("v"))
+        stars = (
+            relink.unionByName(self_link).distinct().localCheckpoint(eager=True)
+        )
+        cur = checksum(stars)
+        if cur == prev:
+            break
+        prev = cur
+
+    # Converged: stars is exactly (node -> component-min) for every
+    # non-minimum node; roots label themselves.
+    roots = (
+        stars.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .join(
+            stars.select(F.col("u").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    labels = stars.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).unionByName(roots)
+    return labels, rounds
+
+
+@register(
+    "dedup_cc_star",
+    f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+    minh AS (
+      SELECT doc_id,
+      {_sql_minhash_cols()}
+      FROM sh GROUP BY doc_id),
+    buckets AS (
+      {_sql_band_buckets()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
+                      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS doc_id, src AS r FROM edges
+      UNION
+      SELECT e.src AS doc_id, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.dst),
+    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_keeper
+    FROM labels
+    ORDER BY doc_id
+    """,
+    "dedup",
+    "iterative",
+)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", 2014) over the MinHash near-dup pairs — the canonical
+    100 TB CC algorithm, complementing ``dedup_cluster_assign``'s
+    min-label propagation:
+
+    * min-label propagation needs O(component DIAMETER) rounds — fine
+      for near-dup clusters (tiny diameter), pathological for chain-
+      shaped graphs (link graphs, citation graphs) where the diameter
+      is O(n);
+    * large-star/small-star needs O(log n) rounds REGARDLESS of
+      diameter: large-star hooks every node's larger neighbors onto
+      its smallest neighbor (halving tree heights), small-star
+      compresses the remaining paths toward each local minimum.
+
+    Each round is one groupBy (per-node min neighbor, map-side
+    combinable) + one broadcast-or-shuffle join, with lineage cut per
+    round via localCheckpoint; the driver moves only a 4-number edge
+    checksum per round for the convergence test.  The converged graph
+    IS the answer: a star from every node to its component minimum.
+
+    Oracle: the same DuckDB recursive min-reachable-id CTE as
+    dedup_cluster_assign — the two operators must agree exactly, which
+    the shared oracle enforces.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = _cc_star_labels(pairs)
     from pyspark.sql import Window as W
 
     return labels.select(

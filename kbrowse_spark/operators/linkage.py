@@ -584,3 +584,136 @@ def seasonal_dow_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (all-integer one-sided upper CUSUM)
+# ---------------------------------------------------------------------------
+
+# Fixed-point scale for the per-day mean; slack k = mean/10 (10% of the
+# in-control mean), alarm threshold h = mean (one mean-day of
+# accumulated drift).  Everything is BIGINT arithmetic, so a ~hundreds-
+# step recursion hash-matches across engines with no float anywhere.
+_CUSUM_SCALE = 1000
+
+
+@register(
+    "cusum_event_drift",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    numbered AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS rn
+      FROM daily),
+    stats AS (
+      SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_days,
+             CAST((SUM(x) * {_CUSUM_SCALE}) // MAX(rn) AS BIGINT)
+               AS mean_fp
+      FROM numbered GROUP BY 1),
+    rec AS (
+      SELECT n.event_type, n.rn,
+             GREATEST(0, n.x * {_CUSUM_SCALE} - s.mean_fp - s.mean_fp // 10)
+               AS s,
+             GREATEST(0, n.x * {_CUSUM_SCALE} - s.mean_fp - s.mean_fp // 10)
+               AS mx,
+             CASE WHEN GREATEST(0, n.x * {_CUSUM_SCALE} - s.mean_fp
+                                    - s.mean_fp // 10) > s.mean_fp
+                  THEN 1 ELSE 0 END AS alarms
+      FROM numbered n JOIN stats s ON s.event_type = n.event_type
+      WHERE n.rn = 1
+      UNION ALL
+      SELECT n.event_type, n.rn,
+             GREATEST(0, r.s + n.x * {_CUSUM_SCALE} - s.mean_fp
+                         - s.mean_fp // 10),
+             GREATEST(r.mx, GREATEST(0, r.s + n.x * {_CUSUM_SCALE} - s.mean_fp
+                                        - s.mean_fp // 10)),
+             r.alarms + CASE WHEN GREATEST(0, r.s + n.x * {_CUSUM_SCALE}
+                                       - s.mean_fp - s.mean_fp // 10)
+                                  > s.mean_fp
+                             THEN 1 ELSE 0 END
+      FROM rec r
+      JOIN numbered n ON n.event_type = r.event_type AND n.rn = r.rn + 1
+      JOIN stats s ON s.event_type = n.event_type)
+    SELECT r.event_type, st.n_days, st.mean_fp,
+           CAST(r.s AS BIGINT) AS cusum_final,
+           CAST(r.mx AS BIGINT) AS cusum_max,
+           CAST(r.alarms AS BIGINT) AS n_alarms
+    FROM rec r JOIN stats st
+      ON r.event_type = st.event_type AND r.rn = st.n_days
+    ORDER BY r.event_type
+    """,
+    "analytics",
+)
+def cusum_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM change-point detector over daily event
+    volumes per type (Page 1954, the standard drift monitor):
+    S_t = max(0, S_{t-1} + x_t - mean - slack), alarm while S_t exceeds
+    the threshold — completing the time-series family (EWMA smooths,
+    Holt forecasts, CUSUM detects sustained level shifts that
+    point-outlier rules like MAD miss).
+
+    All-INTEGER recursion: counts are exact, the in-control mean is a
+    fixed-point BIGINT ((total*1000) div days — both engines floor
+    nonneg integers identically), slack = mean/10 and threshold = mean
+    derive from it, and the fold state (S, running max, alarm count) is
+    a BIGINT struct — so a multi-hundred-step recursion hash-matches
+    DuckDB's recursive-CTE replay exactly, no float anywhere.
+
+    Scale posture: same as the Holt/EWMA family — the fold (one JVM
+    higher-order F.aggregate, no Python, no iteration) runs over the
+    aggregated DAILY grain per group, never raw events; collect_list
+    holds days.  The rollup below is one map-side-combinable aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("total"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+    )
+    sized = series.select(
+        "event_type",
+        "n_days",
+        "xs",
+        F.expr(f"(total * {_CUSUM_SCALE}) div n_days").alias("mean_fp"),
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("s"), zero.alias("mx"), zero.alias("alarms")
+    )
+
+    def step(acc, x):
+        s2 = F.greatest(
+            F.lit(0).cast("long"),
+            acc["s"]
+            + x * _CUSUM_SCALE
+            - F.col("mean_fp")
+            - F.expr("mean_fp div 10"),
+        )
+        return F.struct(
+            s2.alias("s"),
+            F.greatest(acc["mx"], s2).alias("mx"),
+            (
+                acc["alarms"]
+                + F.when(s2 > F.col("mean_fp"), 1).otherwise(0)
+            ).alias("alarms"),
+        )
+
+    fold = F.aggregate("xs", init, step)
+    return sized.select(
+        "event_type",
+        "n_days",
+        "mean_fp",
+        fold["s"].alias("cusum_final"),
+        fold["mx"].alias("cusum_max"),
+        fold["alarms"].cast("long").alias("n_alarms"),
+    ).orderBy("event_type")

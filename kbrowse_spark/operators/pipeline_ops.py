@@ -531,6 +531,224 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-weighted mixing: total sample size apportioned across
+# sources by n_s^tau weights.  tau = 1/2 on purpose: sqrt is CORRECTLY
+# ROUNDED under IEEE-754 (unlike pow/exp), so floor(sqrt(n)*1e6) is the
+# same BIGINT on every engine — the weights enter exact integer
+# apportionment with no transcendental in sight.
+_MIXQ_K = 200
+_MIXQ_SCALE = 1_000_000
+
+
+@register(
+    "mix_temperature_quota",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_MIXQ_SCALE})
+                  AS BIGINT) AS weight_fp
+      FROM counts),
+    tot AS (SELECT SUM(weight_fp) AS s_total FROM w),
+    q0 AS (
+      SELECT source, n_docs, weight_fp,
+             ({_MIXQ_K} * weight_fp) // s_total AS base,
+             ({_MIXQ_K} * weight_fp) % s_total AS rem
+      FROM w CROSS JOIN tot),
+    lo AS (SELECT {_MIXQ_K} - SUM(base) AS leftover FROM q0),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk
+      FROM q0),
+    q AS (
+      SELECT source, n_docs, weight_fp,
+             base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS quota
+      FROM rk CROSS JOIN lo),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5('mixq-' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents),
+    taken AS (
+      SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_taken,
+             CAST(SUM(r.doc_id) AS BIGINT) AS taken_id_sum
+      FROM ranked r JOIN q ON r.source = q.source
+      WHERE r.rn <= q.quota GROUP BY r.source)
+    SELECT q.source, q.n_docs, q.weight_fp, CAST(q.quota AS BIGINT) AS quota,
+           COALESCE(t.n_taken, 0) AS n_taken,
+           COALESCE(t.taken_id_sum, 0) AS taken_id_sum
+    FROM q LEFT JOIN taken t ON q.source = t.source
+    ORDER BY q.source
+    """,
+    "pipeline",
+)
+def mix_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing with EXACT largest-remainder
+    apportionment (Hamilton's method): each source's share of a
+    200-doc sample is proportional to n_s^0.5 — the standard
+    temperature-sampling flattening (tau = 0.5) that upweights small
+    sources in a training mix — and the fractional quotas are resolved
+    to integers that sum EXACTLY to the target (floor everyone, then
+    +1 to the largest remainders).
+
+    Determinism: sqrt is correctly rounded (IEEE), so the fixed-point
+    weights are identical BIGINTs on both engines; everything after —
+    base quotas, remainders, ranking, member selection by md5 order —
+    is integer/string arithmetic.  No rand(), no pow().
+
+    Scale posture: the apportionment runs on the |sources|-row
+    aggregate (tiny; its unpartitioned rank window is bounded by the
+    source vocabulary, not the corpus); quotas re-attach BROADCAST; the
+    corpus-sized pass is one partitioned per-source rank window + a
+    filter.  At 100 TB the per-source rank is the only shuffle, on the
+    same key the downstream write would partition by anyway.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _MIXQ_SCALE)
+        .cast("long")
+        .alias("weight_fp"),
+    )
+    tot = w.agg(F.sum("weight_fp").alias("s_total"))
+    q0 = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "weight_fp",
+        F.expr(f"({_MIXQ_K} * weight_fp) div s_total").alias("base"),
+        F.expr(f"({_MIXQ_K} * weight_fp) % s_total").alias("rem"),
+    )
+    lo = q0.agg((F.lit(_MIXQ_K) - F.sum("base")).alias("leftover"))
+    rk = q0.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("rem").desc(), "source")),
+    )
+    q = rk.crossJoin(F.broadcast(lo)).select(
+        "source",
+        "n_docs",
+        "weight_fp",
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.concat(F.lit("mixq-"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .alias("rn"),
+    )
+    taken = (
+        ranked.join(F.broadcast(q.select("source", "quota")), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            F.sum("doc_id").alias("taken_id_sum"),
+        )
+    )
+    return (
+        q.join(taken, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight_fp",
+            F.col("quota").cast("long").alias("quota"),
+            F.coalesce(F.col("n_taken"), F.lit(0)).alias("n_taken"),
+            F.coalesce(F.col("taken_id_sum"), F.lit(0)).alias("taken_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# Power-of-two padded-batch buckets (16..1024): the length-bucketing a
+# batched trainer/inference server uses so same-bucket sequences pad to
+# the bucket size, not to the global max.  A CASE ladder, not
+# ceil(log2(n)): log2 is a transcendental whose rounding at exact
+# powers of two the two engines do not co-guarantee — the ladder is
+# branch-for-branch identical on both.
+_PAD_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _pad_bucket_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in _PAD_BUCKETS
+    )
+    return f"CASE {whens} ELSE {_PAD_BUCKETS[-1]} END"
+
+
+@register(
+    "length_bucket_padding",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+             {_pad_bucket_case('n_tokens')} AS bucket
+      FROM sized)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) * bucket - SUM(n_tokens) AS BIGINT) AS total_padding,
+           CAST(SUM(n_tokens) AS DOUBLE) / (COUNT(*) * bucket) AS efficiency
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    "pipeline",
+)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch construction audit: assign every document
+    to its power-of-two padding bucket and report per-bucket padding
+    waste and efficiency — the measurement that decides a trainer's
+    bucket boundaries (global-max padding vs bucketed padding is often
+    a 2-3x step in effective tokens/s).
+
+    Sequences longer than the top bucket are CLAMPED into it (a real
+    pipeline truncates or splits them; doc_chunking in this catalog is
+    the splitting path).
+
+    Scale posture: one narrow projection + one map-side-combinable
+    aggregate at bucket grain (<= 7 groups); the only
+    float is one division per OUTPUT row over exact integer sums.
+    """
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(F.size(F.split("text", " ")).alias("n_tokens"))
+    bucket_expr = F.expr(_pad_bucket_case("n_tokens"))
+    return (
+        sized.select("n_tokens", bucket_expr.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") * F.col("bucket") - F.col("total_tokens"))
+            .cast("long")
+            .alias("total_padding"),
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket"))
+            ).alias("efficiency"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quantile-threshold corpus pruning: drop the bottom quality quartile
 # ---------------------------------------------------------------------------

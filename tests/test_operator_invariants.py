@@ -361,3 +361,29 @@ def test_seasonal_indices_weighted_mean_is_one(spark, sf_dir):
         tot = sum(r.n_days for r in rs)
         wmean = sum(r.seasonal_index * r.n_days for r in rs) / tot
         assert abs(wmean - 1.0) < 1e-9
+
+
+def test_cc_star_chain_converges_in_log_rounds(spark):
+    """The motivating case for large-star/small-star: a 256-node PATH
+    graph has diameter 255 (min-label propagation would need ~255
+    rounds) but the star alternation must finish in O(log n) — and
+    label every node with the component minimum."""
+    from kbrowse_spark.operators.dedup import _cc_star_labels
+
+    n = 256
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels, rounds = _cc_star_labels(chain)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.cluster_id == 0 for r in rows)
+    assert rounds <= 12, f"expected O(log 256) rounds, used {rounds}"
+
+
+def test_cc_star_matches_label_propagation(spark, sf_dir):
+    """Two independent CC formulations (star alternation vs min-label
+    propagation) must agree row-for-row on the real near-dup graph."""
+    a = _q(spark, sf_dir, "dedup_cc_star").collect()
+    b = _q(spark, sf_dir, "dedup_cluster_assign").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

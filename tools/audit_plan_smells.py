@@ -97,6 +97,12 @@ ALLOW = {
         "share-of-total window over the top-N+other rollup "
         "(<= N+1 rows by construction, analytics.py)"
     ),
+    "pmi_cooccurrence": "1-row corpus total attach",
+    "mix_temperature_quota": (
+        "largest-remainder rank window over the per-source aggregate "
+        "(<= |sources| rows by construction) + 1-row total/leftover "
+        "attaches (pipeline_ops.py)"
+    ),
 }
 
 

@@ -68,6 +68,14 @@ OPS = [
     "ewma_daily_revenue",
     "corr_value_props_by_type",
     "chisq_type_bucket_cells",
+    # round 6
+    "dedup_cc_star",
+    "dedup_containment",
+    "pmi_cooccurrence",
+    "mix_temperature_quota",
+    "cusum_event_drift",
+    "embed_batch_inference",
+    "multimodal_feature_extract",
 ]
 
 
@@ -78,22 +86,32 @@ def main() -> None:
     for name in OPS:
         qs[name].builder(spark, SFS[0]).write.format("noop").mode("overwrite").save()
 
+    # min of 3 runs: this box has noisy neighbors and a single sample
+    # regularly reads 3-5x high (an r5 verdict item: min-of-1/2 made a
+    # sublinear operator look super-linear); min is the robust
+    # steady-state estimator for a deterministic workload.  The spread
+    # (max/min over samples, worst across SFs) is reported so a
+    # contended regeneration is self-identifying.
+    n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
     results: dict[str, list[float]] = {}
+    spreads: dict[str, float] = {}
     for name in OPS:
         times = []
+        worst_spread = 1.0
         for sf in SFS:
-            # min of 2 runs: this box has noisy neighbors and a single
-            # sample regularly reads 3-5x high; min is the robust
-            # steady-state estimator for a deterministic workload.
-            best = float("inf")
-            for _ in range(2):
+            samples = []
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 qs[name].builder(spark, sf).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                best = min(best, time.perf_counter() - t0)
-            times.append(round(best, 2))
+                samples.append(time.perf_counter() - t0)
+            times.append(round(min(samples), 2))
+            worst_spread = max(
+                worst_spread, max(samples) / max(min(samples), 1e-9)
+            )
         results[name] = times
+        spreads[name] = round(worst_spread, 1)
 
     lines = [
         "# Scaling measurements (generated)",
@@ -104,12 +122,20 @@ def main() -> None:
         "behavior at the next orders of magnitude. Regenerate with",
         "`python tools/scaling_probe.py`.",
         "",
-        "| operator | sf0.001 s | sf0.01 s | sf0.1 s | x0.01->0.1 |",
-        "|---|---|---|---|---|",
+        "`spread` is the worst max/min sample ratio seen while",
+        "regenerating (min-of-3 per cell); rows with spread > 2 were",
+        "measured under neighbor load and their ratios are upper",
+        "bounds, not trends.",
+        "",
+        "| operator | sf0.001 s | sf0.01 s | sf0.1 s | x0.01->0.1 | spread |",
+        "|---|---|---|---|---|---|",
     ]
     for name, ts in results.items():
         ratio = round(ts[2] / ts[1], 1) if ts[1] > 0 else float("nan")
-        lines.append(f"| `{name}` | {ts[0]} | {ts[1]} | {ts[2]} | {ratio}x |")
+        lines.append(
+            f"| `{name}` | {ts[0]} | {ts[1]} | {ts[2]} | {ratio}x |"
+            f" {spreads[name]}x |"
+        )
     out = "\n".join(lines) + "\n"
     with open("docs/SCALING_MEASUREMENTS.md", "w") as f:
         f.write(out)
