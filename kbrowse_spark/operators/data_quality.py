@@ -438,3 +438,114 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-skew planner over a prospective join/shuffle key
+# ---------------------------------------------------------------------------
+
+_SKEW_PARTS = 32  # simulated shuffle partition count
+
+
+@register(
+    "shuffle_skew_planner",
+    f"""
+    WITH keyed AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_SKEW_PARTS} AS bucket
+      FROM events),
+    per_key AS (
+      SELECT bucket, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM keyed GROUP BY 1, 2),
+    per_bucket AS (
+      SELECT bucket,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM per_key GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM per_bucket),
+    top_key AS (
+      SELECT bucket, user_id AS hot_key, n AS hot_key_rows
+      FROM (SELECT bucket, user_id, n,
+                   ROW_NUMBER() OVER (PARTITION BY bucket
+                     ORDER BY n DESC, user_id DESC) AS rn
+            FROM per_key)
+      WHERE rn = 1)
+    SELECT b.bucket, b.n_rows, b.n_keys,
+           t.hot_key, t.hot_key_rows,
+           CAST(GREATEST(1, (b.n_rows * {_SKEW_PARTS}) // tot.total)
+                AS BIGINT) AS salt_factor
+    FROM per_bucket b
+    JOIN top_key t ON t.bucket = b.bucket
+    CROSS JOIN tot
+    ORDER BY b.bucket
+    """,
+    "quality",
+    "agg",
+)
+def shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew planner: before running a big join/aggregation on a
+    key, simulate its hash partitioning and report each partition's row
+    count, key count, hottest key, and a recommended salt factor
+    (partitions holding k times the average need ~k-way salting) — the
+    diagnostic that decides between plain shuffle, AQE skew-join, and
+    manual salting (join_salted_skew in this catalog is the treatment;
+    this operator is the diagnosis).
+
+    Buckets use the engine-portable md5 idiom rather than Spark's
+    internal Murmur3 so the oracle reproduces them exactly; the skew
+    PROFILE (counts per uniform hash bucket) is partitioner-agnostic.
+
+    Scale posture: per-key then per-bucket map-side-combinable
+    aggregates; the hot-key window is partitioned by bucket over the
+    KEY-grain aggregate, never raw rows; the 1-row total attaches
+    broadcast.  Output is exactly {_SKEW_PARTS} rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    bucket = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+        f" AS BIGINT) % {_SKEW_PARTS}"
+    )
+    per_key = (
+        ev.select("user_id", bucket.alias("bucket"))
+        .groupBy("bucket", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_bucket = per_key.groupBy("bucket").agg(
+        F.sum("n").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    tot = per_bucket.agg(F.sum("n_rows").alias("total"))
+    from pyspark.sql import Window as W
+
+    top_key = (
+        per_key.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("bucket").orderBy(
+                    F.col("n").desc(), F.col("user_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("bucket").alias("tb"),
+            F.col("user_id").alias("hot_key"),
+            F.col("n").alias("hot_key_rows"),
+        )
+    )
+    return (
+        per_bucket.join(top_key, per_bucket.bucket == top_key.tb)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_rows",
+            "n_keys",
+            "hot_key",
+            "hot_key_rows",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"(n_rows * {_SKEW_PARTS}) div total"),
+            ).alias("salt_factor"),
+        )
+        .orderBy("bucket")
+    )

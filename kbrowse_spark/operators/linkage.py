@@ -597,9 +597,7 @@ def seasonal_dow_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSUM_SCALE = 1000
 
 
-@register(
-    "cusum_event_drift",
-    f"""
+_CUSUM_SQL = f"""
     WITH RECURSIVE daily AS (
       SELECT event_type, date_trunc('day', ts) AS day,
              CAST(COUNT(*) AS BIGINT) AS x
@@ -645,33 +643,13 @@ _CUSUM_SCALE = 1000
     FROM rec r JOIN stats st
       ON r.event_type = st.event_type AND r.rn = st.n_days
     ORDER BY r.event_type
-    """,
-    "analytics",
-)
-def cusum_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-sided upper CUSUM change-point detector over daily event
-    volumes per type (Page 1954, the standard drift monitor):
-    S_t = max(0, S_{t-1} + x_t - mean - slack), alarm while S_t exceeds
-    the threshold — completing the time-series family (EWMA smooths,
-    Holt forecasts, CUSUM detects sustained level shifts that
-    point-outlier rules like MAD miss).
-
-    All-INTEGER recursion: counts are exact, the in-control mean is a
-    fixed-point BIGINT ((total*1000) div days — both engines floor
-    nonneg integers identically), slack = mean/10 and threshold = mean
-    derive from it, and the fold state (S, running max, alarm count) is
-    a BIGINT struct — so a multi-hundred-step recursion hash-matches
-    DuckDB's recursive-CTE replay exactly, no float anywhere.
-
-    Scale posture: same as the Holt/EWMA family — the fold (one JVM
-    higher-order F.aggregate, no Python, no iteration) runs over the
-    aggregated DAILY grain per group, never raw events; collect_list
-    holds days.  The rollup below is one map-side-combinable aggregate.
     """
-    ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
+
+
+def _cusum_readout(daily: DataFrame) -> DataFrame:
+    """The CUSUM fold + readout over a (event_type, day, x) daily grain
+    — shared by the batch operator and the streaming arm so both are
+    checked against the SAME recursive-CTE oracle."""
     series = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("x").alias("total"),
@@ -717,3 +695,31 @@ def cusum_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold["mx"].alias("cusum_max"),
         fold["alarms"].cast("long").alias("n_alarms"),
     ).orderBy("event_type")
+
+
+@register("cusum_event_drift", _CUSUM_SQL, "analytics")
+def cusum_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided upper CUSUM change-point detector over daily event
+    volumes per type (Page 1954, the standard drift monitor):
+    S_t = max(0, S_{t-1} + x_t - mean - slack), alarm while S_t exceeds
+    the threshold — completing the time-series family (EWMA smooths,
+    Holt forecasts, CUSUM detects sustained level shifts that
+    point-outlier rules like MAD miss).
+
+    All-INTEGER recursion: counts are exact, the in-control mean is a
+    fixed-point BIGINT ((total*1000) div days — both engines floor
+    nonneg integers identically), slack = mean/10 and threshold = mean
+    derive from it, and the fold state (S, running max, alarm count) is
+    a BIGINT struct — so a multi-hundred-step recursion hash-matches
+    DuckDB's recursive-CTE replay exactly, no float anywhere.
+
+    Scale posture: same as the Holt/EWMA family — the fold (one JVM
+    higher-order F.aggregate, no Python, no iteration) runs over the
+    aggregated DAILY grain per group, never raw events; collect_list
+    holds days.  The rollup below is one map-side-combinable aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return _cusum_readout(daily)

@@ -1569,3 +1569,38 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift monitor (shares the batch recursive-CTE oracle)
+# ---------------------------------------------------------------------------
+
+from kbrowse_spark.operators.linkage import _CUSUM_SQL, _cusum_readout  # noqa: E402
+
+
+@register("stream_cusum_drift", _CUSUM_SQL, "streaming")
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming arm of cusum_event_drift: the per-(type, day) volume
+    counts accumulate INSIDE the stream (stateful complete-mode
+    aggregation over the bounded replay), and the CUSUM fold + readout
+    then runs over the streamed aggregate — the shape of a production
+    drift monitor where the stream maintains the daily grain and the
+    detector re-evaluates per trigger.
+
+    Correctness contract: shares the batch operator's recursive-CTE
+    oracle verbatim (same module constant), so stream-accumulated
+    counts feeding the same fold must reproduce the batch answer
+    exactly — the same batch/stream-equivalence discipline as
+    stream_transition_counts.
+
+    Scale posture: streaming state is one count per (type, day) — the
+    day dimension bounds state growth and a production deployment adds
+    a watermark to age closed days out; the fold runs on the aggregated
+    grain only.
+    """
+    ev = _events_stream(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    accumulated = _run_to_memory(daily, "complete")
+    return _cusum_readout(accumulated)

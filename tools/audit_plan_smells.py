@@ -98,6 +98,7 @@ ALLOW = {
         "(<= N+1 rows by construction, analytics.py)"
     ),
     "pmi_cooccurrence": "1-row corpus total attach",
+    "shuffle_skew_planner": "1-row shuffle-total attach",
     "mix_temperature_quota": (
         "largest-remainder rank window over the per-source aggregate "
         "(<= |sources| rows by construction) + 1-row total/leftover "
