@@ -70,6 +70,17 @@ AUDIT = [
     ("chisq_type_bucket_cells", "cell-grain contingency; margins re-aggregate cells, broadcast back"),
     ("dedup_incremental_minhash", "new x base + new x new candidate joins only; base x base never built"),
     ("join_nullsafe_buckets", "null-safe key hashed (coalesce+isnull) — hash join, not NLJ"),
+    # round 6
+    ("dedup_containment", "same banded candidate join as LSH; directed readout adds no shuffle over raw docs"),
+    ("pmi_cooccurrence", "vocab-blocked pair self-join (<=C(50,2)/doc); margins broadcast"),
+    ("mix_temperature_quota", "apportionment on |sources| rows; corpus pass = one per-source rank window"),
+    ("cusum_event_drift", "day-grain rollup then per-group integer JVM fold"),
+    ("kanonymity_report", "two map-side-combinable aggregates, no join/window"),
+    ("embedding_dim_profile", "posexplode collapses map-side to 64 partial rows before exchange"),
+    ("shuffle_skew_planner", "key-grain then bucket-grain aggs; hot-key window over key grain"),
+    ("length_bucket_padding", "one narrow projection + 7-group aggregate"),
+    ("multimodal_feature_extract", "narrow scan -> two chained Arrow stages, no shuffle"),
+    ("embed_batch_inference", "narrow scan -> Arrow batch forward pass, no shuffle"),
 ]
 
 
