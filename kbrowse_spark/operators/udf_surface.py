@@ -546,3 +546,63 @@ def udtf_analyze_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, pos
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_udf_length_class",
+    """
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN n_chars < 200 THEN 'short'
+                  WHEN n_chars < 400 THEN 'medium'
+                  ELSE 'long' END AS len_class,
+             n_chars
+      FROM documents)
+    SELECT lang, len_class,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY lang, len_class
+    ORDER BY lang, len_class
+    """,
+    "udf",
+)
+def sql_udf_length_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN
+    <expr>`): the declarative UDF surface — the function body is a SQL
+    expression Catalyst INLINES into the plan, so unlike a Python UDF
+    it costs nothing (whole-stage codegen sees straight CASE logic; no
+    serialization boundary, no BatchEvalPython).  This is the right
+    tool for shared business logic like classification ladders, and
+    the catalog pins that the engine supports it end-to-end.
+
+    Scale posture: identical to writing the CASE inline — one narrow
+    scan + one map-side-combinable aggregate.
+    """
+    from kbrowse_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION kb_len_class(n INT)
+        RETURNS STRING
+        RETURN CASE WHEN n < 200 THEN 'short'
+                    WHEN n < 400 THEN 'medium'
+                    ELSE 'long' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT lang, kb_len_class(n_chars) AS len_class,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang, kb_len_class(n_chars)
+        ORDER BY lang, len_class
+        """
+    )

@@ -331,3 +331,47 @@ def test_watermark_drop_metrics_reported(spark, tmp_path):
         for op in (p.get("stateOperators") or []):
             dropped += op.get("numRowsDroppedByWatermark", 0)
     assert dropped >= 1, "late row was not accounted in progress metrics"
+
+
+def test_streaming_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across RESTARTS, not just within a run: a second
+    availableNow query starting from the same checkpoint must process
+    only files that arrived after the first run — the file-source
+    offset log is the resume contract a production follow-mode
+    deployment relies on (the reference's follow loop re-polls from its
+    consumer position; this is the Spark analogue)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(0, 100).select(F.col("id").alias("v")).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("v long").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = sum(p["numInputRows"] for p in q.recentProgress)
+        return rows
+
+    assert run_once() == 100
+    assert spark.read.parquet(out).count() == 100
+
+    # New data lands between runs; the resumed query must see ONLY it.
+    spark.range(100, 130).select(F.col("id").alias("v")).write.mode(
+        "append"
+    ).parquet(src)
+    assert run_once() == 30
+    got = spark.read.parquet(out)
+    assert got.count() == 130
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(range(130))
