@@ -438,3 +438,27 @@ def test_csv_corrupt_record_modes(spark, tmp_path):
     ).option("mode", "FAILFAST").csv(path)
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         failfast.collect()
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on the read path: files written before and
+    after a column was added must union under mergeSchema, with the
+    missing column NULL for old files — the contract an append-only
+    100 TB lake depends on when producers upgrade."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id").alias("a")).write.mode(
+        "append"
+    ).parquet(path)
+    spark.range(5, 8).select(
+        F.col("id").alias("a"), (F.col("id") * 10).alias("b")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"a", "b"}
+    assert merged.count() == 8
+    assert merged.filter(F.col("b").isNull()).count() == 5
+    assert (
+        merged.agg(F.sum("b")).collect()[0][0] == 50 + 60 + 70
+    )

@@ -375,3 +375,51 @@ def test_streaming_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 130
     assert got.agg(F.sum("v")).collect()[0][0] == sum(range(130))
+
+
+def test_rocksdb_state_store_matches_default(spark, tmp_path):
+    """The production state backend (RocksDBStateStoreProvider, in-box
+    since Spark 3.2) must produce the same stateful-aggregation result
+    as the default HDFS-backed provider — the conf swap a real
+    deployment makes when state outgrows executor heap."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    spark.range(1000).select((F.col("id") % 13).alias("k")).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run(provider: str | None, name: str):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        saved = spark.conf.get(key, None)
+        try:
+            if provider:
+                spark.conf.set(key, provider)
+            stream = spark.readStream.schema("k long").parquet(src)
+            q = (
+                stream.groupBy("k")
+                .count()
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                (r.k, r["count"]) for r in spark.table(name).collect()
+            }
+        finally:
+            if saved is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, saved)
+
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+        "rocks_counts",
+    )
+    default = run(None, "default_counts")
+    assert rocks == default
+    assert len(rocks) == 13
