@@ -189,6 +189,63 @@ def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached(spark, sf_dir, "minhash_buckets", lambda: _band_buckets_of(sh))
 
 
+def _shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n) shingle counts — cached alongside the bucket table
+    (at cluster scale: a column of the maintained signature table)."""
+    from kbrowse_spark.functions.cache_registry import cached
+
+    return cached(
+        spark,
+        sf_dir,
+        "shingle_sizes",
+        lambda: _shingles_df(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+
+
+def _verified_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_common) for every LSH candidate pair — the ONE
+    verify table the whole MinHash family derives from (Jaccard
+    thresholding, containment, connected components, triangle closure,
+    keeper policy).  Cached per (session, sf_dir): the candidate join +
+    exact intersection is the family's expensive step, and recomputing
+    it per consumer is exactly what a production deployment would avoid
+    by maintaining a pair table next to the signature index."""
+    from kbrowse_spark.functions.cache_registry import cached
+
+    def build() -> DataFrame:
+        sh = _shingles_df(spark, sf_dir)
+        buckets = _minhash_buckets(spark, sf_dir)
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        x, y = sh.alias("x"), sh.alias("y")
+        return (
+            cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+            .join(
+                y,
+                (F.col("y.doc_id") == F.col("doc_b"))
+                & (F.col("y.shingle") == F.col("x.shingle")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+
+    return cached(spark, sf_dir, "minhash_verified", build)
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
@@ -233,31 +290,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-fold row explosion, and map-side partial aggregation collapses
     each input split to one row per doc before the shuffle.
     """
-    sh = _shingles_df(spark, sf_dir)
-    buckets = _minhash_buckets(spark, sf_dir)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
-    verified = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc_b"))
-            & (F.col("y.shingle") == F.col("x.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    verified = _verified_common(spark, sf_dir)
+    sizes = _shingle_sizes(spark, sf_dir)
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jaccard = F.col("n_common").cast("double") / (
@@ -329,31 +363,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships) — candidate generation is the knob, the containment math is
     unchanged.
     """
-    sh = _shingles_df(spark, sf_dir)
-    buckets = _minhash_buckets(spark, sf_dir)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
-    verified = (
-        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(
-            y,
-            (F.col("y.doc_id") == F.col("doc_b"))
-            & (F.col("y.shingle") == F.col("x.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    verified = _verified_common(spark, sf_dir)
+    sizes = _shingle_sizes(spark, sf_dir)
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     fwd = verified.join(sa, F.col("sa.doc_id") == F.col("doc_a")).select(
         F.col("doc_a").alias("doc_sub"),
