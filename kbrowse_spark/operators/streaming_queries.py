@@ -1604,3 +1604,53 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("x"))
     accumulated = _run_to_memory(daily, "complete")
     return _cusum_readout(accumulated)
+
+
+# ---------------------------------------------------------------------------
+# Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_within_watermark",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+      FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_user_days
+    FROM d GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "streaming",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` (Spark 3.5+) — the PRODUCTION
+    streaming dedup: unlike plain `dropDuplicates`, its key state ages
+    out once the watermark passes each key's event time, so state is
+    bounded by the churn window instead of growing forever.
+    `stream_dedup_users` pins the unbounded-state API; this pins the
+    bounded one on a (user, type, day) grain.
+
+    On a bounded availableNow replay every row lands inside the
+    watermark horizon, so the result must equal the batch DISTINCT —
+    which the oracle checks exactly.  The emitted (deduplicated) rows
+    then aggregate in a follow-up batch step, avoiding the chained
+    stateful-operator restriction.
+
+    Scale posture: dedup state is one entry per live (user, type, day)
+    within the 30-day horizon — the watermark is the state-size knob;
+    the downstream count is a map-side-combinable aggregate.
+    """
+    ev = _events_stream(spark, sf_dir)
+    keyed = ev.withColumn("day", F.date_trunc("day", "ts")).select(
+        "ts", "user_id", "event_type", "day"
+    )
+    deduped = keyed.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "day"]
+    )
+    emitted = _run_to_memory(deduped, "append")
+    return (
+        emitted.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy("event_type")
+    )

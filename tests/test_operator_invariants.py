@@ -387,3 +387,103 @@ def test_cc_star_matches_label_propagation(spark, sf_dir):
     a = _q(spark, sf_dir, "dedup_cc_star").collect()
     b = _q(spark, sf_dir, "dedup_cluster_assign").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_mix_temperature_quota_invariants(spark, sf_dir):
+    """Largest-remainder apportionment must hand out EXACTLY the target
+    (quotas sum to 200), and selection must fill each quota up to the
+    source's actual size."""
+    rows = _q(spark, sf_dir, "mix_temperature_quota").collect()
+    assert sum(r.quota for r in rows) == 200
+    for r in rows:
+        assert r.n_taken == min(r.quota, r.n_docs)
+        assert r.weight_fp > 0
+
+
+def test_pmi_cooccurrence_bounds(spark, sf_dir):
+    """Pair support can never exceed either margin, margins never
+    exceed the corpus, and the output honors the support floor and the
+    (ratio, tok_a, tok_b) ordering."""
+    rows = _q(spark, sf_dir, "pmi_cooccurrence").collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.n_ab >= 5
+        key = (-r.pmi_ratio_fp, r.tok_a, r.tok_b)
+        assert prev is None or prev <= key
+        prev = key
+
+
+def test_shuffle_skew_planner_conserves_rows(spark, sf_dir):
+    """Bucket rows must sum to the events count; the hot key is inside
+    its bucket; every bucket gets a salt factor >= 1."""
+    from kbrowse_spark.sources.tables import load
+
+    total = load(spark, sf_dir, "events").count()
+    rows = _q(spark, sf_dir, "shuffle_skew_planner").collect()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        assert 1 <= r.hot_key_rows <= r.n_rows
+        assert r.n_keys >= 1
+        assert r.salt_factor >= 1
+
+
+def test_kanonymity_suppression_consistency(spark, sf_dir):
+    """Suppressed rows/groups are bounded by totals, and a language
+    whose min group size >= k suppresses nothing."""
+    rows = _q(spark, sf_dir, "kanonymity_report").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_groups_below_k <= r.n_groups
+        assert 0 <= r.n_rows_suppressed <= r.n_rows
+        if r.min_group_size >= 5:
+            assert r.n_rows_suppressed == 0
+        else:
+            assert r.n_groups_below_k >= 1
+        assert abs(r.suppression_rate - r.n_rows_suppressed / r.n_rows) < 1e-12
+
+
+def test_cusum_readout_bounds(spark, sf_dir):
+    """Alarms cannot outnumber days; the running max dominates the
+    final statistic; both are nonnegative."""
+    rows = _q(spark, sf_dir, "cusum_event_drift").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_alarms <= r.n_days
+        assert 0 <= r.cusum_final <= r.cusum_max
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """Containment in either direction is >= the pair's Jaccard (the
+    union is at least as large as either set).  Hence every LSH pair
+    with jaccard >= the 0.5 containment floor MUST appear in both
+    directed outputs; pairs below the floor may appear, and when they
+    do the dominance inequality still holds."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _q(spark, sf_dir, "dedup_minhash_lsh").collect()
+    }
+    cont = {
+        (r.doc_sub, r.doc_sup): r.containment
+        for r in _q(spark, sf_dir, "dedup_containment").collect()
+    }
+    assert pairs and cont
+    for (a, b), j in pairs.items():
+        for direction in ((a, b), (b, a)):
+            if j >= 0.5:
+                assert direction in cont
+            if direction in cont:
+                assert cont[direction] >= j - 1e-12
+
+
+def test_length_bucket_padding_conserves_docs(spark, sf_dir):
+    """Buckets partition the corpus; padding arithmetic reconciles."""
+    from kbrowse_spark.sources.tables import load
+
+    total = load(spark, sf_dir, "documents").count()
+    rows = _q(spark, sf_dir, "length_bucket_padding").collect()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.total_padding == r.n_docs * r.bucket - r.total_tokens
+        assert 0 < r.efficiency <= 1.0
