@@ -966,8 +966,9 @@ _PMI_TOP = 100  # output pairs
       GROUP BY 1, 2)
     SELECT p.tok_a, p.tok_b, p.n_ab,
            va.n_docs AS n_a, vb.n_docs AS n_b,
-           CAST((p.n_ab * n.n_total * {_PMI_SCALE})
-                // (va.n_docs * vb.n_docs) AS BIGINT) AS pmi_ratio_fp
+           CAST((CAST(p.n_ab AS HUGEINT) * n.n_total * {_PMI_SCALE})
+                // (CAST(va.n_docs AS HUGEINT) * vb.n_docs)
+                AS BIGINT) AS pmi_ratio_fp
     FROM pairs p
     JOIN vocab va ON va.token = p.tok_a
     JOIN vocab vb ON vb.token = p.tok_b
@@ -1038,8 +1039,14 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ab",
             "n_a",
             "n_b",
+            # 128-bit intermediates: n_ab*N*1e6 grows as N^2*1e6 and
+            # blows past BIGINT at ~3e6 docs (ANSI: overflow error).
+            # DECIMAL(38,0) / HUGEINT keep it exact to ~1e38; the RATIO
+            # itself is <= N*1e6, so the BIGINT result holds to ~9e12
+            # docs — both ceilings far past any single corpus.
             F.expr(
-                f"(n_ab * n_total * {_PMI_SCALE}) div (n_a * n_b)"
+                f"(CAST(n_ab AS DECIMAL(38,0)) * n_total * {_PMI_SCALE})"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
             ).alias("pmi_ratio_fp"),
         )
         .orderBy(F.col("pmi_ratio_fp").desc(), "tok_a", "tok_b")

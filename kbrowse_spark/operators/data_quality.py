@@ -470,15 +470,21 @@ _SKEW_PARTS = 32  # simulated shuffle partition count
                    ROW_NUMBER() OVER (PARTITION BY bucket
                      ORDER BY n DESC, user_id DESC) AS rn
             FROM per_key)
-      WHERE rn = 1)
-    SELECT b.bucket, b.n_rows, b.n_keys,
-           t.hot_key, t.hot_key_rows,
-           CAST(GREATEST(1, (b.n_rows * {_SKEW_PARTS}) // tot.total)
-                AS BIGINT) AS salt_factor
-    FROM per_bucket b
-    JOIN top_key t ON t.bucket = b.bucket
+      WHERE rn = 1),
+    spine AS (
+      SELECT unnest(generate_series(0, {_SKEW_PARTS} - 1)) AS bucket)
+    SELECT CAST(s.bucket AS BIGINT) AS bucket,
+           COALESCE(b.n_rows, 0) AS n_rows,
+           COALESCE(b.n_keys, 0) AS n_keys,
+           t.hot_key,
+           COALESCE(t.hot_key_rows, 0) AS hot_key_rows,
+           CAST(GREATEST(1, (COALESCE(b.n_rows, 0) * {_SKEW_PARTS})
+                            // tot.total) AS BIGINT) AS salt_factor
+    FROM spine s
+    LEFT JOIN per_bucket b ON b.bucket = s.bucket
+    LEFT JOIN top_key t ON t.bucket = s.bucket
     CROSS JOIN tot
-    ORDER BY b.bucket
+    ORDER BY s.bucket
     """,
     "quality",
     "agg",
@@ -499,7 +505,10 @@ def shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: per-key then per-bucket map-side-combinable
     aggregates; the hot-key window is partitioned by bucket over the
     KEY-grain aggregate, never raw rows; the 1-row total attaches
-    broadcast.  Output is exactly {_SKEW_PARTS} rows.
+    broadcast.  A generated bucket spine guarantees the output is
+    exactly one row per simulated partition, INCLUDING empty ones
+    (hot_key NULL, counts 0) — the full partition map, not just the
+    observed one.
     """
     ev = load(spark, sf_dir, "events")
     bucket = F.expr(
@@ -533,18 +542,27 @@ def shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("hot_key_rows"),
         )
     )
+    # Bucket SPINE: empty partitions must appear as zero rows — a
+    # report derived only from observed keys understates skew exactly
+    # when it is worst (many empty partitions).
+    spine = spark.range(_SKEW_PARTS).select(F.col("id").alias("bucket"))
     return (
-        per_bucket.join(top_key, per_bucket.bucket == top_key.tb)
+        spine.join(per_bucket, "bucket", "left")
+        .join(top_key, spine.bucket == top_key.tb, "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
-            "n_rows",
-            "n_keys",
+            F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.col("n_keys"), F.lit(0)).alias("n_keys"),
             "hot_key",
-            "hot_key_rows",
+            F.coalesce(F.col("hot_key_rows"), F.lit(0)).alias(
+                "hot_key_rows"
+            ),
             F.greatest(
                 F.lit(1).cast("long"),
-                F.expr(f"(n_rows * {_SKEW_PARTS}) div total"),
+                F.expr(
+                    f"(coalesce(n_rows, 0) * {_SKEW_PARTS}) div total"
+                ),
             ).alias("salt_factor"),
         )
         .orderBy("bucket")

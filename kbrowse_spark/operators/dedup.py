@@ -889,7 +889,11 @@ def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
     )
     prev = checksum(stars)
     rounds = 0
-    for _ in range(32):  # O(log n) convergence; 2^32 >> any corpus
+    converged = False
+    # O(log n) convergence (measured: 9 rounds for a 256-node chain);
+    # 64 covers n up to ~2^60.  If the cap is ever hit we RAISE rather
+    # than silently return a mid-convergence star set with wrong labels.
+    for _ in range(64):
         rounds += 1
         # LARGE-STAR on the symmetric view: for each node u with
         # m = min(N(u) ∪ {u}), hook every LARGER neighbor onto m.
@@ -921,8 +925,14 @@ def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
         )
         cur = checksum(stars)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"_cc_star_labels did not converge in {rounds} rounds — "
+            "star set still changing; labels would be wrong"
+        )
 
     # Converged: stars is exactly (node -> component-min) for every
     # non-minimum node; roots label themselves.

@@ -691,7 +691,9 @@ def _pad_bucket_case(col: str) -> str:
     "length_bucket_padding",
     f"""
     WITH sized AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      SELECT doc_id,
+             LEAST(len(string_split(text, ' ')), {_PAD_BUCKETS[-1]})
+               AS n_tokens
       FROM documents),
     bucketed AS (
       SELECT doc_id, n_tokens,
@@ -715,16 +717,23 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket boundaries (global-max padding vs bucketed padding is often
     a 2-3x step in effective tokens/s).
 
-    Sequences longer than the top bucket are CLAMPED into it (a real
-    pipeline truncates or splits them; doc_chunking in this catalog is
-    the splitting path).
+    Sequences longer than the top bucket are TRUNCATED to it — both
+    the bucket assignment AND the token count, so total_padding stays
+    nonnegative and efficiency <= 1 by construction (a real pipeline
+    truncates or splits such docs; doc_chunking in this catalog is the
+    splitting path, and the truncated tokens are exactly what it would
+    carry into the next chunk).
 
     Scale posture: one narrow projection + one map-side-combinable
     aggregate at bucket grain (<= 7 groups); the only
     float is one division per OUTPUT row over exact integer sums.
     """
     d = load(spark, sf_dir, "documents")
-    sized = d.select(F.size(F.split("text", " ")).alias("n_tokens"))
+    sized = d.select(
+        F.least(
+            F.size(F.split("text", " ")), F.lit(_PAD_BUCKETS[-1])
+        ).alias("n_tokens")
+    )
     bucket_expr = F.expr(_pad_bucket_case("n_tokens"))
     return (
         sized.select("n_tokens", bucket_expr.alias("bucket"))

@@ -1497,7 +1497,6 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"/tmp/kbrowse_neardup_alerts/{tag}-{os.getpid()}"
         f"-{uuid.uuid4().hex[:8]}"
     )
-    shutil.rmtree(out_base, ignore_errors=True)
     os.makedirs(out_base, exist_ok=True)
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1541,34 +1540,38 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         alerts.write.mode("overwrite").parquet(f"{out_base}/b{batch_id}")
 
-    q = (
-        stream.writeStream.foreachBatch(probe_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", f"{out_base}/_checkpoint"
+    # Per-invocation staging is removed in `finally`: the eager
+    # localCheckpoint below materializes the result BEFORE the parquet
+    # files disappear, so the returned plan never depends on /tmp and
+    # repeated invocations (oracle runs, tests, long sessions) cannot
+    # accumulate staging dirs.
+    try:
+        q = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", f"{out_base}/_checkpoint"
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
-    dirs = [
-        f"{out_base}/{d}"
-        for d in sorted(os.listdir(out_base))
-        if d.startswith("b")
-    ]
-    if not dirs:
-        return spark.createDataFrame(
-            [], "doc_a long, doc_b long, jaccard double"
+        q.awaitTermination()
+        dirs = [
+            f"{out_base}/{d}"
+            for d in sorted(os.listdir(out_base))
+            if d.startswith("b")
+        ]
+        if not dirs:
+            return spark.createDataFrame(
+                [], "doc_a long, doc_b long, jaccard double"
+            )
+        return (
+            spark.read.parquet(*dirs)
+            .distinct()
+            .orderBy("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
         )
-    # Eager checkpoint: a later invocation for the same sf_dir rmtree's
-    # out_base, which would yank the parquet files out from under a
-    # still-lazy returned plan (same hazard + fix as
-    # stream_foreachbatch_export).
-    return (
-        spark.read.parquet(*dirs)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    finally:
+        shutil.rmtree(out_base, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

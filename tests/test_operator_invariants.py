@@ -422,11 +422,16 @@ def test_shuffle_skew_planner_conserves_rows(spark, sf_dir):
 
     total = load(spark, sf_dir, "events").count()
     rows = _q(spark, sf_dir, "shuffle_skew_planner").collect()
+    assert len(rows) == 32  # full partition map, empty buckets included
     assert sum(r.n_rows for r in rows) == total
     for r in rows:
-        assert 1 <= r.hot_key_rows <= r.n_rows
-        assert r.n_keys >= 1
         assert r.salt_factor >= 1
+        if r.n_rows == 0:
+            assert r.n_keys == 0 and r.hot_key_rows == 0
+            assert r.hot_key is None
+        else:
+            assert 1 <= r.hot_key_rows <= r.n_rows
+            assert r.n_keys >= 1
 
 
 def test_kanonymity_suppression_consistency(spark, sf_dir):
@@ -486,4 +491,27 @@ def test_length_bucket_padding_conserves_docs(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == total
     for r in rows:
         assert r.total_padding == r.n_docs * r.bucket - r.total_tokens
+        assert 0 < r.efficiency <= 1.0
+
+
+def test_length_bucket_padding_truncates_overlong_docs(spark, tmp_path):
+    """A document longer than the top bucket must be truncated INTO it
+    (tokens counted at the bucket cap), keeping padding nonnegative and
+    efficiency <= 1 — the review-caught clamp bug class."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 2000), "en", "src1", 4001),
+            (2, "short doc here", "en", "src1", 14),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = _q(spark, str(tmp_path), "length_bucket_padding").collect()
+    by_bucket = {r.bucket: r for r in rows}
+    top = by_bucket[1024]
+    assert top.total_tokens == 1024  # truncated, not raw 2000
+    assert top.total_padding == 0
+    assert top.efficiency == 1.0
+    for r in rows:
+        assert r.total_padding >= 0
         assert 0 < r.efficiency <= 1.0
