@@ -1301,3 +1301,300 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of the source mix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_source_concentration",
+    """
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY source),
+    ranked AS (
+      SELECT toks,
+             CAST(ROW_NUMBER() OVER (ORDER BY toks, source) AS BIGINT) AS i
+      FROM per_src)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(2 * SUM(i * toks) - (COUNT(*) + 1) * SUM(toks) AS BIGINT)
+             AS gini_num,
+           CAST(COUNT(*) * SUM(toks) AS BIGINT) AS gini_den,
+           CAST(2 * SUM(i * toks) - (COUNT(*) + 1) * SUM(toks) AS DOUBLE)
+             / (COUNT(*) * SUM(toks)) AS gini
+    FROM ranked
+    """,
+    "analytics",
+    "agg",
+)
+def gini_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the token mass across sources — the one
+    number that says whether a training mix is balanced (0) or
+    dominated by a few sources (→1), computed by the exact rank
+    formula G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over the
+    ascending-sorted per-source totals.
+
+    Exactness: numerator and denominator are emitted as BIGINTs (rank
+    and token sums are integers; ties in the sort are broken by source
+    name so the ranking is deterministic); `gini` itself is ONE IEEE
+    division both engines evaluate identically.
+
+    Scale posture: the corpus collapses to |sources| rows in one
+    map-side-combined aggregate; the rank window runs over that
+    aggregate only (bounded by the source vocabulary — allow-listed in
+    the plan audit with the other bounded windows).
+    """
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    ranked = per_src.select(
+        "toks",
+        F.row_number()
+        .over(Window.orderBy("toks", "source"))
+        .cast("long")
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("toks").alias("total_tokens"),
+        F.sum(F.col("i") * F.col("toks")).alias("s_iw"),
+    )
+    num = 2 * F.col("s_iw") - (F.col("n_sources") + 1) * F.col("total_tokens")
+    den = F.col("n_sources") * F.col("total_tokens")
+    return agg.select(
+        "n_sources",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        num.cast("long").alias("gini_num"),
+        den.cast("long").alias("gini_den"),
+        (num.cast("double") / den).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness of event arrivals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fano_event_burstiness",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM hourly GROUP BY 1)
+    SELECT event_type, n_hours, sx, sxx,
+           (CAST(n_hours * sxx - sx * sx AS DOUBLE)
+              / nullif(n_hours * (n_hours - 1), 0))
+             / nullif(CAST(sx AS DOUBLE) / n_hours, 0.0) AS fano
+    FROM m ORDER BY event_type
+    """,
+    "analytics",
+    "agg",
+)
+def fano_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of hourly arrival counts
+    per event type — the burstiness diagnostic: ~1 for Poisson traffic,
+    >1 for bursty arrivals (the regime where per-key rate limits and
+    autoscaling margins are set), <1 for regularized flows.
+
+    Exactness contract (same family as ab_test_welch): the moments
+    n, Σx, Σx² are exact BIGINTs over integer counts; variance and the
+    ratio are ONE mirrored IEEE expression tree with nullif-guarded
+    denominators.  Count magnitudes keep x² well inside BIGINT.
+
+    Scale posture: one map-side-combinable aggregate to the hour
+    grain, a second to the type grain — no window, no join.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    var = (
+        F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double") / F.nullif(
+        F.col("n_hours") * (F.col("n_hours") - 1), F.lit(0)
+    )
+    mean = F.col("sx").cast("double") / F.col("n_hours")
+    return m.select(
+        "event_type",
+        "n_hours",
+        "sx",
+        "sxx",
+        (var / F.nullif(mean, F.lit(0.0))).alias("fano"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over user churn
+# ---------------------------------------------------------------------------
+
+# A user is an EVENT (churned) if inactive for >= this many days at the
+# observation end; otherwise they are right-censored at the window end.
+_KM_CHURN_DAYS = 7
+
+
+@register(
+    "survival_kaplan_meier",
+    f"""
+    WITH RECURSIVE bounds AS (
+      SELECT date_trunc('day', MAX(ts)) AS max_day FROM events
+      WHERE event_type = 'purchase'),
+    per_user AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS first_day,
+             date_trunc('day', MAX(ts)) AS last_day
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    durs AS (
+      SELECT CASE WHEN date_diff('day', last_day, max_day)
+                       >= {_KM_CHURN_DAYS}
+                  THEN date_diff('day', first_day, last_day)
+                  ELSE date_diff('day', first_day, max_day) END AS dur,
+             CASE WHEN date_diff('day', last_day, max_day)
+                       >= {_KM_CHURN_DAYS}
+                  THEN 1 ELSE 0 END AS churned
+      FROM per_user CROSS JOIN bounds),
+    grain AS (
+      SELECT CAST(dur AS INT) AS dur,
+             CAST(SUM(churned) AS BIGINT) AS d,
+             CAST(SUM(1 - churned) AS BIGINT) AS c
+      FROM durs GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM durs),
+    numbered AS (
+      SELECT dur, d, c,
+             CAST(n_users - COALESCE(SUM(d + c) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (ORDER BY dur) AS BIGINT) AS rn
+      FROM grain CROSS JOIN tot),
+    rec AS (
+      SELECT rn, dur, d, c, n, CAST(n - d AS DOUBLE) / n AS surv
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT x.rn, x.dur, x.d, x.c, x.n,
+             r.surv * (CAST(x.n - x.d AS DOUBLE) / x.n)
+      FROM rec r JOIN numbered x ON x.rn = r.rn + 1)
+    SELECT dur, d AS n_events, c AS n_censored, n AS n_at_risk,
+           surv AS survival
+    FROM rec ORDER BY dur
+    """,
+    "analytics",
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over user lifetimes: a user
+    churns (event) after 7 idle days at the observation end, or is
+    right-censored at the window boundary; the curve is the product-
+    limit S(t) = prod(1 - d_u/n_u) over event times up to t — the
+    censoring-aware retention readout that the plain retention-cohort
+    table cannot give (censored users neither count as churned nor
+    silently vanish: they leave the risk set at their censor time).
+
+    Determinism (the EWMA/Holt discipline applied to a product):
+    d/c/n are exact integers; each step multiplies by ONE mirrored
+    IEEE expression ((n-d)/n) in the same duration order on both
+    engines, so the running product hash-matches DuckDB's recursive-
+    CTE replay bit for bit.
+
+    Scale posture: user grain collapses in one aggregate; everything
+    after (risk-set cumulative window, the JVM product fold) runs on
+    the DURATION grain — bounded by the observation window in days,
+    not by users (allow-listed bounded window).
+    """
+    # Purchase-activity lifetimes: the sparser high-value signal (all-
+    # event lifetimes span the whole fixture window and give a flat
+    # curve; time-from-first-to-last-PURCHASE is the business question
+    # a survival curve usually answers).
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day"),
+        F.date_trunc("day", F.max("ts")).alias("last_day"),
+    )
+    bounds = ev.agg(F.date_trunc("day", F.max("ts")).alias("max_day"))
+    idle = F.datediff(F.col("max_day"), F.col("last_day"))
+    churned = (idle >= _KM_CHURN_DAYS).cast("int")
+    durs = per_user.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            idle >= _KM_CHURN_DAYS,
+            F.datediff(F.col("last_day"), F.col("first_day")),
+        )
+        .otherwise(F.datediff(F.col("max_day"), F.col("first_day")))
+        .alias("dur"),
+        churned.alias("churned"),
+    )
+    grain = durs.groupBy(F.col("dur").cast("int").alias("dur")).agg(
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(1 - F.col("churned")).cast("long").alias("c"),
+    )
+    tot = durs.agg(F.count(F.lit(1)).alias("n_users"))
+    prior = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    numbered = (
+        grain.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n",
+            (
+                F.col("n_users")
+                - F.coalesce(
+                    F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0)
+                )
+            ).cast("long"),
+        )
+        .select("dur", "d", "c", "n")
+    )
+    # JVM product fold over the duration-grain series (bounded rows).
+    series = numbered.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("dur", "d", "c", "n"))
+        ).alias("xs")
+    )
+    elem_t = (
+        "array<struct<dur:int,d:bigint,c:bigint,n:bigint,surv:double>>"
+    )
+    init = F.struct(
+        F.lit(1.0).alias("s"),
+        F.expr(f"CAST(array() AS {elem_t})").alias("out"),
+    )
+
+    def step(acc, x):
+        s2 = acc["s"] * (
+            (x["n"] - x["d"]).cast("double") / x["n"]
+        )
+        row = F.struct(
+            x["dur"].alias("dur"),
+            x["d"].alias("d"),
+            x["c"].alias("c"),
+            x["n"].alias("n"),
+            s2.alias("surv"),
+        )
+        return F.struct(
+            s2.alias("s"),
+            F.concat(acc["out"], F.array(row)).alias("out"),
+        )
+
+    folded = series.select(
+        F.explode(F.aggregate("xs", init, step)["out"]).alias("r")
+    )
+    return folded.select(
+        F.col("r.dur").alias("dur"),
+        F.col("r.d").alias("n_events"),
+        F.col("r.c").alias("n_censored"),
+        F.col("r.n").alias("n_at_risk"),
+        F.col("r.surv").alias("survival"),
+    ).orderBy("dur")

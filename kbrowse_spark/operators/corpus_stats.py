@@ -1052,3 +1052,113 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_ratio_fp").desc(), "tok_a", "tok_b")
         .limit(_PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary drift between corpus halves (smoothed odds ratio)
+# ---------------------------------------------------------------------------
+
+_DRIFT_MIN_DF = 5
+_DRIFT_SCALE = 1_000_000
+_DRIFT_TOP = 50
+
+
+@register(
+    "vocab_drift_halves",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, doc_id % 2 AS half,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    halves AS (
+      SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM documents),
+    df AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df_b
+      FROM dt GROUP BY token)
+    SELECT token, df_a, df_b,
+           CAST((CAST(df_a + 1 AS HUGEINT) * (n_b + 1) * {_DRIFT_SCALE})
+                // (CAST(df_b + 1 AS HUGEINT) * (n_a + 1)) AS BIGINT)
+             AS odds_fp
+    FROM df CROSS JOIN halves
+    WHERE df_a + df_b >= {_DRIFT_MIN_DF}
+    ORDER BY GREATEST(
+               CAST((CAST(df_a + 1 AS HUGEINT) * (n_b + 1) * {_DRIFT_SCALE})
+                    // (CAST(df_b + 1 AS HUGEINT) * (n_a + 1)) AS BIGINT)
+                 - {_DRIFT_SCALE},
+               {_DRIFT_SCALE}
+                 - CAST((CAST(df_a + 1 AS HUGEINT) * (n_b + 1)
+                         * {_DRIFT_SCALE})
+                        // (CAST(df_b + 1 AS HUGEINT) * (n_a + 1)) AS BIGINT)
+             ) DESC, token
+    LIMIT {_DRIFT_TOP}
+    """,
+    "text",
+    "agg",
+)
+def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift detection: the add-one-smoothed document-
+    frequency odds ratio of every token between two corpus partitions
+    (even vs odd doc_id here; in production, old vs new snapshot — the
+    corpus_snapshot_diff operator supplies exactly those halves),
+    ranked by divergence from parity.  The monitoring query that
+    catches a crawler change, a new spam pattern, or a topic shift
+    before it reaches training.
+
+    Exactness: the smoothed odds ratio is a FIXED-POINT integer
+    ((df_a+1)(n_b+1)·1e6) div ((df_b+1)(n_a+1)) in 128-bit
+    intermediates — no log, no float; divergence ranking uses
+    |ratio − 1e6| with a token tie-break, deterministic on both
+    engines.
+
+    Scale posture: one distinct-explode pass to (doc, token) grain,
+    one map-side-combinable df aggregate keyed by token, a 1-row
+    halves attach — no self-join, no window; the min-df filter bounds
+    the ranked set before the top-k.
+    """
+    d = load(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).distinct()
+    halves = d.agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    df_counts = dt.groupBy("token").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("df_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("df_b"),
+    )
+    odds = F.expr(
+        f"CAST((CAST(df_a + 1 AS DECIMAL(38,0)) * (n_b + 1) * {_DRIFT_SCALE})"
+        f" div (CAST(df_b + 1 AS DECIMAL(38,0)) * (n_a + 1)) AS BIGINT)"
+    )
+    return (
+        df_counts.filter(F.col("df_a") + F.col("df_b") >= _DRIFT_MIN_DF)
+        .crossJoin(F.broadcast(halves))
+        .select("token", "df_a", "df_b", odds.alias("odds_fp"))
+        .orderBy(
+            F.greatest(
+                F.col("odds_fp") - _DRIFT_SCALE,
+                F.lit(_DRIFT_SCALE) - F.col("odds_fp"),
+            ).desc(),
+            "token",
+        )
+        .limit(_DRIFT_TOP)
+    )

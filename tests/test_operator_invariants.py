@@ -515,3 +515,47 @@ def test_length_bucket_padding_truncates_overlong_docs(spark, tmp_path):
     for r in rows:
         assert r.total_padding >= 0
         assert 0 < r.efficiency <= 1.0
+
+
+def test_gini_bounds_and_ratio(spark, sf_dir):
+    (r,) = _q(spark, sf_dir, "gini_source_concentration").collect()
+    assert 0 <= r.gini < 1
+    assert abs(r.gini - r.gini_num / r.gini_den) < 1e-15
+    assert r.n_sources >= 1 and r.total_tokens > 0
+
+
+def test_fano_positive(spark, sf_dir):
+    rows = _q(spark, sf_dir, "fano_event_burstiness").collect()
+    assert rows
+    for r in rows:
+        assert r.fano is None or r.fano >= 0
+        assert r.sxx * r.n_hours >= r.sx * r.sx  # Cauchy-Schwarz
+
+
+def test_vocab_drift_ordering_and_bounds(spark, sf_dir):
+    rows = _q(spark, sf_dir, "vocab_drift_halves").collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert r.df_a + r.df_b >= 5
+        div = max(r.odds_fp - 1_000_000, 1_000_000 - r.odds_fp)
+        key = (-div, r.token)
+        assert prev is None or prev <= key
+        prev = key
+
+
+def test_kaplan_meier_curve_invariants(spark, sf_dir):
+    """Survival is nonincreasing in (0, 1]; the risk set starts at the
+    full population and shrinks by exactly the events + censorings of
+    each preceding duration."""
+    rows = _q(spark, sf_dir, "survival_kaplan_meier").collect()
+    assert rows
+    total = rows[0].n_at_risk
+    assert sum(r.n_events + r.n_censored for r in rows) == total
+    prev_s, expected_n = 1.0, total
+    for r in rows:
+        assert r.n_at_risk == expected_n
+        assert 0 < r.survival <= prev_s + 1e-15
+        prev_s = r.survival
+        expected_n -= r.n_events + r.n_censored
+    assert expected_n == 0

@@ -99,6 +99,15 @@ ALLOW = {
     ),
     "pmi_cooccurrence": "1-row corpus total attach",
     "shuffle_skew_planner": "1-row shuffle-total attach",
+    "vocab_drift_halves": "1-row halves-count attach",
+    "gini_source_concentration": (
+        "rank window over the per-source aggregate "
+        "(<= |sources| rows by construction, analytics.py)"
+    ),
+    "survival_kaplan_meier": (
+        "risk-set cumulative window over the duration grain "
+        "(<= observation-window days by construction, analytics.py)"
+    ),
     "mix_temperature_quota": (
         "largest-remainder rank window over the per-source aggregate "
         "(<= |sources| rows by construction) + 1-row total/leftover "
