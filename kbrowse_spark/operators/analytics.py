@@ -1598,3 +1598,200 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.n").alias("n_at_risk"),
         F.col("r.surv").alias("survival"),
     ).orderBy("dur")
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert quantiles (exact, per first-view cohort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS pts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.vts GROUP BY 1),
+    lat AS (
+      SELECT v.user_id, date_trunc('day', v.vts) AS cohort_day,
+             epoch_us(p.pts) - epoch_us(v.vts) AS lat_us
+      FROM v JOIN p ON v.user_id = p.user_id),
+    ranked AS (
+      SELECT cohort_day, lat_us,
+             ROW_NUMBER() OVER (PARTITION BY cohort_day
+                                ORDER BY lat_us, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cohort_day) AS n
+      FROM lat)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lat_us END)
+                AS BIGINT) AS median_lat_us,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p90_lat_us
+    FROM ranked GROUP BY cohort_day ORDER BY cohort_day
+    """,
+    "analytics",
+    "quantile",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for each first-view cohort day,
+    the EXACT median and P90 of first-view -> first-subsequent-purchase
+    latency — the funnel's "how fast", complementing funnel_conversion's
+    "how many".  Latencies are integer microseconds (unix_micros /
+    epoch_us — no float timestamps), and the quantiles are exact
+    order statistics by rank selection with a (lat, user_id) tie-break,
+    the same discipline as quantiles_disc_orders.
+
+    Scale posture: two user-grain aggregates + one user-keyed join
+    (shared partitioning), then rank windows PARTITIONED by cohort day
+    over the converted-user grain — no global window, no sort of raw
+    events.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    lat = v.join(p, "user_id").select(
+        "user_id",
+        F.date_trunc("day", "vts").alias("cohort_day"),
+        # cast: unix_micros needs TIMESTAMP; the fixture may surface
+        # ntz (same normalization as kbrowse_scan's unix_millis).
+        (
+            F.unix_micros(F.col("pts").cast("timestamp"))
+            - F.unix_micros(F.col("vts").cast("timestamp"))
+        ).alias("lat_us"),
+    )
+    w = Window.partitionBy("cohort_day").orderBy("lat_us", "user_id")
+    wn = Window.partitionBy("cohort_day")
+    ranked = lat.select(
+        "cohort_day",
+        "lat_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day")
+        )
+        .agg(
+            F.max("n").cast("long").alias("n_converted"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("lat_us")
+                )
+            )
+            .cast("long")
+            .alias("median_lat_us"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.col("n") * 0.9).cast("long"),
+                    F.col("lat_us"),
+                )
+            )
+            .cast("long")
+            .alias("p90_lat_us"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion rate with Wilson confidence bounds
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.96
+
+
+@register(
+    "conversion_wilson_bounds",
+    f"""
+    WITH per_user AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    c AS (
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM per_user GROUP BY 1)
+    SELECT cohort_day, n_users, n_converted,
+           CAST(n_converted AS DOUBLE) / n_users AS rate,
+           (CAST(n_converted AS DOUBLE) / n_users
+              + {_WILSON_Z} * {_WILSON_Z} / (2 * n_users)
+              - {_WILSON_Z} * sqrt(
+                  (CAST(n_converted AS DOUBLE) / n_users)
+                    * (1 - CAST(n_converted AS DOUBLE) / n_users) / n_users
+                  + {_WILSON_Z} * {_WILSON_Z}
+                    / (4 * CAST(n_users AS DOUBLE) * n_users)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users) AS wilson_lo,
+           (CAST(n_converted AS DOUBLE) / n_users
+              + {_WILSON_Z} * {_WILSON_Z} / (2 * n_users)
+              + {_WILSON_Z} * sqrt(
+                  (CAST(n_converted AS DOUBLE) / n_users)
+                    * (1 - CAST(n_converted AS DOUBLE) / n_users) / n_users
+                  + {_WILSON_Z} * {_WILSON_Z}
+                    / (4 * CAST(n_users AS DOUBLE) * n_users)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users) AS wilson_hi
+    FROM c ORDER BY cohort_day
+    """,
+    "analytics",
+    "agg",
+)
+def conversion_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort conversion rate with the Wilson score interval — the
+    small-sample-correct uncertainty band a dashboard should draw
+    around every rate (the naive normal interval misbehaves near 0/1
+    and tiny n; Wilson is the standard fix).
+
+    Determinism: the interval is a single mirrored IEEE expression
+    tree over two exact integers (n, k) using only +,-,*,/ and sqrt —
+    every one of which is correctly rounded under IEEE-754 — so both
+    engines produce bit-identical bounds (the same reasoning that makes
+    tau=0.5 temperature weights exact in mix_temperature_quota).
+
+    Scale posture: one user-grain aggregate, one cohort-grain
+    aggregate; no window, no join.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    c = per_user.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    z = F.lit(_WILSON_Z)
+    n = F.col("n_users")
+    rate = F.col("n_converted").cast("double") / n
+    center = rate + z * z / (2 * n)
+    margin = z * F.sqrt(
+        rate * (1 - rate) / n + z * z / (4 * n.cast("double") * n)
+    )
+    denom = 1 + z * z / n
+    return c.select(
+        "cohort_day",
+        "n_users",
+        "n_converted",
+        rate.alias("rate"),
+        ((center - margin) / denom).alias("wilson_lo"),
+        ((center + margin) / denom).alias("wilson_hi"),
+    ).orderBy("cohort_day")
