@@ -1795,3 +1795,73 @@ def conversion_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - margin) / denom).alias("wilson_lo"),
         ((center + margin) / denom).alias("wilson_hi"),
     ).orderBy("cohort_day")
+
+
+# ---------------------------------------------------------------------------
+# Pareto cumulative-share table of the source mix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pareto_source_share",
+    """
+    WITH per_src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY source),
+    ranked AS (
+      SELECT source, toks,
+             CAST(ROW_NUMBER() OVER (ORDER BY toks DESC, source) AS BIGINT)
+               AS rk,
+             CAST(SUM(toks) OVER (ORDER BY toks DESC, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_toks,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_src,
+             CAST(SUM(toks) OVER () AS BIGINT) AS tot
+      FROM per_src)
+    SELECT source, rk, toks, cum_toks,
+           CAST(cum_toks AS DOUBLE) / tot AS cum_share,
+           CAST(rk AS DOUBLE) / n_src AS frac_sources
+    FROM ranked
+    ORDER BY rk
+    """,
+    "analytics",
+    "agg",
+)
+def pareto_source_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (cumulative-share) table of the source token mix: sources
+    sorted largest-first with the running share of total — the "top X%
+    of sources hold Y% of tokens" readout that gini_source_concentration
+    summarizes into one number; this is the curve behind it.
+
+    Exactness: ranks and cumulative sums are exact integers over the
+    per-source aggregate with a deterministic (toks DESC, source)
+    tie-break; the two shares are one IEEE division each.
+
+    Scale posture: the corpus collapses to |sources| rows in one
+    map-side-combined aggregate; every window runs over that bounded
+    aggregate (allow-listed with the other |sources|-bounded windows).
+    """
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("toks")
+    )
+    w_ord = Window.orderBy(F.col("toks").desc(), "source")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_src.select(
+        "source",
+        "toks",
+        F.row_number().over(w_ord).cast("long").alias("rk"),
+        F.sum("toks").over(w_cum).cast("long").alias("cum_toks"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_src"),
+        F.sum("toks").over(w_all).cast("long").alias("tot"),
+    )
+    return ranked.select(
+        "source",
+        "rk",
+        "toks",
+        "cum_toks",
+        (F.col("cum_toks").cast("double") / F.col("tot")).alias("cum_share"),
+        (F.col("rk").cast("double") / F.col("n_src")).alias("frac_sources"),
+    ).orderBy("rk")

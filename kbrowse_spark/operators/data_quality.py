@@ -567,3 +567,87 @@ def shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size profiler: exact output cardinality BEFORE running the join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_size_profiler",
+    """
+    WITH l AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS a
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS b
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT l.k, l.a, r.b, l.a * r.b AS contrib
+      FROM l JOIN r ON l.k = r.k)
+    SELECT CAST((SELECT SUM(a) FROM l) AS BIGINT) AS n_left,
+           CAST((SELECT SUM(b) FROM r) AS BIGINT) AS n_right,
+           CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_left_keys,
+           CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_right_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_common_keys,
+           CAST(SUM(contrib) AS BIGINT) AS join_output_rows,
+           CAST(MAX(contrib) AS BIGINT) AS max_key_contrib
+    FROM j
+    """,
+    "quality",
+    "agg",
+)
+def join_size_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality WITHOUT running the join:
+    |A join B on k| = sum over common keys of a_k * b_k, from the two
+    key-grain count tables — plus the max single-key contribution (the
+    number that predicts a hot task).  With the shuffle_skew_planner
+    this completes the pre-flight kit: size the output, find the hot
+    keys, pick plain shuffle / broadcast / salting BEFORE paying for a
+    misplanned join.  (orders x lineitem on orderkey here; the pattern
+    is key-agnostic.)
+
+    Scale posture: two map-side-combinable key-grain aggregates and a
+    key-grain join — the profile costs one aggregation pass per side,
+    never the join's output volume (exactly why it is worth running
+    first: profiling a 10^12-row join output costs ~10^7 key rows).
+    All counts are exact BIGINTs; no estimation error to reason about
+    at these magnitudes (a_k*b_k <= 9e18 holds until a single key
+    carries ~3e9 rows on both sides).
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    l_cnt = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    r_cnt = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("b")
+    )
+    l_tot = l_cnt.agg(
+        F.sum("a").alias("n_left"), F.count(F.lit(1)).alias("n_left_keys")
+    )
+    r_tot = r_cnt.agg(
+        F.sum("b").alias("n_right"), F.count(F.lit(1)).alias("n_right_keys")
+    )
+    j = l_cnt.join(r_cnt, "k").select(
+        (F.col("a") * F.col("b")).alias("contrib")
+    )
+    prof = j.agg(
+        F.count(F.lit(1)).alias("n_common_keys"),
+        F.sum("contrib").cast("long").alias("join_output_rows"),
+        F.max("contrib").cast("long").alias("max_key_contrib"),
+    )
+    return (
+        prof.crossJoin(F.broadcast(l_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            "n_left_keys",
+            "n_right_keys",
+            "n_common_keys",
+            "join_output_rows",
+            "max_key_contrib",
+        )
+    )

@@ -100,6 +100,11 @@ ALLOW = {
     "pmi_cooccurrence": "1-row corpus total attach",
     "shuffle_skew_planner": "1-row shuffle-total attach",
     "vocab_drift_halves": "1-row halves-count attach",
+    "join_size_profiler": "1-row side-total attaches to the 1-row profile",
+    "pareto_source_share": (
+        "rank/cumulative windows over the per-source aggregate "
+        "(<= |sources| rows by construction, analytics.py)"
+    ),
     "gini_source_concentration": (
         "rank window over the per-source aggregate "
         "(<= |sources| rows by construction, analytics.py)"
