@@ -1743,3 +1743,86 @@ def incremental_minhash_from_index(
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("pair_type", "doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+    minh AS (
+      SELECT doc_id,
+      {_sql_minhash_cols()}
+      FROM sh GROUP BY doc_id),
+    buckets AS (
+      {_sql_band_buckets()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
+                      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS doc_id, src AS r FROM edges
+      UNION
+      SELECT e.src AS doc_id, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.dst),
+    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    csz AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY cluster_id)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+    FROM csz
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    "dedup",
+    "agg",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup IMPACT readout:
+    for each cluster size, how many clusters, how many docs they hold,
+    and how many docs keep-one-per-cluster deduplication would remove.
+    This is the report that turns "we found 47 near-dup docs" into "the
+    corpus shrinks by X% and the mass is in size-2 pairs vs one giant
+    template cluster" — the shape that decides whether to dedup at all.
+
+    Reuses the shared verified-pair table and the star CC labels
+    (cached subtrees); the histogram itself is two aggregates over the
+    cluster grain.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = _cc_star_labels(pairs)
+    csz = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        csz.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("n_clusters") * (F.col("cluster_size") - 1))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

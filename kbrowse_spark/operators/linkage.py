@@ -723,3 +723,108 @@ def cusum_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("x"))
     return _cusum_readout(daily)
+
+
+# ---------------------------------------------------------------------------
+# Blocking-efficiency report for the pigeonhole join
+# ---------------------------------------------------------------------------
+
+_BLK_SCALE = 1_000_000
+
+
+@register(
+    "blocking_efficiency_report",
+    f"""
+    WITH c AS (SELECT c_custkey, c_name FROM customer),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rec FROM c),
+    blocked AS (
+      SELECT kid,
+             CASE kid
+               WHEN 0 THEN substr(c_name, 1, 9) || '|' || substr(c_name, 13, 2)
+                           || substr(c_name, 15, 2) || substr(c_name, 17, 2)
+               WHEN 1 THEN substr(c_name, 1, 9) || '|' || substr(c_name, 10, 3)
+                           || substr(c_name, 15, 2) || substr(c_name, 17, 2)
+               WHEN 2 THEN substr(c_name, 1, 9) || '|' || substr(c_name, 10, 3)
+                           || substr(c_name, 13, 2) || substr(c_name, 17, 2)
+               ELSE substr(c_name, 1, 9) || '|' || substr(c_name, 10, 3)
+                           || substr(c_name, 13, 2) || substr(c_name, 15, 2)
+             END AS kval
+      FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS kid)),
+    blocks AS (
+      SELECT kid, kval, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM blocked GROUP BY 1, 2)
+    SELECT n.n_rec,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(MAX(sz) AS BIGINT) AS max_block_size,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_candidate_pairs,
+           CAST(n.n_rec * (n.n_rec - 1) // 2 AS BIGINT) AS n_full_pairs,
+           CAST((SUM(sz * (sz - 1) // 2) * {_BLK_SCALE})
+                // (n.n_rec * (n.n_rec - 1) // 2) AS BIGINT)
+             AS candidate_ppm
+    FROM blocks CROSS JOIN n
+    GROUP BY n.n_rec
+    """,
+    "linkage",
+    "agg",
+)
+def blocking_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-efficiency audit for the pigeonhole fuzzy join: how
+    many candidate pairs the 4 blocking keys generate — computed from
+    BLOCK SIZES ALONE (sum of C(sz,2) per block), never materializing
+    a pair — against the full quadratic n(n-1)/2, as a fixed-point
+    parts-per-million reduction ratio.  This is the number that says
+    whether a blocking scheme survives growth BEFORE running it; the
+    r5 adversarial-case analysis (sequential ids -> hot low-segment
+    blocks) becomes a queryable metric instead of a docstring claim.
+
+    Exactness: all counts integer; the ppm ratio is one integer div.
+
+    Scale posture: one explode (4 keys/record) + one map-side-
+    combinable block-size aggregate + a 1-row rollup; cost is
+    O(records), independent of the candidate volume being estimated.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    segs = [F.substring("c_name", s, ln) for s, ln in _SEGS]
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(kid).alias("kid"),
+                F.concat_ws(
+                    "|",
+                    F.substring("c_name", 1, 9),
+                    *[segs[i] for i in tri],
+                ).alias("kval"),
+            )
+            for kid, tri in enumerate(_KEY_TRIPLES)
+        ]
+    )
+    blocked = c.select(F.explode(keys).alias("bk")).select(
+        "bk.kid", "bk.kval"
+    )
+    blocks = blocked.groupBy("kid", "kval").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    n = c.agg(F.count(F.lit(1)).alias("n_rec"))
+    report = blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("sz").cast("long").alias("max_block_size"),
+        F.sum(F.expr("sz * (sz - 1) div 2"))
+        .cast("long")
+        .alias("n_candidate_pairs"),
+    )
+    return (
+        report.crossJoin(F.broadcast(n))
+        .select(
+            F.col("n_rec").cast("long").alias("n_rec"),
+            "n_blocks",
+            "max_block_size",
+            "n_candidate_pairs",
+            F.expr("n_rec * (n_rec - 1) div 2")
+            .cast("long")
+            .alias("n_full_pairs"),
+            F.expr(
+                f"(n_candidate_pairs * {_BLK_SCALE})"
+                " div (n_rec * (n_rec - 1) div 2)"
+            ).alias("candidate_ppm"),
+        )
+    )
