@@ -101,6 +101,7 @@ ALLOW = {
     "shuffle_skew_planner": "1-row shuffle-total attach",
     "vocab_drift_halves": "1-row halves-count attach",
     "join_size_profiler": "1-row side-total attaches to the 1-row profile",
+    "blocking_efficiency_report": "1-row record-count attach to the 1-row report",
     "pareto_source_share": (
         "rank/cumulative windows over the per-source aggregate "
         "(<= |sources| rows by construction, analytics.py)"
