@@ -1731,22 +1731,25 @@ _WILSON_Z = 1.96
     SELECT cohort_day, n_users, n_converted,
            CAST(n_converted AS DOUBLE) / n_users AS rate,
            (CAST(n_converted AS DOUBLE) / n_users
-              + {_WILSON_Z} * {_WILSON_Z} / (2 * n_users)
-              - {_WILSON_Z} * sqrt(
+              + z * z / (2 * n_users)
+              - z * sqrt(
                   (CAST(n_converted AS DOUBLE) / n_users)
                     * (1 - CAST(n_converted AS DOUBLE) / n_users) / n_users
-                  + {_WILSON_Z} * {_WILSON_Z}
-                    / (4 * CAST(n_users AS DOUBLE) * n_users)))
-             / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users) AS wilson_lo,
+                  + z * z / (4 * CAST(n_users AS DOUBLE) * n_users)))
+             / (1 + z * z / n_users) AS wilson_lo,
            (CAST(n_converted AS DOUBLE) / n_users
-              + {_WILSON_Z} * {_WILSON_Z} / (2 * n_users)
-              + {_WILSON_Z} * sqrt(
+              + z * z / (2 * n_users)
+              + z * sqrt(
                   (CAST(n_converted AS DOUBLE) / n_users)
                     * (1 - CAST(n_converted AS DOUBLE) / n_users) / n_users
-                  + {_WILSON_Z} * {_WILSON_Z}
-                    / (4 * CAST(n_users AS DOUBLE) * n_users)))
-             / (1 + {_WILSON_Z} * {_WILSON_Z} / n_users) AS wilson_hi
-    FROM c ORDER BY cohort_day
+                  + z * z / (4 * CAST(n_users AS DOUBLE) * n_users)))
+             / (1 + z * z / n_users) AS wilson_hi
+    -- z as a DOUBLE column, not a bare literal: DuckDB would otherwise
+    -- read 1.96 as DECIMAL and compute z*z exactly (3.8416) where
+    -- Spark's double product is 3.8415999999999997 — bit-different
+    -- bounds on small cohorts (review-confirmed on n=7, k=2).
+    FROM c CROSS JOIN (SELECT CAST({_WILSON_Z} AS DOUBLE) AS z)
+    ORDER BY cohort_day
     """,
     "analytics",
     "agg",

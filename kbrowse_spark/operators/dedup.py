@@ -246,10 +246,10 @@ def _verified_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached(spark, sf_dir, "minhash_verified", build)
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH sh AS ({_SQL_SHINGLES}),
+# Shared oracle fragments (ONE definition of the candidate/verify/CC
+# chain; every MinHash-family oracle composes these instead of pasting
+# its own copy — the SQL mirror of _verified_common/_cc_star_labels).
+_SQL_MINHASH_BASE = f"""sh AS ({_SQL_SHINGLES}),
     minh AS (
       SELECT doc_id,
       {_sql_minhash_cols()}
@@ -265,7 +265,30 @@ def _verified_common(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cand c JOIN sh x ON x.doc_id = c.doc_a
                   JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      GROUP BY c.doc_a, c.doc_b)
+      GROUP BY c.doc_a, c.doc_b)"""
+
+_SQL_CC_LABELS = f"""{_SQL_MINHASH_BASE},
+    pairs AS (
+      SELECT v.doc_a, v.doc_b
+      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
+                      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT src AS doc_id, src AS r FROM edges
+      UNION
+      SELECT e.src AS doc_id, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.dst),
+    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SQL_MINHASH_BASE}
     SELECT v.doc_a, v.doc_b,
            CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common) AS jaccard
     FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
@@ -312,23 +335,7 @@ _CONTAINMENT_MIN = 0.5
 @register(
     "dedup_containment",
     f"""
-    WITH sh AS ({_SQL_SHINGLES}),
-    minh AS (
-      SELECT doc_id,
-      {_sql_minhash_cols()}
-      FROM sh GROUP BY doc_id),
-    buckets AS (
-      {_sql_band_buckets()}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    verified AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
-                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      GROUP BY c.doc_a, c.doc_b),
+    WITH {_SQL_MINHASH_BASE},
     directed AS (
       SELECT v.doc_a AS doc_sub, v.doc_b AS doc_sup,
              sa.n AS n_sub, v.n_common,
@@ -744,38 +751,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_assign",
     f"""
-    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
-    minh AS (
-      SELECT doc_id,
-      {_sql_minhash_cols()}
-      FROM sh GROUP BY doc_id),
-    buckets AS (
-      {_sql_band_buckets()}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    verified AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
-                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      GROUP BY c.doc_a, c.doc_b),
-    pairs AS (
-      SELECT v.doc_a, v.doc_b
-      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
-                      JOIN sizes sb ON sb.doc_id = v.doc_b
-      WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
-            >= {JACCARD_THRESHOLD}),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b, doc_a FROM pairs),
-    reach AS (
-      SELECT DISTINCT src AS doc_id, src AS r FROM edges
-      UNION
-      SELECT e.src AS doc_id, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.dst),
-    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    WITH RECURSIVE {_SQL_CC_LABELS}
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            CAST(doc_id = cluster_id AS INT) AS is_keeper
@@ -955,38 +931,7 @@ def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
 @register(
     "dedup_cc_star",
     f"""
-    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
-    minh AS (
-      SELECT doc_id,
-      {_sql_minhash_cols()}
-      FROM sh GROUP BY doc_id),
-    buckets AS (
-      {_sql_band_buckets()}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    verified AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
-                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      GROUP BY c.doc_a, c.doc_b),
-    pairs AS (
-      SELECT v.doc_a, v.doc_b
-      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
-                      JOIN sizes sb ON sb.doc_id = v.doc_b
-      WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
-            >= {JACCARD_THRESHOLD}),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b, doc_a FROM pairs),
-    reach AS (
-      SELECT DISTINCT src AS doc_id, src AS r FROM edges
-      UNION
-      SELECT e.src AS doc_id, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.dst),
-    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)
+    WITH RECURSIVE {_SQL_CC_LABELS}
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            CAST(doc_id = cluster_id AS INT) AS is_keeper
@@ -1289,38 +1234,7 @@ def graph_triangle_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_keeper_quality",
     f"""
-    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
-    minh AS (
-      SELECT doc_id,
-      {_sql_minhash_cols()}
-      FROM sh GROUP BY doc_id),
-    buckets AS (
-      {_sql_band_buckets()}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    verified AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
-                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      GROUP BY c.doc_a, c.doc_b),
-    pairs AS (
-      SELECT v.doc_a, v.doc_b
-      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
-                      JOIN sizes sb ON sb.doc_id = v.doc_b
-      WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
-            >= {JACCARD_THRESHOLD}),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b, doc_a FROM pairs),
-    reach AS (
-      SELECT DISTINCT src AS doc_id, src AS r FROM edges
-      UNION
-      SELECT e.src AS doc_id, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.dst),
-    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    WITH RECURSIVE {_SQL_CC_LABELS},
     ranked AS (
       SELECT l.doc_id, l.cluster_id, d.n_chars,
              row_number() OVER (PARTITION BY l.cluster_id
@@ -1748,38 +1662,7 @@ def incremental_minhash_from_index(
 @register(
     "dedup_cluster_size_histogram",
     f"""
-    WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
-    minh AS (
-      SELECT doc_id,
-      {_sql_minhash_cols()}
-      FROM sh GROUP BY doc_id),
-    buckets AS (
-      {_sql_band_buckets()}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    verified AS (
-      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cand c JOIN sh x ON x.doc_id = c.doc_a
-                  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      GROUP BY c.doc_a, c.doc_b),
-    pairs AS (
-      SELECT v.doc_a, v.doc_b
-      FROM verified v JOIN sizes sa ON sa.doc_id = v.doc_a
-                      JOIN sizes sb ON sb.doc_id = v.doc_b
-      WHERE CAST(v.n_common AS DOUBLE) / (sa.n + sb.n - v.n_common)
-            >= {JACCARD_THRESHOLD}),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_b, doc_a FROM pairs),
-    reach AS (
-      SELECT DISTINCT src AS doc_id, src AS r FROM edges
-      UNION
-      SELECT e.src AS doc_id, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.dst),
-    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    WITH RECURSIVE {_SQL_CC_LABELS},
     csz AS (
       SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
       FROM labels GROUP BY cluster_id)

@@ -741,13 +741,17 @@ _BLK_SCALE = 1_000_000
       SELECT kid,
              CASE kid
                WHEN 0 THEN substr(c_name, 1, 9) || '|' || substr(c_name, 13, 2)
-                           || substr(c_name, 15, 2) || substr(c_name, 17, 2)
+                           || '|' || substr(c_name, 15, 2)
+                           || '|' || substr(c_name, 17, 2)
                WHEN 1 THEN substr(c_name, 1, 9) || '|' || substr(c_name, 10, 3)
-                           || substr(c_name, 15, 2) || substr(c_name, 17, 2)
+                           || '|' || substr(c_name, 15, 2)
+                           || '|' || substr(c_name, 17, 2)
                WHEN 2 THEN substr(c_name, 1, 9) || '|' || substr(c_name, 10, 3)
-                           || substr(c_name, 13, 2) || substr(c_name, 17, 2)
+                           || '|' || substr(c_name, 13, 2)
+                           || '|' || substr(c_name, 17, 2)
                ELSE substr(c_name, 1, 9) || '|' || substr(c_name, 10, 3)
-                           || substr(c_name, 13, 2) || substr(c_name, 15, 2)
+                           || '|' || substr(c_name, 13, 2)
+                           || '|' || substr(c_name, 15, 2)
              END AS kval
       FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS kid)),
     blocks AS (
@@ -784,6 +788,27 @@ def blocking_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(records), independent of the candidate volume being estimated.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # Same loud shape guard as fuzzy_join_pigeonhole: a report computed
+    # over keys the actual fuzzy join would REFUSE to run on would
+    # describe the wrong population — abort on non-conforming names
+    # rather than silently including them.
+    c = c.withColumn(
+        "c_name",
+        F.when(
+            F.col("c_name").rlike(r"^Customer#[0-9]{9}$"), F.col("c_name")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "blocking_efficiency_report: key violates the "
+                        "fixed-width 'Customer#ddddddddd' shape the "
+                        "blocking scheme assumes: "
+                    ),
+                    F.col("c_name"),
+                )
+            )
+        ),
+    )
     segs = [F.substring("c_name", s, ln) for s, ln in _SEGS]
     keys = F.array(
         *[

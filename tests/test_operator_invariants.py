@@ -555,7 +555,10 @@ def test_kaplan_meier_curve_invariants(spark, sf_dir):
     prev_s, expected_n = 1.0, total
     for r in rows:
         assert r.n_at_risk == expected_n
-        assert 0 < r.survival <= prev_s + 1e-15
+        # survival hits exactly 0.0 when the final risk set all churns
+        # (d == n on the last duration) — a correct KM output.
+        assert 0 <= r.survival <= prev_s + 1e-15
         prev_s = r.survival
         expected_n -= r.n_events + r.n_censored
     assert expected_n == 0
+    assert all(r.survival > 0 for r in rows[:-1])
