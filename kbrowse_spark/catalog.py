@@ -58,10 +58,19 @@ def _previously_checked() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, r in data.items():
-            if isinstance(r, dict) and (
-                r.get("hash_match") or r.get("err") == "no_oracle"
-            ):
+            if not isinstance(r, dict):
+                continue
+            if r.get("hash_match"):
                 checked.add(name)
+            elif r.get("err") == "no_oracle":
+                # A rows-only record only counts as "checked" if the query
+                # is STILL oracle-less.  A query upgraded from rows-only to
+                # oracle-backed since that round (e.g. a stub made real)
+                # must sort back into the sampling prefix so the driver can
+                # hash-verify it for the first time.
+                q = _REGISTRY.get(name)
+                if q is None or q.oracle is None:
+                    checked.add(name)
     return checked
 
 

@@ -76,6 +76,15 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup pipelines reference this subtree up to 4 times (minhash,
     sizes, both verification sides).  At cluster scale the same role is
     played by persisting to MEMORY_AND_DISK or a checkpoint.
+
+    Partitioning note (measured r7): the cache inherits the scan's
+    partitioning — 1 partition at bench SF because the fixture is one
+    parquet file.  Repartitioning it (32 on doc_id) was tried and made
+    every consumer SLOWER at this size (novelty 0.88->1.44 s, cc_star
+    3.6->4.2 s): ~5 MB of cached shingles is scheduling-overhead-bound,
+    not parallelism-bound.  At 100 TB the input arrives multi-partition
+    from the scan, so no repartition is needed there either — do not
+    add one here.
     """
     d = load(spark, sf_dir, "documents")
     from kbrowse_spark.functions.cache_registry import cached
@@ -845,14 +854,14 @@ def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
             df.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
         )
 
-    def checksum(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)),
-            F.sum("u"),
-            F.sum("v"),
-            F.sum(F.col("u") * F.col("v")),
-        ).collect()[0]
-        return tuple(row)
+    def same_edge_set(a: DataFrame, b: DataFrame) -> bool:
+        # Exact set equality (both sides are distinct + checkpointed so
+        # this is two cheap jobs over converged-size edge sets).  A hash
+        # checksum here would risk a collision silently mislabeling
+        # clusters in a correctness-critical path.
+        if a.count() != b.count():
+            return False
+        return a.exceptAll(b).isEmpty()
 
     # Directed canonical form: u = larger endpoint, v = smaller.
     stars = (
@@ -863,7 +872,7 @@ def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev = checksum(stars)
+    prev_stars = stars
     rounds = 0
     converged = False
     # O(log n) convergence (measured: 9 rounds for a 256-node chain);
@@ -899,11 +908,10 @@ def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
         stars = (
             relink.unionByName(self_link).distinct().localCheckpoint(eager=True)
         )
-        cur = checksum(stars)
-        if cur == prev:
+        if same_edge_set(stars, prev_stars):
             converged = True
             break
-        prev = cur
+        prev_stars = stars
     if not converged:
         raise RuntimeError(
             f"_cc_star_labels did not converge in {rounds} rounds — "

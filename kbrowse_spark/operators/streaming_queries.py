@@ -19,6 +19,7 @@ tests rather than an oracle query.
 from __future__ import annotations
 
 import itertools
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +29,10 @@ from kbrowse_spark.functions.determinism import dsum, sql_dsum
 from kbrowse_spark.sources.tables import table_path
 
 _counter = itertools.count()
+
+# Serializes the session-wide shuffle-partition set/run/restore window in
+# _run_to_memory (see its docstring for why).
+_SHUFFLE_CONF_LOCK = threading.Lock()
 
 
 def _stage_stream_dir(path: str) -> str:
@@ -102,20 +107,26 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     spark = df.sparkSession
     name = f"stream_result_{next(_counter)}"
     key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(key)
     n_state = os.environ.get("KBROWSE_STREAM_STATE_PARTITIONS", "8")
-    try:
-        spark.conf.set(key, n_state)
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(key, saved)
+    # spark.sql.shuffle.partitions is SESSION-wide: without a lock, two
+    # concurrent bounded-stream builders (the service serves queries
+    # concurrently) could interleave set/restore so a batch query runs
+    # with 8 partitions or one stream's restore clobbers the other's.
+    # The lock serializes only the set -> run -> restore window.
+    with _SHUFFLE_CONF_LOCK:
+        saved = spark.conf.get(key)
+        try:
+            spark.conf.set(key, n_state)
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set(key, saved)
     return spark.table(name)
 
 
@@ -1488,15 +1499,30 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-invocation isolation: a fixed fixture-keyed dir would let two
     # concurrent runs (parallel pytest workers, two sessions on one
     # box) rmtree each other's in-flight checkpoints.  pid+uuid makes
-    # the staging dir private to this call; rmtree is then a no-op kept
-    # only for crash-leftover hygiene on pid reuse.
+    # the staging dir private to this call.  Because the uuid means a
+    # path is never reused, a crashed/killed run would leak its dir
+    # forever — so on entry we best-effort prune stale sibling dirs
+    # whose recorded pid is no longer alive (a live pid means an
+    # in-flight concurrent run: left alone).
     import uuid
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    out_base = (
-        f"/tmp/kbrowse_neardup_alerts/{tag}-{os.getpid()}"
-        f"-{uuid.uuid4().hex[:8]}"
-    )
+    root = "/tmp/kbrowse_neardup_alerts"
+    try:
+        for entry in os.listdir(root):
+            parts = entry.split("-")
+            if len(parts) != 3 or not parts[1].isdigit():
+                continue
+            pid = int(parts[1])
+            try:
+                os.kill(pid, 0)  # signal 0: existence check only
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another user: not ours to sweep
+    except OSError:
+        pass
+    out_base = f"{root}/{tag}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     os.makedirs(out_base, exist_ok=True)
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:

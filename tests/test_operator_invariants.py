@@ -562,3 +562,39 @@ def test_kaplan_meier_curve_invariants(spark, sf_dir):
         expected_n -= r.n_events + r.n_censored
     assert expected_n == 0
     assert all(r.survival > 0 for r in rows[:-1])
+
+
+def test_previously_checked_unsets_upgraded_no_oracle(monkeypatch, tmp_path):
+    """A prior driver record of err=="no_oracle" only marks a query as
+    covered while it STAYS oracle-less.  Once the query gains an oracle
+    (stub upgraded to a real implementation), it must sort back into the
+    driver's sampling prefix for its first hash-verification."""
+    import json
+
+    import kbrowse_spark.catalog as cat
+
+    record = tmp_path / "CORRECTNESS_r99.json"
+    record.write_text(
+        json.dumps(
+            {
+                "upgraded_q": {"err": "no_oracle"},
+                "still_rows_only_q": {"err": "no_oracle"},
+                "verified_q": {"hash_match": True},
+            }
+        )
+    )
+    monkeypatch.setattr(
+        "glob.glob", lambda pattern: [str(record)]
+    )
+    fake_registry = {
+        "upgraded_q": cat.QueryDef("upgraded_q", lambda s, d: None, "SELECT 1"),
+        "still_rows_only_q": cat.QueryDef(
+            "still_rows_only_q", lambda s, d: None, None
+        ),
+        "verified_q": cat.QueryDef("verified_q", lambda s, d: None, "SELECT 1"),
+    }
+    monkeypatch.setattr(cat, "_REGISTRY", fake_registry)
+    checked = cat._previously_checked()
+    assert "upgraded_q" not in checked
+    assert "still_rows_only_q" in checked
+    assert "verified_q" in checked
