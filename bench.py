@@ -120,6 +120,23 @@ def main() -> int:
             except Exception:  # noqa: BLE001
                 pass
 
+    # One untimed warm pass at the TARGET sf first: several headline
+    # queries share session-cached subtrees (shingles, LSH buckets,
+    # verified pairs — functions/cache_registry.py), so whichever
+    # family member runs first otherwise pays the one-time cache
+    # materialization inside its first timed sample.  That conflated
+    # cold-cache cost with neighbor noise in the spread column (r6:
+    # 7/36 queries > 2x spread on an idle box).  After the warm pass,
+    # min-of-N measures steady state and spread means machine noise
+    # only.
+    for name in HEADLINE:
+        try:
+            qs[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001
+            pass
+
     # Min-of-3 per query: single samples on a shared box regularly read
     # 3-5x high under neighbor load (docs/SCALING_MEASUREMENTS.md — the
     # r5 "q1 6x regression" was exactly this artifact); the minimum is
