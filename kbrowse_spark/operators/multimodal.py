@@ -306,6 +306,175 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IMG_W = 64  # packed image width (pixels == bytes at 8 bpp)
+_IMG_HDR = 14 + 40 + 256 * 4  # file header + BITMAPINFOHEADER + palette
+
+_IMAGE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, top_down int,"
+    " bpp int, row_stride int, pixel_bytes int, data_md5 string"
+)
+
+
+@register(
+    "multimodal_image_extract",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS d FROM documents),
+    c AS (
+      SELECT doc_id, text, d,
+             GREATEST(CAST((d + {_IMG_W} - 1) // {_IMG_W} AS BIGINT), 1)
+               AS nrows
+      FROM b)
+    SELECT doc_id,
+           CAST({_IMG_HDR} + nrows * {_IMG_W} AS INT) AS n_bytes,
+           {_IMG_W} AS width,
+           CAST(nrows AS INT) AS height,
+           1 AS top_down,
+           8 AS bpp,
+           {_IMG_W} AS row_stride,
+           CAST(nrows * {_IMG_W} AS INT) AS pixel_bytes,
+           md5(text || repeat(chr(0), CAST(nrows * {_IMG_W} - d AS INT)))
+             AS data_md5
+    FROM c ORDER BY doc_id
+    """,
+    "multimodal",
+    "pandas-udf",
+)
+def multimodal_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline over a REAL public image container —
+    the image-side twin of ``multimodal_feature_extract``'s RIFF/WAVE
+    codec (both from-scratch; no image libs exist in this container).
+
+    Stage 1 (ingest simulation) packs each document's UTF-8 bytes into
+    a spec-correct 8-bit grayscale BMP: 14-byte BITMAPFILEHEADER,
+    40-byte BITMAPINFOHEADER with NEGATIVE height (the spec's top-down
+    DIB form, so the pixel array keeps the payload's byte order —
+    bottom-up storage, the BMP default, would reverse row order), a
+    256-entry grayscale BGRA palette, then the pixel array at 64 bytes
+    per row (64 px * 8 bpp is already 4-byte aligned, and the final
+    partial row zero-pads to the stride as the spec requires).
+
+    Stage 2 (the operator under test) is a from-scratch parser: it
+    validates the magic/size/offset fields, unpacks the info header,
+    derives the row stride from width and bpp by the spec formula
+    ``((w * bpp + 31) // 32) * 4`` (NOT by trusting biSizeImage),
+    detects orientation from the height sign, checks the palette slot
+    count against biClrUsed, and md5s the pixel array.  The DuckDB
+    oracle recomputes every field — container size from the header
+    arithmetic and md5(text + zero padding) for the pixel bytes (NUL
+    code points encode to single zero bytes in UTF-8, so the padded
+    md5 is exactly expressible in SQL) — a full bytes-in -> container
+    -> parse -> bytes-out round trip, hash-matched not shape-checked.
+
+    Plan shape: narrow scan -> Arrow batches -> per-batch Python ->
+    Arrow back; no shuffle, scales with input splits.  A PIL decode
+    drops in by replacing ``parse_bmp``.
+    """
+
+    def pack_bmp_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import struct
+
+        palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+
+        def pack_one(data: bytes) -> bytes:
+            # min 1 row: a 0-height DIB is invalid, and biHeight = -0
+            # cannot encode the top-down flag for an empty payload.
+            n_rows = max((len(data) + _IMG_W - 1) // _IMG_W, 1)
+            pixels = data + b"\x00" * (n_rows * _IMG_W - len(data))
+            file_size = _IMG_HDR + len(pixels)
+            file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, _IMG_HDR)
+            info_hdr = struct.pack(
+                "<IiiHHIIiiII",
+                40,  # biSize
+                _IMG_W,  # biWidth
+                -n_rows,  # biHeight < 0: top-down row order
+                1,  # biPlanes
+                8,  # biBitCount
+                0,  # biCompression = BI_RGB
+                len(pixels),  # biSizeImage
+                2835,  # 72 dpi in px/metre
+                2835,
+                256,  # biClrUsed
+                0,  # biClrImportant
+            )
+            return file_hdr + info_hdr + palette + pixels
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [pack_one(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    def extract_image(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        def parse_bmp(payload: bytes) -> dict:
+            magic, file_size, _r1, _r2, px_off = struct.unpack(
+                "<2sIHHI", payload[:14]
+            )
+            if magic != b"BM":
+                raise ValueError("not a BMP file")
+            if file_size != len(payload):
+                raise ValueError("bfSize disagrees with file size")
+            (hdr_size,) = struct.unpack("<I", payload[14:18])
+            if hdr_size != 40:
+                raise ValueError(f"unsupported DIB header size {hdr_size}")
+            (
+                _,
+                width,
+                height,
+                planes,
+                bpp,
+                compression,
+                _size_image,
+                _xppm,
+                _yppm,
+                clr_used,
+                _clr_important,
+            ) = struct.unpack("<IiiHHIIiiII", payload[14:54])
+            if planes != 1 or compression != 0:
+                raise ValueError("unsupported BMP variant")
+            # Palette sits between the headers and the pixel offset;
+            # 4 bytes per entry.
+            n_palette = (px_off - 54) // 4
+            if clr_used and n_palette != clr_used:
+                raise ValueError("palette slot count disagrees with biClrUsed")
+            top_down = height < 0
+            n_rows = -height if top_down else height
+            stride = ((width * bpp + 31) // 32) * 4
+            pixels = payload[px_off : px_off + stride * n_rows]
+            if len(pixels) != stride * n_rows:
+                raise ValueError("truncated pixel array")
+            return {
+                "n_bytes": len(payload),
+                "width": width,
+                "height": n_rows,
+                "top_down": int(top_down),
+                "bpp": bpp,
+                "row_stride": stride,
+                "pixel_bytes": len(pixels),
+                "data_md5": hashlib.md5(pixels).hexdigest(),
+            }
+
+        for pdf in batches:
+            feats = [parse_bmp(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    bmp = src.mapInPandas(pack_bmp_batches, schema="doc_id long, payload binary")
+    return bmp.mapInPandas(extract_image, schema=_IMAGE_SCHEMA).orderBy("doc_id")
+
+
 _FRAME = 64  # stub frame size (chars); a real codec replaces this
 _FRAME_STEP = 4  # sample every 4th frame
 
