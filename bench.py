@@ -117,8 +117,9 @@ def main() -> int:
                 qs[name].builder(spark, warm_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-            except Exception:  # noqa: BLE001
-                pass
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: smoke-SF warm failed for {name}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
 
     # One untimed warm pass at the TARGET sf first: several headline
     # queries share session-cached subtrees (shingles, LSH buckets,
@@ -134,8 +135,12 @@ def main() -> int:
             qs[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        except Exception:  # noqa: BLE001
-            pass
+        except Exception as e:  # noqa: BLE001
+            # A query failing here would otherwise run COLD in the
+            # timed loop and show up only as a mystery spread outlier
+            # — name it (stderr keeps the stdout JSON line clean).
+            print(f"bench: warm pass failed for {name}: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
 
     # Min-of-3 per query: single samples on a shared box regularly read
     # 3-5x high under neighbor load (docs/SCALING_MEASUREMENTS.md — the

@@ -202,27 +202,29 @@ def _shingle_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n) shingle counts — cached alongside the bucket table
     (at cluster scale: a column of the maintained signature table).
 
-    Cached COALESCED: this is a doc-grain aggregate (5+ orders of
-    magnitude below shingle grain), but without the coalesce it is
+    Cached COMPACTED: this is a doc-grain aggregate (5+ orders of
+    magnitude below shingle grain), but without compaction it is
     cached as spark.sql.shuffle.partitions near-empty partitions — AQE
     shuffle coalescing does not reshape an InMemoryRelation's stored
     partitioning, and every later consumer that Catalyst substitutes
     onto this cache (novelty's per-doc subtree canonicalizes to the
     same plan) then pays 32-task stages + range-sampling jobs over
     near-empty partitions (measured r7: ngram_novelty_rate 0.47 s ->
-    0.93 s after this cache materialized; coalescing restored 0.47 s).
-    At 100 TB the same rule applies by bytes, not a constant: compact a
-    cached aggregate to ~target-partition-size before persisting."""
-    from kbrowse_spark.functions.cache_registry import cached
+    0.93 s after this cache materialized; compacting restored 0.47 s).
+    The target is SIZE-AWARE (r8): proportional to the shingle scan's
+    partition count via compact_to_source — 1 partition at fixture
+    size, O(input/8) partitions at 100 TB, never a single-executor
+    funnel."""
+    from kbrowse_spark.functions.cache_registry import cached, compact_to_source
 
+    sh = _shingles_df(spark, sf_dir)
     return cached(
         spark,
         sf_dir,
         "shingle_sizes",
-        lambda: _shingles_df(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .coalesce(1),
+        lambda: compact_to_source(
+            sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")), sh
+        ),
     )
 
 
@@ -254,7 +256,7 @@ def _verified_common(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         x, y = sh.alias("x"), sh.alias("y")
-        return (
+        verified = (
             cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
             .join(
                 y,
@@ -263,12 +265,15 @@ def _verified_common(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_common"))
-            # Pair-grain output is tiny relative to its inputs (near-dup
-            # pairs, not the corpus); compact before caching for the same
-            # reason as _shingle_sizes — near-empty cached partitions tax
-            # every substituted consumer with empty 32-task stages.
-            .coalesce(1)
         )
+        # Pair-grain output is tiny relative to its inputs (near-dup
+        # pairs, not the corpus); compact before caching for the same
+        # reason as _shingle_sizes — near-empty cached partitions tax
+        # every substituted consumer with empty 32-task stages.  Target
+        # is size-aware: proportional to the shingle scan's parallelism.
+        from kbrowse_spark.functions.cache_registry import compact_to_source
+
+        return compact_to_source(verified, sh)
 
     return cached(spark, sf_dir, "minhash_verified", build)
 

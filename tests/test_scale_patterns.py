@@ -737,3 +737,53 @@ def test_aqe_splits_skewed_join_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_cached_aggregate_compaction_is_size_aware(spark):
+    """compact_to_source must scale the cached-aggregate partition count
+    WITH source parallelism: 1 partition for a tiny source (the r7
+    novelty fix — no near-empty cached partitions) but proportionally
+    more for a wide source (never a single-executor funnel at 100 TB)."""
+    from kbrowse_spark.functions.cache_registry import compact_to_source
+
+    agg = spark.range(1000).groupBy((F.col("id") % 100).alias("k")).count()
+
+    narrow_src = spark.range(1000).repartition(4)
+    wide_src = spark.range(1000).repartition(64)
+
+    # AQE off for determinism: an InMemoryRelation (the production
+    # consumer of this helper) stores the pre-AQE shuffle partitioning,
+    # which is exactly the near-empty-partition hazard the cap guards.
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n_narrow = compact_to_source(agg, narrow_src).rdd.getNumPartitions()
+        n_wide = compact_to_source(agg, wide_src).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    assert n_narrow == 1  # max(1, 4 // 8) — fixture-size behavior
+    assert n_wide == 8  # max(1, 64 // 8) — grows with the input
+    assert n_wide > n_narrow
+
+
+def test_minhash_shared_caches_compacted(spark, sf_dir):
+    """The two shared MinHash-family caches follow the size-aware rule
+    at fixture scale: source scan is 1 partition, so the cached
+    aggregates must be exactly 1 partition (not shuffle.partitions
+    near-empty ones, and not a hardcoded constant)."""
+    from kbrowse_spark.functions.cache_registry import invalidate
+    from kbrowse_spark.operators.dedup import (
+        _shingle_sizes,
+        _shingles_df,
+        _verified_common,
+    )
+
+    invalidate(sf_dir)
+    try:
+        n_src = _shingles_df(spark, sf_dir).rdd.getNumPartitions()
+        expect = max(1, n_src // 8)
+        assert _shingle_sizes(spark, sf_dir).rdd.getNumPartitions() == expect
+        assert _verified_common(spark, sf_dir).rdd.getNumPartitions() == expect
+    finally:
+        invalidate(sf_dir)
