@@ -90,6 +90,24 @@ HEADLINE = [
 ]
 
 
+def warm_pass(spark, qs, names, sf_dir: str, label: str) -> None:
+    """Untimed warm execution of each query; a failure is NAMED on
+    stderr (a query failing here would otherwise run cold in the timed
+    loop and show up only as a mystery spread outlier) and never
+    pollutes the stdout JSON line."""
+    for name in names:
+        try:
+            qs[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"bench: {label} failed for {name}: "
+                f"{type(e).__name__}: {str(e)[:200]}",
+                file=sys.stderr,
+            )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -112,14 +130,7 @@ def main() -> int:
     # measure steady-state engine throughput, not first-call JIT.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
-            try:
-                qs[name].builder(spark, warm_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception as e:  # noqa: BLE001
-                print(f"bench: smoke-SF warm failed for {name}: "
-                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+        warm_pass(spark, qs, HEADLINE, warm_dir, "smoke-SF warm")
 
     # One untimed warm pass at the TARGET sf first: several headline
     # queries share session-cached subtrees (shingles, LSH buckets,
@@ -130,17 +141,7 @@ def main() -> int:
     # 7/36 queries > 2x spread on an idle box).  After the warm pass,
     # min-of-N measures steady state and spread means machine noise
     # only.
-    for name in HEADLINE:
-        try:
-            qs[name].builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception as e:  # noqa: BLE001
-            # A query failing here would otherwise run COLD in the
-            # timed loop and show up only as a mystery spread outlier
-            # — name it (stderr keeps the stdout JSON line clean).
-            print(f"bench: warm pass failed for {name}: "
-                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+    warm_pass(spark, qs, HEADLINE, sf_dir, "warm pass")
 
     # Min-of-3 per query: single samples on a shared box regularly read
     # 3-5x high under neighbor load (docs/SCALING_MEASUREMENTS.md — the

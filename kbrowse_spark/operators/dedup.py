@@ -1025,6 +1025,17 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # safe for Q up to ~10^7 at dim 64 (400*64^2*Q^4 < 10^38).
 _SEMDEDUP_NUM = 49
 _SEMDEDUP_DEN = 400
+# Pairwise-scan cap per cell: cells larger than this split into
+# ceil(cell/_CAP) deterministic sub-shards (vec_id % n_sub) and the
+# cosine scan is confined to a sub-shard.  Bounds the quadratic term —
+# cell pair cost is O(cell * _CAP) instead of O(cell^2) — at the cost
+# of missing keeper/pruned pairs that land in different sub-shards
+# (SemDeDup is already recall-approximate; this is the same knob as
+# growing k in the cell assignment).  At fixture SFs every cell is
+# under the cap (n_sub = 1, scan unchanged); measured at sf1
+# (tools/scaling_probe_sf1.py) this is what keeps the 10x data step
+# near-linear instead of the 14.5x step of the uncapped scan.
+_SEMDEDUP_CELL_CAP = 256
 
 
 @register(
@@ -1035,16 +1046,22 @@ _SEMDEDUP_DEN = 400
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
       FROM embeddings),
+    cellsz AS (
+      SELECT label,
+             CAST(floor((COUNT(*) + {_SEMDEDUP_CELL_CAP - 1})
+                        / {_SEMDEDUP_CELL_CAP}.0) AS BIGINT) AS n_sub
+      FROM embeddings GROUP BY label),
     n AS (
-      SELECT vec_id, label, q,
-             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
-      FROM q),
+      SELECT q.vec_id, q.label, q.q, q.vec_id % c.n_sub AS sub,
+             CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS n2
+      FROM q JOIN cellsz c ON c.label = q.label),
     pairs AS (
       SELECT a.vec_id AS keeper, b.vec_id AS pruned, b.label AS cell,
              CAST(list_sum(list_transform(generate_series(1, len(a.q)),
                   i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
              a.n2 AS na2, b.n2 AS nb2
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      FROM n a JOIN n b ON a.label = b.label AND a.sub = b.sub
+                       AND a.vec_id < b.vec_id)
     SELECT pruned AS vec_id, CAST(cell AS INT) AS cell,
            CAST(COUNT(*) AS BIGINT) AS n_dominators,
            CAST(MIN(keeper) AS BIGINT) AS min_keeper
@@ -1074,6 +1091,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(cell_i^2), not n^2, and each cell's pair join is an equi-join
     on the cell key that AQE can split if a cell is skewed.
 
+    Cell-size cap (r8): when a cell outgrows _SEMDEDUP_CELL_CAP it is
+    split into ceil(cell/cap) deterministic sub-shards (vec_id % n_sub,
+    an in-plan 1-row-per-cell aggregate broadcast back — no driver
+    action) and the scan is confined to a sub-shard.  This bounds the
+    per-cell pair cost to O(cell * cap) when the cell cardinality does
+    not keep up with corpus growth — the super-linear term the sf1
+    scaling probe measured (14.5x for a 10x data step) before the cap.
+    At fixture SFs every cell is under the cap, so n_sub = 1 and the
+    scan is exactly the uncapped one.
+
     Fixed-point determinism: embeddings quantize to round(x*1024)
     BIGINTs; the cosine threshold compares 400*dot^2 >= 49*na2*nb2
     exactly (cos >= 0.35 since 0.35^2 = 49/400) with the products in
@@ -1097,15 +1124,32 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, y: acc + y,
         ),
     )
+    # Cell-size cap: n_sub per cell (1-row-per-cell aggregate, broadcast
+    # back — no driver action), sub-shard id by vec_id modulus.  The
+    # floor((cn + cap-1)/cap) form is integer-exact and identical in
+    # both engines (the oracle mirrors it verbatim).
+    cellsz = emb.groupBy("label").agg(
+        F.floor(
+            (F.count(F.lit(1)) + F.lit(_SEMDEDUP_CELL_CAP - 1))
+            / F.lit(float(_SEMDEDUP_CELL_CAP))
+        )
+        .cast("long")
+        .alias("n_sub")
+    )
+    q = q.join(F.broadcast(cellsz), "label").withColumn(
+        "sub", F.col("vec_id") % F.col("n_sub")
+    )
     a = q.select(
         F.col("vec_id").alias("keeper"),
         F.col("label").alias("cell"),
+        F.col("sub"),
         F.col("q").alias("qa"),
         F.col("n2").alias("na2"),
     )
     b = q.select(
         F.col("vec_id").alias("pruned"),
         F.col("label").alias("cell"),
+        F.col("sub"),
         F.col("q").alias("qb"),
         F.col("n2").alias("nb2"),
     )
@@ -1115,7 +1159,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, y: acc + y,
     )
     pairs = (
-        a.join(b, ["cell"])
+        a.join(b, ["cell", "sub"])
         .filter(F.col("keeper") < F.col("pruned"))
         .withColumn("dot", dot)
         .filter(

@@ -32,6 +32,26 @@ DIM = 64
 N_PLANES = 8
 TOP_K = 10
 
+# Near-dup banding (r8, from the sf1 scaling probe): with a FIXED band
+# width the bucket cardinality is fixed (2 bands x 16 values at 4
+# bits), so bucket occupancy grows linearly with the corpus and the
+# within-bucket pair join grows quadratically — measured 17.4x for a
+# 10x data step.  The fix is the standard LSH scaling rule: grow bits
+# per band with log2(n) so expected occupancy stays ~constant.  The
+# signature is computed 24 bits wide once (a map-only stage, 24x64
+# multiply-adds per row, JVM codegen); the band width is chosen by an
+# integer CASE ladder over the corpus COUNT(*) — a 1-row broadcast
+# attach, no driver action, and integer comparisons so Spark and the
+# DuckDB oracle pick the SAME width (a libm log2 could differ by a ulp
+# at a boundary).  Band 0 reads planes [0, bpb); band 1 reads planes
+# [12, 12+bpb) — fixed starting planes, so widths only ever ADD
+# distinguishing bits.  The ladder tops out at 12 bits/band here
+# (n ~ 2^12 * occupancy); production extends the ladder (and plane
+# count) with the same rule — each step is one more literal plane.
+N_PLANES_WIDE = 24
+BAND_OCCUPANCY = 64  # target vectors per band bucket
+_BPB_MIN, _BPB_MAX = 4, 12
+
 
 def _plane_signs(p: int, dim: int = DIM) -> list[int]:
     """Deterministic Rademacher hyperplane p: +-1 per dimension."""
@@ -42,7 +62,27 @@ def _plane_signs(p: int, dim: int = DIM) -> list[int]:
     return out
 
 
-_PLANES = [_plane_signs(p) for p in range(N_PLANES)]
+_PLANES = [_plane_signs(p) for p in range(N_PLANES_WIDE)]
+
+
+def _bpb_case(n_col: str) -> str:
+    """Bits-per-band ladder: bpb = clamp(ceil(log2(n/occupancy)), 4, 12)
+    as pure integer comparisons (portable Spark SQL / DuckDB)."""
+    whens = " ".join(
+        f"WHEN {n_col} > {BAND_OCCUPANCY * (1 << (k - 1))} THEN {k}"
+        for k in range(_BPB_MAX, _BPB_MIN, -1)
+    )
+    return f"(CASE {whens} ELSE {_BPB_MIN} END)"
+
+
+def _band_val_case(sig: str, band: str, bpb: str) -> str:
+    """Portable band-value extraction from the 24-bit wide signature:
+    band 0 = top ``bpb`` bits (planes 0..bpb-1), band 1 = ``bpb`` bits
+    from plane 12 (bits 11..12-bpb)."""
+    return (
+        f"(CASE WHEN {band} = 0 THEN {sig} >> (24 - {bpb})"
+        f" ELSE ({sig} >> (12 - {bpb})) & ((1 << {bpb}) - 1) END)"
+    )
 
 
 # --- shared expression builders (Spark expr string / DuckDB SQL) -----------
@@ -98,6 +138,65 @@ def _sql_signature(col: str) -> str:
         for p in range(N_PLANES)
     ]
     return "(" + " + ".join(bits) + ")"
+
+
+def _spark_signature_wide(col: str) -> str:
+    bits = [
+        f"(CASE WHEN {_spark_dot(col, _spark_plane_lit(p))} > 0"
+        f" THEN {1 << (N_PLANES_WIDE - 1 - p)} ELSE 0 END)"
+        for p in range(N_PLANES_WIDE)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _sql_signature_wide(col: str) -> str:
+    bits = [
+        f"(CASE WHEN {_sql_dot(col, _sql_plane_lit(p))} > 0"
+        f" THEN {1 << (N_PLANES_WIDE - 1 - p)} ELSE 0 END)"
+        for p in range(N_PLANES_WIDE)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _neardup_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cached signature table for the near-dup pair queries:
+    24-bit wide signature + norm, computed once per vector (both
+    queries substitute onto the same cache entry)."""
+    from kbrowse_spark.functions.cache_registry import cached
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cached(
+        spark,
+        sf_dir,
+        "neardup_sig",
+        lambda: emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_spark_signature_wide("embedding")).alias("signature"),
+            F.sqrt(F.expr(_spark_dot("embedding", "embedding"))).alias("norm"),
+        ),
+    )
+
+
+def _neardup_banded(sig: DataFrame) -> DataFrame:
+    """(vec_id, band, band_val) with the ADAPTIVE band width: the
+    corpus count attaches as a 1-row broadcast (no driver action), the
+    integer CASE ladder picks bits-per-band, and band values are bit
+    slices of the wide signature."""
+    n = F.broadcast(sig.agg(F.count(F.lit(1)).alias("n_corpus")))
+    return (
+        sig.crossJoin(n)
+        .withColumn("bpb", F.expr(_bpb_case("n_corpus")))
+        .select(
+            "vec_id",
+            "signature",
+            "bpb",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("band"),
+        )
+        .withColumn(
+            "band_val", F.expr(_band_val_case("signature", "band", "bpb"))
+        )
+    )
 
 
 @register(
@@ -208,15 +307,18 @@ def ann_lsh_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_neardup_rerank_np",
     f"""
-    WITH sig AS (
+    WITH nrow AS (SELECT COUNT(*) AS n_corpus FROM embeddings),
+    sig AS (
       SELECT vec_id, embedding,
-             {_sql_signature('embedding')} AS signature,
+             {_sql_signature_wide('embedding')} AS signature,
              sqrt({_sql_dot('embedding', 'embedding')}) AS norm
       FROM embeddings),
     banded AS (
-      SELECT vec_id, signature, band,
-             CASE WHEN band = 0 THEN signature >> 4 ELSE signature & 15 END AS band_val
-      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band)),
+      SELECT vec_id, band,
+             {_band_val_case('signature', 'band', 'bpb')} AS band_val
+      FROM (SELECT s.*, {_bpb_case('n_corpus')} AS bpb
+            FROM sig s CROSS JOIN nrow)
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band)),
     pairs AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM banded a JOIN banded b
@@ -250,33 +352,12 @@ def embedding_neardup_rerank_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norms are computed once per *vector* JVM-side (not per pair); the
     numpy stage does exactly one vectorized dot product per pair.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    from kbrowse_spark.functions.cache_registry import cached
-
-    # Same cached signature table as embedding_neardup_lsh (identical
-    # definition, shared key): signatures + norms computed once per
-    # vector, not once per reference in this three-way plan.
-    sig = cached(
-        spark,
-        sf_dir,
-        "neardup_sig",
-        lambda: emb.select(
-            "vec_id",
-            "embedding",
-            F.expr(_spark_signature("embedding")).alias("signature"),
-            F.sqrt(F.expr(_spark_dot("embedding", "embedding"))).alias("norm"),
-        ),
-    )
-    banded = sig.select(
-        "vec_id",
-        "signature",
-        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("band"),
-    ).withColumn(
-        "band_val",
-        F.when(F.col("band") == 0, F.expr("signature >> 4")).otherwise(
-            F.expr("signature & 15")
-        ),
-    )
+    # Same cached signature table + adaptive banding as
+    # embedding_neardup_lsh (shared cache key): signatures + norms
+    # computed once per vector, not once per reference in this
+    # three-way plan.
+    sig = _neardup_sig(spark, sf_dir)
+    banded = _neardup_banded(sig)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -496,15 +577,18 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_neardup_lsh",
     f"""
-    WITH sig AS (
+    WITH nrow AS (SELECT COUNT(*) AS n_corpus FROM embeddings),
+    sig AS (
       SELECT vec_id, embedding,
-             {_sql_signature('embedding')} AS signature,
+             {_sql_signature_wide('embedding')} AS signature,
              sqrt({_sql_dot('embedding', 'embedding')}) AS norm
       FROM embeddings),
     banded AS (
-      SELECT vec_id, signature, band,
-             CASE WHEN band = 0 THEN signature >> 4 ELSE signature & 15 END AS band_val
-      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band)),
+      SELECT vec_id, band,
+             {_band_val_case('signature', 'band', 'bpb')} AS band_val
+      FROM (SELECT s.*, {_bpb_case('n_corpus')} AS bpb
+            FROM sig s CROSS JOIN nrow)
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band)),
     pairs AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM banded a JOIN banded b
@@ -525,39 +609,23 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: candidates
-    are pairs sharing a 4-bit signature band (2 bands), then exact
+    are pairs sharing a signature band (2 bands), then exact
     cosine >= 0.35.  Trades recall for never running the O(n^2) join —
     the only formulation that survives a billion-row corpus.
+
+    Band width is ADAPTIVE (r8): bits per band follow an integer
+    ladder over the corpus count (see _bpb_case) so expected bucket
+    occupancy stays ~BAND_OCCUPANCY instead of buckets growing
+    linearly with the corpus — the quadratic term the sf1 probe
+    measured (17.4x time for a 10x data step at fixed 4-bit bands).
 
     Plan discipline: norms are computed once per *vector* (not per
     pair), the candidate distinct shuffles only id pairs (no embedding
     arrays), and embeddings re-attach via two joins against the cached
     signature table — per pair, exactly one dot product remains.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    from kbrowse_spark.functions.cache_registry import cached
-
-    sig = cached(
-        spark,
-        sf_dir,
-        "neardup_sig",
-        lambda: emb.select(
-            "vec_id",
-            "embedding",
-            F.expr(_spark_signature("embedding")).alias("signature"),
-            F.sqrt(F.expr(_spark_dot("embedding", "embedding"))).alias("norm"),
-        ),
-    )
-    banded = sig.select(
-        "vec_id",
-        "signature",
-        F.explode(F.sequence(F.lit(0), F.lit(1))).alias("band"),
-    ).withColumn(
-        "band_val",
-        F.when(F.col("band") == 0, F.expr("signature >> 4")).otherwise(
-            F.expr("signature & 15")
-        ),
-    )
+    sig = _neardup_sig(spark, sf_dir)
+    banded = _neardup_banded(sig)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

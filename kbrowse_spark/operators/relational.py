@@ -1437,47 +1437,104 @@ def scalar_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-@register("scalar_transcendental", None, "scalar")
+# Transcendental surface: libm results differ across engines in the
+# final ulp, so raw doubles can never value-hash.  The oracle-safe form
+# emits the values formatted to 12 significant digits (%.11e) — one
+# decimal order of magnitude coarser than the worst observed
+# cross-engine disagreement (~2e-16 relative, measured over the whole
+# fixture in r8) — via each engine's own printf family, which produce
+# byte-identical strings for every fixture cell.  A future fixture cell
+# sitting exactly on a 12-digit rounding boundary would fail the hash
+# loudly (not silently), at which point the format widens.
+_TRANSCENDENTAL_EXPRS = {
+    "size_sq": "pow(CAST(p_size AS DOUBLE), 2.0)",
+    "ln_price": "ln(p_retailprice)",
+    "log10_price": "log10(p_retailprice)",
+    "exp_scaled": "exp(CAST(p_size AS DOUBLE) / 50.0)",
+    "sin_size": "sin(CAST(p_size AS DOUBLE))",
+    "atan2_sp": "atan2(CAST(p_size AS DOUBLE), p_retailprice)",
+}
+
+
+@register(
+    "scalar_transcendental",
+    "SELECT p_partkey, "
+    + ", ".join(
+        f"printf('%.11e', {e}) AS {k}" for k, e in _TRANSCENDENTAL_EXPRS.items()
+    )
+    + " FROM part WHERE p_partkey < 100 ORDER BY p_partkey",
+    "scalar",
+)
 def scalar_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transcendental math surface (pow/log/exp/trig): rows-only check
-    because libm results differ across engines in the final ulp —
-    exactly why they're excluded from the value-hash oracle queries."""
+    """Transcendental math surface (pow/log/exp/trig), hash-verified
+    through the 12-significant-digit format contract described above
+    (upgraded r8 from a rows-only + quantitative-tolerance check).
+    The raw-double variant is these expressions minus format_string."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
-    return p.select(
+    return p.selectExpr(
         "p_partkey",
-        F.pow(F.col("p_size").cast("double"), 2.0).alias("size_sq"),
-        F.log(F.col("p_retailprice")).alias("ln_price"),
-        F.log10(F.col("p_retailprice")).alias("log10_price"),
-        F.exp(F.col("p_size").cast("double") / 50.0).alias("exp_scaled"),
-        F.sin(F.col("p_size").cast("double")).alias("sin_size"),
-        F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice")).alias(
-            "atan2_sp"
-        ),
+        *[
+            f"format_string('%.11e', {e}) AS {k}"
+            for k, e in _TRANSCENDENTAL_EXPRS.items()
+        ],
     ).orderBy("p_partkey")
 
 
-@register("json_render_roundtrip", None, "scalar")
+@register(
+    "json_render_roundtrip",
+    """
+    SELECT event_id,
+           CAST(to_json(struct_pack(
+               event_type := event_type,
+               user_id := user_id,
+               value_cents := CAST(floor(value * 100) AS BIGINT))) AS VARCHAR)
+             AS j,
+           event_type AS back_type,
+           user_id AS back_user
+    FROM events WHERE event_id < 100 ORDER BY event_id
+    """,
+    "scalar",
+)
 def json_render_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON rendering surface: to_json(struct) -> schema_of_json ->
-    from_json round-trip (rows-only: engines render JSON with
-    different spacing). This is the emit side of the kbrowse payload
-    path (O15): structured rows rendered back to JSON text."""
+    """JSON rendering surface: to_json(struct) -> from_json round-trip.
+    This is the emit side of the kbrowse payload path (O15): structured
+    rows rendered back to JSON text.
+
+    Hash-verified (upgraded r8 from rows-only): the rendered struct
+    carries only string/int fields (the double renders as fixed-point
+    cents) because compact-JSON rendering of strings and integers is
+    byte-identical across engines, while raw-double rendering is not
+    (Java Double.toString vs DuckDB shortest-roundtrip)."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 100)
     rendered = ev.select(
         "event_id",
-        F.to_json(F.struct("event_type", "user_id", "value")).alias("j"),
+        "event_type",
+        "user_id",
+        F.to_json(
+            F.struct(
+                "event_type",
+                "user_id",
+                F.floor(F.col("value") * 100)
+                .cast("long")
+                .alias("value_cents"),
+            )
+        ).alias("j"),
     )
-    schema = F.schema_of_json(F.lit('{"event_type":"x","user_id":1,"value":1.0}'))
-    return rendered.select(
-        "event_id",
-        "j",
-        F.from_json("j", schema).alias("back"),
-    ).select(
-        "event_id",
-        "j",
-        F.col("back.event_type").alias("back_type"),
-        F.col("back.user_id").alias("back_user"),
-    ).orderBy("event_id")
+    schema = "event_type string, user_id bigint, value_cents bigint"
+    return (
+        rendered.select(
+            "event_id",
+            "j",
+            F.from_json("j", schema).alias("back"),
+        )
+        .select(
+            "event_id",
+            "j",
+            F.col("back.event_type").alias("back_type"),
+            F.col("back.user_id").alias("back_user"),
+        )
+        .orderBy("event_id")
+    )
 
 
 @register(

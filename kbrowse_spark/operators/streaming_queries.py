@@ -87,6 +87,27 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_stream_ts(stream, static)
 
 
+# Executed micro-batch physical plans, captured for the plan-smell
+# audit (tools/audit_plan_smells.py runs each streaming builder, then
+# drains this dict and applies the same smell checks as batch plans).
+# Audit aid only: small strings, best-effort, never fails a query.
+_EXECUTED_STREAM_PLANS: dict[str, str] = {}
+
+
+def _record_stream_plan(q, label: str) -> None:
+    """Save the last executed micro-batch's physical plan (available on
+    the JVM StreamingQuery after an availableNow run terminates)."""
+    try:
+        _EXECUTED_STREAM_PLANS[label] = q._jsq.explainInternal(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def executed_stream_plans() -> dict[str, str]:
+    """Snapshot of captured micro-batch plans (label -> plan)."""
+    return dict(_EXECUTED_STREAM_PLANS)
+
+
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run a bounded stream (availableNow) into a memory sink and return
     the materialized result as a batch DataFrame.
@@ -125,6 +146,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
+            _record_stream_plan(q, name)
         finally:
             spark.conf.set(key, saved)
     return spark.table(name)
@@ -936,6 +958,7 @@ def stream_foreachbatch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
+    _record_stream_plan(q, "stream_foreachbatch_export")
     exported = spark.read.parquet(out_dir)
     result = (
         exported.groupBy("event_type")
@@ -1387,6 +1410,7 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
+    _record_stream_plan(q, "stream_foreachbatch_merge")
     versions = [
         int(d[1:])
         for d in os.listdir(base)
@@ -1581,6 +1605,7 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        _record_stream_plan(q, "stream_neardup_alerts")
         dirs = [
             f"{out_base}/{d}"
             for d in sorted(os.listdir(out_base))

@@ -154,76 +154,8 @@ def check_approx_percentile_prices(spark, sf_dir, qdef, rows, colnames, con):
     return _ok(mode)
 
 
-def check_scalar_transcendental(spark, sf_dir, qdef, rows, colnames, con):
-    mode = f"vs DuckDB libm within rel {_LIBM_REL_TOL:g}"
-    c = _cols(colnames)
-    duck = {
-        r[0]: r
-        for r in con.execute(
-            "SELECT p_partkey, pow(CAST(p_size AS DOUBLE), 2.0),"
-            " ln(p_retailprice), log10(p_retailprice),"
-            " exp(CAST(p_size AS DOUBLE) / 50.0),"
-            " sin(CAST(p_size AS DOUBLE)),"
-            " atan2(CAST(p_size AS DOUBLE), p_retailprice)"
-            " FROM part WHERE p_partkey < 100 ORDER BY p_partkey"
-        ).fetchall()
-    }
-    names = ("size_sq", "ln_price", "log10_price", "exp_scaled",
-             "sin_size", "atan2_sp")
-    if {r[c["p_partkey"]] for r in rows} != set(duck):
-        return _fail(mode, "key sets differ")
-    for r in rows:
-        d = duck[r[c["p_partkey"]]]
-        for i, col in enumerate(names, start=1):
-            a, b = r[c[col]], d[i]
-            if not math.isclose(a, b, rel_tol=_LIBM_REL_TOL, abs_tol=1e-300):
-                return _fail(
-                    mode,
-                    f"{col}[{r[c['p_partkey']]}]: spark {a!r} vs duck {b!r}",
-                )
-    return _ok(mode)
-
-
-def check_json_render_roundtrip(spark, sf_dir, qdef, rows, colnames, con):
-    mode = "re-parse equality vs source rows"
-    c = _cols(colnames)
-    src = {
-        r[0]: r
-        for r in con.execute(
-            "SELECT event_id, event_type, user_id, value FROM events"
-            " WHERE event_id < 100"
-        ).fetchall()
-    }
-    if {r[c["event_id"]] for r in rows} != set(src):
-        return _fail(mode, "key sets differ")
-    for r in rows:
-        eid = r[c["event_id"]]
-        _, etype, uid, value = src[eid]
-        parsed = json.loads(r[c["j"]])
-        if parsed.get("event_type") != etype:
-            return _fail(mode, f"event_type[{eid}]: {parsed!r} vs {etype!r}")
-        if parsed.get("user_id") != uid:
-            return _fail(mode, f"user_id[{eid}]: {parsed!r} vs {uid!r}")
-        pv, sv = parsed.get("value"), value
-        if (pv is None) != (sv is None):
-            return _fail(mode, f"value[{eid}] null mismatch")
-        if sv is not None and not math.isclose(pv, sv, rel_tol=1e-15):
-            return _fail(mode, f"value[{eid}]: {pv!r} vs {sv!r}")
-        # the from_json leg must reproduce the struct fields exactly
-        if r[c["back_type"]] != etype or r[c["back_user"]] != uid:
-            return _fail(
-                mode,
-                f"from_json[{eid}]: ({r[c['back_type']]!r},"
-                f" {r[c['back_user']]!r}) vs ({etype!r}, {uid!r})",
-            )
-    return _ok(mode)
-
-
-
 CHECKS = {
     "approx_distinct_parts": check_approx_distinct_parts,
     "sketch_hll_rollup_merge": check_sketch_hll_rollup_merge,
     "approx_percentile_prices": check_approx_percentile_prices,
-    "scalar_transcendental": check_scalar_transcendental,
-    "json_render_roundtrip": check_json_render_roundtrip,
 }

@@ -11,9 +11,11 @@ flags the patterns that kill 100 TB runs:
 * row-at-a-time PythonUDF in a scan-side filter/project (BatchEvalPython
   outside mapInPandas/ArrowEval paths).
 
-Streaming queries execute eagerly inside their builders, so they are
-skipped here (their plans are pinned in docs/PLANS.md excerpts and the
-streaming tests).
+Streaming queries are audited too (r8): their builders execute their
+bounded streams eagerly, each awaitTermination site records the last
+micro-batch's executed physical plan (explainInternal), and the same
+smell checks run over every captured micro-batch plan plus the
+returned batch DataFrame's plan.
 
 Usage: python tools/audit_plan_smells.py
 """
@@ -49,6 +51,10 @@ ALLOW = {
     "text_heavy_hitters": "1-row corpus total attach",
     "knn_bruteforce_cosine": "broadcast literal query vector",
     "sample_stratified": "1-row stratum-count attach",
+    # Adaptive LSH band width (r8): the corpus COUNT(*) attaches as a
+    # 1-row broadcast so the bits-per-band CASE ladder is in-plan.
+    "embedding_neardup_lsh": "1-row corpus-count attach (adaptive band width)",
+    "embedding_neardup_rerank_np": "1-row corpus-count attach (adaptive band width)",
     # ANN lookups broadcast the query block by design: the corpus side
     # scales out; the query side is the bounded lookup batch.
     "ann_lsh_projection": "broadcast query vector + Hamming<=1 probe set",
@@ -179,30 +185,64 @@ def find_smells(plan: str) -> list[str]:
     return smells
 
 
+def _streaming_plans(spark, name, q) -> list[str]:
+    """Run a streaming builder (they execute their bounded streams
+    eagerly) and return every micro-batch physical plan it executed —
+    captured at the awaitTermination sites in streaming_queries.py.
+    The builder's returned batch DataFrame plan is included too (it is
+    the read-back/post-aggregation half of the pipeline)."""
+    from kbrowse_spark.operators.streaming_queries import (
+        executed_stream_plans,
+    )
+
+    before = set(executed_stream_plans())
+    df = q.builder(spark, SF)
+    captured = executed_stream_plans()
+    plans = [p for k, p in captured.items() if k not in before]
+    plans.append(
+        df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    return plans
+
+
 def main() -> int:
     spark = get_spark()
     qs = all_queries()
     flagged = 0
+    n_streaming = 0
     for name, q in sorted(qs.items()):
-        if "streaming" in q.tags or "stateful" in q.tags:
-            continue
+        is_stream = "streaming" in q.tags or "stateful" in q.tags
         try:
-            plan = qs[name].builder(spark, SF)._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "simple"
-                )
-            )
+            if is_stream:
+                n_streaming += 1
+                plans = _streaming_plans(spark, name, q)
+            else:
+                plans = [
+                    qs[name]
+                    .builder(spark, SF)
+                    ._jdf.queryExecution()
+                    .explainString(
+                        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                            "simple"
+                        )
+                    )
+                ]
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {name}: {type(e).__name__} {str(e)[:120]}")
             flagged += 1
             continue
-        smells = find_smells(plan)
+        smells = sorted({s for p in plans for s in find_smells(p)})
         if smells:
             if name in ALLOW:
                 print(f"ok   {name}: {','.join(smells)} (allowed: {ALLOW[name]})")
             else:
                 flagged += 1
                 print(f"BAD  {name}: {', '.join(smells)}")
+    print(f"(streaming queries audited: {n_streaming})")
     print(f"\n{'CLEAN (modulo allowed)' if flagged == 0 else f'{flagged} FLAGGED'}")
     return 1 if flagged else 0
 

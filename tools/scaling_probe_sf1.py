@@ -1,0 +1,147 @@
+"""One-decade-up scaling step (sf0.1 -> sf1) for the operators whose
+sf0.01->sf0.1 time ratio was >= 2.4x in docs/SCALING_MEASUREMENTS.md —
+the highest-signal local evidence of 100x readiness (a bounded
+super-linear term flattens toward ~10x; a scale-killer keeps
+compounding).
+
+Prereq: `python tools/make_bigsf.py` (writes .localdata/sf1 — see that
+module for why replica content is transformed, not copied).
+
+Usage: python tools/scaling_probe_sf1.py
+Appends/refreshes the "## sf1 step" section of
+docs/SCALING_MEASUREMENTS.md.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kbrowse_spark.catalog import all_queries  # noqa: E402
+from kbrowse_spark.functions.cache_registry import invalidate  # noqa: E402
+from kbrowse_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, ".localdata", "sf1")
+OPS = [
+    "semdedup_prune",
+    "dsir_hashed_importance",
+    "q1_pricing_summary",
+    "embedding_neardup_rerank_np",
+    "cms_heavy_hitters",
+    "dedup_substring_spans",
+]
+DOC_SECTION = "## sf1 step"
+
+# Why each operator's 10x-data step looks the way it does — kept here
+# so regeneration preserves the analysis next to the numbers.
+NOTES = {
+    "semdedup_prune": (
+        "sub-linear AFTER the r8 cell-size cap (was 14.5x uncapped: "
+        "fixed label cardinality means cells grow linearly and the "
+        "within-cell pair join quadratically; cells now sub-shard at "
+        "256 rows, bounding pair cost to O(cell x cap))"
+    ),
+    "dsir_hashed_importance": (
+        "hashed n-gram importance is explode + two hash-agg passes — "
+        "linear data-bound work still below fixed overhead at this SF"
+    ),
+    "q1_pricing_summary": (
+        "single scan + map-side-combinable agg on 4 group keys; the "
+        "canonical linear operator, step is overhead-dominated"
+    ),
+    "embedding_neardup_rerank_np": (
+        "sub-linear AFTER the r8 adaptive band width (was 17.4x at "
+        "fixed 4-bit bands: 32 buckets total means occupancy grows "
+        "linearly and candidate pairs quadratically; bits-per-band now "
+        "follow an integer log2(n/64) ladder so occupancy stays flat)"
+    ),
+    "cms_heavy_hitters": (
+        "count-min sketch is a fixed-width agg over exploded tokens; "
+        "linear, and the sketch itself is constant-size"
+    ),
+    "dedup_substring_spans": (
+        "rolling-hash windows grow linearly with text volume; the 2.5x "
+        "step is the explode fan-out becoming data-bound (spans per "
+        "doc are bounded), not a super-linear join"
+    ),
+}
+
+
+def _bench(spark, qs, name: str, sf: str, n_runs: int) -> tuple[float, float]:
+    samples = []
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        qs[name].builder(spark, sf).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return min(samples), max(samples) / max(min(samples), 1e-9)
+
+
+def main() -> None:
+    if not os.path.isdir(SF1):
+        raise SystemExit("run tools/make_bigsf.py first (no .localdata/sf1)")
+    spark = get_spark("scaling_probe_sf1")
+    qs = all_queries()
+    n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+
+    # Warm once per SF (codegen, shared caches) before timing.
+    for sf in (SF01, SF1):
+        for name in OPS:
+            qs[name].builder(spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+    rows = []
+    for name in OPS:
+        t01, sp01 = _bench(spark, qs, name, SF01, n_runs)
+        t1, sp1 = _bench(spark, qs, name, SF1, n_runs)
+        rows.append(
+            (name, round(t01, 2), round(t1, 2), round(t1 / max(t01, 1e-9), 1),
+             round(max(sp01, sp1), 1))
+        )
+        print(rows[-1])
+    invalidate()
+
+    lines = [
+        DOC_SECTION,
+        "",
+        "One decade above bench SF (sf1 = 10x replicated-and-transformed",
+        "sf0.1, `tools/make_bigsf.py` — near-dup density preserved, cells",
+        "grow with corpus). Data ratio is 10x; a ratio well under 10x",
+        "means fixed overhead still dominates, ~10x is data-bound linear,",
+        "well over 10x flags a super-linear term (see per-row notes).",
+        "Regenerate with `python tools/scaling_probe_sf1.py`.",
+        "",
+        "| operator | sf0.1 s | sf1 s | x0.1->1 | spread |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t01, t1, ratio, spread in rows:
+        lines.append(f"| `{name}` | {t01} | {t1} | {ratio}x | {spread}x |")
+    lines.append("")
+    for name, *_ in rows:
+        if name in NOTES:
+            lines.append(f"- `{name}`: {NOTES[name]}")
+    section = "\n".join(lines) + "\n"
+
+    path = os.path.join(REPO, "docs", "SCALING_MEASUREMENTS.md")
+    with open(path) as f:
+        doc = f.read()
+    if DOC_SECTION in doc:
+        doc = re.sub(
+            re.escape(DOC_SECTION) + r".*?(?=\n## |\Z)", section, doc,
+            flags=re.S,
+        )
+    else:
+        doc = doc.rstrip() + "\n\n" + section
+    with open(path, "w") as f:
+        f.write(doc)
+    print(f"\nwrote {DOC_SECTION} section to {path}")
+
+
+if __name__ == "__main__":
+    main()
