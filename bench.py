@@ -177,6 +177,12 @@ def main() -> int:
                 # was under sustained neighbor load during the run.
                 "contended": n_contended > len(HEADLINE) / 4,
                 "n_spread_gt2": n_contended,
+                # Neighbor load is BETWEEN-run on this box (r8: three
+                # identical-code runs spanned 37-53 s total while every
+                # within-run spread stayed < 2) — record the 1-minute
+                # load average so cross-round comparisons can reject
+                # contaminated runs.
+                "loadavg_1m": round(os.getloadavg()[0], 2),
                 "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -152,3 +152,48 @@ def test_multimodal_feature_extract_matches_reference_on_random_corpora(
         for k, v in expected.items():
             assert r[k] == v, (i, k, r[k], v)
         assert r.duration_ms == expected["n_samples"] * 1000 // 8000
+
+
+def test_multimodal_video_extract_matches_reference_on_random_corpora(
+    spark, tmp_path
+):
+    """Independent sequential reference for the AVI path: recompute the
+    expected container size from the spec chunk arithmetic, the frame
+    count, and the sampled-frame md5 by slicing the zero-padded payload
+    directly (the operator seeks through idx1; this walks linearly —
+    a different route to the same bytes)."""
+    FRAME, STEP = 256, 5
+    FIXED, PER_FRAME = 1256, 280
+
+    def ref(doc_text: str) -> dict:
+        data = doc_text.encode("utf-8")
+        n = max((len(data) + FRAME - 1) // FRAME, 1)
+        padded = data + b"\x00" * (n * FRAME - len(data))
+        md = hashlib.md5()
+        sampled = 0
+        for i in range(0, n, STEP):
+            md.update(padded[i * FRAME : (i + 1) * FRAME])
+            sampled += 1
+        return {
+            "n_bytes": FIXED + n * PER_FRAME,
+            "n_frames": n,
+            "width": 16,
+            "height": 16,
+            "bpp": 8,
+            "fps": 25,
+            "frames_sampled": sampled,
+            "sampled_md5": md.hexdigest(),
+        }
+
+    rng = random.Random(1234)
+    texts = _gen_texts(rng, 30)
+    sf = _write_documents(spark, tmp_path, texts)
+    rows = {
+        r.doc_id: r for r in _q(spark, sf, "multimodal_video_extract").collect()
+    }
+    assert len(rows) == len(texts)
+    for i, t in enumerate(texts):
+        expected = ref(t)
+        r = rows[i]
+        for k, v in expected.items():
+            assert r[k] == v, (i, k, r[k], v)

@@ -36,6 +36,35 @@ OPS = [
     "cms_heavy_hitters",
     "dedup_substring_spans",
 ]
+# Broad sweep: every other operator family whose cost is bound to the
+# scaled tables (documents/embeddings/lineitem) — a cheap one-decade
+# screen for latent super-linear terms beyond the six targeted ones.
+BROAD_OPS = [
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "dedup_simhash",
+    "dedup_cc_star",
+    "dedup_incremental_minhash",
+    "dedup_paragraph_keepfirst",
+    "graph_triangle_closure",
+    "pmi_cooccurrence",
+    "fuzzy_join_pigeonhole",
+    "tfidf_top_terms",
+    "bm25_term_scores",
+    "quality_lm_surprisal",
+    "ngram_novelty_rate",
+    "rag_chunk_retrieval",
+    "knn_batch_topk_join",
+    "ann_lsh_projection",
+    "embedding_neardup_lsh",
+    "kmeans_lloyd",
+    "pagerank_interaction",
+    "corpus_curation_pipeline",
+    "decontaminate_benchmark",
+    "token_budget_packing",
+    "mix_temperature_quota",
+    "q9_product_profit",
+]
 DOC_SECTION = "## sf1 step"
 
 # Why each operator's 10x-data step looks the way it does — kept here
@@ -88,16 +117,17 @@ def main() -> None:
     spark = get_spark("scaling_probe_sf1")
     qs = all_queries()
     n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+    ops = OPS + (BROAD_OPS if os.environ.get("SPARK_GRAFT_PROBE_BROAD") else [])
 
     # Warm once per SF (codegen, shared caches) before timing.
     for sf in (SF01, SF1):
-        for name in OPS:
+        for name in ops:
             qs[name].builder(spark, sf).write.format("noop").mode(
                 "overwrite"
             ).save()
 
     rows = []
-    for name in OPS:
+    for name in ops:
         t01, sp01 = _bench(spark, qs, name, SF01, n_runs)
         t1, sp1 = _bench(spark, qs, name, SF1, n_runs)
         rows.append(
