@@ -87,6 +87,11 @@ HEADLINE = [
     # under bench watch.
     "dedup_cc_star",
     "pmi_cooccurrence",
+    # round 8: the iterative in-plan-argmax family (R-round BPE merge
+    # induction — chained 1-row broadcast attaches), and the heaviest
+    # mapInPandas codec path (AVI pack + idx1-seek parse).
+    "bpe_train_merges",
+    "multimodal_video_extract",
 ]
 
 

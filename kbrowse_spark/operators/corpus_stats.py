@@ -1162,3 +1162,155 @@ def vocab_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_DRIFT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE trainer (multi-round merge induction)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+# Wrapped-symbol encoding: every symbol is stored as SA + sym + SB
+# inside one string per word.  This makes the BPE merge step a plain
+# string replace in BOTH engines — replace(s, SA+a+SB+SA+b+SB,
+# SA+ab+SB) — with three properties the encoding guarantees:
+# (1) matches align to whole symbols only (a symbol merely *ending*
+# in `a` cannot match, because the pattern requires SA immediately
+# before `a`); (2) left-to-right non-overlapping replacement is
+# EXACTLY greedy BPE merge order ('aaa' + (a,a) -> ('aa','a')); and
+# (3) Spark's replace() and DuckDB's replace() share those scan
+# semantics, so the engines stay bit-identical round after round.
+# Symbols are [a-z]+ so the separators can never occur inside one.
+_BPE_SA = "\x1f"
+_BPE_SB = "\x1e"
+
+
+def _bpe_oracle_sql() -> str:
+    sa, sb = _BPE_SA, _BPE_SB
+    parts = [
+        f"""
+    WITH w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY w),
+    s0 AS (
+      SELECT regexp_replace(w, '(.)', '{sa}\\1{sb}', 'g') AS s, freq
+      FROM w0)"""
+    ]
+    for t in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+    z{t} AS (
+      -- DuckDB slice ends are INCLUSIVE (l[:-1] is the whole list),
+      -- so both windows are bounded explicitly to n-1 elements.
+      SELECT freq, unnest(list_zip(l[1:len(l) - 1], l[2:len(l)])) AS z
+      FROM (SELECT freq,
+                   string_split(substring(s, 2, length(s) - 2),
+                                '{sb}{sa}') AS l
+            FROM s{t - 1})),
+    p{t} AS (
+      SELECT z[1] AS a, z[2] AS b, SUM(freq) AS cnt
+      FROM z{t} GROUP BY 1, 2),
+    b{t} AS (
+      SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{t} AS (
+      SELECT replace(s.s, '{sa}' || b.a || '{sb}{sa}' || b.b || '{sb}',
+                     '{sa}' || b.a || b.b || '{sb}') AS s, s.freq
+      FROM s{t - 1} s, b{t} b)"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS round, a AS sym_a, b AS sym_b,"
+        f" CAST(cnt AS BIGINT) AS n_occ FROM b{t}"
+        for t in range(1, _BPE_ROUNDS + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({rows}) ORDER BY round")
+    return "".join(parts)
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_oracle_sql(),
+    "text",
+    "iterative",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE tokenizer training: learn the first R merge
+    rules over the corpus word-frequency table (the full induction
+    loop, not just `bpe_pair_merge_stats`'s single-round candidate
+    ranking).  Each round counts adjacent symbol pairs weighted by
+    word frequency, picks the argmax pair (count DESC, then
+    lexicographic — a total order, so deterministic across engines and
+    partition orders), and merges it greedily left-to-right everywhere
+    via the wrapped-symbol string encoding described at _BPE_SA.
+
+    Fully declarative: the Python loop only BUILDS the plan — pair
+    selection stays in-plan as a 1-row broadcast attach (no driver
+    collect), so the whole R-round training is one lazy DataFrame.
+    Oracle: the same rounds as chained DuckDB CTEs (the kmeans_lloyd
+    pattern for iterative algorithms), hash-matched.
+
+    Scale posture: round cost is one map-side-combinable aggregate
+    over the WORD-FREQUENCY table (vocabulary grain — the corpus-size
+    explode happens once, up front, into the w0 aggregate) plus a
+    map-only replace; R rounds = R shuffles over vocab-grain data.
+    Production BPE runs 10⁴-10⁵ merges with the same per-round shape —
+    the catalog pins R=3 so the oracle stays exact.
+    """
+    sa, sb = _BPE_SA, _BPE_SB
+    d = load(spark, sf_dir, "documents")
+    wf = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    s = wf.select(
+        F.expr(f"regexp_replace(w, '(.)', '{sa}$1{sb}')").alias("s"), "freq"
+    )
+    merge_rows = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        sy = s.withColumn(
+            "syms",
+            F.expr(f"split(substring(s, 2, length(s) - 2), '{sb}{sa}')"),
+        )
+        pairs = sy.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(syms, 1, size(syms) - 1)").alias("a"),
+                    F.expr("slice(syms, 2, size(syms) - 1)").alias("b"),
+                )
+            ).alias("z"),
+        ).select(F.col("z.a").alias("a"), F.col("z.b").alias("b"), "freq")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(t).alias("round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("cnt").cast("long").alias("n_occ"),
+            )
+        )
+        s = s.crossJoin(
+            F.broadcast(
+                best.select(F.col("a").alias("m_a"), F.col("b").alias("m_b"))
+            )
+        ).select(
+            F.expr(
+                f"replace(s, '{sa}' || m_a || '{sb}{sa}' || m_b || '{sb}',"
+                f" '{sa}' || m_a || m_b || '{sb}')"
+            ).alias("s"),
+            "freq",
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")

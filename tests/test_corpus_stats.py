@@ -181,3 +181,36 @@ def test_cms_estimate_dominates_exact(spark, sf_dir):
     assert "zebra" in rows and rows["zebra"]["exact_count"] == 0
     for term, r in rows.items():
         assert r["cms_estimate"] >= r["exact_count"], term
+
+
+def test_bpe_train_merges_greedy_ltr(spark, tmp_path):
+    # 'aaa' under merge (a,a) must yield ('aa','a') — greedy
+    # left-to-right, the property the wrapped-symbol replace encoding
+    # guarantees — and rounds must chain (round 2 sees round 1's
+    # merged symbols).
+    import os
+
+    from kbrowse_spark.operators.corpus_stats import bpe_train_merges
+
+    texts = ["aaa aaa aaa aaa", "ab ab ab", "aaab"]
+    rows = [(i, t, "xx", "s", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = bpe_train_merges(spark, str(tmp_path)).collect()
+    assert [r["round"] for r in out] == [1, 2, 3]
+    # Word frequencies: 'aaa' x4, 'ab' x3, 'aaab' x1.
+    # Round-1 pairs: (a,a) = 2*4 ('aaa' has two adjacent pairs) + 2*1
+    # ('aaab') = 10; (a,b) = 3 + 1 = 4.  Round 1 merges (a,a).
+    r1 = out[0]
+    assert (r1["sym_a"], r1["sym_b"], r1["n_occ"]) == ("a", "a", 10)
+    # After merging: 'aaa' -> ['aa','a'] (greedy LTR, NOT ['a','aa']),
+    # 'aaab' -> ['aa','a','b'], 'ab' -> ['a','b'].
+    # Round 2 pairs: ('aa','a') = 4+1 = 5, ('a','b') = 3+1 = 4.
+    r2 = out[1]
+    assert (r2["sym_a"], r2["sym_b"], r2["n_occ"]) == ("aa", "a", 5)
+    # After: 'aaa' -> ['aaa'], 'aaab' -> ['aaa','b'], 'ab' -> ['a','b'].
+    # Round 3: ('a','b') = 3, ('aaa','b') = 1.
+    r3 = out[2]
+    assert (r3["sym_a"], r3["sym_b"], r3["n_occ"]) == ("a", "b", 3)

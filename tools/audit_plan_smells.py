@@ -55,6 +55,9 @@ ALLOW = {
     # 1-row broadcast so the bits-per-band CASE ladder is in-plan.
     "embedding_neardup_lsh": "1-row corpus-count attach (adaptive band width)",
     "embedding_neardup_rerank_np": "1-row corpus-count attach (adaptive band width)",
+    # Iterative BPE: each round's argmax merge rule is a 1-row
+    # broadcast attach (in-plan pair selection, no driver collect).
+    "bpe_train_merges": "1-row argmax merge-rule attach per round",
     # ANN lookups broadcast the query block by design: the corpus side
     # scales out; the query side is the bounded lookup batch.
     "ann_lsh_projection": "broadcast query vector + Hamming<=1 probe set",
