@@ -1184,7 +1184,11 @@ _BPE_SA = "\x1f"
 _BPE_SB = "\x1e"
 
 
-def _bpe_oracle_sql() -> str:
+def _bpe_cte_prefix() -> str:
+    """Shared CTE chain for the BPE family: word frequencies, the
+    wrapped-symbol form, and _BPE_ROUNDS rounds of pair-count ->
+    argmax -> merge.  The word column rides along so the apply-side
+    query (bpe_tokenize_stats) can join tokenized words back to docs."""
     sa, sb = _BPE_SA, _BPE_SB
     parts = [
         f"""
@@ -1194,7 +1198,7 @@ def _bpe_oracle_sql() -> str:
             FROM documents)
       GROUP BY w),
     s0 AS (
-      SELECT regexp_replace(w, '(.)', '{sa}\\1{sb}', 'g') AS s, freq
+      SELECT w, regexp_replace(w, '(.)', '{sa}\\1{sb}', 'g') AS s, freq
       FROM w0)"""
     ]
     for t in range(1, _BPE_ROUNDS + 1):
@@ -1214,17 +1218,20 @@ def _bpe_oracle_sql() -> str:
     b{t} AS (
       SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1),
     s{t} AS (
-      SELECT replace(s.s, '{sa}' || b.a || '{sb}{sa}' || b.b || '{sb}',
+      SELECT s.w, replace(s.s, '{sa}' || b.a || '{sb}{sa}' || b.b || '{sb}',
                      '{sa}' || b.a || b.b || '{sb}') AS s, s.freq
       FROM s{t - 1} s, b{t} b)"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql() -> str:
     rows = " UNION ALL ".join(
         f"SELECT {t} AS round, a AS sym_a, b AS sym_b,"
         f" CAST(cnt AS BIGINT) AS n_occ FROM b{t}"
         for t in range(1, _BPE_ROUNDS + 1)
     )
-    parts.append(f"\n    SELECT * FROM ({rows}) ORDER BY round")
-    return "".join(parts)
+    return _bpe_cte_prefix() + f"\n    SELECT * FROM ({rows}) ORDER BY round"
 
 
 @register(
@@ -1256,6 +1263,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production BPE runs 10⁴-10⁵ merges with the same per-round shape —
     the catalog pins R=3 so the oracle stays exact.
     """
+    merge_rows, _ = _bpe_chain(spark, sf_dir)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("round")
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """Build the lazy R-round merge chain once for both BPE queries:
+    returns (per-round merge-rule DataFrames, the final wrapped-symbol
+    word table ``(w, s, freq)``)."""
     sa, sb = _BPE_SA, _BPE_SB
     d = load(spark, sf_dir, "documents")
     wf = (
@@ -1268,7 +1286,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
     s = wf.select(
-        F.expr(f"regexp_replace(w, '(.)', '{sa}$1{sb}')").alias("s"), "freq"
+        "w",
+        F.expr(f"regexp_replace(w, '(.)', '{sa}$1{sb}')").alias("s"),
+        "freq",
     )
     merge_rows = []
     for t in range(1, _BPE_ROUNDS + 1):
@@ -1304,13 +1324,80 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best.select(F.col("a").alias("m_a"), F.col("b").alias("m_b"))
             )
         ).select(
+            "w",
             F.expr(
                 f"replace(s, '{sa}' || m_a || '{sb}{sa}' || m_b || '{sb}',"
                 f" '{sa}' || m_a || m_b || '{sb}')"
             ).alias("s"),
             "freq",
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("round")
+    return merge_rows, s
+
+
+@register(
+    "bpe_tokenize_stats",
+    _bpe_cte_prefix()
+    + f""",
+    tok AS (
+      SELECT w,
+             CAST(len(string_split(substring(s, 2, length(s) - 2),
+                                   '{_BPE_SB}{_BPE_SA}')) AS BIGINT)
+               AS n_syms
+      FROM s{_BPE_ROUNDS}),
+    dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(t.n_syms) AS BIGINT) AS n_tokens_bpe,
+           CAST(SUM(length(d.w)) AS BIGINT) AS n_chars_alpha,
+           CAST(SUM(length(d.w)) AS DOUBLE) / SUM(t.n_syms)
+             AS chars_per_token
+    FROM dw d JOIN tok t USING (w)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    "text",
+    "iterative",
+)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus (the ENCODE
+    side of tokenizer training): per document, word count, token count
+    under the R-round vocabulary, alphabetic character count, and the
+    resulting compression ratio — the fertility/compression readout
+    that decides whether a tokenizer's merge budget is paying off.
+
+    Shares the lazy merge chain with ``bpe_train_merges`` (one plan,
+    in-plan argmax per round); tokenization cost is a vocabulary-grain
+    symbol count joined to the corpus word explode — at 100 TB the
+    token table is vocab-sized and broadcasts, so the corpus never
+    shuffles for encoding.  chars_per_token is one IEEE division of
+    two exact integer sums (bit-identical across engines).
+    """
+    _, s = _bpe_chain(spark, sf_dir)
+    sa, sb = _BPE_SA, _BPE_SB
+    tok = s.select(
+        "w",
+        F.expr(f"size(split(substring(s, 2, length(s) - 2), '{sb}{sa}'))")
+        .cast("long")
+        .alias("n_syms"),
+    )
+    d = load(spark, sf_dir, "documents")
+    dw = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    return (
+        dw.join(F.broadcast(tok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_tokens_bpe"),
+            F.sum(F.length("w")).cast("long").alias("n_chars_alpha"),
+            (
+                F.sum(F.length("w")).cast("double") / F.sum("n_syms")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )

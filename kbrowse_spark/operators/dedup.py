@@ -1784,3 +1784,137 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "dedup_span_removal",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - {_SPAN_GRAM - 1})) AS i
+      FROM w WHERE len(w) >= {_SPAN_GRAM}),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(w[i:i + {_SPAN_GRAM - 1}], ' ')) AS h
+      FROM pos),
+    dup AS (
+      SELECT h, MIN(doc_id) AS keeper FROM grams
+      GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    marked AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)
+      WHERE g.doc_id <> dup.keeper),
+    flag AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {_SPAN_GRAM} THEN 0 ELSE 1 END AS new_span
+      FROM marked),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flag),
+    spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {_SPAN_GRAM} AS e
+      FROM sp GROUP BY doc_id, span_id),
+    perdoc AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS sps,
+             CAST(SUM(e - s) AS BIGINT) AS n_removed
+      FROM spans GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           COALESCE(p.n_removed, 0) AS n_removed,
+           COALESCE(array_to_string(
+             list_filter(w.w, (x, i) ->
+               len(list_filter(COALESCE(p.sps, []),
+                   sp -> i - 1 >= sp.s AND i - 1 < sp.e)) = 0), ' '), '')
+             AS clean_text
+    FROM w LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY w.doc_id
+    """,
+    "dedup",
+    "text",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE step of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    where ``dedup_substring_spans`` only reports duplicated spans,
+    this operator emits the cleaned corpus.  Keep-first semantics at
+    window-hash granularity: for every 8-word window hash occurring in
+    >= 2 distinct documents, the smallest doc_id containing it keeps
+    its text; every other document's occurrences are marked, merged
+    into maximal spans (same merge rule as the span reporter), and the
+    covered words are cut from the document.  Output per document:
+    original word count, removed word count, and the cleaned text.
+
+    Scale shape: identical to ``dedup_substring_spans`` up to span
+    assembly (map-side-combined hash aggregate carrying MIN(doc_id) as
+    the keeper — one extra long per hash over the reporter; the
+    membership test stays an equi-join on the hash, fan-out bounded by
+    each doc's own window count).  The rewrite itself is embarrassingly
+    parallel: the span list rejoins the corpus doc-by-doc (spans per
+    doc are few), and the cut is a per-row higher-order filter over the
+    word array — JVM-side, no shuffle beyond the one span groupBy.
+    The reference has no text-rewrite operators (its values pass
+    through verbatim, `/root/reference/src/kbrowse/search.clj:83-120`);
+    this is §2c LLM-extension surface.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = (
+        words.filter(F.expr(f"size(w) >= {_SPAN_GRAM}"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_SPAN_GRAM}),"
+                    f" i -> md5(concat_ws(' ', slice(w, i + 1, {_SPAN_GRAM}))))"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("h", "keeper")
+    )
+    marked = (
+        grams.join(dup, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    flag = marked.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_doc) <= _SPAN_GRAM, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    spans = (
+        flag.withColumn("span_id", F.sum("new_span").over(w_doc))
+        .groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + _SPAN_GRAM).alias("e"))
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("sps"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed"),
+    )
+    joined = words.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+        F.coalesce("sps", F.expr("array()")).alias("sps"),
+        "w",
+    )
+    clean = F.expr(
+        "concat_ws(' ', filter(w, (x, i) ->"
+        " NOT exists(sps, sp -> i >= sp.s AND i < sp.e)))"
+    )
+    return joined.select(
+        "doc_id", "n_words", "n_removed", clean.alias("clean_text")
+    ).orderBy("doc_id")

@@ -598,3 +598,49 @@ def test_previously_checked_unsets_upgraded_no_oracle(monkeypatch, tmp_path):
     assert "upgraded_q" not in checked
     assert "still_rows_only_q" in checked
     assert "verified_q" in checked
+
+
+def test_span_removal_keep_first_micro(spark, tmp_path):
+    """Hand-built corpus pinning dedup_span_removal's keep-first
+    semantics: the smallest doc_id sharing an 8-word window keeps its
+    text verbatim; the other doc loses exactly the merged span; short
+    docs (< 8 words) pass through untouched."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h x1 x2", "en", "s", 21),
+            (1, "z1 a b c d e f g h z2", "en", "s", 21),
+            (2, "p q", "en", "s", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in _q(spark, str(tmp_path), "dedup_span_removal").collect()
+    }
+    assert out[0].n_removed == 0
+    assert out[0].clean_text == "a b c d e f g h x1 x2"
+    assert out[1].n_removed == 8
+    assert out[1].clean_text == "z1 z2"
+    assert out[2].n_removed == 0 and out[2].clean_text == "p q"
+
+
+def test_span_removal_conserves_words(spark, sf_dir):
+    """Corpus-level invariants tying the rewriter to the span
+    reporter: kept-word count equals n_words - n_removed for every
+    doc, and the rewriter never removes from MORE documents than the
+    reporter flags (keeper docs are spared)."""
+    removal = {
+        r.doc_id: r for r in _q(spark, sf_dir, "dedup_span_removal").collect()
+    }
+    reporter = {
+        r.doc_id: r
+        for r in _q(spark, sf_dir, "dedup_substring_spans").collect()
+    }
+    for r in removal.values():
+        kept = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert kept == r.n_words - r.n_removed, r
+    removed_docs = {k for k, r in removal.items() if r.n_removed > 0}
+    assert removed_docs <= set(reporter)
+    for k in removed_docs:
+        assert removal[k].n_removed <= reporter[k].dup_words

@@ -58,6 +58,7 @@ ALLOW = {
     # Iterative BPE: each round's argmax merge rule is a 1-row
     # broadcast attach (in-plan pair selection, no driver collect).
     "bpe_train_merges": "1-row argmax merge-rule attach per round",
+    "bpe_tokenize_stats": "1-row argmax merge-rule attach per round (shared BPE chain)",
     # ANN lookups broadcast the query block by design: the corpus side
     # scales out; the query side is the bounded lookup batch.
     "ann_lsh_projection": "broadcast query vector + Hamming<=1 probe set",
