@@ -92,6 +92,12 @@ HEADLINE = [
     # mapInPandas codec path (AVI pack + idx1-seek parse).
     "bpe_train_merges",
     "multimodal_video_extract",
+    # round 8 second wave: learned-centroid IVF (shares the Lloyd
+    # chain + cached point table with kmeans_lloyd, so its bench delta
+    # IS the probe cost), and the substring-dedup rewriter (gram index
+    # + keeper join + per-doc indexed-filter cut).
+    "ann_ivf_kmeans",
+    "dedup_span_removal",
 ]
 
 

@@ -31,9 +31,12 @@ _SCALE = 1024
 _DIM = 64
 
 
-def _oracle_sql() -> str:
-    """Generate the DuckDB oracle: the same fixed-point Lloyd's
-    iterations as chained CTEs over the long (vec_id, dim, v) form."""
+def _lloyd_cte_prefix() -> str:
+    """Shared DuckDB CTE chain for the clustering family: the same
+    fixed-point Lloyd's iterations as chained CTEs over the long
+    (vec_id, dim, v) form.  Ends with cent{_ITERS} (the trained
+    centroids) and a{_ITERS+1} (the final assignment) in scope, so
+    both the k-means readout and the IVF probe query build on it."""
     parts = [
         f"""
     WITH pts AS (
@@ -75,8 +78,13 @@ def _oracle_sql() -> str:
       GROUP BY cid, dim
     )"""
             )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _oracle_sql() -> str:
+    return (
+        _lloyd_cte_prefix()
+        + f"""
     SELECT vec_id, CAST(cid AS INT) AS cluster_id,
            -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas renders
            -- as float64; the gate hash-compares against Spark's int64.
@@ -85,7 +93,6 @@ def _oracle_sql() -> str:
     ORDER BY vec_id
     """
     )
-    return "".join(parts)
 
 
 @register(
@@ -119,6 +126,53 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning or summation order; distance ties break to the
     smaller centroid id in both engines.
     """
+    pts, centroids = _lloyd_state(spark, sf_dir)
+    return (
+        _assign(pts, centroids)
+        .select("vec_id", "cluster_id", "sq_dist")
+        .orderBy("vec_id")
+    )
+
+
+def _sq_dist_cols(col: str, cents: list[tuple[int, list[int]]]):
+    """One exact-integer squared-distance expression per centroid,
+    the centroid riding along as a broadcast array literal."""
+    return [
+        F.aggregate(
+            F.zip_with(
+                F.col(col),
+                F.array(*[F.lit(c) for c in vec]),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        for _, vec in cents
+    ]
+
+
+def _assign(pts: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment, ties to the smaller cid
+    (array_position's first match over the cid-ascending list)."""
+    cid_arr = F.array(*[F.lit(cid) for cid, _ in cents])
+    return (
+        pts.withColumn("dist_arr", F.array(*_sq_dist_cols("q", cents)))
+        .withColumn("sq_dist", F.array_min("dist_arr"))
+        .withColumn(
+            "cluster_id",
+            F.element_at(
+                cid_arr, F.array_position("dist_arr", F.col("sq_dist")).cast("int")
+            ).cast("int"),
+        )
+    )
+
+
+def _lloyd_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Run the _ITERS Lloyd updates and return (quantized point table,
+    trained centroid literals).  The per-iteration driver footprint is
+    k aggregate rows — the correct iterative-ML shape on Spark."""
     from kbrowse_spark.functions.cache_registry import cached
 
     emb = load(spark, sf_dir, "embeddings")
@@ -141,34 +195,9 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, [int(v) for v in row.q]) for i, row in enumerate(init)
     ]
 
-    def assign(cents: list[tuple[int, list[int]]]) -> DataFrame:
-        dist_cols = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.array(*[F.lit(c) for c in vec]),
-                    lambda x, c: (x - c) * (x - c),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, y: acc + y,
-            )
-            for _, vec in cents
-        ]
-        cid_arr = F.array(*[F.lit(cid) for cid, _ in cents])
-        return (
-            pts.withColumn("dist_arr", F.array(*dist_cols))
-            .withColumn("sq_dist", F.array_min("dist_arr"))
-            .withColumn(
-                "cluster_id",
-                F.element_at(
-                    cid_arr, F.array_position("dist_arr", F.col("sq_dist")).cast("int")
-                ).cast("int"),
-            )
-        )
-
     for _ in range(_ITERS):
         sums = (
-            assign(centroids)
+            _assign(pts, centroids)
             .groupBy("cluster_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -186,4 +215,116 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             for row in sums
         )
 
-    return assign(centroids).select("vec_id", "cluster_id", "sq_dist").orderBy("vec_id")
+    return pts, centroids
+
+
+_NQ = 8  # bounded query block: vec_id < _NQ
+_NPROBE = 2
+_TOPK = 3
+
+
+def _ivf_oracle_sql() -> str:
+    t = _ITERS
+    return (
+        _lloyd_cte_prefix()
+        + f""",
+    qp AS (
+      SELECT vec_id AS qid, dim, v FROM pts WHERE vec_id < {_NQ}),
+    qd AS (
+      SELECT q.qid, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS cdist
+      FROM qp q JOIN cent{t} c USING (dim)
+      GROUP BY q.qid, c.cid),
+    probe AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS rn
+        FROM qd)
+      WHERE rn <= {_NPROBE}),
+    cand AS (
+      SELECT p.qid, a.vec_id, a.cid FROM probe p JOIN a{t + 1} a USING (cid)
+      WHERE a.vec_id <> p.qid),
+    pair AS (
+      SELECT c.qid, c.vec_id, c.cid,
+             SUM((q.v - x.v) * (q.v - x.v)) AS sq_dist
+      FROM cand c
+      JOIN qp q ON q.qid = c.qid
+      JOIN pts x ON x.vec_id = c.vec_id AND x.dim = q.dim
+      GROUP BY c.qid, c.vec_id, c.cid),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY sq_dist, vec_id) AS rn
+      FROM pair)
+    SELECT qid, CAST(rn AS INT) AS rn, vec_id,
+           CAST(cid AS INT) AS cluster_id,
+           CAST(sq_dist AS BIGINT) AS sq_dist
+    FROM ranked WHERE rn <= {_TOPK}
+    ORDER BY qid, rn
+    """
+    )
+
+
+@register(
+    "ann_ivf_kmeans",
+    _ivf_oracle_sql(),
+    "knn",
+    "clustering",
+    "iterative",
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer: the k-means centroids
+    trained by the shared Lloyd chain become the IVF cells
+    (``ann_ivf_label`` uses the label column as a stand-in cell id —
+    this is the real thing, closing that gap).  Each query vector
+    probes its nprobe=2 nearest cells and is exactly re-ranked against
+    only the vectors assigned there; top-3 per query by fixed-point
+    squared distance, all arithmetic exact BIGINT so the chained-CTE
+    oracle hash-matches bit-for-bit.
+
+    Scale posture: centroid training is the kmeans_lloyd shape (k
+    aggregate rows to the driver per iteration); cell assignment and
+    query→cell probing both fold the k×dim centroid literals into the
+    plan as broadcast arrays (no join for quantization); the probe
+    table (queries × nprobe, a bounded lookup batch by design) joins
+    the assigned corpus on cell id — at 100 TB with cell id as a
+    partition column that join partition-prunes to ~nprobe/k of the
+    corpus, which is the entire point of IVF.  The quantized point
+    table is the same shared cache kmeans_lloyd uses, so the two
+    queries train once.
+    """
+    pts, centroids = _lloyd_state(spark, sf_dir)
+
+    qdf = pts.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(d.alias("cdist"), F.lit(cid).alias("cid"))
+            for d, (cid, _) in zip(_sq_dist_cols("qq", centroids), centroids)
+        ]
+    )
+    probes = (
+        qdf.withColumn("pr", F.slice(F.array_sort(probe_structs), 1, _NPROBE))
+        .select("qid", "qq", F.explode("pr").alias("p"))
+        .select("qid", "qq", F.col("p.cid").alias("cell"))
+    )
+
+    asg = _assign(pts, centroids).select("vec_id", "q", "cluster_id")
+    pair_dist = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    cand = (
+        asg.join(F.broadcast(probes), F.col("cluster_id") == F.col("cell"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "cluster_id", pair_dist.alias("sq_dist"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy("sq_dist", "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("qid", "rn", "vec_id", "cluster_id", "sq_dist")
+        .orderBy("qid", "rn")
+    )

@@ -16,8 +16,9 @@ No reference analogue — kbrowse only streams JSON to the HTTP response
 from __future__ import annotations
 
 import math
+import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 
 
 def write_sized_parquet(
@@ -41,11 +42,20 @@ def write_sized_parquet(
     * ``approx_total_rows`` sizes the shard count without forcing an
       extra count job when the caller already knows the cardinality
       (e.g. from a previous stage); pass None to count.
+    * The write self-audits the estimate with ``df.observe`` — the
+      actual row count is collected DURING the write action (zero
+      extra jobs) and a >2x deviation raises a warning: at 100 TB a
+      stale estimate silently writes 10 GB or 10 KB files, and the
+      observation is the free way to catch it.
     """
+    from pyspark.sql import functions as F
+
     total = approx_total_rows if approx_total_rows is not None else df.count()
     shards = max(1, math.ceil(total / max(1, target_rows_per_file)))
+    obs = Observation()
     writer = (
-        df.repartitionByRange(shards, sort_col)
+        df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+        .repartitionByRange(shards, sort_col)
         .sortWithinPartitions(sort_col)
         .write.option("maxRecordsPerFile", target_rows_per_file)
         .mode("overwrite")
@@ -53,6 +63,15 @@ def write_sized_parquet(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
+    actual = obs.get["n_rows"]
+    if actual > 0 and total > 0 and not 0.5 <= actual / total <= 2.0:
+        warnings.warn(
+            f"write_sized_parquet: approx_total_rows={total} but the "
+            f"write observed {actual} rows — shard sizing was computed "
+            f"from a >2x-off estimate; downstream file sizes will be "
+            f"off by the same factor",
+            stacklevel=2,
+        )
     return shards
 
 

@@ -644,3 +644,55 @@ def test_span_removal_conserves_words(spark, sf_dir):
     assert removed_docs <= set(reporter)
     for k in removed_docs:
         assert removal[k].n_removed <= reporter[k].dup_words
+
+
+def test_ann_ivf_kmeans_invariants(spark, sf_dir):
+    """IVF-with-learned-centroids invariants: every query emits exactly
+    top-k rows with non-decreasing exact distances, never itself; each
+    neighbor's cell is one of the query's nprobe nearest trained cells
+    (recomputed independently from kmeans_lloyd's assignment); and any
+    brute-force true nearest neighbor that lives in a probed cell is
+    found at rank 1 (IVF is exact WITHIN the probed region)."""
+    from kbrowse_spark.operators import clustering as C
+
+    out = _q(spark, sf_dir, "ann_ivf_kmeans").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(range(C._NQ))
+    asg = {
+        r.vec_id: r.cluster_id
+        for r in _q(spark, sf_dir, "kmeans_lloyd").collect()
+    }
+    pts, cents = C._lloyd_state(spark, sf_dir)
+    qvecs = {
+        r.vec_id: list(r.q)
+        for r in pts.filter(F.col("vec_id") < C._NQ).collect()
+    }
+    allpts = {r.vec_id: list(r.q) for r in pts.collect()}
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, C._TOPK + 1))
+        dists = [r.sq_dist for r in rows]
+        assert dists == sorted(dists)
+        assert all(r.vec_id != qid for r in rows)
+        probed = sorted(
+            (sqd(qvecs[qid], vec), cid) for cid, vec in cents
+        )[: C._NPROBE]
+        probe_cells = {cid for _, cid in probed}
+        for r in rows:
+            assert r.cluster_id == asg[r.vec_id] in probe_cells
+            assert r.sq_dist == sqd(qvecs[qid], allpts[r.vec_id])
+        # exactness within the probed region: the true NN, if probed,
+        # must be rank 1
+        true_nn = min(
+            (sqd(qvecs[qid], v), vid)
+            for vid, v in allpts.items()
+            if vid != qid
+        )
+        if asg[true_nn[1]] in probe_cells:
+            assert (rows[0].sq_dist, rows[0].vec_id) == true_nn

@@ -787,3 +787,33 @@ def test_minhash_shared_caches_compacted(spark, sf_dir):
         assert _verified_common(spark, sf_dir).rdd.getNumPartitions() == expect
     finally:
         invalidate(sf_dir)
+
+
+def test_write_sized_parquet_estimate_audit(spark, sf_dir, tmp_path):
+    """The export observes its own row count during the write (zero
+    extra jobs) and warns when the caller's cardinality estimate was
+    >2x off — the guard against silently mis-sized files at scale."""
+    import warnings as w
+
+    from kbrowse_spark.sinks.export import write_sized_parquet
+    from kbrowse_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = docs.count()
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        write_sized_parquet(
+            docs, str(tmp_path / "good"), sort_col="doc_id",
+            target_rows_per_file=100, approx_total_rows=n,
+        )
+        assert not [c for c in caught if "approx_total_rows" in str(c.message)]
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        write_sized_parquet(
+            docs, str(tmp_path / "bad"), sort_col="doc_id",
+            target_rows_per_file=100, approx_total_rows=max(1, n // 10),
+        )
+        hits = [c for c in caught if "approx_total_rows" in str(c.message)]
+        assert hits and "2x-off estimate" in str(hits[0].message)

@@ -1,5 +1,5 @@
 """Executes docs/TOUR.md stage by stage: the operators compose into a
-dedup -> quality -> decontaminate -> mix -> export pipeline through
+dedup -> rewrite -> quality -> decontaminate -> mix -> export pipeline through
 their public (spark, sf_dir) -> DataFrame signatures, and each stage
 only removes rows.  The catalog proves the operators individually;
 this proves the composition story."""
@@ -11,7 +11,9 @@ import os
 
 import pyarrow.parquet as pq
 
-from kbrowse_spark.operators.dedup import dedup_cluster_assign
+from pyspark.sql import functions as F
+
+from kbrowse_spark.operators.dedup import dedup_cluster_assign, dedup_span_removal
 from kbrowse_spark.operators.pipeline_ops import (
     curation_domain_cap,
     decontaminate_benchmark,
@@ -34,6 +36,24 @@ def test_tour_pipeline(spark, sf_dir, tmp_path):
     deduped = docs.join(losers, "doc_id", "left_anti")
     n1 = deduped.count()
     assert n1 == n0 - n_losers  # anti-join arithmetic, no key dup loss
+
+    # Stage 1b — substring-span rewrite: content changes, rows don't.
+    rewritten = dedup_span_removal(spark, sf_dir).select(
+        "doc_id", "clean_text"
+    )
+    words_before = deduped.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+    deduped = (
+        deduped.join(rewritten, "doc_id", "left")
+        .withColumn("text", F.coalesce("clean_text", "text"))
+        .drop("clean_text")
+    )
+    assert deduped.count() == n1  # rewrite stage never drops rows
+    words_after = deduped.filter(F.col("text") != "").select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+    assert words_after <= words_before
 
     # Stage 2 — quality filter.
     quality = text_quality_score(spark, sf_dir)

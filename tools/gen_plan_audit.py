@@ -81,6 +81,11 @@ AUDIT = [
     ("length_bucket_padding", "one narrow projection + 7-group aggregate"),
     ("multimodal_feature_extract", "narrow scan -> two chained Arrow stages, no shuffle"),
     ("embed_batch_inference", "narrow scan -> Arrow batch forward pass, no shuffle"),
+    # round 8
+    ("bpe_train_merges", "per-round combinable pair agg + 1-row argmax broadcast; no driver collect"),
+    ("bpe_tokenize_stats", "vocab-grain token table broadcasts; corpus explode never shuffles for encode"),
+    ("dedup_span_removal", "keeper MIN rides the gram hash agg; rewrite is per-doc indexed filter, no extra shuffle"),
+    ("ann_ivf_kmeans", "centroid literals fold into projection; probe join touches assigned cells only"),
 ]
 
 

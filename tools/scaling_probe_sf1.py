@@ -64,6 +64,12 @@ BROAD_OPS = [
     "token_budget_packing",
     "mix_temperature_quota",
     "q9_product_profit",
+    # r8 additions: the queries added this round, screened the same way.
+    "dedup_span_removal",
+    "bpe_train_merges",
+    "bpe_tokenize_stats",
+    "ann_ivf_kmeans",
+    "multimodal_video_extract",
 ]
 DOC_SECTION = "## sf1 step"
 
@@ -99,6 +105,29 @@ NOTES = {
         "step is the explode fan-out becoming data-bound (spans per "
         "doc are bounded), not a super-linear join"
     ),
+    "dedup_span_removal": (
+        "same gram index as the span reporter plus a per-doc rewrite "
+        "(higher-order filter, no extra shuffle); keeper MIN rides the "
+        "existing hash aggregate, so the step tracks the reporter's"
+    ),
+    "bpe_train_merges": (
+        "pair counts are vocabulary-grain (unique words), which grows "
+        "sub-linearly with corpus size (Heaps' law); each round is one "
+        "combinable aggregate + 1-row argmax broadcast"
+    ),
+    "bpe_tokenize_stats": (
+        "encode side: vocab-grain token table broadcasts to the corpus "
+        "word explode — linear in corpus, constant in vocabulary"
+    ),
+    "ann_ivf_kmeans": (
+        "Lloyd training is k-row iteration state over the shared "
+        "cached point table; probe join touches ~nprobe/k of the "
+        "corpus; both linear in corpus size"
+    ),
+    "multimodal_video_extract": (
+        "container pack/parse is Arrow-batched mapInPandas over "
+        "independent rows — embarrassingly parallel, linear"
+    ),
 }
 
 
@@ -117,7 +146,15 @@ def main() -> None:
     spark = get_spark("scaling_probe_sf1")
     qs = all_queries()
     n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
-    ops = OPS + (BROAD_OPS if os.environ.get("SPARK_GRAFT_PROBE_BROAD") else [])
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if only:
+        # Incremental mode: measure just the named ops and merge their
+        # rows into the existing doc table (full-regen order preserved).
+        ops = only
+    else:
+        ops = OPS + (
+            BROAD_OPS if os.environ.get("SPARK_GRAFT_PROBE_BROAD") else []
+        )
 
     # Warm once per SF (codegen, shared caches) before timing.
     for sf in (SF01, SF1):
@@ -137,6 +174,35 @@ def main() -> None:
         print(rows[-1])
     invalidate()
 
+    path = os.path.join(REPO, "docs", "SCALING_MEASUREMENTS.md")
+    with open(path) as f:
+        doc = f.read()
+    if only:
+        # Merge: keep every previously-measured row, override/append
+        # the ones measured now, in canonical OPS+BROAD_OPS order.
+        sec = re.search(
+            re.escape(DOC_SECTION) + r".*?(?=\n## |\Z)", doc, flags=re.S
+        )
+        existing = dict(
+            (m.group(1), m.group(0))
+            for m in re.finditer(
+                r"\| `([a-z0-9_]+)` \|[^\n]*\|", sec.group(0) if sec else ""
+            )
+        )
+        for name, t01, t1, ratio, spread in rows:
+            existing[name] = (
+                f"| `{name}` | {t01} | {t1} | {ratio}x | {spread}x |"
+            )
+        order = [n for n in OPS + BROAD_OPS if n in existing]
+        order += [n for n in existing if n not in order]
+        rows = [(n,) for n in order]
+        row_lines = [existing[n] for n in order]
+    else:
+        row_lines = [
+            f"| `{name}` | {t01} | {t1} | {ratio}x | {spread}x |"
+            for name, t01, t1, ratio, spread in rows
+        ]
+
     lines = [
         DOC_SECTION,
         "",
@@ -150,17 +216,13 @@ def main() -> None:
         "| operator | sf0.1 s | sf1 s | x0.1->1 | spread |",
         "|---|---|---|---|---|",
     ]
-    for name, t01, t1, ratio, spread in rows:
-        lines.append(f"| `{name}` | {t01} | {t1} | {ratio}x | {spread}x |")
+    lines.extend(row_lines)
     lines.append("")
     for name, *_ in rows:
         if name in NOTES:
             lines.append(f"- `{name}`: {NOTES[name]}")
     section = "\n".join(lines) + "\n"
 
-    path = os.path.join(REPO, "docs", "SCALING_MEASUREMENTS.md")
-    with open(path) as f:
-        doc = f.read()
     if DOC_SECTION in doc:
         doc = re.sub(
             re.escape(DOC_SECTION) + r".*?(?=\n## |\Z)", section, doc,
