@@ -92,6 +92,7 @@ def all_queries() -> dict[str, QueryDef]:
         rollup,
         streaming_queries,
         text_analysis,
+        text_unicode,
         udf_surface,
     )
 

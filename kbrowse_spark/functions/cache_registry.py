@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _REGISTRY: dict[tuple, DataFrame] = {}
+_VALUES: dict[tuple, object] = {}
 # Reentrant: a cached entry's builder may itself resolve another
 # cached entry (minhash buckets build from the cached shingle table);
 # a plain Lock would deadlock that nesting on first materialization.
@@ -38,6 +39,24 @@ def cached(
             df = build().cache()
             _REGISTRY[full_key] = df
         return df
+
+
+def cached_value(
+    spark: SparkSession, sf_dir: str, key: str, build: Callable[[], object]
+) -> object:
+    """Driver-side companion to :func:`cached` for small DETERMINISTIC
+    computed values (e.g. the k x dim trained centroid literals the
+    clustering family folds into plans as broadcast expressions).
+    Without it, every builder sharing a trained artifact re-runs the
+    training iteration per invocation — correct (the value is a pure
+    function of the read-only fixtures) but wasteful when several
+    catalog queries build on one model.  Same key scheme and
+    :func:`invalidate` lifecycle as the DataFrame registry."""
+    full_key = (spark.sparkContext.applicationId, sf_dir, key)
+    with _LOCK:
+        if full_key not in _VALUES:
+            _VALUES[full_key] = build()
+        return _VALUES[full_key]
 
 
 def compact_to_source(
@@ -76,3 +95,6 @@ def invalidate(sf_dir: str | None = None) -> None:
                     _REGISTRY.pop(k).unpersist()
                 except Exception:  # session may already be gone
                     pass
+        for k in list(_VALUES):
+            if sf_dir is None or k[1] == sf_dir:
+                _VALUES.pop(k)

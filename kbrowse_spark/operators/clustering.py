@@ -172,8 +172,12 @@ def _lloyd_state(
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Run the _ITERS Lloyd updates and return (quantized point table,
     trained centroid literals).  The per-iteration driver footprint is
-    k aggregate rows — the correct iterative-ML shape on Spark."""
-    from kbrowse_spark.functions.cache_registry import cached
+    k aggregate rows — the correct iterative-ML shape on Spark.  Both
+    the point table AND the trained centroids go through the cache
+    registry: the centroids are a pure deterministic function of the
+    read-only fixtures, so queries sharing the model (kmeans_lloyd's
+    readout, ann_ivf_kmeans's quantizer) train once per session."""
+    from kbrowse_spark.functions.cache_registry import cached, cached_value
 
     emb = load(spark, sf_dir, "embeddings")
     pts = cached(
@@ -188,34 +192,37 @@ def _lloyd_state(
         ),
     )
 
-    init = pts.orderBy("vec_id").limit(_K).collect()
-    # (cid, centroid-vector) pairs, cid-ascending — array_position's
-    # first-match tie-break therefore lands on the smallest cid.
-    centroids: list[tuple[int, list[int]]] = [
-        (i, [int(v) for v in row.q]) for i, row in enumerate(init)
-    ]
+    def train() -> list[tuple[int, list[int]]]:
+        init = pts.orderBy("vec_id").limit(_K).collect()
+        # (cid, centroid-vector) pairs, cid-ascending — array_position's
+        # first-match tie-break therefore lands on the smallest cid.
+        centroids: list[tuple[int, list[int]]] = [
+            (i, [int(v) for v in row.q]) for i, row in enumerate(init)
+        ]
 
-    for _ in range(_ITERS):
-        sums = (
-            _assign(pts, centroids)
-            .groupBy("cluster_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(_DIM)],
+        for _ in range(_ITERS):
+            sums = (
+                _assign(pts, centroids)
+                .groupBy("cluster_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(_DIM)],
+                )
+                .collect()
             )
-            .collect()
-        )
-        # floor of the exact rational sum/n == floor of the IEEE double
-        # division the oracle does (sums << 2^53, see module docstring).
-        centroids = sorted(
-            (
-                int(row.cluster_id),
-                [int(row[f"s{d}"]) // int(row.n) for d in range(_DIM)],
+            # floor of the exact rational sum/n == floor of the IEEE
+            # double division the oracle does (sums << 2^53, see module
+            # docstring).
+            centroids = sorted(
+                (
+                    int(row.cluster_id),
+                    [int(row[f"s{d}"]) // int(row.n) for d in range(_DIM)],
+                )
+                for row in sums
             )
-            for row in sums
-        )
+        return centroids
 
-    return pts, centroids
+    return pts, cached_value(spark, sf_dir, "kmeans_centroids", train)
 
 
 _NQ = 8  # bounded query block: vec_id < _NQ

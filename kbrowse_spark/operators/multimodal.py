@@ -808,3 +808,228 @@ def multimodal_video_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     avi = src.mapInPandas(pack_avi_batches, schema="doc_id long, payload binary")
     return avi.mapInPandas(extract_video, schema=_VIDEO_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# WARC web-archive container (the CommonCrawl ingestion format)
+# ---------------------------------------------------------------------------
+
+_WARC_DATE = "2024-01-01T00:00:00Z"
+_WARCINFO_PAYLOAD = b"software: kbrowse-spark\n"
+
+
+def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    """One spec-correct uncompressed WARC/1.1 record: version line,
+    named-field block, blank line, payload, and the mandatory
+    record-terminating CRLF CRLF (WARC-1.1 §4)."""
+    head = (
+        b"WARC/1.1\r\n"
+        + b"".join(f"{k}: {v}\r\n".encode() for k, v in headers)
+        + b"\r\n"
+    )
+    return head + payload + b"\r\n\r\n"
+
+
+def _warcinfo_record() -> bytes:
+    return _warc_record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", "<urn:uuid:warcinfo-0>"),
+            ("WARC-Date", _WARC_DATE),
+            ("Content-Type", "application/warc-fields"),
+            ("Content-Length", str(len(_WARCINFO_PAYLOAD))),
+        ],
+        _WARCINFO_PAYLOAD,
+    )
+
+
+def _warc_response_record(doc_id, payload: bytes) -> bytes:
+    return _warc_record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", f"<urn:uuid:doc-{doc_id}>"),
+            ("WARC-Date", _WARC_DATE),
+            ("WARC-Target-URI", f"http://example.com/doc/{doc_id}"),
+            ("Content-Type", "text/plain"),
+            ("Content-Length", str(len(payload))),
+        ],
+        payload,
+    )
+
+
+_WARCINFO_LEN = len(_warcinfo_record())
+# Response-record size = this fixed overhead + the doc_id digits
+# (appearing twice: record-id + target-uri) + the Content-Length value's
+# own digit count + the payload bytes.  Computed from the same builder
+# that packs, so the oracle's arithmetic can never drift from the codec.
+# the "" doc_id contributes 0 digits; the b"" payload still prints a
+# 1-digit Content-Length value ("0"), which the formula counts
+# separately -- subtract it from the baseline.
+_RESP_FIXED = len(_warc_response_record("", b"")) - 1
+
+_WARC_SCHEMA = (
+    "doc_id long, n_records int, file_bytes long, warc_version string,"
+    " target_uri string, content_length long, payload_md5 string"
+)
+
+
+@register(
+    "warc_record_extract",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS d FROM documents)
+    SELECT doc_id,
+           2 AS n_records,
+           CAST({_WARCINFO_LEN} + {_RESP_FIXED}
+                + 2 * length(CAST(doc_id AS VARCHAR))
+                + length(CAST(d AS VARCHAR)) + d AS BIGINT) AS file_bytes,
+           'WARC/1.1' AS warc_version,
+           'http://example.com/doc/' || CAST(doc_id AS VARCHAR)
+             AS target_uri,
+           CAST(d AS BIGINT) AS content_length,
+           md5(text) AS payload_md5
+    FROM b ORDER BY doc_id
+    """,
+    "multimodal",
+    "pandas-udf",
+)
+def warc_record_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas pipeline over the WARC/1.1 web-archive container —
+    the format CommonCrawl ships, i.e. the literal ingestion format of
+    a web-scale training-data pipeline.  Completes the from-scratch
+    container-codec family (BMP image, RIFF/WAVE audio, AVI video).
+
+    Stage 1 (ingest simulation) packs each document into an
+    uncompressed two-record WARC file: a ``warcinfo`` record and a
+    ``response`` record whose block is the document's UTF-8 bytes —
+    version line, named fields (Record-ID, Date, Target-URI,
+    Content-Type, Content-Length), blank line, payload, and the
+    mandatory CRLF CRLF record terminator (WARC-1.1 §4).
+
+    Stage 2 (the operator under test) is a from-scratch reader that
+    walks records the way the spec demands: parse the version line and
+    the named-field block, then advance by **Content-Length** — never
+    by scanning for separators, because payload bytes may legally
+    contain ``\\r\\n\\r\\nWARC/1.1`` (the adversarial unit test packs
+    exactly that) — and verify the 4 terminator bytes before the next
+    record.  Validates version, mandatory fields, per-record
+    Content-Length consistency, and the record sequence
+    (warcinfo-then-response); emits the response's URI, length, and
+    payload md5.  The DuckDB oracle recomputes the container size from
+    header arithmetic that shares constants with the packer
+    (fixed-overhead + digit counts + payload), and md5(text) for the
+    payload — a bytes-in -> container -> parse -> bytes-out round
+    trip, hash-matched not shape-checked.
+
+    Plan shape: narrow scan -> Arrow batches -> per-batch Python ->
+    Arrow back; no shuffle, scales with input splits.  A warcio/gzip
+    reader drops in by replacing ``parse_warc``.
+    """
+
+    # Worker self-containment: the warcinfo record is built HERE on the
+    # driver and captured as plain bytes, and the response packer below
+    # is a nested def using only those captured constants — any call to
+    # the module-level helpers from inside the UDF body would make
+    # cloudpickle serialize them by reference, which a bare worker
+    # (driver launched outside the repo, no kbrowse_spark on
+    # PYTHONPATH) cannot import back.  The adversarial unit test pins
+    # the nested packer to the module helpers the oracle's size
+    # constants come from.
+    info = _warcinfo_record()
+    date = _WARC_DATE
+
+    def pack_warc_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        def pack_one(doc_id: int, data: bytes) -> bytes:
+            head = (
+                b"WARC/1.1\r\n"
+                + b"".join(
+                    f"{k}: {v}\r\n".encode()
+                    for k, v in (
+                        ("WARC-Type", "response"),
+                        ("WARC-Record-ID", f"<urn:uuid:doc-{doc_id}>"),
+                        ("WARC-Date", date),
+                        (
+                            "WARC-Target-URI",
+                            f"http://example.com/doc/{doc_id}",
+                        ),
+                        ("Content-Type", "text/plain"),
+                        ("Content-Length", str(len(data))),
+                    )
+                )
+                + b"\r\n"
+            )
+            return info + head + data + b"\r\n\r\n"
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        pack_one(i, bytes(p))
+                        for i, p in zip(pdf["doc_id"], pdf["payload"])
+                    ],
+                }
+            )
+
+    def extract_warc(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def parse_warc(buf: bytes) -> dict:
+            records = []
+            pos = 0
+            while pos < len(buf):
+                eol = buf.index(b"\r\n", pos)
+                version = buf[pos:eol].decode("ascii")
+                if version != "WARC/1.1":
+                    raise ValueError(f"bad WARC version line {version!r}")
+                pos = eol + 2
+                fields: dict[str, str] = {}
+                while buf[pos : pos + 2] != b"\r\n":
+                    eol = buf.index(b"\r\n", pos)
+                    k, _, v = buf[pos:eol].decode("utf-8").partition(": ")
+                    fields[k] = v
+                    pos = eol + 2
+                pos += 2  # the blank line ending the header block
+                for req in ("WARC-Type", "WARC-Record-ID", "WARC-Date",
+                            "Content-Length"):
+                    if req not in fields:
+                        raise ValueError(f"missing mandatory field {req}")
+                clen = int(fields["Content-Length"])
+                payload = buf[pos : pos + clen]
+                if len(payload) != clen:
+                    raise ValueError("truncated record payload")
+                pos += clen
+                if buf[pos : pos + 4] != b"\r\n\r\n":
+                    raise ValueError("missing record terminator")
+                pos += 4
+                records.append((version, fields, payload))
+            if [r[1]["WARC-Type"] for r in records] != ["warcinfo", "response"]:
+                raise ValueError("unexpected record sequence")
+            version, fields, payload = records[1]
+            if fields["Content-Type"] != "text/plain":
+                raise ValueError("unexpected response content type")
+            return {
+                "n_records": len(records),
+                "file_bytes": len(buf),
+                "warc_version": version,
+                "target_uri": fields["WARC-Target-URI"],
+                "content_length": len(payload),
+                "payload_md5": hashlib.md5(payload).hexdigest(),
+            }
+
+        for pdf in batches:
+            feats = [parse_warc(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    d = load(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    warc = src.mapInPandas(
+        pack_warc_batches, schema="doc_id long, payload binary"
+    )
+    return warc.mapInPandas(extract_warc, schema=_WARC_SCHEMA).orderBy("doc_id")

@@ -934,6 +934,104 @@ def sample_reservoir_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Priority sampling: weighted top-k with Horvitz-Thompson estimates
+# ---------------------------------------------------------------------------
+
+_PRIORITY_K = 5
+_U_DENOM = 4503599627370496.0  # 2^52 = 16^13: the hash domain size
+
+
+@register(
+    "sample_weighted_priority",
+    f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars AS w,
+             -- u = (h+1)/2^52 is EXACT (h+1 <= 2^52 is an exact double,
+             -- dividing by a power of two only shifts the exponent), so
+             -- priority = w/u carries exactly ONE IEEE rounding -- the
+             -- same bits in any engine.
+             CAST(n_chars AS DOUBLE)
+               / ((('0x' || substr(md5('pri:' || CAST(doc_id AS VARCHAR)),
+                                   1, 13))::BIGINT + 1) / {_U_DENOM})
+               AS priority
+      FROM documents),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY priority DESC, doc_id) AS rk
+      FROM pri),
+    tau AS (
+      SELECT lang, priority AS tau FROM ranked WHERE rk = {_PRIORITY_K + 1})
+    SELECT r.lang, CAST(r.rk AS INT) AS rk, r.doc_id, r.w, r.priority,
+           COALESCE(t.tau, 0.0) AS tau,
+           GREATEST(CAST(r.w AS DOUBLE), COALESCE(t.tau, 0.0)) AS weight_est
+    FROM ranked r LEFT JOIN tau t USING (lang)
+    WHERE r.rk <= {_PRIORITY_K}
+    ORDER BY r.lang, r.rk
+    """,
+    "pipeline",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a fixed-size WEIGHTED
+    sample per stratum with per-item Horvitz-Thompson weight estimates
+    -- the principled way to downsample a corpus while keeping sums of
+    weights estimable (mix auditing, token accounting on a sample).
+    Each doc draws priority = w/u with u a deterministic salted-hash
+    uniform in (0,1]; the k highest priorities per lang win, and the
+    (k+1)-th priority becomes the stratum threshold tau.  A kept item
+    estimates its own weight as max(w, tau) -- summing those is an
+    unbiased estimate of the stratum's total weight.
+
+    Determinism contract: u = (h+1)/2^52 is exact (h+1 <= 2^52 is an
+    exact double; a power-of-two division only shifts the exponent),
+    so priority carries exactly one IEEE rounding and hash-matches the
+    oracle bit-for-bit; ranking ties break by doc_id.
+
+    Scale shape: rank <= k per stratum is the WindowGroupLimit pattern
+    (map-side k+1-row truncation before the exchange, same as
+    ``sample_reservoir_per_stratum``); tau is a |strata|-row broadcast
+    join-back.  No collect, no second corpus pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.expr(
+        "CAST(conv(substr(md5(concat('pri:', CAST(doc_id AS STRING))),"
+        " 1, 13), 16, 10) AS BIGINT)"
+    )
+    pri = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("w"),
+        (
+            F.col("n_chars").cast("double")
+            / ((h + F.lit(1)) / F.lit(_U_DENOM))
+        ).alias("priority"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("priority").desc(), "doc_id")
+    )
+    ranked = pri.withColumn("rk", rk).filter(F.col("rk") <= _PRIORITY_K + 1)
+    tau = (
+        ranked.filter(F.col("rk") == _PRIORITY_K + 1)
+        .select("lang", F.col("priority").alias("tau"))
+    )
+    return (
+        ranked.filter(F.col("rk") <= _PRIORITY_K)
+        .join(F.broadcast(tau), "lang", "left")
+        .select(
+            "lang",
+            F.col("rk").cast("int").alias("rk"),
+            "doc_id",
+            "w",
+            "priority",
+            F.coalesce("tau", F.lit(0.0)).alias("tau"),
+            F.greatest(
+                F.col("w").cast("double"), F.coalesce("tau", F.lit(0.0))
+            ).alias("weight_est"),
+        )
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus snapshot diff: what changed between two corpus versions
 # ---------------------------------------------------------------------------
 

@@ -197,3 +197,68 @@ def test_multimodal_video_extract_matches_reference_on_random_corpora(
         r = rows[i]
         for k, v in expected.items():
             assert r[k] == v, (i, k, r[k], v)
+
+
+def _ref_parse_warc(buf: bytes) -> dict:
+    """Independent WARC reader: regex-free, splits the header block
+    with bytes.split (the operator walks with index); advances by
+    Content-Length like any conformant reader must."""
+    recs = []
+    pos = 0
+    while pos < len(buf):
+        head_end = buf.index(b"\r\n\r\n", pos)
+        head = buf[pos:head_end].decode("utf-8").split("\r\n")
+        assert head[0] == "WARC/1.1"
+        fields = dict(line.split(": ", 1) for line in head[1:])
+        clen = int(fields["Content-Length"])
+        body_start = head_end + 4
+        body = buf[body_start : body_start + clen]
+        assert len(body) == clen
+        assert buf[body_start + clen : body_start + clen + 4] == b"\r\n\r\n"
+        recs.append((fields, body))
+        pos = body_start + clen + 4
+    return recs
+
+
+def test_warc_record_extract_matches_reference_on_random_corpora(
+    spark, tmp_path
+):
+    """Random corpora INCLUDING payloads that embed fake record
+    boundaries (\\r\\n\\r\\nWARC/1.1\\r\\n) — a delimiter-scanning
+    parser would split there; the Content-Length walk must not."""
+    rng = random.Random(20260815)
+    for case in range(3):
+        texts = _gen_texts(rng, 20)
+        # adversarial payloads: embedded terminator + version line,
+        # embedded header-looking lines, bare CR / LF runs
+        texts += [
+            "before\r\n\r\nWARC/1.1\r\nWARC-Type: response\r\n\r\nafter",
+            "Content-Length: 999\r\nWARC-Date: fake",
+            "\r\n\r\n\r\n",
+        ]
+        sf = _write_documents(spark, tmp_path / f"w{case}", texts)
+        rows = {
+            r.doc_id: r for r in _q(spark, sf, "warc_record_extract").collect()
+        }
+        assert len(rows) == len(texts)
+        from kbrowse_spark.operators.multimodal import (
+            _warc_response_record,
+            _warcinfo_record,
+        )
+
+        for i, t in enumerate(texts):
+            payload = t.encode("utf-8")
+            buf = _warcinfo_record() + _warc_response_record(i, payload)
+            recs = _ref_parse_warc(buf)
+            assert [f["WARC-Type"] for f, _ in recs] == [
+                "warcinfo",
+                "response",
+            ], (i, t)
+            fields, body = recs[1]
+            assert body == payload, (i, t)
+            r = rows[i]
+            assert r.n_records == 2
+            assert r.file_bytes == len(buf)
+            assert r.target_uri == fields["WARC-Target-URI"]
+            assert r.content_length == len(payload)
+            assert r.payload_md5 == hashlib.md5(payload).hexdigest()

@@ -696,3 +696,96 @@ def test_ann_ivf_kmeans_invariants(spark, sf_dir):
         )
         if asg[true_nn[1]] in probe_cells:
             assert (rows[0].sq_dist, rows[0].vec_id) == true_nn
+
+
+def test_priority_sampling_invariants(spark, sf_dir):
+    """Priority-sampling (Duffield-Lund-Thorup) invariants: <= k rows
+    per stratum with dense ranks and descending priorities; tau is a
+    per-stratum constant strictly below every kept priority (0 only
+    when the stratum ran out of docs); weight_est = max(w, tau)
+    row-wise; and each doc's priority recomputes exactly from the
+    salted hash (one IEEE rounding)."""
+    import hashlib
+
+    from kbrowse_spark.operators import pipeline_ops as P
+
+    rows = _q(spark, sf_dir, "sample_weighted_priority").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= P._PRIORITY_K
+        pris = [r.priority for r in rs]
+        assert pris == sorted(pris, reverse=True)
+        taus = {r.tau for r in rs}
+        assert len(taus) == 1
+        tau = taus.pop()
+        if len(rs) == P._PRIORITY_K:
+            assert all(p >= tau for p in pris)
+        else:
+            assert tau == 0.0  # stratum smaller than k+1: keep all
+        for r in rs:
+            assert r.weight_est == max(float(r.w), r.tau)
+            h = int(
+                hashlib.md5(f"pri:{r.doc_id}".encode()).hexdigest()[:13], 16
+            )
+            assert r.priority == float(r.w) / ((h + 1) / P._U_DENOM)
+
+
+def test_nfc_normalize_golden_pairs(spark, tmp_path):
+    """Unicode NFC semantics on corpora the fixture lacks: composed vs
+    decomposed accents, Hangul jamo composition, and forms NFC must
+    NOT touch (compatibility chars, already-composed text).  Expected
+    values are hand-written from the Unicode standard, not recomputed
+    with the library under test."""
+    import hashlib
+
+    cases = [
+        # (text, expected_changed, expected_norm)
+        ("éclair", 1, "éclair"),  # e + combining acute -> é
+        ("éclair", 0, "éclair"),  # already composed
+        ("각", 1, "각"),  # jamo G+A+G -> 각
+        ("각", 0, "각"),
+        ("ﬁle", 0, "ﬁle"),  # fi ligature: NFC keeps (NFKC wouldn't)
+        ("ascii only", 0, "ascii only"),
+        ("ö́", 1, "ö́"),  # o+diaeresis+acute -> ö+acute
+    ]
+    rows = [
+        (i, t, "xx", "s", len(t)) for i, (t, _, _) in enumerate(cases)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in _q(spark, str(tmp_path), "text_normalize_nfc").collect()
+    }
+    for i, (t, changed, norm) in enumerate(cases):
+        r = out[i]
+        assert r.changed == changed, (t, r)
+        assert r.n_cp_before == len(t)
+        assert r.n_cp_after == len(norm), (t, r)
+        assert r.norm_md5 == hashlib.md5(norm.encode("utf-8")).hexdigest(), t
+    # the DuckDB oracle agrees on the same golden corpus: two
+    # independent Unicode implementations, one answer
+    import duckdb
+
+    from kbrowse_spark.catalog import all_queries
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    duck = con.execute(all_queries()["text_normalize_nfc"].oracle).fetchall()
+    for doc_id, changed, cp_b, cp_a, md5 in duck:
+        r = out[doc_id]
+        assert (r.changed, r.n_cp_before, r.n_cp_after, r.norm_md5) == (
+            changed,
+            cp_b,
+            cp_a,
+            md5,
+        )

@@ -5,6 +5,8 @@ broadcast joins, salted skew joins, pushdown.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -817,3 +819,40 @@ def test_write_sized_parquet_estimate_audit(spark, sf_dir, tmp_path):
         )
         hits = [c for c in caught if "approx_total_rows" in str(c.message)]
         assert hits and "2x-off estimate" in str(hits[0].message)
+
+
+def test_udf_queries_survive_bare_worker_pythonpath(tmp_path):
+    """Python-UDF queries must be worker-self-contained: cloudpickle
+    serializes module-level helper references by module path, which a
+    BARE session (driver launched outside the repo, no kbrowse_spark
+    on worker PYTHONPATH) cannot import back — the exact failure mode
+    the driver's harness runs under, invisible to in-repo pytest
+    sessions.  Reproduce it: subprocess the driver emulator from an
+    outside cwd, restricted to every pandas-udf-tagged query.
+    (Caught live in r8: warc_record_extract's packer called a module
+    helper worker-side and died only under the emulator.)"""
+    import subprocess
+    import sys as _sys
+
+    from kbrowse_spark.catalog import all_queries
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    udf_queries = sorted(
+        n for n, q in all_queries().items() if "pandas-udf" in q.tags
+    )
+    assert udf_queries  # the tag must keep existing
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "PYTHONSTARTUP")
+    }
+    out = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tests", "driver_emulator.py"),
+         *udf_queries],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert "RESULT: ALL MATCH" in out.stdout, out.stdout[-3000:] + out.stderr[-2000:]

@@ -86,6 +86,8 @@ AUDIT = [
     ("bpe_tokenize_stats", "vocab-grain token table broadcasts; corpus explode never shuffles for encode"),
     ("dedup_span_removal", "keeper MIN rides the gram hash agg; rewrite is per-doc indexed filter, no extra shuffle"),
     ("ann_ivf_kmeans", "centroid literals fold into projection; probe join touches assigned cells only"),
+    ("sample_weighted_priority", "WindowGroupLimit rank<=k+1; tau is a strata-row broadcast join-back"),
+    ("warc_record_extract", "narrow scan -> two chained Arrow codec stages, no shuffle"),
 ]
 
 
