@@ -522,6 +522,72 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_GRAM = 8
 
 
+def _span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, h): every 8-word window's rolling hash.  NOT
+    cached — gram grain is the heaviest grain in the family (one row
+    per word position); it scan-fuses cheaply and the shared state
+    worth keeping is the hash-grain aggregate below."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.expr(f"size(w) >= {_SPAN_GRAM}"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_SPAN_GRAM}),"
+                    f" i -> md5(concat_ws(' ', slice(w, i + 1, {_SPAN_GRAM}))))"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+
+
+def _span_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(h, n_docs, keeper) for every window hash — the ONE aggregate
+    both substring-dedup consumers derive from (the span reporter
+    filters n_docs >= 2; the rewriter additionally excludes the keeper
+    doc).  Cached compacted (hash grain is far below gram grain; same
+    size-aware rule as the shingle caches): the groupBy shuffle is the
+    family's expensive step, and at cluster scale this IS the
+    maintained duplicated-window index a production pipeline keeps
+    next to the corpus."""
+    from kbrowse_spark.functions.cache_registry import cached, compact_to_source
+
+    grams = _span_grams(spark, sf_dir)
+    return cached(
+        spark,
+        sf_dir,
+        "span_gram_stats",
+        lambda: compact_to_source(
+            grams.groupBy("h").agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.min("doc_id").alias("keeper"),
+            ),
+            grams,
+        ),
+    )
+
+
+def _merge_spans(marked: DataFrame) -> DataFrame:
+    """(doc_id, span_id, s, e): merge marked window positions into
+    maximal spans (gap <= _SPAN_GRAM merges; union coverage)."""
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("doc_id").orderBy("pos")
+    flag = marked.withColumn(
+        "new_span",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w_doc) <= _SPAN_GRAM, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    return (
+        flag.withColumn("span_id", F.sum("new_span").over(w_doc))
+        .groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + _SPAN_GRAM).alias("e"))
+    )
+
+
 @register(
     "dedup_substring_spans",
     f"""
@@ -585,43 +651,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost (stride 1 here: fixtures are small).
     """
     d = load(spark, sf_dir, "documents")
-    grams = (
-        d.select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.expr(f"size(w) >= {_SPAN_GRAM}"))
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(w) - {_SPAN_GRAM}),"
-                    f" i -> md5(concat_ws(' ', slice(w, i + 1, {_SPAN_GRAM}))))"
-                )
-            ).alias("pos", "h"),
-        )
-    )
+    grams = _span_grams(spark, sf_dir)
     dup = (
-        grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        _span_gram_stats(spark, sf_dir)
         .filter(F.col("n_docs") >= 2)
         .select("h")
     )
     marked = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
-    from pyspark.sql import Window as W
-
-    w_doc = W.partitionBy("doc_id").orderBy("pos")
-    flag = marked.withColumn(
-        "new_span",
-        F.when(
-            F.col("pos") - F.lag("pos").over(w_doc) <= _SPAN_GRAM, F.lit(0)
-        ).otherwise(F.lit(1)),
-    )
-    spans = (
-        flag.withColumn("span_id", F.sum("new_span").over(w_doc))
-        .groupBy("doc_id", "span_id")
-        .agg(
-            F.min("pos").alias("s"),
-            (F.max("pos") + _SPAN_GRAM).alias("e"),
-        )
-    )
+    spans = _merge_spans(marked)
     summary = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_words"),
@@ -1860,24 +1897,9 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents")
     words = d.select("doc_id", F.split("text", " ").alias("w"))
-    grams = (
-        words.filter(F.expr(f"size(w) >= {_SPAN_GRAM}"))
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(w) - {_SPAN_GRAM}),"
-                    f" i -> md5(concat_ws(' ', slice(w, i + 1, {_SPAN_GRAM}))))"
-                )
-            ).alias("pos", "h"),
-        )
-    )
+    grams = _span_grams(spark, sf_dir)
     dup = (
-        grams.groupBy("h")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.min("doc_id").alias("keeper"),
-        )
+        _span_gram_stats(spark, sf_dir)
         .filter(F.col("n_docs") >= 2)
         .select("h", "keeper")
     )
@@ -1886,20 +1908,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("keeper"))
         .select("doc_id", "pos")
     )
-    from pyspark.sql import Window as W
-
-    w_doc = W.partitionBy("doc_id").orderBy("pos")
-    flag = marked.withColumn(
-        "new_span",
-        F.when(
-            F.col("pos") - F.lag("pos").over(w_doc) <= _SPAN_GRAM, F.lit(0)
-        ).otherwise(F.lit(1)),
-    )
-    spans = (
-        flag.withColumn("span_id", F.sum("new_span").over(w_doc))
-        .groupBy("doc_id", "span_id")
-        .agg(F.min("pos").alias("s"), (F.max("pos") + _SPAN_GRAM).alias("e"))
-    )
+    spans = _merge_spans(marked)
     perdoc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("s", "e")).alias("sps"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed"),

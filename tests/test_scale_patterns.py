@@ -787,6 +787,14 @@ def test_minhash_shared_caches_compacted(spark, sf_dir):
         expect = max(1, n_src // 8)
         assert _shingle_sizes(spark, sf_dir).rdd.getNumPartitions() == expect
         assert _verified_common(spark, sf_dir).rdd.getNumPartitions() == expect
+        # the substring family's shared hash-grain aggregate (r8)
+        # follows the same rule against ITS source's parallelism
+        from kbrowse_spark.operators.dedup import _span_gram_stats, _span_grams
+
+        n_g = _span_grams(spark, sf_dir).rdd.getNumPartitions()
+        assert _span_gram_stats(spark, sf_dir).rdd.getNumPartitions() == max(
+            1, n_g // 8
+        )
     finally:
         invalidate(sf_dir)
 

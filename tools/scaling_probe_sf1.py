@@ -70,6 +70,9 @@ BROAD_OPS = [
     "bpe_tokenize_stats",
     "ann_ivf_kmeans",
     "multimodal_video_extract",
+    "sample_weighted_priority",
+    "warc_record_extract",
+    "text_normalize_nfc",
 ]
 DOC_SECTION = "## sf1 step"
 
@@ -127,6 +130,18 @@ NOTES = {
     "multimodal_video_extract": (
         "container pack/parse is Arrow-batched mapInPandas over "
         "independent rows — embarrassingly parallel, linear"
+    ),
+    "sample_weighted_priority": (
+        "WindowGroupLimit rank per stratum (map-side k+1 truncation); "
+        "linear scan, k-row tau join-back"
+    ),
+    "warc_record_extract": (
+        "WARC pack/parse is Arrow-batched mapInPandas over independent "
+        "rows — embarrassingly parallel, linear"
+    ),
+    "text_normalize_nfc": (
+        "one Arrow round trip per batch, counts/md5 JVM-side — "
+        "embarrassingly parallel, linear"
     ),
 }
 
