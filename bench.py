@@ -98,6 +98,10 @@ HEADLINE = [
     # + keeper join + per-doc indexed-filter cut).
     "ann_ivf_kmeans",
     "dedup_span_removal",
+    # round 8 third wave: the EXACT similarity-join family (prefix/
+    # length/positional filtered inverted-index self-join) — the
+    # no-false-negative counterpart to the LSH shapes above.
+    "dedup_prefix_filter_join",
 ]
 
 

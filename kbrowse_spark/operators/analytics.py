@@ -1868,3 +1868,257 @@ def pareto_source_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_toks").cast("double") / F.col("tot")).alias("cum_share"),
         (F.col("rk").cast("double") / F.col("n_src")).alias("frac_sources"),
     ).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# Exact order statistics over an UNBOUNDED domain: bucket-select
+# ---------------------------------------------------------------------------
+
+# (label, numerator, denominator) — rank k = ceil(p * n) in integers.
+_OS_TARGETS = [
+    ("p25", 1, 4),
+    ("p50", 1, 2),
+    ("p75", 3, 4),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+]
+_OS_BUCKET = 64  # bucket width in whole currency units
+
+
+@register(
+    "order_stat_bucket_select",
+    f"""
+    WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    t(pct_label, num, den) AS (VALUES {", ".join(f"('{lbl}', {nu}, {de})" for lbl, nu, de in _OS_TARGETS)}),
+    k AS (SELECT pct_label,
+                 CAST((num * n.n + den - 1) // den AS BIGINT) AS target_rank
+          FROM t CROSS JOIN n),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v)
+    SELECT k.pct_label, k.target_rank, r.v AS value
+    FROM k JOIN r ON r.rn = k.target_rank
+    ORDER BY k.target_rank
+    """,
+    "analytics",
+    "order_stat",
+)
+def order_stat_bucket_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-th order statistics (p25/p50/p75/p90/p99 of
+    l_extendedprice) over an UNBOUNDED value domain, with no global
+    sort and no unit-grain histogram — the two-pass bucket-narrowing
+    selection:
+
+    * **Pass 1**: one map-side-combined histogram aggregate over
+      COARSE buckets (``floor(v) div {_OS_BUCKET}``); the cumulative
+      window runs over the BUCKET table, whose cardinality is bounded
+      by the value RANGE / width (~1.6k for TPC-H prices) — a bound
+      set by the domain, not the corpus, so it holds unchanged at
+      100 TB.
+    * **Select**: each target rank ``k = ceil(p*n)`` (pure integer
+      arithmetic) lands in the unique bucket with
+      ``cum - cnt < k <= cum``; the 5-row target dimension broadcasts
+      into that theta join.
+    * **Pass 2**: re-scan ONLY the selected buckets (a semi-join
+      pushdown-able predicate; ~3/1600 of the data), rank within each
+      bucket, and read the exact raw DOUBLE at offset
+      ``k - cum_before``.  No quantization: the value returned is the
+      actual stored element, bit-identical in both engines because it
+      is SELECTED, never computed.
+
+    This is the complement to ``latency_percentile_bands`` (exact
+    percentiles via a unit-grain histogram, which needs a BOUNDED
+    integer domain): bucket-select needs only a bounded RANGE, so it
+    covers doubles/ids at full precision.  Duplicate values make any
+    in-bucket order arbitrary, but every index of a run of duplicates
+    reads the same value, so the output is deterministic.
+
+    Scale posture: two corpus scans (both combinable aggregates /
+    pushdown-filtered), windows only over bucket-grain or selected-
+    bucket rows, 5-row broadcast dimensions.  The classic alternative
+    — global sort + row_number — is exactly the shuffle this plan
+    exists to avoid (the oracle does it; oracles are allowed).
+    Reference has no numeric analytics (SURVEY §2c extension).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    b = li.withColumn(
+        "bucket", F.expr(f"CAST(floor(v) AS BIGINT) div {_OS_BUCKET}")
+    )
+    h = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = h.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.sum("cnt")
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n"),
+    )
+    targets = spark.createDataFrame(
+        _OS_TARGETS, ["pct_label", "num", "den"]
+    )
+    sel = (
+        cum.join(
+            F.broadcast(targets),
+            (
+                F.expr("(num * n + den - 1) div den") > F.col("cum") - F.col("cnt")
+            )
+            & (F.expr("(num * n + den - 1) div den") <= F.col("cum")),
+        )
+        .select(
+            "pct_label",
+            F.expr("(num * n + den - 1) div den").cast("long").alias(
+                "target_rank"
+            ),
+            "bucket",
+            (
+                F.expr("(num * n + den - 1) div den")
+                - (F.col("cum") - F.col("cnt"))
+            ).alias("offset"),
+        )
+    )
+    w_in = Window.partitionBy("bucket").orderBy("v")
+    ranked = (
+        b.join(
+            F.broadcast(sel.select("bucket").distinct()), "bucket", "semi"
+        )
+        .withColumn("rn", F.row_number().over(w_in))
+    )
+    return (
+        ranked.join(
+            F.broadcast(sel),
+            (ranked.bucket == sel.bucket) & (F.col("rn") == F.col("offset")),
+        )
+        .select("pct_label", "target_rank", F.col("v").alias("value"))
+        .orderBy("target_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed linear regression via normal equations (exact Cramer solve)
+# ---------------------------------------------------------------------------
+
+
+def _det3(m: list[list[str]]) -> str:
+    """3x3 determinant as an explicit SQL expression over entry
+    expressions.  Generated ONCE and used verbatim by BOTH engines, so
+    the IEEE multiply/subtract sequence is identical and the result
+    bit-identical (the entries are exact-integer-valued; the products
+    may exceed 2^53, where only identical op ORDER keeps engines in
+    agreement)."""
+    (a, b, c), (d, e, f), (g, h, i) = m
+    D = "CAST({} AS DOUBLE)".format
+    return (
+        f"{D(a)} * ({D(e)} * {D(i)} - {D(f)} * {D(h)})"
+        f" - {D(b)} * ({D(d)} * {D(i)} - {D(f)} * {D(g)})"
+        f" + {D(c)} * ({D(d)} * {D(h)} - {D(e)} * {D(g)})"
+    )
+
+
+def _linreg_solve_exprs() -> dict[str, str]:
+    """The shared readout expressions over the sufficient-statistic
+    columns (n, s1, s2, s11, s12, s22, sy, s1y, s2y)."""
+    M = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    rhs = ["sy", "s1y", "s2y"]
+    det = _det3(M)
+    betas = {}
+    for j, name in enumerate(("beta_intercept", "beta_words", "beta_echars")):
+        Mj = [row[:] for row in M]
+        for r in range(3):
+            Mj[r][j] = rhs[r]
+        betas[name] = f"({_det3(Mj)}) / ({det})"
+    return {"det": det, **betas}
+
+
+_LINREG_FEATURES_SQL = """
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+             CAST(len(text) - len(replace(text, 'e', '')) AS BIGINT) AS x2,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents"""
+
+
+def _linreg_oracle_sql() -> str:
+    e = _linreg_solve_exprs()
+    return f"""
+    WITH f AS ({_LINREG_FEATURES_SQL}),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+             CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+             CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+             CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS s2y
+      FROM f)
+    SELECT n AS n_docs, {e["det"]} AS det,
+           {e["beta_intercept"]} AS beta_intercept,
+           {e["beta_words"]} AS beta_words,
+           {e["beta_echars"]} AS beta_echars
+    FROM s
+    """
+
+
+@register(
+    "linreg_normal_cramer",
+    _linreg_oracle_sql(),
+    "ml",
+    "agg",
+)
+def linreg_normal_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary least squares (y = n_chars on [1, word count, 'e'
+    count]) fitted by NORMAL EQUATIONS with an exact 3x3 Cramer
+    solve — distributed linear regression as ONE aggregate:
+
+    * The whole corpus collapses to the 9-number sufficient statistic
+      (X'X upper triangle + X'y) in a single map-side-combined
+      aggregate of exact int64 sums — the only thing that crosses the
+      wire.  At 100 TB that is the entire data-touching cost; model
+      size is O(d^2), independent of rows.
+    * The solve is in-plan O(1) arithmetic on that 1-row aggregate
+      (four 3x3 determinants + three divisions) — no driver linalg, no
+      collect.  Cross-engine determinism: the determinant expansion is
+      GENERATED ONCE (`_det3`) and compiled by both engines from the
+      same text, so the IEEE op sequence — and hence every bit of the
+      result — is identical even where products exceed 2^53.
+
+    For d beyond ~4, swap Cramer for a driver-side Cholesky on the
+    collected d^2-number statistic (the kmeans_lloyd driver-footprint
+    rule: O(model), never O(rows)).
+
+    Reference has no ML operators (SURVEY §2c extension).
+    """
+    d = load(spark, sf_dir, "documents")
+    f = d.select(
+        F.size(F.split("text", " ")).cast("long").alias("x1"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "e", ""))
+        )
+        .cast("long")
+        .alias("x2"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    s = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    e = _linreg_solve_exprs()
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.expr(e["det"]).alias("det"),
+        F.expr(e["beta_intercept"]).alias("beta_intercept"),
+        F.expr(e["beta_words"]).alias("beta_words"),
+        F.expr(e["beta_echars"]).alias("beta_echars"),
+    )

@@ -335,3 +335,322 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rn", "vec_id", "cluster_id", "sq_dist")
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch perceptron: the supervised counterpart to the Lloyd loop
+# ---------------------------------------------------------------------------
+
+_P_EPOCHS = 3
+
+
+def _perceptron_cte_prefix() -> str:
+    """DuckDB CTE chain replaying the batch-perceptron epochs over the
+    long (vec_id, y, dim, v) form: m{t} margins under w{t-1}/b{t-1},
+    upd{t} summed updates over the misclassified set, w{t}/b{t} the
+    new weights.  Margin-0 counts as misclassified (epoch 1 therefore
+    updates on every row — the standard zero-init batch rule)."""
+    parts = [
+        f"""
+    WITH pts AS (
+      SELECT vec_id,
+             CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS y,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))) AS v
+      FROM embeddings
+    ),
+    w0 AS (SELECT DISTINCT dim, CAST(0 AS BIGINT) AS w FROM pts),
+    b0 AS (SELECT CAST(0 AS BIGINT) AS b)"""
+    ]
+    for t in range(1, _P_EPOCHS + 2):
+        parts.append(
+            f""",
+    m{t} AS (
+      SELECT p.vec_id, MIN(p.y) AS y,
+             CAST(SUM(p.v * w.w) + MIN(b.b) AS BIGINT) AS margin
+      FROM pts p JOIN w{t - 1} w USING (dim) CROSS JOIN b{t - 1} b
+      GROUP BY p.vec_id
+    )"""
+        )
+        if t <= _P_EPOCHS:
+            parts.append(
+                f""",
+    upd{t} AS (
+      SELECT p.dim, CAST(SUM(p.y * p.v) AS BIGINT) AS dw
+      FROM pts p JOIN m{t} m
+        ON m.vec_id = p.vec_id AND m.y * m.margin <= 0
+      GROUP BY p.dim
+    ),
+    w{t} AS (
+      SELECT w.dim, w.w + COALESCE(u.dw, 0) AS w
+      FROM w{t - 1} w LEFT JOIN upd{t} u USING (dim)
+    ),
+    b{t} AS (
+      SELECT b.b + COALESCE(
+               (SELECT CAST(SUM(m.y) AS BIGINT) FROM m{t} m
+                WHERE m.y * m.margin <= 0), 0) AS b
+      FROM b{t - 1} b
+    )"""
+            )
+    return "".join(parts)
+
+
+def _perceptron_oracle_sql() -> str:
+    t = _P_EPOCHS + 1
+    return (
+        _perceptron_cte_prefix()
+        + f"""
+    SELECT vec_id,
+           CAST(y AS INT) AS y_true,
+           CAST(margin AS BIGINT) AS margin,
+           CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS INT) AS y_pred,
+           CAST(CASE WHEN y * margin > 0 THEN 1 ELSE 0 END AS INT) AS correct
+    FROM m{t}
+    ORDER BY vec_id
+    """
+    )
+
+
+@register(
+    "perceptron_train_batch",
+    _perceptron_oracle_sql(),
+    "ml",
+    "iterative",
+)
+def perceptron_train_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch perceptron (3 epochs, zero init) predicting
+    label parity from the quantized embedding — the SUPERVISED
+    distributed-training loop beside ``kmeans_lloyd``'s unsupervised
+    one, and the same canonical Spark iterative-ML shape:
+
+    * Each epoch is ONE map-side-combined aggregate over the corpus:
+      the (dim+1)-long summed update ``(sum_mis y*q[d], sum_mis y)``
+      over the misclassified set.  Only that dim+1-long state crosses
+      the wire and reaches the driver — never rows.
+    * Weights ride back to executors as broadcast literals folded into
+      the margin expression (zip_with dot product, whole-stage
+      codegen) — no join, no shuffle of the corpus.
+    * The quantized point table is cached once across epochs (and
+      across the session via the cache registry).
+
+    The BATCH update rule (sum over the full misclassified set, then
+    one weight step per epoch) — not the sequential online rule — is
+    what makes the model partition-order-independent and therefore
+    deterministic on a cluster; margin 0 counts as misclassified, so
+    the zero-init first epoch updates on every row.  All arithmetic is
+    exact int64 (quantized features x integer weights); at extreme
+    corpus sizes the summed update grows with n — swap in the mean
+    update (floor-divided, the kmeans_lloyd trick) past ~1e9 rows to
+    keep margins inside int64.
+
+    Whether label parity is LEARNABLE from the embeddings is
+    irrelevant here: the contract under test is the trainer mechanics
+    (margins, update set, weight trajectory), which the chained-CTE
+    oracle replays epoch-by-epoch bit-for-bit.  Model quality gates
+    belong to evaluation harnesses, not the engine.
+
+    Reference has no ML operators (SURVEY §2c extension).
+    """
+    from kbrowse_spark.functions.cache_registry import cached
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = cached(
+        spark,
+        sf_dir,
+        "perceptron_pts",
+        lambda: emb.select(
+            "vec_id",
+            F.expr(
+                "CAST(CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)"
+            ).alias("y"),
+            F.expr(
+                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))"
+            ).alias("q"),
+        ),
+    )
+
+    def margin_col(w: list[int], b: int):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(int(x)) for x in w]),
+                lambda x, wi: x * wi,
+            ),
+            F.lit(int(b)).cast("long"),
+            lambda acc, y: acc + y,
+        )
+
+    w = [0] * _DIM
+    b = 0
+    for _ in range(_P_EPOCHS):
+        upd = (
+            pts.withColumn("m", margin_col(w, b))
+            .filter(F.col("y") * F.col("m") <= 0)
+            .agg(
+                *[F.sum(F.col("y") * F.col("q")[d]).alias(f"s{d}") for d in range(_DIM)],
+                F.sum("y").alias("sb"),
+            )
+            .collect()[0]
+        )
+        w = [w[d] + int(upd[f"s{d}"] or 0) for d in range(_DIM)]
+        b = b + int(upd["sb"] or 0)
+
+    m = F.col("m")
+    return (
+        pts.withColumn("m", margin_col(w, b))
+        .select(
+            "vec_id",
+            F.col("y").cast("int").alias("y_true"),
+            m.cast("long").alias("margin"),
+            F.when(m > 0, 1).otherwise(-1).cast("int").alias("y_pred"),
+            F.when(F.col("y") * m > 0, 1).otherwise(0).cast("int").alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: top principal direction, covariance-free
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 3
+
+
+def _pca_oracle_sql() -> str:
+    parts = [
+        f"""
+    WITH pts AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))) AS v
+      FROM embeddings
+    ),
+    v0 AS (
+      SELECT dim, CAST(CASE WHEN dim = 1 THEN {_SCALE} ELSE 0 END AS BIGINT) AS v
+      FROM (SELECT DISTINCT dim FROM pts)
+    )"""
+    ]
+    for t in range(1, _PI_ITERS + 1):
+        parts.append(
+            f""",
+    u{t} AS (
+      SELECT p.vec_id, CAST(SUM(p.v * vv.v) AS BIGINT) AS u
+      FROM pts p JOIN v{t - 1} vv USING (dim)
+      GROUP BY p.vec_id
+    ),
+    w{t} AS (
+      SELECT p.dim, CAST(SUM(p.v * u.u) AS BIGINT) AS w
+      FROM pts p JOIN u{t} u USING (vec_id)
+      GROUP BY p.dim
+    ),
+    m{t} AS (SELECT GREATEST(CAST(MAX(ABS(w)) AS BIGINT), 1) AS mx FROM w{t}),
+    v{t} AS (
+      SELECT dim,
+             CAST(floor(CAST(w AS DOUBLE) * {_SCALE}.0 / CAST(mx AS DOUBLE))
+                  AS BIGINT) AS v
+      FROM w{t} CROSS JOIN m{t}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(dim - 1 AS INT) AS dim, v AS v_q,
+           CAST(v AS DOUBLE) / {_SCALE}.0 AS loading
+    FROM v{_PI_ITERS}
+    ORDER BY dim
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "pca_power_topvec",
+    _pca_oracle_sql(),
+    "ml",
+    "iterative",
+)
+def pca_power_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the quantized embeddings by
+    covariance-free POWER ITERATION (3 rounds from e_0): each round is
+    ``w = X'(Xv)`` computed as two in-plan steps — the per-row dot
+    ``u = q . v`` with v riding as a broadcast literal, then ONE
+    map-side-combined aggregate producing the d-long ``w`` — followed
+    by an integer renormalization ``v' = floor(w * scale / max|w|)``.
+
+    The third iterative-ML loop beside ``kmeans_lloyd`` and
+    ``perceptron_train_batch``, and the same scale contract: the
+    corpus is touched once per iteration by a combinable aggregate,
+    only d longs reach the driver, and the d x d covariance matrix is
+    NEVER materialized (X'(Xv) needs two passes over rows, not d^2
+    memory) — the standard trick for tall-skinny PCA.
+
+    Determinism: q and w are exact int64; the renormalization is one
+    double multiply + divide + floor whose operand ORDER is identical
+    in both engines (w may exceed 2^53 — nearest-double conversion is
+    deterministic, so identical op order keeps every bit equal).
+    Uncentered by design (top singular vector of X, not of X - mean;
+    centering adds one exact-integer pass via n-scaled sums).  At
+    ~3e7+ rows the int64 ``w`` sum needs a per-shard pre-rescale —
+    noted, not needed at any tested SF.
+
+    Sign/convergence: the trajectory from the FIXED start e_0 is the
+    verified contract (the chained-CTE oracle replays it); eigenvector
+    quality gates belong to evaluation, not the engine.
+
+    Reference has no ML operators (SURVEY §2c extension).
+    """
+    import math
+
+    from kbrowse_spark.functions.cache_registry import cached
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = cached(
+        spark,
+        sf_dir,
+        "kmeans_pts",
+        lambda: emb.select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))"
+            ).alias("q"),
+        ),
+    )
+
+    def dot_v(v: list[int]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(int(x)) for x in v]),
+                lambda x, vi: x * vi,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+
+    v = [_SCALE] + [0] * (_DIM - 1)
+    for _ in range(_PI_ITERS):
+        row = (
+            pts.withColumn("u", dot_v(v))
+            .agg(
+                *[
+                    F.sum(F.col("q")[d] * F.col("u")).alias(f"w{d}")
+                    for d in range(_DIM)
+                ]
+            )
+            .collect()[0]
+        )
+        w = [int(row[f"w{d}"]) for d in range(_DIM)]
+        mx = max(max(abs(x) for x in w), 1)
+        # Mirrors the oracle's floor((w AS DOUBLE) * SCALE.0 / mx) —
+        # Python floats ARE IEEE doubles, same op order, same bits.
+        v = [int(math.floor(float(x) * float(_SCALE) / float(mx))) for x in w]
+
+    vec = spark.createDataFrame(
+        [(d, v[d]) for d in range(_DIM)], ["dim", "v_q"]
+    )
+    return vec.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("v_q").cast("long").alias("v_q"),
+        (F.col("v_q").cast("double") / F.lit(float(_SCALE))).alias("loading"),
+    ).orderBy("dim")

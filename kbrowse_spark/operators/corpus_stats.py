@@ -1401,3 +1401,180 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch: mergeable Jaccard + cardinality
+# ---------------------------------------------------------------------------
+
+# k smallest 60-bit md5 hashes of each set.  KMV sketches are mergeable
+# (bottom-k(A u B) = bottom-k(bottomk(A) u bottomk(B))), which is what
+# makes them a per-shard -> global rollup structure at 100 TB.
+_KMV_K = 32
+_KMV_SPACE = 1 << 60  # hash space: 15 hex chars of md5
+
+
+@register(
+    "kmv_jaccard_sketch",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])) AS shingle
+        FROM documents)),
+    sets AS (
+      SELECT DISTINCT d.lang, s.doc_id % 2 AS half, s.shingle
+      FROM sh s JOIN documents d USING (doc_id)),
+    hashed AS (
+      SELECT DISTINCT lang, half,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      FROM sets),
+    sk AS (
+      SELECT lang, half, h,
+             ROW_NUMBER() OVER (PARTITION BY lang, half ORDER BY h) AS rk
+      FROM hashed QUALIFY rk <= {_KMV_K}),
+    halfstat AS (
+      SELECT lang, half, COUNT(*) AS n_rows, MAX(h) AS h_k
+      FROM sk GROUP BY lang, half),
+    est AS (
+      SELECT lang, half,
+             CASE WHEN n_rows < {_KMV_K} THEN CAST(n_rows AS DOUBLE)
+                  ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                       * CAST({_KMV_SPACE} AS DOUBLE) / CAST(h_k AS DOUBLE)
+             END AS est_distinct
+      FROM halfstat),
+    flags AS (
+      SELECT lang, h,
+             MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in_b
+      FROM sk GROUP BY lang, h),
+    ub AS (
+      SELECT lang, h, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+      FROM flags QUALIFY rk <= {_KMV_K})
+    SELECT u.lang,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_shared,
+           CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*) AS est_jaccard,
+           MIN(ea.est_distinct) AS est_distinct_a,
+           MIN(eb.est_distinct) AS est_distinct_b
+    FROM ub u JOIN est ea ON ea.lang = u.lang AND ea.half = 0
+              JOIN est eb ON eb.lang = u.lang AND eb.half = 1
+    GROUP BY u.lang
+    ORDER BY u.lang
+    """,
+    "sketch",
+    "text",
+)
+def kmv_jaccard_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / k-minimum-values) distinct sketch per (lang,
+    corpus-half): estimated cardinality from the k-th smallest hash and
+    estimated Jaccard between the two halves from shared membership in
+    the merged sketch — the Beyer et al. (SIGMOD'07) estimators.
+
+    Why this sketch at 100 TB: bottom-k sketches are MERGEABLE —
+    ``bottomk(A u B) = bottomk(bottomk(A) u bottomk(B))`` — so each
+    shard/partition reduces its shingle stream to k longs, and any
+    cross-corpus comparison (snapshot vs snapshot, source vs source)
+    happens over k-row sketches instead of the corpora.  The plan USES
+    that property: bottom-k is computed as a TWO-LEVEL rollup — a hash
+    aggregate per (lang, half, h % 256) shard (map-side combinable;
+    each shard truncates to k before any data moves again), then
+    bottom-k of the <= 256*k merged survivors.  A single
+    ``row_number() OVER (PARTITION BY lang, half)`` would instead
+    funnel every hashed shingle into ~10 partitions for a global sort
+    — the exact single-partition smell the plan audit exists to catch.
+    Shards partition BY HASH VALUE, so no hash appears in two shards
+    and the merged union needs no re-dedup.  This complements the HLL
+    rollup (``sketch_hll_rollup_merge``): HLL gives cardinality only;
+    KMV additionally supports intersection/Jaccard between sketches.
+
+    Determinism: the hash is 60 bits of md5 (identical in both
+    engines); the only floats are one exact double multiply and one
+    IEEE division — bit-identical cross-engine.  Estimator edge case:
+    a set with fewer than k distinct hashes IS its own sketch, and its
+    cardinality is exact (the CASE arm).
+
+    Reference has no sketches (SURVEY §2c extension).
+    """
+    from kbrowse_spark.operators.dedup import _shingles_df
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    sets = (
+        _shingles_df(spark, sf_dir)
+        .join(d, "doc_id")
+        .select("lang", (F.col("doc_id") % 2).alias("half"), "shingle")
+    )
+    # No .distinct() passes: collect_set dedups inside the shard
+    # aggregate, and equal hashes land in the same shard by
+    # construction — pre-distincting would only add two extra
+    # shingle-grain shuffles.
+    hashed = sets.select(
+        "lang",
+        "half",
+        F.expr(
+            "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    lvl1 = (
+        hashed.withColumn("shard", F.pmod(F.col("h"), F.lit(256)))
+        .groupBy("lang", "half", "shard")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("hs")
+        )
+    )
+    sk = (
+        lvl1.groupBy("lang", "half")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("hs"))), 1, _KMV_K
+            ).alias("hs")
+        )
+        .select("lang", "half", F.explode("hs").alias("h"))
+    )
+    halfstat = sk.groupBy("lang", "half").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.max("h").alias("h_k")
+    )
+    est = halfstat.select(
+        "lang",
+        "half",
+        F.expr(
+            f"CASE WHEN n_rows < {_KMV_K} THEN CAST(n_rows AS DOUBLE)"
+            f" ELSE CAST({_KMV_K - 1} AS DOUBLE)"
+            f" * CAST({_KMV_SPACE} AS DOUBLE) / CAST(h_k AS DOUBLE) END"
+        ).alias("est_distinct"),
+    )
+    flags = sk.groupBy("lang", "h").agg(
+        F.max(F.when(F.col("half") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("half") == 1, 1).otherwise(0)).alias("in_b"),
+    )
+    w_lang = Window.partitionBy("lang").orderBy("h")
+    ub = (
+        flags.withColumn("rk", F.row_number().over(w_lang))
+        .filter(F.col("rk") <= _KMV_K)
+    )
+    ea = est.filter(F.col("half") == 0).select("lang", "est_distinct")
+    eb = est.filter(F.col("half") == 1).select("lang", "est_distinct")
+    agg = ub.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_shared"),
+    )
+    return (
+        agg.join(ea.withColumnRenamed("est_distinct", "est_distinct_a"), "lang")
+        .join(eb.withColumnRenamed("est_distinct", "est_distinct_b"), "lang")
+        .select(
+            "lang",
+            "k_used",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("k_used")).alias(
+                "est_jaccard"
+            ),
+            "est_distinct_a",
+            "est_distinct_b",
+        )
+        .orderBy("lang")
+    )

@@ -1927,3 +1927,141 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id", "n_words", "n_removed", clean.alias("clean_text")
     ).orderBy("doc_id")
+
+
+# Prefix-filtering all-pairs similarity join (AllPairs / PPJoin:
+# Bayardo et al. WWW'07, Xiao et al. WWW'08).  The EXACT counterpart to
+# the MinHash-LSH family above: no false negatives at the threshold,
+# candidate generation bounded by three sound filters instead of
+# probabilistic banding.
+_PFX_T_NUM, _PFX_T_DEN = 1, 2  # Jaccard threshold t = 1/2 (rational!)
+
+
+@register(
+    "dedup_prefix_filter_join",
+    f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+    tok AS (SELECT s.doc_id, s.shingle,
+                   ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                      ORDER BY d.df, s.shingle) AS rn,
+                   COUNT(*) OVER (PARTITION BY s.doc_id) AS n
+            FROM sh s JOIN df d USING (shingle)),
+    pref AS (SELECT doc_id, shingle, rn, n FROM tok
+             WHERE rn <= n - ((n + 1) // 2) + 1),
+    cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                    MIN(x.n) AS n_a, MIN(y.n) AS n_b,
+                    MAX(1 + LEAST(x.n - x.rn, y.n - y.rn)) AS o_ub
+             FROM pref x JOIN pref y
+               ON y.shingle = x.shingle AND x.doc_id < y.doc_id
+              AND y.n <= 2 * x.n AND x.n <= 2 * y.n
+             GROUP BY x.doc_id, y.doc_id),
+    cand2 AS (SELECT doc_a, doc_b, n_a, n_b FROM cand
+              WHERE o_ub >= (n_a + n_b + 2) // 3),
+    inter AS (SELECT c.doc_a, c.doc_b, MIN(c.n_a) AS n_a, MIN(c.n_b) AS n_b,
+                     COUNT(*) AS n_common
+              FROM cand2 c JOIN sh a ON a.doc_id = c.doc_a
+                           JOIN sh b ON b.doc_id = c.doc_b
+                                    AND b.shingle = a.shingle
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    "dedup",
+)
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard join at t = 1/2 via prefix filtering
+    (AllPairs/PPJoin) — the deterministic, no-false-negative
+    counterpart to ``dedup_minhash_lsh``.  Three sound filters bound
+    the candidate set before any exact verification:
+
+    * **prefix filter** — order every document's shingles by global
+      document frequency ascending (rarest first, shingle string as
+      tie-break); two sets with J >= t MUST share a token among their
+      first ``n - ceil(t*n) + 1`` tokens, so only prefixes enter the
+      inverted-index self-join.  Boilerplate (high-df) shingles sort
+      to the END of every document and never join — skew control falls
+      out of the algorithm itself, with no df-cap heuristic.
+    * **length filter** — J >= 1/2 forces ``n_b`` within [n_a/2,
+      2*n_a]; applied inside the join condition.
+    * **positional filter (PPJoin)** — a shared prefix token at
+      positions (i, j) bounds the overlap by ``1 + min(n_a-i, n_b-j)``;
+      pairs whose best bound misses the required overlap
+      ``ceil(t/(1+t) * (n_a+n_b))`` are cut before verification.
+
+    The threshold is the RATIONAL 1/2, so every filter bound is pure
+    integer arithmetic (``(n+1) DIV 2``, ``(n_a+n_b+2) DIV 3``) —
+    bit-identical in Spark and DuckDB; only the final reported jaccard
+    performs one IEEE division.
+
+    Scale shape (100 TB): token df is a map-side-combinable aggregate;
+    the per-doc order/prefix is one window over doc_id; the self-join
+    touches only prefix tokens (the rarest ~half of each doc), whose
+    per-key fan-out is SMALL BY CONSTRUCTION (a prefix token's join
+    cardinality is its df, and prefixes prefer low-df tokens);
+    verification joins only surviving candidate pairs.  The reference
+    has no similarity operators (values pass through verbatim,
+    `/root/reference/src/kbrowse/search.clj:83-120`); §2c extension.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    df_tok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("doc_id").orderBy("df", "shingle")
+    tok = (
+        sh.join(df_tok, "shingle")
+        .withColumn("rn", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    pref = tok.filter(F.expr("rn <= n - ((n + 1) DIV 2) + 1")).select(
+        "doc_id", "shingle", "rn", "n"
+    )
+    x, y = pref.alias("x"), pref.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("y.shingle") == F.col("x.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("y.n") <= 2 * F.col("x.n"))
+            & (F.col("x.n") <= 2 * F.col("y.n")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(
+            F.min("x.n").alias("n_a"),
+            F.min("y.n").alias("n_b"),
+            F.max(
+                F.lit(1)
+                + F.least(
+                    F.col("x.n") - F.col("x.rn"), F.col("y.n") - F.col("y.rn")
+                )
+            ).alias("o_ub"),
+        )
+        .filter(F.expr("o_ub >= (n_a + n_b + 2) DIV 3"))
+        .select("doc_a", "doc_b", "n_a", "n_b")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )

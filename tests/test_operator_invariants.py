@@ -789,3 +789,189 @@ def test_nfc_normalize_golden_pairs(spark, tmp_path):
             cp_a,
             md5,
         )
+
+
+def test_prefix_filter_join_is_exact(spark, sf_dir):
+    """dedup_prefix_filter_join must equal BRUTE-FORCE all-pairs
+    Jaccard at t=1/2 over the same distinct-shingle sets — the whole
+    point of prefix filtering over LSH is zero false negatives, so the
+    pair set AND every score must match exactly."""
+    from itertools import combinations
+
+    from kbrowse_spark.operators.dedup import (
+        _shingles_df,
+        dedup_prefix_filter_join,
+    )
+
+    sets: dict[int, set] = {}
+    for r in _shingles_df(spark, sf_dir).collect():
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    expect = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.5:
+            expect[(a, b)] = (
+                inter,
+                inter / (len(sets[a]) + len(sets[b]) - inter),
+            )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        for r in dedup_prefix_filter_join(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must contain at least one qualifying pair"
+
+
+def test_perceptron_matches_pure_python_replay(spark, sf_dir):
+    """perceptron_train_batch must equal an INDEPENDENT pure-Python
+    replay of the batch rule (zero init, margin<=0 misclassified,
+    summed integer updates) over the same quantized fixture — a
+    reference implementation sharing no code with the operator."""
+    import duckdb
+
+    from kbrowse_spark.operators.clustering import perceptron_train_batch
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    data = [
+        (
+            vid,
+            1 if label % 2 == 0 else -1,
+            [int(round(float(x) * 1024)) for x in emb],
+        )
+        for vid, label, emb in rows
+    ]
+    dim = len(data[0][2])
+    w, b = [0] * dim, 0
+    for _ in range(3):
+        dw, db = [0] * dim, 0
+        for _vid, y, q in data:
+            m = sum(qi * wi for qi, wi in zip(q, w)) + b
+            if y * m <= 0:
+                for d in range(dim):
+                    dw[d] += y * q[d]
+                db += y
+        w = [wi + di for wi, di in zip(w, dw)]
+        b += db
+    expect = {}
+    for vid, y, q in data:
+        m = sum(qi * wi for qi, wi in zip(q, w)) + b
+        expect[vid] = (y, m, 1 if m > 0 else -1, 1 if y * m > 0 else 0)
+
+    got = {
+        r.vec_id: (r.y_true, r.margin, r.y_pred, r.correct)
+        for r in perceptron_train_batch(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the fixture must actually exercise both prediction branches
+    preds = {v[2] for v in got.values()}
+    assert preds == {1, -1}
+
+
+def test_order_stat_bucket_select_matches_sorted(spark, sf_dir):
+    """order_stat_bucket_select must return the exact element a full
+    sort would: rank k = ceil(p*n), 1-indexed."""
+    import math
+
+    import duckdb
+
+    from kbrowse_spark.operators.analytics import order_stat_bucket_select
+
+    vals = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT l_extendedprice FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet') ORDER BY 1"
+        ).fetchall()
+    ]
+    n = len(vals)
+    expect = {}
+    for lbl, num, den in [
+        ("p25", 1, 4),
+        ("p50", 1, 2),
+        ("p75", 3, 4),
+        ("p90", 9, 10),
+        ("p99", 99, 100),
+    ]:
+        k = math.ceil(num * n / den)
+        expect[lbl] = (k, vals[k - 1])
+    got = {
+        r.pct_label: (r.target_rank, r.value)
+        for r in order_stat_bucket_select(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_linreg_cramer_matches_numpy_lstsq(spark, sf_dir):
+    """linreg_normal_cramer must agree with numpy's independent QR
+    least-squares solve on the same design matrix (to float tolerance
+    — different algorithm, same minimizer)."""
+    import duckdb
+    import numpy as np
+
+    from kbrowse_spark.operators.analytics import linreg_normal_cramer
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(len(string_split(text,' ')) AS BIGINT),
+                   CAST(len(text) - len(replace(text,'e','')) AS BIGINT),
+                   CAST(n_chars AS BIGINT)
+            FROM read_parquet('{sf_dir}/documents.parquet')"""
+    ).fetchall()
+    X = np.array([[1.0, r[0], r[1]] for r in rows])
+    y = np.array([float(r[2]) for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+
+    got = linreg_normal_cramer(spark, sf_dir).collect()[0]
+    assert got.n_docs == len(rows)
+    assert got.det != 0.0
+    for g, b in zip(
+        (got.beta_intercept, got.beta_words, got.beta_echars), beta
+    ):
+        assert abs(g - b) <= 1e-7 * max(1.0, abs(b)), (g, b)
+
+
+def test_pca_power_matches_numpy_replay(spark, sf_dir):
+    """pca_power_topvec must equal an independent numpy replay of the
+    integer power iteration (exact int64 X'(Xv) + the documented
+    float renormalization), and after 3 rounds the direction must have
+    a large Rayleigh-quotient ratio vs the start (it actually moved
+    toward the top eigenvector)."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from kbrowse_spark.operators.clustering import pca_power_topvec
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    X = np.array(
+        [[int(round(float(x) * 1024)) for x in emb] for _vid, emb in rows],
+        dtype=object,  # exact python-int arithmetic, no silent overflow
+    )
+    v = [1024] + [0] * (X.shape[1] - 1)
+    for _ in range(3):
+        u = [sum(int(q) * int(vi) for q, vi in zip(row, v)) for row in X]
+        w = [
+            sum(int(X[i][d]) * u[i] for i in range(len(u)))
+            for d in range(X.shape[1])
+        ]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [int(math.floor(float(x) * 1024.0 / float(mx))) for x in w]
+
+    got = pca_power_topvec(spark, sf_dir).collect()
+    assert [r.v_q for r in got] == v
+    assert [r.dim for r in got] == list(range(X.shape[1]))
+
+    # Rayleigh quotient improved vs the e_0 start: power iteration did
+    # its job on this fixture (not a trajectory tautology).
+    Xf = np.array(X.tolist(), dtype=float)
+    def rq(vec):
+        vec = np.array(vec, dtype=float)
+        return float(vec @ (Xf.T @ (Xf @ vec))) / float(vec @ vec)
+    e0 = [1.0] + [0.0] * (X.shape[1] - 1)
+    assert rq(v) > rq(e0)

@@ -107,6 +107,11 @@ ALLOW = {
         "share-of-total window over the top-N+other rollup "
         "(<= N+1 rows by construction, analytics.py)"
     ),
+    "order_stat_bucket_select": (
+        "cumulative window over the coarse-bucket table (<= value "
+        "range / bucket width rows — domain-bounded, not corpus) + "
+        "5-row percentile-target broadcast theta join, analytics.py"
+    ),
     "pmi_cooccurrence": "1-row corpus total attach",
     "shuffle_skew_planner": "1-row shuffle-total attach",
     "vocab_drift_halves": "1-row halves-count attach",

@@ -73,6 +73,12 @@ BROAD_OPS = [
     "sample_weighted_priority",
     "warc_record_extract",
     "text_normalize_nfc",
+    "dedup_prefix_filter_join",
+    "kmv_jaccard_sketch",
+    "order_stat_bucket_select",
+    "perceptron_train_batch",
+    "linreg_normal_cramer",
+    "pca_power_topvec",
 ]
 DOC_SECTION = "## sf1 step"
 
@@ -142,6 +148,36 @@ NOTES = {
     "text_normalize_nfc": (
         "one Arrow round trip per batch, counts/md5 JVM-side — "
         "embarrassingly parallel, linear"
+    ),
+    "dedup_prefix_filter_join": (
+        "prefix-filtered inverted-index self-join: candidate fan-out "
+        "per prefix token is its df (prefixes prefer RARE tokens), so "
+        "candidate pairs track true near-dup pairs, not corpus^2; "
+        "verification touches surviving pairs only"
+    ),
+    "kmv_jaccard_sketch": (
+        "bottom-k sketch is a map-side-combinable MIN-k aggregate per "
+        "(lang, half); everything after the window is k-row-grain"
+    ),
+    "order_stat_bucket_select": (
+        "two combinable aggregate passes; windows run over the "
+        "domain-bounded bucket table (constant as data grows) and the "
+        "~3 selected buckets"
+    ),
+    "perceptron_train_batch": (
+        "each epoch is one combinable (dim+1)-long update aggregate "
+        "over the cached quantized table; weights broadcast as "
+        "literals — linear per epoch, like kmeans_lloyd"
+    ),
+    "linreg_normal_cramer": (
+        "one combinable 9-number sufficient-statistic aggregate; the "
+        "Cramer solve is O(1) on the 1-row result — linear scan, "
+        "constant everything else"
+    ),
+    "pca_power_topvec": (
+        "X'(Xv) per round is one combinable d-long aggregate over the "
+        "cached quantized table; d longs to the driver per round — "
+        "linear per iteration, like kmeans_lloyd"
     ),
 }
 
