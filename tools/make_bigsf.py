@@ -60,20 +60,49 @@ LOWER = string.ascii_lowercase
 UPPER = string.ascii_uppercase
 
 
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
 def _caesar_cols(i: int) -> tuple[str, str]:
-    rot = i % 26
+    # Replicas < 26: plain Caesar (kept verbatim so the sf1 set is
+    # reproducible byte-for-byte).  Beyond 26 shifts would repeat and
+    # same-shift replicas become EXACT-duplicate cliques, inflating
+    # dup density — so replicas >= 26 use a seeded full-alphabet
+    # permutation (26! of them; deterministic Fisher-Yates).
     src = LOWER + UPPER
-    dst = LOWER[rot:] + LOWER[:rot] + UPPER[rot:] + UPPER[:rot]
-    return src, dst
+    if i < 26:
+        rot = i % 26
+        dst = LOWER[rot:] + LOWER[:rot] + UPPER[rot:] + UPPER[:rot]
+        return src, dst
+    perm = list(range(26))
+    state = i
+    for j in range(25, 0, -1):
+        state = _splitmix64(state)
+        k = state % (j + 1)
+        perm[j], perm[k] = perm[k], perm[j]
+    lo = "".join(LOWER[p] for p in perm)
+    return src, lo + lo.upper()
 
 
 def _sign_pattern(i: int, dim: int) -> list[float]:
-    # Deterministic per-replica +/-1 pattern (Knuth multiplicative hash
-    # over (replica, dim) bits); replica 0 is identity.
+    # Deterministic per-replica +/-1 pattern; replica 0 is identity.
+    # Replicas < 10 keep the original Knuth-hash bits (sf1 stays
+    # byte-reproducible); the Knuth form collides from i=15 (two
+    # replicas with the SAME pattern are exact duplicates of each
+    # other), so replicas >= 10 use splitmix64 bits instead.
     if i == 0:
         return [1.0] * dim
+    if i < 10:
+        return [
+            1.0 if ((i * 2654435761 + j * 40503) >> 7) & 1 == 0 else -1.0
+            for j in range(dim)
+        ]
     return [
-        1.0 if ((i * 2654435761 + j * 40503) >> 7) & 1 == 0 else -1.0
+        1.0 if _splitmix64(i * 131071 + j) & 1 == 0 else -1.0
         for j in range(dim)
     ]
 

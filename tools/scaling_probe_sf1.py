@@ -149,11 +149,18 @@ NOTES = {
         "one Arrow round trip per batch, counts/md5 JVM-side — "
         "embarrassingly parallel, linear"
     ),
+    "dedup_minhash_lsh": (
+        "banded LSH buckets: candidate pairs are bounded by bucket "
+        "occupancy, which tracks true dup-group size, not corpus^2"
+    ),
     "dedup_prefix_filter_join": (
-        "prefix-filtered inverted-index self-join: candidate fan-out "
-        "per prefix token is its df (prefixes prefer RARE tokens), so "
-        "candidate pairs track true near-dup pairs, not corpus^2; "
-        "verification touches surviving pairs only"
+        "prefix-filtered inverted-index self-join at t=4/5: candidate "
+        "pairs track true near-dup pairs (measured 10x pairs for 10x "
+        "data); the residual step is the sf1 broadcast->shuffle "
+        "strategy flip + the per-doc window sort, both ~linear.  At "
+        "t=1/2 the filters degenerated (125k candidates / 250 true "
+        "matches, 7.3x step) — re-thresholded into the regime the "
+        "AllPairs/PPJoin papers target"
     ),
     "kmv_jaccard_sketch": (
         "bottom-k sketch is a map-side-combinable MIN-k aggregate per "
