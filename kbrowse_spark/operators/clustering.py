@@ -654,3 +654,94 @@ def pca_power_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_q").cast("long").alias("v_q"),
         (F.col("v_q").cast("double") / F.lit(float(_SCALE))).alias("loading"),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance: assign a new batch to the trained cells
+# ---------------------------------------------------------------------------
+
+# New-batch convention mirrors dedup's incremental family
+# (dedup.py::_INC_NEW_SQL uses doc_id % 10 = 0).
+_IVF_NEW_SQL = "vec_id % 10 = 0"
+
+
+def _ivf_inc_oracle_sql() -> str:
+    t = _ITERS
+    return (
+        _lloyd_cte_prefix()
+        + f""",
+    newd AS (
+      SELECT p.vec_id, c.cid, SUM((p.v - c.v) * (p.v - c.v)) AS dist
+      FROM pts p JOIN cent{t} c USING (dim)
+      WHERE {_IVF_NEW_SQL.replace("vec_id", "p.vec_id")}
+      GROUP BY p.vec_id, c.cid),
+    newa AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM newd)
+      WHERE rn = 1),
+    basesz AS (
+      SELECT cid, COUNT(*) AS cell_base_n
+      FROM a{t + 1}
+      WHERE NOT ({_IVF_NEW_SQL})
+      GROUP BY cid)
+    SELECT n.vec_id, CAST(n.cid AS INT) AS cluster_id,
+           CAST(n.dist AS BIGINT) AS sq_dist,
+           CAST(COALESCE(b.cell_base_n, 0) AS BIGINT) AS cell_base_n
+    FROM newa n LEFT JOIN basesz b USING (cid)
+    ORDER BY n.vec_id
+    """
+    )
+
+
+@register(
+    "ann_ivf_incremental_assign",
+    _ivf_inc_oracle_sql(),
+    "knn",
+    "incremental",
+)
+def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: assign ONLY the new ingest
+    batch (``vec_id % 10 = 0``, mirroring the dedup incremental
+    family's convention) to the ALREADY-TRAINED coarse quantizer, and
+    report each new vector's cell, exact fixed-point distance, and the
+    cell's base occupancy — the record an index maintainer appends per
+    ingest.
+
+    This is the ANN counterpart of ``dedup_incremental_minhash``: the
+    standing structure (trained centroids; at 100 TB a few KB of
+    metadata next to the cell-partitioned corpus) is NOT retrained per
+    batch — the batch-sized work is one narrow scan of the new slice
+    with the k x dim centroid literals folded into the projection, no
+    join, no shuffle of the base corpus.  The base-occupancy readout
+    is one combinable aggregate over the base slice (in production: a
+    maintained per-cell count, not a rescan); re-clustering triggers
+    (occupancy drift) hang off exactly this output.  Training rides
+    the session-wide Lloyd memo, so kmeans_lloyd / ann_ivf_kmeans /
+    this query train ONCE.
+
+    Reference has no ML/ANN operators (SURVEY §2c extension).
+    """
+    pts, centroids = _lloyd_state(spark, sf_dir)
+    new = pts.filter(F.expr(_IVF_NEW_SQL))
+    base = pts.filter(~F.expr(_IVF_NEW_SQL))
+    newa = _assign(new, centroids).select("vec_id", "cluster_id", "sq_dist")
+    basesz = (
+        _assign(base, centroids)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_base_n"))
+    )
+    return (
+        newa.join(F.broadcast(basesz), "cluster_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "sq_dist",
+            F.coalesce(F.col("cell_base_n"), F.lit(0).cast("long")).alias(
+                "cell_base_n"
+            ),
+        )
+        .orderBy("vec_id")
+    )

@@ -44,13 +44,16 @@ TOP_K = 10
 # attach, no driver action, and integer comparisons so Spark and the
 # DuckDB oracle pick the SAME width (a libm log2 could differ by a ulp
 # at a boundary).  Band 0 reads planes [0, bpb); band 1 reads planes
-# [12, 12+bpb) — fixed starting planes, so widths only ever ADD
-# distinguishing bits.  The ladder tops out at 12 bits/band here
-# (n ~ 2^12 * occupancy); production extends the ladder (and plane
-# count) with the same rule — each step is one more literal plane.
-N_PLANES_WIDE = 24
+# [16, 16+bpb) — fixed starting planes, so widths only ever ADD
+# distinguishing bits.  The ladder tops out at 16 bits/band
+# (n ~ 2^16 * occupancy ~ 4.2M vectors) — raised from 12 when the
+# sf10 probe measured 200k vectors brushing the old clamp, past which
+# occupancy (and the pair join) turns linear-in-n again; beyond 4M,
+# extend the ladder (and plane count) with the same rule — each step
+# is one more literal plane.
+N_PLANES_WIDE = 32
 BAND_OCCUPANCY = 64  # target vectors per band bucket
-_BPB_MIN, _BPB_MAX = 4, 12
+_BPB_MIN, _BPB_MAX = 4, 16
 
 
 def _plane_signs(p: int, dim: int = DIM) -> list[int]:
@@ -66,7 +69,7 @@ _PLANES = [_plane_signs(p) for p in range(N_PLANES_WIDE)]
 
 
 def _bpb_case(n_col: str) -> str:
-    """Bits-per-band ladder: bpb = clamp(ceil(log2(n/occupancy)), 4, 12)
+    """Bits-per-band ladder: bpb = clamp(ceil(log2(n/occupancy)), 4, 16)
     as pure integer comparisons (portable Spark SQL / DuckDB)."""
     whens = " ".join(
         f"WHEN {n_col} > {BAND_OCCUPANCY * (1 << (k - 1))} THEN {k}"
@@ -76,12 +79,12 @@ def _bpb_case(n_col: str) -> str:
 
 
 def _band_val_case(sig: str, band: str, bpb: str) -> str:
-    """Portable band-value extraction from the 24-bit wide signature:
+    """Portable band-value extraction from the 32-bit wide signature:
     band 0 = top ``bpb`` bits (planes 0..bpb-1), band 1 = ``bpb`` bits
-    from plane 12 (bits 11..12-bpb)."""
+    from plane 16 (planes 16..16+bpb-1)."""
     return (
-        f"(CASE WHEN {band} = 0 THEN {sig} >> (24 - {bpb})"
-        f" ELSE ({sig} >> (12 - {bpb})) & ((1 << {bpb}) - 1) END)"
+        f"(CASE WHEN {band} = 0 THEN {sig} >> (32 - {bpb})"
+        f" ELSE ({sig} >> (16 - {bpb})) & ((1 << {bpb}) - 1) END)"
     )
 
 

@@ -975,3 +975,26 @@ def test_pca_power_matches_numpy_replay(spark, sf_dir):
         return float(vec @ (Xf.T @ (Xf @ vec))) / float(vec @ vec)
     e0 = [1.0] + [0.0] * (X.shape[1] - 1)
     assert rq(v) > rq(e0)
+
+
+def test_ivf_incremental_assign_consistency(spark, sf_dir):
+    """ann_ivf_incremental_assign must agree row-for-row with the full
+    kmeans assignment restricted to the new batch, and its
+    cell_base_n column must equal the full assignment's base-slice
+    cell histogram."""
+    from kbrowse_spark.operators.clustering import (
+        ann_ivf_incremental_assign,
+        kmeans_lloyd,
+    )
+
+    full = {r.vec_id: (r.cluster_id, r.sq_dist) for r in kmeans_lloyd(spark, sf_dir).collect()}
+    base_hist: dict[int, int] = {}
+    for vid, (cid, _d) in full.items():
+        if vid % 10 != 0:
+            base_hist[cid] = base_hist.get(cid, 0) + 1
+
+    rows = ann_ivf_incremental_assign(spark, sf_dir).collect()
+    assert {r.vec_id for r in rows} == {v for v in full if v % 10 == 0}
+    for r in rows:
+        assert (r.cluster_id, r.sq_dist) == full[r.vec_id]
+        assert r.cell_base_n == base_hist.get(r.cluster_id, 0)

@@ -88,6 +88,14 @@ AUDIT = [
     ("ann_ivf_kmeans", "centroid literals fold into projection; probe join touches assigned cells only"),
     ("sample_weighted_priority", "WindowGroupLimit rank<=k+1; tau is a strata-row broadcast join-back"),
     ("warc_record_extract", "narrow scan -> two chained Arrow codec stages, no shuffle"),
+    # round 8 session 3
+    ("kmv_jaccard_sketch", "two-level mergeable bottom-k: shard agg truncates to k before the merge"),
+    ("dedup_prefix_filter_join", "prefix-only inverted self-join; candidate table broadcasts into verify"),
+    ("order_stat_bucket_select", "two combinable passes; cum window over bucket grain, not corpus"),
+    ("perceptron_train_batch", "weights as literals in projection; epochs are agg-only (no join)"),
+    ("linreg_normal_cramer", "one 9-number sufficient-stat aggregate; Cramer solve in-plan on 1 row"),
+    ("pca_power_topvec", "X'(Xv) as projection + d-long agg per round; covariance never materialized"),
+    ("ann_ivf_incremental_assign", "batch slice assign via centroid literals; no base-corpus shuffle"),
 ]
 
 

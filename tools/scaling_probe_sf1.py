@@ -79,6 +79,7 @@ BROAD_OPS = [
     "perceptron_train_batch",
     "linreg_normal_cramer",
     "pca_power_topvec",
+    "ann_ivf_incremental_assign",
 ]
 DOC_SECTION = "## sf1 step"
 
@@ -185,6 +186,11 @@ NOTES = {
         "X'(Xv) per round is one combinable d-long aggregate over the "
         "cached quantized table; d longs to the driver per round — "
         "linear per iteration, like kmeans_lloyd"
+    ),
+    "ann_ivf_incremental_assign": (
+        "batch-sized narrow scan with centroid literals in the "
+        "projection; base occupancy is one combinable aggregate — "
+        "linear in batch + base, no retrain"
     ),
 }
 

@@ -62,7 +62,16 @@ def main() -> None:
                 f"missing {d}: run tools/make_bigsf.py "
                 f"[{'100 .localdata/sf10' if d.endswith('sf10') else '10'}] first"
             )
-    spark = get_spark("scaling_probe_sf10")
+    # The deployment rule (session.py docstring): shuffle partitions
+    # sized so a partition fits executor memory — at sf10 the bench
+    # default of 32 means 60M-row shuffles spill, which reads as a
+    # fake super-linear step.  128 partitions is the same data per
+    # partition as 32 at sf1 — i.e. what any real deployment config
+    # would set, not a benchmark cheat.
+    spark = get_spark(
+        "scaling_probe_sf10",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SF10_PARTS", "128")),
+    )
     qs = all_queries()
     n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
     ops = [a for a in sys.argv[1:] if not a.startswith("-")] or OPS10
