@@ -102,6 +102,11 @@ HEADLINE = [
     # length/positional filtered inverted-index self-join) — the
     # no-false-negative counterpart to the LSH shapes above.
     "dedup_prefix_filter_join",
+    # round 8 fourth wave: the A-Priori bounded-basket pair self-join
+    # and the one-scan histogram split finder (hist-GBDT inner loop) —
+    # two more plan families under bench watch.
+    "freq_itemsets_apriori",
+    "decision_stump_histogram",
 ]
 
 

@@ -2122,3 +2122,346 @@ def linreg_normal_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(e["beta_words"]).alias("beta_words"),
         F.expr(e["beta_echars"]).alias("beta_echars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent itemsets + association rules (A-Priori)
+# ---------------------------------------------------------------------------
+
+_AP_MINSUP_PCT = 1  # item/pair must appear in >= 1% of baskets
+_AP_SCALE = 10**6
+_AP_TOP = 40
+
+
+@register(
+    "freq_itemsets_apriori",
+    f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT CAST(COUNT(DISTINCT bid) AS BIGINT) AS n FROM basket),
+    supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s
+             FROM basket GROUP BY item),
+    freq AS (SELECT item, s FROM supp CROSS JOIN nb
+             WHERE s * 100 >= n * {_AP_MINSUP_PCT}),
+    fb AS (SELECT b.bid, b.item FROM basket b JOIN freq USING (item)),
+    pair AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS s_ab
+      FROM fb a JOIN fb b ON a.bid = b.bid AND a.item < b.item
+      GROUP BY a.item, b.item),
+    fpair AS (SELECT * FROM pair CROSS JOIN nb
+              WHERE s_ab * 100 >= n * {_AP_MINSUP_PCT}),
+    rules AS (
+      SELECT item_a AS antecedent, item_b AS consequent, s_ab,
+             fa.s AS s_ante, fc.s AS s_cons
+      FROM fpair JOIN freq fa ON fpair.item_a = fa.item
+                 JOIN freq fc ON fpair.item_b = fc.item
+      UNION ALL
+      SELECT item_b, item_a, s_ab, fc.s, fa.s
+      FROM fpair JOIN freq fa ON fpair.item_a = fa.item
+                 JOIN freq fc ON fpair.item_b = fc.item)
+    SELECT antecedent, consequent, s_ab AS pair_support,
+           s_ante AS ante_support,
+           CAST({_AP_SCALE} * s_ab // s_ante AS BIGINT) AS conf_scaled,
+           CAST(({_AP_SCALE} * s_ab // s_ante) * n // s_cons AS BIGINT)
+             AS lift_scaled
+    FROM rules CROSS JOIN nb
+    ORDER BY lift_scaled DESC, antecedent, consequent
+    LIMIT {_AP_TOP}
+    """,
+    "analytics",
+    "pipeline",
+)
+def freq_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining with A-Priori pruning: frequent items ->
+    frequent pairs -> association rules ranked by lift.  Baskets are
+    orders; items are the part brands they contain (bounded item
+    vocabulary, the realistic retail shape).
+
+    The A-Priori step is the point: items below minsup are removed
+    BEFORE pair generation (downward closure — no pair of an
+    infrequent item can be frequent), so the within-basket self-join
+    fans out only over frequent items.  Confidence and lift are exact
+    chained integer floor-divisions (conf = SCALE*s_ab DIV s_ante,
+    lift = conf*N DIV s_cons — conf <= SCALE keeps the product
+    int64-safe at any corpus size), bit-identical across engines.
+
+    Scale posture: baskets are bounded (lineitems per order is a
+    small constant), so the pair explode is O(b^2) per basket, linear
+    overall; support tables are item-vocabulary-sized and broadcast;
+    all counts are map-side-combinable aggregates.  The only
+    corpus-grain shuffle is the basket groupBy on bid.  The classic
+    second A-Priori trick (hash-bucket candidate pruning) is
+    unnecessary while the item vocabulary stays bounded.
+
+    Reference has no mining operators (SURVEY §2c extension).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = basket.select(
+        F.countDistinct("bid").cast("long").alias("n")
+    )
+    supp = basket.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    freq = supp.crossJoin(F.broadcast(nb)).filter(
+        F.col("s") * 100 >= F.col("n") * _AP_MINSUP_PCT
+    ).select("item", "s")
+    fb = basket.join(F.broadcast(freq.select("item")), "item").select(
+        "bid", "item"
+    )
+    a, b = fb.alias("a"), fb.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.bid") == F.col("b.bid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("s_ab"))
+    )
+    fpair = pair.crossJoin(F.broadcast(nb)).filter(
+        F.col("s_ab") * 100 >= F.col("n") * _AP_MINSUP_PCT
+    ).select("item_a", "item_b", "s_ab")
+    fa = freq.select(
+        F.col("item").alias("item_a"), F.col("s").alias("s_fa")
+    )
+    fc = freq.select(
+        F.col("item").alias("item_b"), F.col("s").alias("s_fc")
+    )
+    joined = fpair.join(F.broadcast(fa), "item_a").join(
+        F.broadcast(fc), "item_b"
+    )
+    fwd = joined.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "s_ab",
+        F.col("s_fa").alias("s_ante"),
+        F.col("s_fc").alias("s_cons"),
+    )
+    rev = joined.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "s_ab",
+        F.col("s_fc").alias("s_ante"),
+        F.col("s_fa").alias("s_cons"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(nb))
+    conf = F.expr(f"{_AP_SCALE} * s_ab DIV s_ante")
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").alias("pair_support"),
+            F.col("s_ante").alias("ante_support"),
+            conf.cast("long").alias("conf_scaled"),
+            F.expr(
+                f"({_AP_SCALE} * s_ab DIV s_ante) * n DIV s_cons"
+            )
+            .cast("long")
+            .alias("lift_scaled"),
+        )
+        .orderBy(F.col("lift_scaled").desc(), "antecedent", "consequent")
+        .limit(_AP_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (first / last / linear credit per channel)
+# ---------------------------------------------------------------------------
+
+_ATTR_SCALE = 10**6
+
+
+@register(
+    "attribution_multitouch",
+    f"""
+    WITH p AS (
+      SELECT user_id, MIN(ts) AS pts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    j AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN p USING (user_id)
+      WHERE e.ts < p.pts AND e.event_type <> 'purchase'),
+    w AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM j)
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS touches,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(SUM(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           CAST(SUM({_ATTR_SCALE} // n) AS BIGINT) AS linear_credit_scaled
+    FROM w
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "analytics",
+)
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: for every user who
+    purchased, the pre-purchase journey's events are credited per
+    channel under the three standard models side by side — first-touch
+    (the acquiring channel), last-touch (the closing channel), and
+    linear (1/n per touch, as an exact integer SCALE DIV n so the
+    per-channel sums are bit-identical across engines; a channel's
+    scaled credits sum to ~SCALE per converting user).
+
+    Journey boundary is the user's FIRST purchase timestamp (strict
+    ts < boundary, purchases excluded from touches); journey order is
+    tie-broken by event_id — deterministic end to end.
+
+    Scale posture: one user-keyed window pass over the journey slice
+    (partitioned by user_id — no global window), then one channel-
+    grain map-side-combinable aggregate; the purchase-boundary table
+    is user-grain and joins on the same key the window partitions by,
+    so at 100 TB the whole plan is a single user-hash exchange.
+
+    Reference has no attribution operators (SURVEY §2c extension).
+    """
+    e = load(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    j = (
+        e.join(p, "user_id")
+        .filter((F.col("ts") < F.col("pts")) & (F.col("event_type") != "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    t = j.select(
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        t.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("touches"),
+            F.sum((F.col("rn") == 1).cast("long"))
+            .cast("long")
+            .alias("first_touch"),
+            F.sum((F.col("rn") == F.col("n")).cast("long"))
+            .cast("long")
+            .alias("last_touch"),
+            F.sum(F.expr(f"{_ATTR_SCALE} DIV n")).cast("long").alias(
+                "linear_credit_scaled"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequent journey prefixes (sequence mining lite) with conversion rates
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 4
+_PATH_TOP = 15
+
+
+@register(
+    "frequent_event_paths",
+    f"""
+    WITH w AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    conv AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id),
+    paths AS (
+      SELECT w.user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM w WHERE rn <= {_PATH_LEN}
+      GROUP BY w.user_id)
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c) AS BIGINT) AS n_converted,
+           CAST(1000000 * SUM(c) // COUNT(*) AS BIGINT) AS conv_ppm
+    FROM paths JOIN conv USING (user_id)
+    GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+    "analytics",
+)
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-sequence mining over user journeys: the top-{top} most
+    common {n}-event journey PREFIXES with each prefix's conversion
+    rate — the path-analysis readout (which openings convert) that
+    sits between the pairwise transition matrix
+    (``event_transition_matrix``) and full sequential-pattern mining.
+
+    The per-user prefix is assembled with a deterministic ordered
+    aggregation: window rank by (ts, event_id), truncate to {n}, then
+    array_sort(collect_list(struct(rn, type))) — collect_list order is
+    partition-dependent, the sort key makes it canonical (the
+    agg_collect_sorted rule).  Conversion is a user-grain flag joined
+    on the same key the window partitions by.
+
+    Scale posture: one user-hash exchange covers the window, the
+    prefix aggregation, and the flag join; path-grain counting is
+    map-side-combinable (path cardinality is bounded by
+    |event_types|^{n}, a vocabulary, not the corpus).
+
+    Reference has no sequence operators (SURVEY §2c extension).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= _PATH_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(rn, event_type))), x -> x.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    conv = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("c")
+    )
+    return (
+        paths.join(conv, "user_id")
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("c").cast("long").alias("n_converted"),
+        )
+        .select(
+            "path",
+            "n_users",
+            "n_converted",
+            F.expr("CAST(1000000 * n_converted DIV n_users AS BIGINT)").alias(
+                "conv_ppm"
+            ),
+        )
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+frequent_event_paths.__doc__ = frequent_event_paths.__doc__.format(
+    top=_PATH_TOP, n=_PATH_LEN
+)

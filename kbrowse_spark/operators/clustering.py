@@ -745,3 +745,133 @@ def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based decision-stump split finding (the GBDT inner loop)
+# ---------------------------------------------------------------------------
+
+_STUMP_BINS = 64
+_STUMP_DOMAIN = 110016  # l_extendedprice upper bound, 64 * 1719
+_STUMP_BINW = _STUMP_DOMAIN // _STUMP_BINS
+
+# Split score = sum_l^2/n_l + sum_r^2/n_r (variance reduction up to the
+# constant SS_total - S^2/N).  Generated ONCE and compiled by both
+# engines from the same text, so the IEEE op sequence is identical
+# (the _det3 rule: entries are exact integers; only identical op ORDER
+# keeps engines bit-equal once products pass 2^53).
+_STUMP_SCORE = (
+    "(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / CAST(nl AS DOUBLE)"
+    " + (CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) / CAST(nr AS DOUBLE)"
+)
+
+
+@register(
+    "decision_stump_histogram",
+    f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) // {_STUMP_BINW} AS bin,
+             CAST(FLOOR(l_quantity) AS BIGINT) AS y
+      FROM lineitem),
+    h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS sy
+          FROM pts GROUP BY bin),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(sy) AS BIGINT) AS st
+            FROM h),
+    cand AS (
+      SELECT bin,
+             CAST(COALESCE(SUM(n) OVER w, 0) AS BIGINT) AS nl,
+             CAST(COALESCE(SUM(sy) OVER w, 0) AS BIGINT) AS sl
+      FROM h
+      WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING)),
+    scored AS (
+      SELECT c.bin, c.nl, t.nt - c.nl AS nr, c.sl, t.st - c.sl AS sr
+      FROM cand c CROSS JOIN tot t
+      WHERE c.nl > 0 AND t.nt - c.nl > 0)
+    SELECT bin AS split_bin,
+           CAST(bin * {_STUMP_BINW} AS BIGINT) AS split_price,
+           nl AS n_left, nr AS n_right, sl AS sum_left, sr AS sum_right,
+           {_STUMP_SCORE} AS score
+    FROM scored
+    ORDER BY score DESC, split_bin
+    """,
+    "ml",
+)
+def decision_stump_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump split finding — the inner loop of
+    distributed gradient-boosted trees (LightGBM/XGBoost hist mode):
+    bin the feature, build one (count, sum-label) histogram in a single
+    map-side-combinable aggregate, then score EVERY candidate split
+    from cumulative histogram sums — the corpus is scanned once no
+    matter how many splits are evaluated.  Feature: l_extendedprice in
+    {bins} fixed-width bins; label: l_quantity; score: the variance-
+    reduction surrogate sum_l^2/n_l + sum_r^2/n_r.
+
+    Determinism: bins are FLOOR + integer division over a fixed domain
+    (no data-dependent quantiles, no float compare); cumulative sums
+    are exact int64; the score double is compiled by both engines from
+    the same expression text (`_STUMP_SCORE`, the _det3 rule) so the
+    ORDER BY ranks identically bit-for-bit.
+
+    Scale posture: one linear scan into a {bins}-row histogram
+    (map-side combine makes the shuffle {bins} rows per task); the
+    split-scoring window runs over the DOMAIN-BOUNDED bin table —
+    constant-size as data grows, the same allow-listed shape as
+    order_stat_bucket_select.  A full GBDT layer is this plan per
+    (feature, tree-node) — all independent histogram aggregates over
+    the same scan, exactly how hist-mode boosting distributes.
+
+    Reference has no ML operators (SURVEY §2c extension).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.expr(
+            f"CAST(FLOOR(l_extendedprice) AS BIGINT) DIV {_STUMP_BINW}"
+        ).alias("bin"),
+        F.expr("CAST(FLOOR(l_quantity) AS BIGINT)").alias("y"),
+    )
+    h = pts.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    tot = h.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("sy").cast("long").alias("st")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cand = h.select(
+        "bin",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("nl"),
+        F.coalesce(F.sum("sy").over(w), F.lit(0)).cast("long").alias("sl"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "nl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            "sl",
+            (F.col("st") - F.col("sl")).alias("sr"),
+        )
+        .filter((F.col("nl") > 0) & (F.col("nr") > 0))
+    )
+    return (
+        scored.withColumn("score", F.expr(_STUMP_SCORE))
+        .select(
+            F.col("bin").alias("split_bin"),
+            (F.col("bin") * _STUMP_BINW).cast("long").alias("split_price"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.col("sl").alias("sum_left"),
+            F.col("sr").alias("sum_right"),
+            "score",
+        )
+        .orderBy(F.col("score").desc(), "split_bin")
+    )
+
+
+decision_stump_histogram.__doc__ = decision_stump_histogram.__doc__.format(
+    bins=_STUMP_BINS
+)

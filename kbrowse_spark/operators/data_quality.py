@@ -651,3 +651,102 @@ def join_size_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_key_contrib",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampled join-size estimation (F2 / self-join moment, key-hash sampling)
+# ---------------------------------------------------------------------------
+
+_JSE_RATES = [2, 4, 8, 16]
+
+
+@register(
+    "join_size_estimate_sample",
+    f"""
+    WITH c AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c,
+             ('0x' || substr(md5(l_partkey::VARCHAR), 1, 8))::BIGINT AS h
+      FROM lineitem GROUP BY l_partkey),
+    s AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_size,
+             {", ".join(
+                 f"CAST({r} * SUM(CASE WHEN h % {r} = 0 THEN c * c END)"
+                 f" AS BIGINT) AS est_{r}" for r in _JSE_RATES)}
+      FROM c)
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f'''SELECT {r} AS rate_denom, est_{r} AS estimated,
+                     exact_size AS exact,
+                     CAST((est_{r} - exact_size) * 1000000 // exact_size
+                          AS BIGINT) AS err_ppm
+              FROM s''' for r in _JSE_RATES)})
+    ORDER BY rate_denom
+    """,
+    "quality",
+    "pipeline",
+)
+def join_size_estimate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output cardinality ESTIMATION by key-hash sampling — the
+    optimizer-statistics move for when even the exact key-grain
+    profile (``join_size_profiler``) is too expensive: hash every join
+    key once, keep only keys whose hash lands in a 1/r residue class,
+    sum the sampled keys' contribution, scale by r.  Because the
+    sample is a deterministic function of the KEY (not the row), both
+    sides of a join agree on membership — the property that makes
+    correlated key-sampling an unbiased join-size estimator where
+    row-Bernoulli sampling is biased (AMS/end-biased sampling
+    literature).  Output: the self-join moment SUM(c_k^2) of
+    lineitem.l_partkey estimated at rates 1/2..1/16 against the exact
+    value, with signed ppm error — the convergence readout a planner
+    consults before picking shuffle vs broadcast vs salting.
+
+    Determinism: the md5-prefix hash and every arithmetic step are
+    exact integers in both engines; all four estimates ride ONE
+    conditional aggregate over the key-grain count table.
+
+    Scale posture: one map-side-combinable key-grain aggregate, then a
+    1-row readout — at 100 TB the sampled variant aggregates only the
+    1/r keys it keeps (push the residue filter below the groupBy),
+    trading variance for a r-times-smaller shuffle; the rate ladder
+    here quantifies exactly that trade.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).withColumn(
+        "h",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(k AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        ),
+    )
+    aggs = [F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_size")]
+    for r in _JSE_RATES:
+        aggs.append(
+            (
+                F.lit(r)
+                * F.sum(
+                    F.when(F.col("h") % r == 0, F.col("c") * F.col("c"))
+                )
+            )
+            .cast("long")
+            .alias(f"est_{r}")
+        )
+    s = c.agg(*aggs)
+    stack_args = ", ".join(
+        f"{r}, est_{r}" for r in _JSE_RATES
+    )
+    return (
+        s.selectExpr(
+            "exact_size",
+            f"stack({len(_JSE_RATES)}, {stack_args}) AS (rate_denom, estimated)",
+        )
+        .selectExpr(
+            "rate_denom",
+            "estimated",
+            "exact_size AS exact",
+            "CAST((estimated - exact_size) * 1000000 DIV exact_size"
+            " AS BIGINT) AS err_ppm",
+        )
+        .orderBy("rate_denom")
+    )

@@ -385,3 +385,151 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 lpa_communities.__doc__ = lpa_communities.__doc__.format(
     iters=_LPA_ITERS, top=_LPA_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the bipartite interaction graph
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_SCALE = 10**9
+_HITS_TOP = 15
+
+
+def _hits_oracle() -> str:
+    parts = [
+        f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    h0 AS (SELECT DISTINCT c, CAST({_HITS_SCALE} AS BIGINT) AS h FROM pairs)"""
+    ]
+    for t in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""",
+    ar{t} AS (SELECT p.s, CAST(SUM(h.h) AS BIGINT) AS a
+              FROM pairs p JOIN h{t - 1} h USING (c) GROUP BY p.s),
+    am{t} AS (SELECT MAX(a) AS m FROM ar{t}),
+    a{t} AS (SELECT s, CAST(a // (m // {_HITS_SCALE}) AS BIGINT) AS a
+             FROM ar{t} CROSS JOIN am{t}),
+    hr{t} AS (SELECT p.c, CAST(SUM(a.a) AS BIGINT) AS h
+              FROM pairs p JOIN a{t} a USING (s) GROUP BY p.c),
+    hm{t} AS (SELECT MAX(h) AS m FROM hr{t}),
+    h{t} AS (SELECT c, CAST(h // (m // {_HITS_SCALE}) AS BIGINT) AS h
+             FROM hr{t} CROSS JOIN hm{t})"""
+        )
+    t = _HITS_ITERS
+    parts.append(
+        f"""
+    SELECT * FROM (
+      (SELECT 'supplier' AS node_type, s AS id, a AS score_scaled
+       FROM a{t} ORDER BY a DESC, s LIMIT {_HITS_TOP})
+      UNION ALL
+      (SELECT 'customer', c, h FROM h{t}
+       ORDER BY h DESC, c LIMIT {_HITS_TOP}))
+    ORDER BY node_type, score_scaled DESC, id"""
+    )
+    return "".join(parts)
+
+
+@register("hits_hubs_authorities", _hits_oracle(), "graph")
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the bipartite customer-supplier graph:
+    customers are hubs, suppliers are authorities; {iters} rounds of
+    the mutual recursion a = E'h, h = Ea with max-normalization, then
+    the top-{top} of each side.
+
+    Complements pagerank_interaction: PageRank ranks by random-walk
+    mass on the symmetrized graph; HITS keeps the two-sided semantics
+    (a good customer buys from good suppliers and vice versa) without
+    symmetrizing.  Scores are scaled integers; each half-iteration is
+    one join + one map-side-combined SUM and the normalizer is a 1-row
+    MAX broadcast — bit-identical across engines, no float in any
+    aggregate.  Normalization is the overflow-free a DIV (m DIV SCALE)
+    (m >= SCALE always: the max-h node has >= 1 edge), so raw sums
+    never multiply — int64-safe to ~9e9 nodes.
+
+    Scale posture: identical to PageRank's — the distinct trading-pair
+    edge list is the only large table (cached, loop-invariant); rank
+    tables are node-sized (cached per half-round, previous round
+    unpersisted — flat memory) and each round is 2 edge-keyed
+    shuffles; the normalizer is one scalar to the driver per
+    half-round (the kmeans driver-footprint rule).
+
+    Reference has no iterative operators (SURVEY §2c extension).
+    """
+    from kbrowse_spark.functions.cache_registry import cached
+
+    def build_pairs():
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        return (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
+        )
+
+    pairs = cached(spark, sf_dir, "hits_pairs", build_pairs)
+    h = pairs.select("c").distinct().select(
+        "c", F.lit(_HITS_SCALE).cast("long").alias("h")
+    )
+    # Per-round: materialize the node-sized rank table and pull ONE
+    # scalar (the max normalizer) to the driver — the kmeans_lloyd /
+    # pagerank driver-footprint rule (O(model), never O(rows)).  This
+    # truncates the lineage each half-round; the first cut kept the
+    # whole 12-stage iteration lazy with 6 nested 1-row broadcasts and
+    # OOMed a bare 1g-heap session (caught by the driver emulator).
+    a = None
+    prev = []
+    for _ in range(_HITS_ITERS):
+        ar = (
+            pairs.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h").cast("long").alias("a"))
+            .cache()
+        )
+        m_a = ar.agg(F.max("a")).collect()[0][0]
+        a = ar.select(
+            "s",
+            F.expr(f"a DIV {m_a // _HITS_SCALE}").cast("long").alias("a"),
+        )
+        hr = (
+            pairs.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("h"))
+            .cache()
+        )
+        m_h = hr.agg(F.max("h")).collect()[0][0]
+        h = hr.select(
+            "c",
+            F.expr(f"h DIV {m_h // _HITS_SCALE}").cast("long").alias("h"),
+        )
+        for old_rel in prev:
+            old_rel.unpersist()
+        prev = [ar, hr]
+    top_s = (
+        a.orderBy(F.col("a").desc(), "s")
+        .limit(_HITS_TOP)
+        .select(
+            F.lit("supplier").alias("node_type"),
+            F.col("s").alias("id"),
+            F.col("a").alias("score_scaled"),
+        )
+    )
+    top_c = (
+        h.orderBy(F.col("h").desc(), "c")
+        .limit(_HITS_TOP)
+        .select(
+            F.lit("customer").alias("node_type"),
+            F.col("c").alias("id"),
+            F.col("h").alias("score_scaled"),
+        )
+    )
+    return top_s.unionByName(top_c).orderBy(
+        "node_type", F.col("score_scaled").desc(), "id"
+    )
+
+
+hits_hubs_authorities.__doc__ = hits_hubs_authorities.__doc__.format(
+    iters=_HITS_ITERS, top=_HITS_TOP
+)

@@ -1470,3 +1470,266 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous-hash shard assignment + rebalance audit (8 -> 9 nodes)
+# ---------------------------------------------------------------------------
+
+_HRW_OLD, _HRW_NEW = 8, 9  # node counts before/after the scale-out
+
+
+@register(
+    "shard_rebalance_hrw",
+    f"""
+    WITH nodes AS (SELECT unnest(range({_HRW_NEW})) AS node),
+    w AS (
+      SELECT d.doc_id, n.node,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || n.node::VARCHAR),
+                             1, 8))::BIGINT * 16 + n.node AS key
+      FROM documents d CROSS JOIN nodes n),
+    per_doc AS (
+      SELECT doc_id,
+             MAX(CASE WHEN node < {_HRW_OLD} THEN key END) % 16 AS s_old,
+             MAX(key) % 16 AS s_new
+      FROM w GROUP BY doc_id),
+    c_old AS (SELECT s_old AS node, CAST(COUNT(*) AS BIGINT) AS n_old,
+                     CAST(COUNT(*) FILTER (s_old <> s_new) AS BIGINT)
+                       AS moved_out
+              FROM per_doc GROUP BY s_old),
+    c_new AS (SELECT s_new AS node, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM per_doc GROUP BY s_new)
+    SELECT n.node AS node,
+           COALESCE(o.n_old, 0) AS n_under_{_HRW_OLD},
+           COALESCE(w2.n_new, 0) AS n_under_{_HRW_NEW},
+           COALESCE(o.moved_out, 0) AS moved_out
+    FROM nodes n
+    LEFT JOIN c_old o ON o.node = n.node
+    LEFT JOIN c_new w2 ON w2.node = n.node
+    ORDER BY node
+    """,
+    "pipeline",
+)
+def shard_rebalance_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment and the
+    rebalance audit for a node scale-out: every document hashes to an
+    independent weight per node, its shard is the argmax, and adding a
+    node moves EXACTLY the documents whose new-node weight wins —
+    ~1/(n+1) of the corpus, every one landing on the new node (the
+    minimal-movement property that makes HRW/consistent-hashing the
+    standard way to lay out a 100 TB corpus across storage or index
+    shards; naive ``hash % n`` would move ~8/9 of all docs here).
+
+    Argmax-with-tiebreak is the single integer ``MAX(w * 16 + node) %
+    16`` (w is a 32-bit md5 prefix, so the packed key fits int64 and
+    ties break toward the higher node identically in both engines).
+
+    Scale posture: the node table is a constant-size broadcast; the
+    per-doc argmax is one map-side-combinable MAX over a 9x narrow
+    fan-out; the audit is two vocabulary-sized (node-grain) aggregates.
+    No corpus-grain shuffle at all beyond the doc_id groupBy, which
+    pre-aggregates map-side.
+
+    Reference has no placement operators (SURVEY §2c extension).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    nodes = spark.range(_HRW_NEW).select(F.col("id").cast("int").alias("node"))
+    w = d.crossJoin(F.broadcast(nodes)).select(
+        "doc_id",
+        "node",
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+            " CAST(node AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " * 16 + node"
+        ).alias("key"),
+    )
+    per_doc = w.groupBy("doc_id").agg(
+        (F.max(F.when(F.col("node") < _HRW_OLD, F.col("key"))) % 16).alias(
+            "s_old"
+        ),
+        (F.max("key") % 16).alias("s_new"),
+    )
+    c_old = per_doc.groupBy(F.col("s_old").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_old"),
+        F.sum((F.col("s_old") != F.col("s_new")).cast("long"))
+        .cast("long")
+        .alias("moved_out"),
+    )
+    c_new = per_doc.groupBy(F.col("s_new").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    return (
+        nodes.join(F.broadcast(c_old), "node", "left")
+        .join(F.broadcast(c_new), "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias(
+                f"n_under_{_HRW_OLD}"
+            ),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias(
+                f"n_under_{_HRW_NEW}"
+            ),
+            F.coalesce("moved_out", F.lit(0)).cast("long").alias("moved_out"),
+        )
+        .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map / data-skipping audit over a real partitioned parquet export
+# ---------------------------------------------------------------------------
+
+_ZM_ZONES = 8
+
+
+def _zm_preds_sql() -> str:
+    # (pred_id, lo, hi) as expressions of the global max key m — exact
+    # integer arithmetic, identical in both engines.
+    return """(
+      SELECT 0 AS pred_id, CAST(0 AS BIGINT) AS lo,
+             CAST(m // 8 AS BIGINT) AS hi FROM mx
+      UNION ALL SELECT 1, m // 2, m // 2 + m // 8 FROM mx
+      UNION ALL SELECT 2, m + 1, 2 * m FROM mx
+      UNION ALL SELECT 3, 0, m FROM mx)"""
+
+
+@register(
+    "export_zonemap_prune",
+    f"""
+    WITH mx AS (SELECT CAST(MAX(l_orderkey) AS BIGINT) AS m FROM lineitem),
+    z AS (
+      SELECT l_orderkey // (m // {_ZM_ZONES} + 1) AS zone,
+             CAST(MIN(l_orderkey) AS BIGINT) AS zmin,
+             CAST(MAX(l_orderkey) AS BIGINT) AS zmax,
+             CAST(COUNT(*) AS BIGINT) AS zrows
+      FROM lineitem CROSS JOIN mx
+      GROUP BY zone),
+    preds AS {_zm_preds_sql()}
+    SELECT pred_id, lo, hi,
+           CAST(COUNT(*) AS BIGINT) AS zones_total,
+           CAST(SUM(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS zones_skipped,
+           CAST(SUM(CASE WHEN zmax < lo OR zmin > hi THEN 0 ELSE zrows END)
+                AS BIGINT) AS rows_scanned
+    FROM preds CROSS JOIN z
+    GROUP BY pred_id, lo, hi
+    ORDER BY pred_id
+    """,
+    "pipeline",
+    "sink",
+)
+def export_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit over a REAL partitioned export: write the
+    lineitem table into {zones} key-range zones (hive-style
+    ``partitionBy`` layout, one file per zone), read the parquet
+    FOOTER statistics back with pyarrow, verify footer min/max/rows
+    per zone against the in-plan zone statistics, then report how many
+    zones (and how many rows) each of four probe predicates could
+    skip — the zone-map/file-stats pruning contract that Delta/Iceberg
+    data skipping and Spark's own partition pruning rely on at 100 TB.
+
+    The zone key is the exact integer ``l_orderkey DIV (max DIV
+    {zones} + 1)`` — no sampled range boundaries, so the layout, the
+    footer stats, and the DuckDB oracle (which recomputes zone stats
+    straight from the source table) all agree bit-for-bit.  If any
+    footer statistic disagrees with the plan the builder RAISES —
+    the files, not a model of them, are what get audited.
+
+    Driver footprint: one scalar (max key) + one {zones}-row zone-stat
+    collect + footer metadata — the planner.py metadata-grain rule,
+    never O(rows).  The write is a real repartition-by-zone parquet
+    action (overwrite, path keyed by sf_dir hash).
+
+    Scale posture: zone stats are one map-side-combinable aggregate;
+    the audit is a constant ({zones} x 4)-row broadcast join.  At
+    cluster scale the zone count follows the export sizing rule
+    (write_sized_parquet) instead of a fixed {zones}; footer reads
+    stay metadata-grain regardless of data volume.
+    """
+    import hashlib
+    import os
+
+    li = load(spark, sf_dir, "lineitem")
+    m = li.agg(F.max("l_orderkey").cast("long")).collect()[0][0]
+    width = m // _ZM_ZONES + 1
+    out = os.path.join(
+        "/tmp",
+        "kbrowse_zonemap",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    (
+        li.select("l_orderkey", "l_quantity")
+        .withColumn("zone", F.expr(f"l_orderkey DIV {width}"))
+        .repartition("zone")
+        .write.mode("overwrite")
+        .partitionBy("zone")
+        .parquet(out)
+    )
+
+    # In-plan zone statistics (the oracle's ground truth).
+    z = (
+        li.select(F.expr(f"l_orderkey DIV {width}").alias("zone"), "l_orderkey")
+        .groupBy("zone")
+        .agg(
+            F.min("l_orderkey").cast("long").alias("zmin"),
+            F.max("l_orderkey").cast("long").alias("zmax"),
+            F.count(F.lit(1)).cast("long").alias("zrows"),
+        )
+    )
+
+    # Footer verification: pyarrow reads ONLY metadata.  Raise on any
+    # disagreement between the written files and the plan.
+    import pyarrow.parquet as pq
+
+    footer: dict[int, list[int]] = {}
+    for zdir in sorted(os.listdir(out)):
+        if not zdir.startswith("zone="):
+            continue
+        zone = int(zdir.split("=")[1])
+        for fn in os.listdir(os.path.join(out, zdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(out, zdir, fn)).metadata
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema != "l_orderkey":
+                        continue
+                    st = col.statistics
+                    e = footer.setdefault(zone, [st.min, st.max, 0])
+                    e[0] = min(e[0], st.min)
+                    e[1] = max(e[1], st.max)
+                    e[2] += g.num_rows
+    plan = {r.zone: (r.zmin, r.zmax, r.zrows) for r in z.collect()}
+    if {k: tuple(v) for k, v in footer.items()} != plan:
+        raise AssertionError(
+            f"parquet footer stats disagree with plan: {footer} != {plan}"
+        )
+
+    mx = spark.createDataFrame([(int(m),)], "m long")
+    preds = mx.selectExpr(
+        "stack(4,"
+        " 0, CAST(0 AS BIGINT), m DIV 8,"
+        " 1, m DIV 2, m DIV 2 + m DIV 8,"
+        " 2, m + 1, 2 * m,"
+        " 3, CAST(0 AS BIGINT), m) AS (pred_id, lo, hi)"
+    )
+    skipped = (F.col("zmax") < F.col("lo")) | (F.col("zmin") > F.col("hi"))
+    return (
+        preds.crossJoin(F.broadcast(z))
+        .groupBy("pred_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("zones_total"),
+            F.sum(skipped.cast("long")).cast("long").alias("zones_skipped"),
+            F.sum(F.when(skipped, F.lit(0)).otherwise(F.col("zrows")))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        .orderBy("pred_id")
+    )
+
+
+export_zonemap_prune.__doc__ = export_zonemap_prune.__doc__.format(
+    zones=_ZM_ZONES
+)

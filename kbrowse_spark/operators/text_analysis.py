@@ -863,3 +863,153 @@ def quality_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.cast("int").alias("n_votes"),
         (total >= 3).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes language classifier (train on even docs, score odd docs)
+# ---------------------------------------------------------------------------
+
+_NB_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _nb_oracle() -> str:
+    bit_cols = ",\n           ".join(
+        f"MAX(CASE WHEN lang = '{L}' THEN bits END) AS bits_{L}"
+        for L in _NB_LANGS
+    )
+    least = ", ".join(f"bits_{L}" for L in _NB_LANGS)
+    pred = " ".join(
+        f"WHEN bits_{L} THEN '{L}'" for L in _NB_LANGS[:-1]
+    )
+    return f"""
+    WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    trw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM tr),
+    cnt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM trw GROUP BY lang, w),
+    vocabn AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM trw),
+    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY lang),
+    tew AS (SELECT doc_id, lang AS labeled_lang, w,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                  FROM te)
+            GROUP BY doc_id, lang, w),
+    scored AS (
+      SELECT t.doc_id, t.labeled_lang, tot.lang,
+             CAST(SUM(t.n * (length(printf('%b',
+                    (tot.tot + v.v) // (COALESCE(c.c, 0) + 1))) - 1))
+                  AS BIGINT) AS wbits
+      FROM tew t CROSS JOIN tot CROSS JOIN vocabn v
+      LEFT JOIN cnt c ON c.lang = tot.lang AND c.w = t.w
+      GROUP BY t.doc_id, t.labeled_lang, tot.lang, tot.tot, v.v),
+    prior AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd
+              FROM tr GROUP BY lang),
+    ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr),
+    fulls AS (
+      SELECT s.doc_id, s.labeled_lang, s.lang,
+             s.wbits + (length(printf('%b', ntr.n // p.nd)) - 1) AS bits
+      FROM scored s JOIN prior p USING (lang) CROSS JOIN ntr),
+    wide AS (
+      SELECT doc_id, labeled_lang,
+           {bit_cols}
+      FROM fulls GROUP BY doc_id, labeled_lang)
+    SELECT doc_id, labeled_lang,
+           {", ".join(f"CAST(bits_{L} AS BIGINT) AS bits_{L}" for L in _NB_LANGS)},
+           CASE LEAST({least}) {pred} ELSE '{_NB_LANGS[-1]}' END AS pred_lang
+    FROM wide
+    ORDER BY doc_id
+    """
+
+
+@register("naive_bayes_langid", _nb_oracle(), "text", "pipeline")
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language identification, trained on the
+    even-doc_id half of the corpus and scored on the odd half — the
+    supervised counterpart of the marker-word heuristic
+    ``text_langid``, and the classic fasttext-style quality/language
+    filter of LLM pipelines reduced to its exact-arithmetic core.
+
+    Laplace-smoothed surprisal is quantized the ``quality_lm_surprisal``
+    way: -log2 P(w|lang) ~ bitlength((tot_lang + V) DIV (c_w_lang + 1))
+    - 1, exact in int64, so per-doc per-lang scores — and hence the
+    argmin prediction — are bit-identical across engines with no
+    transcendental log.  Unseen-in-training words get the correct
+    c = 0 smoothing via left-join + coalesce.  Class priors enter as
+    bitlength(N_train DIV n_lang) - 1.
+
+    Scale posture: the model (lang x vocab count table + 5-row totals)
+    is vocabulary-grain — at 100 TB it broadcasts, so scoring is a
+    map-side join over exploded test tokens followed by one combinable
+    (doc, lang) aggregate; the constant-factor 5x lang fan-out rides
+    the same scan.  Training is one map-side-combined groupBy.
+
+    Reference has no ML operators (SURVEY §2c extension).
+    """
+    d = load(spark, sf_dir, "documents")
+    tr = d.filter(F.col("doc_id") % 2 == 0)
+    te = d.filter(F.col("doc_id") % 2 == 1)
+    trw = tr.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    cnt = trw.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocabn = trw.agg(F.countDistinct("w").cast("long").alias("v"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
+    tew = (
+        te.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .groupBy("doc_id", "labeled_lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = tew.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(vocabn))
+    c = cnt.select(
+        F.col("lang").alias("c_lang"), F.col("w").alias("c_w"), "c"
+    )
+    joined = grid.join(
+        F.broadcast(c),
+        (F.col("lang") == F.col("c_lang")) & (F.col("w") == F.col("c_w")),
+        "left",
+    )
+    wbits_term = F.expr(
+        "n * (length(conv(CAST((tot + v) DIV (COALESCE(c, 0) + 1)"
+        " AS STRING), 10, 2)) - 1)"
+    )
+    scored = joined.groupBy("doc_id", "labeled_lang", "lang").agg(
+        F.sum(wbits_term).cast("long").alias("wbits")
+    )
+    prior = tr.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    ntr = tr.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    fulls = (
+        scored.join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "doc_id",
+            "labeled_lang",
+            "lang",
+            F.expr(
+                "wbits + (length(conv(CAST(n DIV nd AS STRING), 10, 2)) - 1)"
+            )
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    wide = fulls.groupBy("doc_id", "labeled_lang").agg(
+        *[
+            F.max(F.when(F.col("lang") == L, F.col("bits")))
+            .cast("long")
+            .alias(f"bits_{L}")
+            for L in _NB_LANGS
+        ]
+    )
+    least = ", ".join(f"bits_{L}" for L in _NB_LANGS)
+    pred = " ".join(f"WHEN bits_{L} THEN '{L}'" for L in _NB_LANGS[:-1])
+    return wide.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"bits_{L}" for L in _NB_LANGS],
+        F.expr(
+            f"CASE LEAST({least}) {pred} ELSE '{_NB_LANGS[-1]}' END"
+        ).alias("pred_lang"),
+    ).orderBy("doc_id")

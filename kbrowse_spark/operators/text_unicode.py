@@ -72,3 +72,61 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("norm").cast("long").alias("n_cp_after"),
         F.md5(F.encode("norm", "UTF-8")).alias("norm_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "compression_ratio_quality",
+    None,  # no SQL engine can replay zlib; exact Python-replay quant check
+    "text",
+    "pipeline",
+    "pandas-udf",
+)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-compression-ratio quality signal: per document, the
+    UTF-8 byte length, its zlib(level=6) compressed length, their IEEE
+    ratio, and a low-entropy flag — the classic repetition/boilerplate
+    detector of LLM data pipelines (highly repetitive or templated
+    text compresses far below prose; near-random noise barely
+    compresses at all).  Both tails are removal candidates.
+
+    The compressor is the ONE Python-only stage (stdlib ``zlib``,
+    vectorized over Arrow batches); byte length, ratio, and flag
+    arithmetic stay JVM-side.  No SQL oracle can replay deflate, so
+    the registered quantitative check recompresses every document
+    independently from the DuckDB-read text and requires exact
+    ``comp_bytes`` equality plus build-twice determinism.
+
+    Scale shape: embarrassingly parallel per document — narrow scan,
+    one Arrow round trip, no shuffle.  The flag thresholds are exact
+    integer cross-multiplications (no float compare).
+    """
+
+    def _comp_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int64")
+
+    comp = F.pandas_udf(_comp_len, "long")
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length("text").cast("long").alias("raw_bytes"),
+            comp(F.col("text")).alias("comp_bytes"),
+        )
+        .select(
+            "doc_id",
+            "raw_bytes",
+            "comp_bytes",
+            (F.col("comp_bytes").cast("double") / F.col("raw_bytes")).alias(
+                "ratio"
+            ),
+            # repetitive tail: compresses below 25% of raw
+            (F.col("comp_bytes") * 4 < F.col("raw_bytes"))
+            .cast("int")
+            .alias("flag_repetitive"),
+        )
+        .orderBy("doc_id")
+    )

@@ -80,13 +80,26 @@ def main() -> int:
 
     # Bare session on purpose: the driver's session carries none of the
     # engine's builder confs, so anything needed must be set at runtime.
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def new_session():
+        s = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    # The real driver hash-verifies a ~50-query sample per round in one
+    # session (CORRECTNESS_r*.json has 50 entries); running the whole
+    # 200+-query catalog in ONE bare 1g-heap session eventually OOMs
+    # the appStatus listener — emulator load beyond driver conditions,
+    # not an engine path.  Recycle the bare session every CHUNK queries
+    # so per-session load stays at driver scale; every query still runs
+    # on a fresh-from-getOrCreate bare session imported from outside
+    # the repo.
+    chunk = int(os.environ.get("SPARK_GRAFT_EMU_CHUNK", "60"))
+    spark = new_session()
 
     rows = mod.entry(spark).collect()
     print(f"entry() -> {len(rows)} rows")
@@ -101,9 +114,14 @@ def main() -> int:
 
     only = set(sys.argv[1:])
     bad = 0
+    n_run = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        if n_run and n_run % chunk == 0:
+            spark.stop()
+            spark = new_session()
+        n_run += 1
         try:
             sdf = fn(spark, SF)
             spd = sdf.toPandas()

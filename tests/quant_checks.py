@@ -159,3 +159,75 @@ CHECKS = {
     "sketch_hll_rollup_merge": check_sketch_hll_rollup_merge,
     "approx_percentile_prices": check_approx_percentile_prices,
 }
+
+
+def check_compression_ratio_quality(spark, sf_dir, qdef, rows, colnames, con):
+    mode = "exact zlib replay from DuckDB text + determinism"
+    import zlib
+
+    c = _cols(colnames)
+    texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    if {r[c["doc_id"]] for r in rows} != set(texts):
+        return _fail(mode, "doc_id set differs from source table")
+    for r in rows:
+        t = texts[r[c["doc_id"]]].encode("utf-8")
+        if r[c["raw_bytes"]] != len(t):
+            return _fail(mode, f"raw_bytes mismatch doc {r[c['doc_id']]}")
+        exp = len(zlib.compress(t, 6))
+        if r[c["comp_bytes"]] != exp:
+            return _fail(
+                mode,
+                f"comp_bytes[{r[c['doc_id']]}]={r[c['comp_bytes']]} != {exp}",
+            )
+        if r[c["ratio"]] != r[c["comp_bytes"]] / r[c["raw_bytes"]]:
+            return _fail(mode, f"ratio not the exact IEEE division")
+        if r[c["flag_repetitive"]] != int(
+            r[c["comp_bytes"]] * 4 < r[c["raw_bytes"]]
+        ):
+            return _fail(mode, f"flag mismatch doc {r[c['doc_id']]}")
+    err = _deterministic(spark, sf_dir, qdef, rows)
+    return _fail(mode, err) if err else _ok(mode)
+
+CHECKS["compression_ratio_quality"] = check_compression_ratio_quality
+
+
+def check_multimodal_png_extract(spark, sf_dir, qdef, rows, colnames, con):
+    mode = "exact PNG pack/parse replay from DuckDB text + determinism"
+    import hashlib
+    import zlib
+
+    from kbrowse_spark.operators.multimodal import _IMG_W
+
+    c = _cols(colnames)
+    texts = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    if {r[c["doc_id"]] for r in rows} != set(texts):
+        return _fail(mode, "doc_id set differs from source table")
+    for r in rows:
+        data = texts[r[c["doc_id"]]].encode("utf-8")
+        n_rows = max((len(data) + _IMG_W - 1) // _IMG_W, 1)
+        padded = data + b"\x00" * (n_rows * _IMG_W - len(data))
+        scan = b"".join(
+            b"\x00" + padded[i * _IMG_W : (i + 1) * _IMG_W]
+            for i in range(n_rows)
+        )
+        idat = len(zlib.compress(scan, 6))
+        exp = {
+            "n_bytes": 8 + (12 + 13) + (12 + idat) + 12,
+            "width": _IMG_W,
+            "height": n_rows,
+            "bit_depth": 8,
+            "color_type": 0,
+            "n_chunks": 3,
+            "idat_bytes": idat,
+            "pixel_md5": hashlib.md5(padded).hexdigest(),
+        }
+        for k, v in exp.items():
+            if r[c[k]] != v:
+                return _fail(
+                    mode, f"{k}[{r[c['doc_id']]}]={r[c[k]]} != {v}"
+                )
+    err = _deterministic(spark, sf_dir, qdef, rows)
+    return _fail(mode, err) if err else _ok(mode)
+
+
+CHECKS["multimodal_png_extract"] = check_multimodal_png_extract

@@ -262,3 +262,50 @@ def test_warc_record_extract_matches_reference_on_random_corpora(
             assert r.target_uri == fields["WARC-Target-URI"]
             assert r.content_length == len(payload)
             assert r.payload_md5 == hashlib.md5(payload).hexdigest()
+
+
+def test_multimodal_png_extract_matches_reference_on_random_corpora(
+    spark, tmp_path
+):
+    """PNG codec vs an independent reference computation on random
+    unicode corpora.  The adversarial arm packs texts whose BYTES
+    contain PNG signatures, chunk headers, and "IEND" markers — a
+    parser that scanned for byte patterns instead of walking declared
+    chunk lengths would mis-frame them (the WARC-test trick)."""
+    import zlib
+
+    from kbrowse_spark.operators.multimodal import _IMG_W
+
+    rng = random.Random(0xB06)
+    texts = _gen_texts(rng, 36) + [
+        # adversarial: container grammar embedded in the payload
+        "\x89PNG\r\n\x1a\n fake signature in body",
+        "IEND embedded " + "IEND" * 20,
+        "IHDR" + "\x00" * 13 + "IDAT stream-looking bytes",
+        "x" * (_IMG_W * 3 + 7),  # multi-row with padding remainder
+    ]
+    sf = _write_documents(spark, tmp_path, texts)
+    rows = {
+        r.doc_id: r for r in _q(spark, sf, "multimodal_png_extract").collect()
+    }
+    assert len(rows) == len(texts)
+    for i, t in enumerate(texts):
+        data = t.encode("utf-8")
+        n_rows = max((len(data) + _IMG_W - 1) // _IMG_W, 1)
+        padded = data + b"\x00" * (n_rows * _IMG_W - len(data))
+        scan = b"".join(
+            b"\x00" + padded[r * _IMG_W : (r + 1) * _IMG_W]
+            for r in range(n_rows)
+        )
+        idat = len(zlib.compress(scan, 6))
+        r = rows[i]
+        assert (r.width, r.height, r.bit_depth, r.color_type) == (
+            _IMG_W,
+            n_rows,
+            8,
+            0,
+        )
+        assert r.n_chunks == 3
+        assert r.idat_bytes == idat
+        assert r.n_bytes == 8 + 25 + 12 + idat + 12
+        assert r.pixel_md5 == hashlib.md5(padded).hexdigest()

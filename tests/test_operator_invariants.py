@@ -998,3 +998,346 @@ def test_ivf_incremental_assign_consistency(spark, sf_dir):
     for r in rows:
         assert (r.cluster_id, r.sq_dist) == full[r.vec_id]
         assert r.cell_base_n == base_hist.get(r.cluster_id, 0)
+
+
+def test_naive_bayes_separable_corpus(spark, tmp_path):
+    """On a corpus whose languages have disjoint vocabularies the NB
+    classifier must recover every test label, and its quantized bit
+    scores must match a pure-Python replay of the Laplace/bitlength
+    formula exactly."""
+    vocab = {
+        "de": ["der", "und", "nicht"],
+        "en": ["dog", "cat", "house"],
+        "es": ["perro", "gato", "casa"],
+        "fr": ["chien", "chat", "maison"],
+        "zh": ["gou", "mao", "fang"],
+    }
+    langs = sorted(vocab)
+    rows = []
+    did = 0
+    for L in langs:
+        ws = vocab[L]
+        for k in range(4):  # 2 even (train) + 2 odd (test) per lang
+            text = " ".join(ws[(k + j) % 3] for j in range(6))
+            rows.append((did, text, L, "s", len(text)))
+            did += 1
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = _q(spark, str(tmp_path), "naive_bayes_langid").collect()
+    assert len(out) == 10  # odd-doc_id half
+    assert all(r.pred_lang == r.labeled_lang for r in out)
+
+    # pure-Python replay of the quantized scoring
+    train = [(r[2], r[1].split()) for r in rows if r[0] % 2 == 0]
+    cnt: dict[tuple[str, str], int] = {}
+    tot: dict[str, int] = {}
+    nd: dict[str, int] = {}
+    vset = set()
+    for L, ws in train:
+        nd[L] = nd.get(L, 0) + 1
+        for w in ws:
+            cnt[(L, w)] = cnt.get((L, w), 0) + 1
+            tot[L] = tot.get(L, 0) + 1
+            vset.add(w)
+    V, ntr = len(vset), len(train)
+    for r in out:
+        text = dict((row[0], row[1]) for row in rows)[r.doc_id]
+        for L in langs:
+            bits = (ntr // nd[L]).bit_length() - 1
+            for w in text.split():
+                q = (tot[L] + V) // (cnt.get((L, w), 0) + 1)
+                bits += q.bit_length() - 1
+            assert getattr(r, f"bits_{L}") == bits, (r.doc_id, L)
+
+
+def test_apriori_rules_bruteforce_replay(spark, sf_dir):
+    """Every rule freq_itemsets_apriori emits must match a brute-force
+    Python recomputation of supports / confidence / lift over the same
+    baskets, and every emitted itemset must clear minsup."""
+    import duckdb
+
+    from kbrowse_spark.operators.analytics import _AP_MINSUP_PCT, _AP_SCALE
+
+    con = duckdb.connect()
+    baskets = con.execute(
+        f"""SELECT DISTINCT l_orderkey, p_brand
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/part.parquet' p ON l_partkey = p_partkey"""
+    ).fetchall()
+    by_b: dict[int, set[str]] = {}
+    for bid, item in baskets:
+        by_b.setdefault(bid, set()).add(item)
+    n = len(by_b)
+    supp: dict[str, int] = {}
+    psupp: dict[tuple[str, str], int] = {}
+    for items in by_b.values():
+        for i in items:
+            supp[i] = supp.get(i, 0) + 1
+        for i in items:
+            for j in items:
+                if i < j:
+                    psupp[(i, j)] = psupp.get((i, j), 0) + 1
+    rows = _q(spark, sf_dir, "freq_itemsets_apriori").collect()
+    assert rows, "no rules emitted"
+    for r in rows:
+        a, c = r.antecedent, r.consequent
+        key = (a, c) if a < c else (c, a)
+        assert r.pair_support == psupp[key]
+        assert r.ante_support == supp[a]
+        assert r.pair_support * 100 >= n * _AP_MINSUP_PCT
+        assert supp[a] * 100 >= n * _AP_MINSUP_PCT
+        conf = _AP_SCALE * r.pair_support // supp[a]
+        assert r.conf_scaled == conf
+        assert r.lift_scaled == conf * n // supp[c]
+
+
+def test_hits_integer_replay(spark, sf_dir):
+    """HITS top lists must match a pure-Python replay of the scaled
+    integer mutual recursion (same normalization arithmetic)."""
+    import duckdb
+
+    from kbrowse_spark.operators.graph import (
+        _HITS_ITERS,
+        _HITS_SCALE,
+        _HITS_TOP,
+    )
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""SELECT DISTINCT o_custkey, l_suppkey
+            FROM '{sf_dir}/orders.parquet' o
+            JOIN '{sf_dir}/lineitem.parquet' l ON o_orderkey = l_orderkey"""
+    ).fetchall()
+    h = {c: _HITS_SCALE for c, _ in pairs}
+    a: dict[int, int] = {}
+    for _ in range(_HITS_ITERS):
+        a = {}
+        for c, s in pairs:
+            a[s] = a.get(s, 0) + h[c]
+        m = max(a.values())
+        a = {s: v // (m // _HITS_SCALE) for s, v in a.items()}
+        h = {}
+        for c, s in pairs:
+            h[c] = h.get(c, 0) + a[s]
+        m = max(h.values())
+        h = {c: v // (m // _HITS_SCALE) for c, v in h.items()}
+    exp_s = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:_HITS_TOP]
+    exp_c = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:_HITS_TOP]
+    rows = _q(spark, sf_dir, "hits_hubs_authorities").collect()
+    got_s = [(r.id, r.score_scaled) for r in rows if r.node_type == "supplier"]
+    got_c = [(r.id, r.score_scaled) for r in rows if r.node_type == "customer"]
+    assert got_s == exp_s
+    assert got_c == exp_c
+
+
+def test_hrw_minimal_movement_and_replay(spark, sf_dir):
+    """HRW's defining property: adding a node moves docs ONLY onto the
+    new node (~1/(n+1) of them); per-node counts match a pure-Python
+    md5 replay."""
+    import hashlib
+
+    import duckdb
+
+    from kbrowse_spark.operators.pipeline_ops import _HRW_NEW, _HRW_OLD
+
+    con = duckdb.connect()
+    ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+
+    def key(doc, node):
+        h = int(hashlib.md5(f"{doc}:{node}".encode()).hexdigest()[:8], 16)
+        return h * 16 + node
+
+    n_old = {n: 0 for n in range(_HRW_NEW)}
+    n_new = {n: 0 for n in range(_HRW_NEW)}
+    moved = {n: 0 for n in range(_HRW_NEW)}
+    total_moved = 0
+    for doc in ids:
+        keys = [key(doc, n) for n in range(_HRW_NEW)]
+        s_old = max(keys[:_HRW_OLD]) % 16
+        s_new = max(keys) % 16
+        n_old[s_old] += 1
+        n_new[s_new] += 1
+        if s_old != s_new:
+            moved[s_old] += 1
+            total_moved += 1
+            assert s_new == _HRW_NEW - 1  # minimal movement: only to new node
+    rows = _q(spark, sf_dir, "shard_rebalance_hrw").collect()
+    assert len(rows) == _HRW_NEW
+    for r in rows:
+        assert getattr(r, f"n_under_{_HRW_OLD}") == n_old[r.node]
+        assert getattr(r, f"n_under_{_HRW_NEW}") == n_new[r.node]
+        assert r.moved_out == moved[r.node]
+    # expected movement ~ N/9; allow generous slack for md5 variance
+    frac = total_moved / len(ids)
+    assert 0.4 / _HRW_NEW < frac < 2.5 / _HRW_NEW
+
+
+def test_stump_best_split_matches_bruteforce(spark, sf_dir):
+    """The stump's top-ranked split must equal a brute-force Python
+    scan over all bin boundaries, and every row's cumulative stats
+    must be internally consistent (nl+nr = N, sl+sr = S)."""
+    import duckdb
+
+    from kbrowse_spark.operators.clustering import _STUMP_BINW
+
+    con = duckdb.connect()
+    pts = con.execute(
+        f"""SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) // {_STUMP_BINW},
+                   CAST(FLOOR(l_quantity) AS BIGINT)
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchall()
+    hist: dict[int, list[int]] = {}
+    for b, y in pts:
+        e = hist.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += y
+    N = sum(v[0] for v in hist.values())
+    S = sum(v[1] for v in hist.values())
+    best = None
+    for split in sorted(hist):
+        nl = sum(v[0] for b, v in hist.items() if b < split)
+        sl = sum(v[1] for b, v in hist.items() if b < split)
+        nr, sr = N - nl, S - sl
+        if nl == 0 or nr == 0:
+            continue
+        score = sl * sl / nl + sr * sr / nr
+        if best is None or score > best[0]:
+            best = (score, split)
+    rows = _q(spark, sf_dir, "decision_stump_histogram").collect()
+    assert rows[0].split_bin == best[1]
+    assert rows[0].score == best[0]
+    for r in rows:
+        assert r.n_left + r.n_right == N
+        assert r.sum_left + r.sum_right == S
+        assert r.split_price == r.split_bin * _STUMP_BINW
+
+
+def test_zonemap_prune_semantics(spark, sf_dir):
+    """The written zone layout must actually prune: the above-max probe
+    skips every zone; the full-range probe scans every row; partial
+    probes scan only intersecting zones' rows."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    rows = {r.pred_id: r for r in _q(spark, sf_dir, "export_zonemap_prune").collect()}
+    assert rows[2].zones_skipped == rows[2].zones_total  # empty range
+    assert rows[2].rows_scanned == 0
+    assert rows[3].zones_skipped == 0  # full range
+    assert rows[3].rows_scanned == n
+    assert 0 < rows[0].rows_scanned < n  # first eighth prunes most zones
+    assert rows[0].zones_skipped >= rows[0].zones_total - 2
+
+
+def test_join_size_estimate_replay_and_accuracy(spark, sf_dir):
+    """Each rate's estimate must match a pure-Python md5 replay
+    exactly, and the half-rate estimate must land within 50% of the
+    exact self-join moment on the fixture."""
+    import hashlib
+
+    import duckdb
+
+    from kbrowse_spark.operators.data_quality import _JSE_RATES
+
+    con = duckdb.connect()
+    counts = con.execute(
+        f"SELECT l_partkey, COUNT(*) FROM '{sf_dir}/lineitem.parquet'"
+        " GROUP BY l_partkey"
+    ).fetchall()
+    exact = sum(c * c for _, c in counts)
+    est = {}
+    for r in _JSE_RATES:
+        tot = 0
+        for k, c in counts:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+            if h % r == 0:
+                tot += c * c
+        est[r] = r * tot
+    rows = _q(spark, sf_dir, "join_size_estimate_sample").collect()
+    assert [r.rate_denom for r in rows] == _JSE_RATES
+    for row in rows:
+        assert row.exact == exact
+        assert row.estimated == est[row.rate_denom]
+        n = (row.estimated - exact) * 10**6
+        # engines truncate integer division toward zero; Python floors
+        assert row.err_ppm == (-((-n) // exact) if n < 0 else n // exact)
+    assert abs(rows[0].estimated - exact) / exact < 0.5
+
+
+def test_attribution_multitouch_replay(spark, sf_dir):
+    """Channel credits must match a pure-Python replay of the journey
+    semantics (strict pre-first-purchase boundary, (ts, event_id)
+    order, SCALE DIV n linear shares)."""
+    import duckdb
+
+    from kbrowse_spark.operators.analytics import _ATTR_SCALE
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_type, ts, event_id FROM"
+        f" '{sf_dir}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    first_purchase = {}
+    for u, et, ts, eid in ev:
+        if et == "purchase" and u not in first_purchase:
+            first_purchase[u] = ts
+    journeys: dict[int, list[str]] = {}
+    for u, et, ts, eid in ev:
+        if u in first_purchase and ts < first_purchase[u] and et != "purchase":
+            journeys.setdefault(u, []).append(et)
+    agg: dict[str, list[int]] = {}
+    for touches in journeys.values():
+        n = len(touches)
+        for i, ch in enumerate(touches):
+            e = agg.setdefault(ch, [0, 0, 0, 0])
+            e[0] += 1
+            if i == 0:
+                e[1] += 1
+            if i == n - 1:
+                e[2] += 1
+            e[3] += _ATTR_SCALE // n
+    rows = _q(spark, sf_dir, "attribution_multitouch").collect()
+    assert {r.channel for r in rows} == set(agg)
+    for r in rows:
+        assert [r.touches, r.first_touch, r.last_touch,
+                r.linear_credit_scaled] == agg[r.channel]
+
+
+def test_frequent_event_paths_replay(spark, sf_dir):
+    """Top journey prefixes and conversion counts must match a
+    pure-Python replay."""
+    import duckdb
+
+    from kbrowse_spark.operators.analytics import _PATH_LEN, _PATH_TOP
+
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_type FROM '{sf_dir}/events.parquet'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    seq: dict[int, list[str]] = {}
+    conv: dict[int, int] = {}
+    for u, et in ev:
+        seq.setdefault(u, []).append(et)
+        if et == "purchase":
+            conv[u] = 1
+    agg: dict[str, list[int]] = {}
+    for u, s in seq.items():
+        path = ">".join(s[:_PATH_LEN])
+        e = agg.setdefault(path, [0, 0])
+        e[0] += 1
+        e[1] += conv.get(u, 0)
+    exp = sorted(agg.items(), key=lambda kv: (-kv[1][0], kv[0]))[:_PATH_TOP]
+    rows = _q(spark, sf_dir, "frequent_event_paths").collect()
+    assert [(r.path, [r.n_users, r.n_converted]) for r in rows] == exp
+    for r in rows:
+        assert r.conv_ppm == 10**6 * r.n_converted // r.n_users

@@ -134,6 +134,28 @@ ALLOW = {
         "(<= |sources| rows by construction) + 1-row total/leftover "
         "attaches (pipeline_ops.py)"
     ),
+    # round 8 session 4
+    "freq_itemsets_apriori": (
+        "1-row basket-count attach at each minsup/lift site "
+        "(analytics.py)"
+    ),
+    "naive_bayes_langid": (
+        "model attach: 5-row lang totals + 1-row vocab/train counts "
+        "broadcast onto test tokens (text_analysis.py)"
+    ),
+    "decision_stump_histogram": (
+        "cumulative window over the fixed-width bin histogram "
+        "(<= 64 rows — domain-bounded, not corpus) + 1-row totals "
+        "attach (clustering.py)"
+    ),
+    "shard_rebalance_hrw": (
+        "constant 9-row node-table fan-out (HRW scores every node by "
+        "definition) + node-grain audit attaches (pipeline_ops.py)"
+    ),
+    "export_zonemap_prune": (
+        "constant 4-row predicate x 8-row zone-stat audit join "
+        "(both bounded by construction, pipeline_ops.py)"
+    ),
 }
 
 

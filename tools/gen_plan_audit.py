@@ -96,6 +96,18 @@ AUDIT = [
     ("linreg_normal_cramer", "one 9-number sufficient-stat aggregate; Cramer solve in-plan on 1 row"),
     ("pca_power_topvec", "X'(Xv) as projection + d-long agg per round; covariance never materialized"),
     ("ann_ivf_incremental_assign", "batch slice assign via centroid literals; no base-corpus shuffle"),
+    # round 8 session 4
+    ("freq_itemsets_apriori", "A-Priori pruned pair self-join within bounded baskets; supports broadcast"),
+    ("hits_hubs_authorities", "2 edge-keyed shuffles per round; 1-row MAX normalizer broadcast"),
+    ("naive_bayes_langid", "vocab-grain model broadcast onto exploded test tokens; combinable aggs"),
+    ("compression_ratio_quality", "narrow scan -> one Arrow codec stage, no shuffle"),
+    ("shard_rebalance_hrw", "9-row node fan-out + map-side-combinable per-doc MAX argmax"),
+    ("decision_stump_histogram", "one combinable histogram agg; split scoring over 64-row bin table"),
+    ("multimodal_png_extract", "narrow scan -> two chained Arrow codec stages, no shuffle"),
+    ("export_zonemap_prune", "zone-stat combinable agg; constant 8x4 audit broadcast; footer reads metadata-grain"),
+    ("join_size_estimate_sample", "one key-grain combinable agg carries exact + all 4 sampled estimates"),
+    ("attribution_multitouch", "single user-hash exchange: boundary join + window + channel agg"),
+    ("frequent_event_paths", "one user-hash exchange; path counting vocabulary-grain combinable"),
 ]
 
 

@@ -80,6 +80,17 @@ BROAD_OPS = [
     "linreg_normal_cramer",
     "pca_power_topvec",
     "ann_ivf_incremental_assign",
+    "freq_itemsets_apriori",
+    "hits_hubs_authorities",
+    "naive_bayes_langid",
+    "compression_ratio_quality",
+    "shard_rebalance_hrw",
+    "decision_stump_histogram",
+    "multimodal_png_extract",
+    "export_zonemap_prune",
+    "join_size_estimate_sample",
+    "attribution_multitouch",
+    "frequent_event_paths",
 ]
 DOC_SECTION = "## sf1 step"
 
@@ -191,6 +202,50 @@ NOTES = {
         "batch-sized narrow scan with centroid literals in the "
         "projection; base occupancy is one combinable aggregate — "
         "linear in batch + base, no retrain"
+    ),
+    "freq_itemsets_apriori": (
+        "pair explode is O(basket^2) per basket with bounded baskets; "
+        "supports broadcast; counts map-side-combinable — linear"
+    ),
+    "hits_hubs_authorities": (
+        "2 edge-keyed shuffles per round over the cached pair list; "
+        "rank tables node-sized — linear per round, like pagerank"
+    ),
+    "naive_bayes_langid": (
+        "vocab-grain model broadcast onto exploded test tokens; "
+        "constant 5x lang fan-out — linear in corpus"
+    ),
+    "compression_ratio_quality": (
+        "one Arrow round trip per batch; zlib per doc — "
+        "embarrassingly parallel, linear"
+    ),
+    "shard_rebalance_hrw": (
+        "constant 9x node fan-out + map-side-combinable MAX argmax; "
+        "audit is node-grain — linear"
+    ),
+    "decision_stump_histogram": (
+        "one combinable 64-bin histogram aggregate; split scoring on "
+        "the domain-bounded bin table — linear scan, constant rest"
+    ),
+    "multimodal_png_extract": (
+        "two chained Arrow codec stages (deflate per doc) — "
+        "embarrassingly parallel, linear"
+    ),
+    "export_zonemap_prune": (
+        "one real repartition-by-zone write + one combinable zone-stat "
+        "agg; footer reads metadata-grain — linear in data, constant audit"
+    ),
+    "join_size_estimate_sample": (
+        "one key-grain combinable aggregate + 1-row readout — linear "
+        "scan, constant estimator arithmetic"
+    ),
+    "attribution_multitouch": (
+        "one user-hash exchange (boundary join + window + agg); "
+        "channel grain is constant — linear"
+    ),
+    "frequent_event_paths": (
+        "one user-hash exchange; path counting is vocabulary-grain "
+        "combinable — linear"
     ),
 }
 
