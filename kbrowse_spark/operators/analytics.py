@@ -2465,3 +2465,119 @@ def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 frequent_event_paths.__doc__ = frequent_event_paths.__doc__.format(
     top=_PATH_TOP, n=_PATH_LEN
 )
+
+
+# ---------------------------------------------------------------------------
+# Ridge-regression hyperparameter sweep on SHARED sufficient statistics
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDAS = [0, 16, 256, 4096]
+
+
+def _ridge_solve_exprs(lam: int) -> dict[str, str]:
+    """Cramer readout for (X'X + lam*I) beta = X'y over the same
+    9-number sufficient-statistic columns as ``_linreg_solve_exprs``
+    (lam = 0 reproduces OLS exactly)."""
+    M = [
+        [f"(n + {lam})", "s1", "s2"],
+        ["s1", f"(s11 + {lam})", "s12"],
+        ["s2", "s12", f"(s22 + {lam})"],
+    ]
+    rhs = ["sy", "s1y", "s2y"]
+    det = _det3(M)
+    betas = {}
+    for j, name in enumerate(("beta_intercept", "beta_words", "beta_echars")):
+        Mj = [row[:] for row in M]
+        for r in range(3):
+            Mj[r][j] = rhs[r]
+        betas[name] = f"({_det3(Mj)}) / ({det})"
+    return {"det": det, **betas}
+
+
+def _ridge_oracle_sql() -> str:
+    arms = []
+    for lam in _RIDGE_LAMBDAS:
+        e = _ridge_solve_exprs(lam)
+        arms.append(
+            f"""SELECT CAST({lam} AS BIGINT) AS lam,
+                   {e['det']} AS det,
+                   {e['beta_intercept']} AS beta_intercept,
+                   {e['beta_words']} AS beta_words,
+                   {e['beta_echars']} AS beta_echars
+            FROM s"""
+        )
+    return f"""
+    WITH f AS ({_LINREG_FEATURES_SQL}),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+             CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+             CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+             CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS s2y
+      FROM f)
+    SELECT * FROM ({" UNION ALL ".join(arms)})
+    ORDER BY lam
+    """
+
+
+@register("ridge_lambda_sweep", _ridge_oracle_sql(), "ml")
+def ridge_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge-regression hyperparameter sweep where the sweep is FREE:
+    the corpus collapses once into the same 9-number exact-int64
+    sufficient statistic as ``linreg_normal_cramer``, then every
+    lambda's (X'X + lambda*I) Cramer solve is O(1) in-plan arithmetic
+    on that one row — the at-scale rule that hyperparameter search
+    over models linear in sufficient statistics costs ONE data pass
+    total, not one per candidate.  The lambda = 0 row reproduces the
+    OLS solution bit-for-bit (pinned by an invariant test); lambda
+    penalizes all three diagonal entries (intercept included — the
+    plain penalized-normal-equations form, stated here because
+    standardized ridge usually exempts the intercept).
+
+    Every per-lambda determinant expansion is GENERATED ONCE
+    (`_ridge_solve_exprs`) and compiled by both engines from the same
+    text — identical IEEE op order even past 2^53 (the _det3 rule).
+
+    Scale posture: one map-side-combined 9-long aggregate; the
+    4-lambda readout is 4 projections of the cached 1-row statistic.
+
+    Reference has no ML operators (SURVEY §2c extension).
+    """
+    d = load(spark, sf_dir, "documents")
+    f = d.select(
+        F.size(F.split("text", " ")).cast("long").alias("x1"),
+        (F.length("text") - F.length(F.regexp_replace("text", "e", "")))
+        .cast("long")
+        .alias("x2"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    s = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    ).cache()
+    arms = []
+    for lam in _RIDGE_LAMBDAS:
+        e = _ridge_solve_exprs(lam)
+        arms.append(
+            s.select(
+                F.lit(lam).cast("long").alias("lam"),
+                F.expr(e["det"]).alias("det"),
+                F.expr(e["beta_intercept"]).alias("beta_intercept"),
+                F.expr(e["beta_words"]).alias("beta_words"),
+                F.expr(e["beta_echars"]).alias("beta_echars"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("lam")

@@ -3049,3 +3049,198 @@ def join_nullsafe_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", a["bucket"].alias("bucket"), "n", "bucket_cents")
         .orderBy(F.col("event_type"), F.col("bucket").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter semi-join reduction, built from relational algebra
+# ---------------------------------------------------------------------------
+
+# Bloom sizing ladder: m_bits = smallest power of two >= 32 * n_keys
+# (k=2 hashes -> ~0.4% false positives at 32 bits/key), clamped to
+# [2^10, 2^24].  Pure integer CASE so both engines pick the same size.
+_BLOOM_MIN_P2, _BLOOM_MAX_P2 = 10, 24
+
+
+def _bloom_bits_case(n_col: str) -> str:
+    whens = " ".join(
+        f"WHEN 32 * {n_col} <= {1 << p} THEN {1 << p}"
+        for p in range(_BLOOM_MIN_P2, _BLOOM_MAX_P2)
+    )
+    return f"(CASE {whens} ELSE {1 << _BLOOM_MAX_P2} END)"
+
+
+# The two hash functions: independent md5 slices of the key.
+_BLOOM_H1 = "('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 12))::BIGINT"
+_BLOOM_H2 = "('0x' || substr(md5(CAST({k} AS VARCHAR)), 13, 12))::BIGINT"
+_BLOOM_H1_SPARK = (
+    "CAST(conv(substr(md5(CAST({k} AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+)
+_BLOOM_H2_SPARK = (
+    "CAST(conv(substr(md5(CAST({k} AS STRING)), 13, 12), 16, 10) AS BIGINT)"
+)
+
+
+@register(
+    "join_bloom_prefilter",
+    f"""
+    WITH dim AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST({_bloom_bits_case("COUNT(*)")} AS BIGINT) AS m
+           FROM dim),
+    bits AS (
+      SELECT ({_BLOOM_H1.format(k="k")}) % m AS p FROM dim CROSS JOIN nd
+      UNION ALL
+      SELECT ({_BLOOM_H2.format(k="k")}) % m FROM dim CROSS JOIN nd),
+    words AS (
+      SELECT p // 63 AS w,
+             CAST(bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS BIGINT) AS bw
+      FROM bits GROUP BY p // 63),
+    arr AS (
+      SELECT list(COALESCE(bw, 0) ORDER BY i) AS a
+      FROM (SELECT unnest(range(((SELECT m FROM nd) + 62) // 63)) AS i)
+      LEFT JOIN words ON w = i),
+    probe AS (
+      SELECT l.l_orderkey, l.l_returnflag, l.l_extendedprice,
+             ({_BLOOM_H1.format(k="l.l_orderkey")}) % nd.m AS p1,
+             ({_BLOOM_H2.format(k="l.l_orderkey")}) % nd.m AS p2
+      FROM lineitem l CROSS JOIN nd),
+    surv AS (
+      SELECT probe.* FROM probe CROSS JOIN arr
+      WHERE (arr.a[CAST(p1 // 63 AS INT) + 1]
+               & (1::BIGINT << CAST(p1 % 63 AS INT))) <> 0
+        AND (arr.a[CAST(p2 // 63 AS INT) + 1]
+               & (1::BIGINT << CAST(p2 % 63 AS INT))) <> 0),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_fact,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_bloom_pass),
+    joined AS (
+      SELECT s.l_returnflag, s.l_extendedprice
+      FROM surv s JOIN dim ON s.l_orderkey = dim.k)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           (SELECT n_fact FROM stats) AS n_fact,
+           (SELECT n_bloom_pass FROM stats) AS n_bloom_pass,
+           (SELECT m FROM nd) AS bloom_bits
+    FROM joined
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "join",
+    "pipeline",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction built from relational
+    algebra — the dim-side runtime filter Spark's own
+    InjectRuntimeFilter applies, re-expressed so the mechanism is
+    visible and measurable: the filtered dim side's keys (URGENT
+    orders) aggregate into an m-bit bloom (two md5-slice hashes,
+    ``bit_or`` over 63-bit words — bit 63 would overflow DuckDB's
+    checked shift — m from an integer sizing ladder of
+    ~32 bits/key), the bloom attaches to the fact scan as ONE
+    broadcast array-of-longs row, and only fact rows passing both bit
+    probes reach the real join.  Output: the exact per-flag join
+    aggregate (bit-identical with or without the bloom — no false
+    negatives by construction) plus the measured funnel (fact rows ->
+    bloom survivors) and the chosen m.
+
+    Because the hashes are md5 slices, even the bloom's FALSE
+    POSITIVES are deterministic: the DuckDB oracle recomputes the
+    identical filter, so n_bloom_pass is hash-verified, not just
+    bounded.
+
+    Scale posture: the dim aggregate is key-grain; the bloom is
+    m/8 bytes (sizing ladder keeps it ~4 bytes/key, clamped at 2 MiB)
+    broadcast once; the fact side is scanned ONCE with two in-plan
+    bit probes — at 100 TB this is the difference between shuffling
+    the full fact table into the join and shuffling only ~the matching
+    fraction (plus the deterministic ~0.4% FP tax measured here).
+
+    Reference has no join-strategy operators (SURVEY §2c extension).
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dim = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    nd = dim.agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(
+        "n", F.expr(_bloom_bits_case("n")).cast("long").alias("m")
+    )
+    h1d = _BLOOM_H1_SPARK.format(k="k")
+    h2d = _BLOOM_H2_SPARK.format(k="k")
+    bits = (
+        dim.crossJoin(F.broadcast(nd))
+        .selectExpr(f"({h1d}) % m AS p")
+        .unionAll(
+            dim.crossJoin(F.broadcast(nd)).selectExpr(f"({h2d}) % m AS p")
+        )
+    )
+    words = bits.groupBy(F.expr("p DIV 63").alias("w")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT)))")
+        .cast("long")
+        .alias("bw")
+    )
+    idx = nd.selectExpr(
+        "explode(sequence(0, CAST((m + 62) DIV 63 AS INT) - 1)) AS i"
+    )
+    arr = (
+        idx.join(words, idx["i"] == words["w"], "left")
+        .select("i", F.coalesce("bw", F.lit(0)).cast("long").alias("bw"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, bw))),"
+                " x -> x.bw)"
+            ).alias("a")
+        )
+    )
+    h1f = _BLOOM_H1_SPARK.format(k="l_orderkey")
+    h2f = _BLOOM_H2_SPARK.format(k="l_orderkey")
+    probe = (
+        li.select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .crossJoin(F.broadcast(nd))
+        .selectExpr(
+            "l_orderkey",
+            "l_returnflag",
+            "l_extendedprice",
+            f"({h1f}) % m AS p1",
+            f"({h2f}) % m AS p2",
+        )
+    )
+    bitset = (
+        "(element_at(a, CAST(p{i} DIV 63 AS INT) + 1)"
+        " & shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 63 AS INT))) <> 0"
+    )
+    surv = probe.crossJoin(F.broadcast(arr)).filter(
+        F.expr(bitset.format(i=1)) & F.expr(bitset.format(i=2))
+    )
+    n_fact = li.agg(F.count(F.lit(1)).cast("long").alias("n_fact"))
+    n_pass = surv.agg(F.count(F.lit(1)).cast("long").alias("n_bloom_pass"))
+    joined = surv.join(dim, surv["l_orderkey"] == dim["k"])
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(n_fact))
+        .crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(nd.select(F.col("m").alias("bloom_bits"))))
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "revenue_cents",
+            "n_fact",
+            "n_bloom_pass",
+            "bloom_bits",
+        )
+        .orderBy("l_returnflag")
+    )

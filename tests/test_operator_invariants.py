@@ -1341,3 +1341,75 @@ def test_frequent_event_paths_replay(spark, sf_dir):
     assert [(r.path, [r.n_users, r.n_converted]) for r in rows] == exp
     for r in rows:
         assert r.conv_ppm == 10**6 * r.n_converted // r.n_users
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """The bloom-prefiltered join must equal the plain join exactly
+    (no false negatives), and the measured funnel must actually prune:
+    true matches <= bloom survivors < all fact rows."""
+    from kbrowse_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: (r.n, r.cents)
+        for r in li.join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)")).alias(
+                "cents"
+            ),
+        )
+        .collect()
+    }
+    rows = _q(spark, sf_dir, "join_bloom_prefilter").collect()
+    assert {r.l_returnflag: (r.n_rows, r.revenue_cents) for r in rows} == plain
+    n_true = sum(n for n, _ in plain.values())
+    r0 = rows[0]
+    assert n_true <= r0.n_bloom_pass < r0.n_fact
+    # sizing ladder: at least 32 bits per dim key, power of two
+    n_dim = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert r0.bloom_bits >= min(32 * n_dim, 2**24)
+    assert r0.bloom_bits & (r0.bloom_bits - 1) == 0
+
+
+def test_ridge_lambda_zero_equals_ols_and_shrinks(spark, sf_dir):
+    """The lambda = 0 ridge row must reproduce linreg_normal_cramer
+    bit-for-bit, and slope magnitudes must shrink monotonically as
+    lambda grows (the defining ridge property); a numpy solve
+    cross-checks every lambda."""
+    import numpy as np
+
+    ols = _q(spark, sf_dir, "linreg_normal_cramer").collect()[0]
+    rows = _q(spark, sf_dir, "ridge_lambda_sweep").collect()
+    r0 = rows[0]
+    assert r0.lam == 0
+    assert (r0.beta_intercept, r0.beta_words, r0.beta_echars) == (
+        ols.beta_intercept,
+        ols.beta_words,
+        ols.beta_echars,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    f = con.execute(
+        f"""SELECT len(string_split(text, ' ')),
+                   len(text) - len(replace(text, 'e', '')), n_chars
+            FROM '{sf_dir}/documents.parquet'"""
+    ).fetchall()
+    X = np.array([[1.0, a, b] for a, b, _ in f])
+    y = np.array([c for _, _, c in f], dtype=float)
+    prev = None
+    for r in rows:
+        A = X.T @ X + r.lam * np.eye(3)
+        beta = np.linalg.solve(A, X.T @ y)
+        got = np.array([r.beta_intercept, r.beta_words, r.beta_echars])
+        assert np.allclose(got, beta, rtol=1e-7), (r.lam, got, beta)
+        norm = got[1] ** 2 + got[2] ** 2
+        if prev is not None:
+            assert norm <= prev + 1e-12
+        prev = norm

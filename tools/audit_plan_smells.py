@@ -156,6 +156,15 @@ ALLOW = {
         "constant 4-row predicate x 8-row zone-stat audit join "
         "(both bounded by construction, pipeline_ops.py)"
     ),
+    "join_bloom_prefilter": (
+        "1-row sizing attach + 1-row bloom-array attach + 1-row funnel "
+        "stats attach (the runtime-filter broadcast by design, "
+        "relational.py)"
+    ),
+    "ridge_lambda_sweep": (
+        "4 projections of the cached 1-row sufficient statistic "
+        "(analytics.py)"
+    ),
 }
 
 

@@ -108,6 +108,8 @@ AUDIT = [
     ("join_size_estimate_sample", "one key-grain combinable agg carries exact + all 4 sampled estimates"),
     ("attribution_multitouch", "single user-hash exchange: boundary join + window + channel agg"),
     ("frequent_event_paths", "one user-hash exchange; path counting vocabulary-grain combinable"),
+    ("join_bloom_prefilter", "bloom = bit_or agg broadcast once; fact scanned once with in-plan bit probes"),
+    ("ridge_lambda_sweep", "one 9-long aggregate; 4-lambda readout projects the cached 1-row stat"),
 ]
 
 

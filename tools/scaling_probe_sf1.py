@@ -91,6 +91,8 @@ BROAD_OPS = [
     "join_size_estimate_sample",
     "attribution_multitouch",
     "frequent_event_paths",
+    "join_bloom_prefilter",
+    "ridge_lambda_sweep",
 ]
 DOC_SECTION = "## sf1 step"
 
@@ -246,6 +248,14 @@ NOTES = {
     "frequent_event_paths": (
         "one user-hash exchange; path counting is vocabulary-grain "
         "combinable — linear"
+    ),
+    "join_bloom_prefilter": (
+        "key-grain bloom agg + one fact scan with in-plan bit probes "
+        "— linear both sides; bloom size follows the ladder"
+    ),
+    "ridge_lambda_sweep": (
+        "one combinable 9-long aggregate; per-lambda solve is O(1) on "
+        "the 1-row stat — linear scan, constant sweep"
     ),
 }
 
