@@ -2199,6 +2199,12 @@ def freq_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Plain (uncached) shared subtree ON PURPOSE: caching it was tried
+    # and made sf1 4-7x SLOWER (30 vs 7 s) — AQE cannot re-plan below
+    # an InMemoryRelation boundary, so the broadcast-join/coalesce
+    # choices around the pair self-join degrade.  The recomputed
+    # subtree is one broadcast join + distinct per consumer, all
+    # scan-bound, and the measured decade steps stay sub-linear.
     basket = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .select(F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item"))

@@ -887,7 +887,7 @@ def _nb_oracle() -> str:
     trw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM tr),
     cnt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
             FROM trw GROUP BY lang, w),
-    vocabn AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM trw),
+    vocabn AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cnt),
     tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY lang),
     tew AS (SELECT doc_id, lang AS labeled_lang, w,
                    CAST(COUNT(*) AS BIGINT) AS n
@@ -952,7 +952,10 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = trw.groupBy("lang", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    vocabn = trw.agg(F.countDistinct("w").cast("long").alias("v"))
+    # V from the (lang, w)-grain count table, NOT a second pass over
+    # the exploded corpus — cnt is vocabulary-sized (the sf10 probe
+    # measured the corpus-grain recount as most of a 4.9x decade step).
+    vocabn = cnt.agg(F.countDistinct("w").cast("long").alias("v"))
     tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("tot"))
     tew = (
         te.select(
