@@ -1708,3 +1708,214 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_user_days"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming first-seen detection with a cross-batch bloom sketch
+# ---------------------------------------------------------------------------
+
+_SB_M = 65536  # bloom bits
+_SB_WORDS = (_SB_M + 62) // 63  # 63-bit words (bit 63 overflows DuckDB)
+_SB_BATCHES = 3
+_SB_H1 = (
+    "CAST(conv(substr(md5(concat(CAST(user_id AS STRING), ':', event_type)),"
+    " 1, 12), 16, 10) AS BIGINT) % {m}"
+)
+_SB_H2 = (
+    "CAST(conv(substr(md5(concat(CAST(user_id AS STRING), ':', event_type)),"
+    " 13, 12), 16, 10) AS BIGINT) % {m}"
+)
+
+
+def _sb_oracle() -> str:
+    h1 = (
+        "('0x' || substr(md5(user_id::VARCHAR || ':' || event_type), 1, 12))"
+        f"::BIGINT % {_SB_M}"
+    )
+    h2 = (
+        "('0x' || substr(md5(user_id::VARCHAR || ':' || event_type), 13, 12))"
+        f"::BIGINT % {_SB_M}"
+    )
+    return f"""
+    WITH t AS (
+      SELECT event_id, user_id, event_type,
+             CAST(event_id % {_SB_BATCHES} AS INT) AS batch_id,
+             {h1} AS p1, {h2} AS p2
+      FROM events),
+    bits AS (
+      SELECT batch_id AS b, p1 AS p FROM t
+      UNION ALL SELECT batch_id, p2 FROM t),
+    firstb AS (
+      SELECT user_id, event_type, MIN(batch_id) AS fb
+      FROM t GROUP BY user_id, event_type)
+    SELECT t.event_id, t.batch_id,
+           CAST(CASE WHEN
+                  EXISTS (SELECT 1 FROM bits WHERE bits.b < t.batch_id
+                          AND bits.p = t.p1)
+              AND EXISTS (SELECT 1 FROM bits WHERE bits.b < t.batch_id
+                          AND bits.p = t.p2)
+                THEN 1 ELSE 0 END AS INT) AS seen_approx,
+           CAST(CASE WHEN f.fb < t.batch_id THEN 1 ELSE 0 END AS INT)
+             AS seen_exact
+    FROM t JOIN firstb f USING (user_id, event_type)
+    ORDER BY t.event_id
+    """
+
+
+@register("stream_bloom_firstseen", _sb_oracle(), "streaming", "dedup")
+def stream_bloom_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen detection with BOUNDED state: a
+    cross-micro-batch bloom sketch answers "has this (user, action)
+    pair appeared in any earlier batch?" — the approximate counterpart
+    of `stream_dedup_users`' exact stateful dedup, and the only shape
+    that survives unbounded key cardinality (the bloom is {m} bits
+    FOREVER, vs exact state growing with distinct keys; the price is a
+    deterministic false-positive rate, measured here against the exact
+    first-seen flag emitted alongside).
+
+    Mechanics: the events stream replays in {nb} deterministic
+    micro-batches (one staged file each, mtime-ordered,
+    maxFilesPerTrigger=1).  Inside foreachBatch the PRIOR batches'
+    bloom enters the batch plan as an array-of-longs literal (bit
+    probes are whole-stage-codegen expressions); the batch's own bits
+    aggregate via ``bit_or`` into <= {w} words and only that
+    sketch-sized row set reaches the driver (the kmeans/centroid
+    driver-footprint rule) to be OR-merged for the next batch.
+    Per-batch flagged rows land in an idempotent per-batch-id dir
+    (replay-safe, the foreachBatch exactly-once contract).
+
+    The md5-derived bit positions make even false positives
+    deterministic, so the DuckDB oracle replays the ENTIRE stream
+    bit-for-bit — seen_approx included.
+
+    Scale posture: per-batch cost is batch-sized (probe expressions
+    in-plan) plus a {w}-row combinable aggregate; the standing state
+    is one {m}-bit sketch regardless of history length.
+    """
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, "events")
+
+    # Per-invocation staging isolation + stale-sibling pruning (the
+    # stream_neardup_alerts rule).
+    root = "/tmp/kbrowse_bloom_stream"
+    try:
+        for entry in os.listdir(root):
+            parts = entry.split("-")
+            if len(parts) != 3 or not parts[1].isdigit():
+                continue
+            try:
+                os.kill(int(parts[1]), 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            except PermissionError:
+                pass
+    except OSError:
+        pass
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"{root}/{tag}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    src = f"{base}/src"
+    out = f"{base}/out"
+    os.makedirs(src, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
+
+    # Stage the {nb} batch files (event_id % {nb}), projected to the
+    # three columns the operator reads — harness machinery standing in
+    # for a real source's arrival order, not part of the data path.
+    table = pq.read_table(path, columns=["event_id", "user_id", "event_type"])
+    ids = table["event_id"].to_numpy()
+    for b in range(_SB_BATCHES):
+        f = os.path.join(src, f"batch-{b}.parquet")
+        pq.write_table(table.filter(ids % _SB_BATCHES == b), f)
+        t0 = 1_600_000_000 + 100 * b
+        os.utime(f, (t0, t0))
+
+    schema = "event_id long, user_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # source option: 1 file/batch
+        .parquet(src)
+    )
+
+    bloom = [0] * _SB_WORDS
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        arr = F.array(*[F.lit(int(w)) for w in bloom])
+        probed = batch_df.selectExpr(
+            "event_id",
+            "user_id",
+            "event_type",
+            f"({_SB_H1.format(m=_SB_M)}) AS p1",
+            f"({_SB_H2.format(m=_SB_M)}) AS p2",
+        ).withColumn("blm", arr)
+        hit = (
+            "(element_at(blm, CAST(p{i} DIV 63 AS INT) + 1)"
+            " & shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 63 AS INT))) <> 0"
+        )
+        flagged = probed.select(
+            "event_id",
+            F.lit(int(batch_id)).cast("int").alias("batch_id"),
+            (F.expr(hit.format(i=1)) & F.expr(hit.format(i=2)))
+            .cast("int")
+            .alias("seen_approx"),
+        )
+        flagged.write.mode("overwrite").parquet(f"{out}/b{batch_id}")
+        new_words = (
+            probed.selectExpr("p1 AS p")
+            .unionAll(probed.selectExpr("p2 AS p"))
+            .groupBy(F.expr("p DIV 63").alias("w"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(p % 63 AS INT)))"
+                ).alias("bw")
+            )
+            .collect()
+        )
+        for r in new_words:
+            bloom[int(r.w)] |= int(r.bw)
+
+    try:
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{base}/_checkpoint")
+            .start()
+        )
+        q.awaitTermination()
+        _record_stream_plan(q, "stream_bloom_firstseen")
+        dirs = [
+            f"{out}/{d}" for d in sorted(os.listdir(out)) if d.startswith("b")
+        ]
+        flags = spark.read.parquet(*dirs)
+        static = spark.read.parquet(path).selectExpr(
+            "event_id",
+            "user_id",
+            "event_type",
+            f"CAST(event_id % {_SB_BATCHES} AS INT) AS b",
+        )
+        firstb = static.groupBy("user_id", "event_type").agg(
+            F.min("b").alias("fb")
+        )
+        exact = static.join(firstb, ["user_id", "event_type"]).select(
+            "event_id",
+            (F.col("fb") < F.col("b")).cast("int").alias("seen_exact"),
+        )
+        return (
+            flags.join(exact, "event_id")
+            .select("event_id", "batch_id", "seen_approx", "seen_exact")
+            .orderBy("event_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+stream_bloom_firstseen.__doc__ = stream_bloom_firstseen.__doc__.format(
+    m=_SB_M, nb=_SB_BATCHES, w=_SB_WORDS
+)

@@ -1413,3 +1413,22 @@ def test_ridge_lambda_zero_equals_ols_and_shrinks(spark, sf_dir):
         if prev is not None:
             assert norm <= prev + 1e-12
         prev = norm
+
+
+def test_stream_bloom_firstseen_properties(spark, sf_dir):
+    """Bloom first-seen: no false negatives (approx=1 wherever
+    exact=1), batch 0 flags nothing, and the false-positive rate over
+    exact-unseen rows stays under 5% at the chosen sizing."""
+    rows = _q(spark, sf_dir, "stream_bloom_firstseen").collect()
+    assert rows
+    fp = fresh = 0
+    for r in rows:
+        if r.seen_exact:
+            assert r.seen_approx == 1, r  # bloom has no false negatives
+        if r.batch_id == 0:
+            assert r.seen_approx == 0 and r.seen_exact == 0
+        if not r.seen_exact:
+            fresh += 1
+            fp += r.seen_approx
+    assert fresh > 0
+    assert fp / fresh < 0.05, (fp, fresh)

@@ -93,6 +93,7 @@ BROAD_OPS = [
     "frequent_event_paths",
     "join_bloom_prefilter",
     "ridge_lambda_sweep",
+    "stream_bloom_firstseen",
 ]
 DOC_SECTION = "## sf1 step"
 
@@ -256,6 +257,11 @@ NOTES = {
     "ridge_lambda_sweep": (
         "one combinable 9-long aggregate; per-lambda solve is O(1) on "
         "the 1-row stat — linear scan, constant sweep"
+    ),
+    "stream_bloom_firstseen": (
+        "per-batch cost is batch-sized probes + a sketch-words "
+        "combinable aggregate; standing state is one fixed-size bloom "
+        "— linear in stream volume"
     ),
 }
 
