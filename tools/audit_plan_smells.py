@@ -165,6 +165,10 @@ ALLOW = {
         "4 projections of the cached 1-row sufficient statistic "
         "(analytics.py)"
     ),
+    "takedown_propagation": (
+        "1-row before/removed/after reconciliation attaches per table "
+        "(pipeline_ops.py)"
+    ),
 }
 
 

@@ -111,6 +111,7 @@ AUDIT = [
     ("join_bloom_prefilter", "bloom = bit_or agg broadcast once; fact scanned once with in-plan bit probes"),
     ("ridge_lambda_sweep", "one 9-long aggregate; 4-lambda readout projects the cached 1-row stat"),
     ("stream_bloom_firstseen", "per-batch in-plan bit probes vs literal sketch; bit_or agg to driver"),
+    ("takedown_propagation", "broadcast semi/anti per table; map-side-combinable counts, no corpus shuffle"),
 ]
 
 

@@ -94,6 +94,7 @@ BROAD_OPS = [
     "join_bloom_prefilter",
     "ridge_lambda_sweep",
     "stream_bloom_firstseen",
+    "takedown_propagation",
 ]
 DOC_SECTION = "## sf1 step"
 
@@ -262,6 +263,10 @@ NOTES = {
         "per-batch cost is batch-sized probes + a sketch-words "
         "combinable aggregate; standing state is one fixed-size bloom "
         "— linear in stream volume"
+    ),
+    "takedown_propagation": (
+        "one broadcast semi/anti join per table with combinable "
+        "counts — linear, no corpus shuffle"
     ),
 }
 
