@@ -1033,3 +1033,145 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (ratio margin over forward/backward kNN)
+# ---------------------------------------------------------------------------
+
+_BM_K = 4
+_BM_TOP = 40
+_BM_QBLOCK = 64  # source side: even vec_id below this bound (32 queries)
+
+
+def _bm_cos(a: str, b: str, dot, sqldot=None) -> str:
+    """Cosine from the exact fixed-point dots — identical expression
+    text in both engines, so every IEEE op (sqrt is correctly rounded)
+    lands bit-identically (the knn_bruteforce_cosine precedent)."""
+    d = dot
+    return (
+        f"({d(a, b)}) / (sqrt({d(a, a)}) * sqrt({d(b, b)}))"
+    )
+
+
+def _bm_sum4(prefix: str) -> str:
+    # Explicit left-to-right addition of the 4 ranked cosines: a SUM()
+    # aggregate over doubles is partial-order-dependent; this is not.
+    return f"(({prefix}1 + {prefix}2) + {prefix}3) + {prefix}4"
+
+
+def _bm_rank_case(i: int) -> str:
+    return f"MAX(CASE WHEN rn = {i} THEN cos END) AS c{i}"
+
+
+def _bm_oracle() -> str:
+    cos_fwd = _bm_cos("a.embedding", "b.embedding", _sql_dot)
+    ranked = ", ".join(_bm_rank_case(i) for i in range(1, _BM_K + 1))
+    return f"""
+    WITH src AS (SELECT vec_id AS qid, embedding FROM embeddings
+                 WHERE vec_id % 2 = 0 AND vec_id < {_BM_QBLOCK}),
+    tgt AS (SELECT vec_id AS tid, embedding FROM embeddings
+            WHERE vec_id % 2 = 1),
+    fwd AS (
+      SELECT a.qid, b.tid, {cos_fwd} AS cos
+      FROM src a CROSS JOIN tgt b),
+    fr AS (
+      SELECT qid, tid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, tid) AS rn
+      FROM fwd),
+    cand AS (SELECT qid, tid, cos FROM fr WHERE rn <= {_BM_K}),
+    fsum AS (
+      SELECT qid, {ranked} FROM fr WHERE rn <= {_BM_K} GROUP BY qid),
+    bwd AS (
+      SELECT f.tid, f.qid, f.cos,
+             row_number() OVER (PARTITION BY f.tid
+                                ORDER BY f.cos DESC, f.qid) AS rn
+      FROM fwd f
+      WHERE f.tid IN (SELECT DISTINCT tid FROM cand)),
+    bsum AS (
+      SELECT tid, {ranked} FROM bwd WHERE rn <= {_BM_K} GROUP BY tid)
+    SELECT c.qid, c.tid, c.cos AS cosine,
+           c.cos / ((({_bm_sum4("f.c")}) + ({_bm_sum4("b.c")}))
+                    / {2.0 * _BM_K}) AS margin
+    FROM cand c JOIN fsum f USING (qid) JOIN bsum b USING (tid)
+    ORDER BY margin DESC, c.qid, c.tid
+    LIMIT {_BM_TOP}
+    """
+
+
+@register("bitext_margin_mining", _bm_oracle(), "knn", "pipeline")
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the LASER/CCMatrix criterion): a
+    candidate pair (x, y) scores cos(x, y) divided by the MEAN of
+    x's forward k-NN cosines and y's backward k-NN cosines — raw
+    cosine retrieval over-accepts hubs (vectors near everything);
+    the ratio margin normalizes each side by its own neighborhood
+    density, which is what makes mined parallel corpora usable for
+    training.  Sides here are the even (source block, bounded) / odd
+    (target, corpus-scale) halves of the embedding table.
+
+    Determinism: cosines come from the exact fixed-point dot
+    (`_spark_dot`) through expression text shared with the oracle, so
+    every IEEE op including sqrt is bit-identical; the k-neighborhood
+    means avoid SUM()-over-doubles partial-order hazards by pivoting
+    the ranked cosines into columns and adding them in explicit
+    left-to-right text order (`_bm_sum4`).
+
+    Scale posture: the source block is the bounded broadcast query
+    set (the knn_batch_topk_join contract); the target side scales
+    out under one narrow scan; per-query top-k compiles to
+    WindowGroupLimit; the backward pass touches only candidate
+    targets (<= |block| * k rows) re-joined against the broadcast
+    block.  Production swaps the exact scan for the IVF/LSH index
+    (`ann_ivf_kmeans`/`embedding_neardup_lsh`) on BOTH directions.
+
+    Reference has no mining operators (SURVEY §2c extension).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    src = emb.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < _BM_QBLOCK)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tid"), F.col("embedding").alias("te")
+    )
+    from pyspark.sql import Window
+
+    cos = F.expr(_bm_cos("qe", "te", _spark_dot))
+    fwd = tgt.crossJoin(F.broadcast(src)).select(
+        "qid", "tid", cos.alias("cos")
+    )
+    w_f = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "tid")
+    fr = fwd.withColumn("rn", F.row_number().over(w_f)).filter(
+        F.col("rn") <= _BM_K
+    )
+    cand = fr.select("qid", "tid", "cos")
+    ranked = [
+        F.max(F.when(F.col("rn") == i, F.col("cos"))).alias(f"c{i}")
+        for i in range(1, _BM_K + 1)
+    ]
+    fsum = fr.groupBy("qid").agg(*ranked)
+    bwd_pool = fwd.join(
+        F.broadcast(cand.select("tid").distinct()), "tid"
+    )
+    w_b = Window.partitionBy("tid").orderBy(F.col("cos").desc(), "qid")
+    br = bwd_pool.withColumn("rn", F.row_number().over(w_b)).filter(
+        F.col("rn") <= _BM_K
+    )
+    bsum = br.groupBy("tid").agg(*ranked)
+    f_cols = fsum.select(
+        "qid", *[F.col(f"c{i}").alias(f"f{i}") for i in range(1, _BM_K + 1)]
+    )
+    b_cols = bsum.select(
+        "tid", *[F.col(f"c{i}").alias(f"b{i}") for i in range(1, _BM_K + 1)]
+    )
+    margin = F.expr(
+        f"cos / ((({_bm_sum4('f')}) + ({_bm_sum4('b')})) / {2.0 * _BM_K})"
+    )
+    return (
+        cand.join(F.broadcast(f_cols), "qid")
+        .join(F.broadcast(b_cols), "tid")
+        .select("qid", "tid", F.col("cos").alias("cosine"), margin.alias("margin"))
+        .orderBy(F.col("margin").desc(), "qid", "tid")
+        .limit(_BM_TOP)
+    )

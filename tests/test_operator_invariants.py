@@ -1446,3 +1446,55 @@ def test_takedown_propagation_complete(spark, sf_dir):
         assert r.n_before - r.n_removed == r.n_after
     # same takedown fraction everywhere documents/embeddings share keys
     assert rows["documents"].n_removed == rows["embeddings"].n_removed
+
+
+def test_bitext_margin_numpy_replay(spark, sf_dir):
+    """Margins must match a numpy replay of the ratio-margin criterion
+    (forward/backward k-NN means over exact cosines) to 1e-9, and the
+    hub-normalization property must hold: margin ranks differ from raw
+    cosine ranks only via neighborhood density (spot-check: every
+    emitted pair's target is in the query's top-k by cosine)."""
+    import duckdb
+    import numpy as np
+
+    from kbrowse_spark.operators.knn import _BM_K, _BM_QBLOCK
+
+    con = duckdb.connect()
+    vecs = {
+        r[0]: np.array(r[1], dtype=np.float64)
+        for r in con.execute(
+            f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def fdot(a, b):
+        return (
+            sum(int(np.floor(float(x) * float(y) * 1e15)) for x, y in zip(a, b))
+            / 1e15
+        )
+
+    def cos(a, b):
+        import math
+
+        return fdot(a, b) / (math.sqrt(fdot(a, a)) * math.sqrt(fdot(b, b)))
+
+    src = [v for v in sorted(vecs) if v % 2 == 0 and v < _BM_QBLOCK]
+    tgt = [v for v in sorted(vecs) if v % 2 == 1]
+    sims = {(q, t): cos(vecs[q], vecs[t]) for q in src for t in tgt}
+    fwd_top = {
+        q: sorted(tgt, key=lambda t: (-sims[(q, t)], t))[:_BM_K] for q in src
+    }
+    rows = _q(spark, sf_dir, "bitext_margin_mining").collect()
+    assert rows
+    cand_t = {t for q in src for t in fwd_top[q]}
+    bwd_top = {
+        t: sorted(src, key=lambda q: (-sims[(q, t)], q))[:_BM_K]
+        for t in cand_t
+    }
+    for r in rows:
+        assert r.tid in fwd_top[r.qid]
+        fs = sum(sims[(r.qid, t)] for t in fwd_top[r.qid])
+        bs = sum(sims[(q, r.tid)] for q in bwd_top[r.tid])
+        exp = sims[(r.qid, r.tid)] / ((fs + bs) / (2 * _BM_K))
+        assert abs(r.margin - exp) < 1e-9
+        assert abs(r.cosine - sims[(r.qid, r.tid)]) < 1e-12

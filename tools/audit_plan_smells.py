@@ -169,6 +169,11 @@ ALLOW = {
         "1-row before/removed/after reconciliation attaches per table "
         "(pipeline_ops.py)"
     ),
+    "bitext_margin_mining": (
+        "broadcast bounded source block x target scan (the ANN "
+        "query-block contract) + candidate/neighbor-sum broadcast "
+        "attaches (knn.py)"
+    ),
 }
 
 

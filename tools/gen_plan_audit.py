@@ -112,6 +112,7 @@ AUDIT = [
     ("ridge_lambda_sweep", "one 9-long aggregate; 4-lambda readout projects the cached 1-row stat"),
     ("stream_bloom_firstseen", "per-batch in-plan bit probes vs literal sketch; bit_or agg to driver"),
     ("takedown_propagation", "broadcast semi/anti per table; map-side-combinable counts, no corpus shuffle"),
+    ("bitext_margin_mining", "bounded source block broadcast; target scans once; WindowGroupLimit top-k"),
 ]
 
 

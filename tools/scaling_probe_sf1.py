@@ -95,6 +95,7 @@ BROAD_OPS = [
     "ridge_lambda_sweep",
     "stream_bloom_firstseen",
     "takedown_propagation",
+    "bitext_margin_mining",
 ]
 DOC_SECTION = "## sf1 step"
 
@@ -267,6 +268,10 @@ NOTES = {
     "takedown_propagation": (
         "one broadcast semi/anti join per table with combinable "
         "counts — linear, no corpus shuffle"
+    ),
+    "bitext_margin_mining": (
+        "bounded query block x corpus-linear target scan; backward "
+        "pass candidate-bounded — linear in target volume"
     ),
 }
 
