@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE compact (<2 KB) JSON line as the LAST stdout line: {"metric": ...,
+"value": total_sec, "unit": "sec", "queries": {name: sec},
+"contended": bool, "loadavg_1m": ..., "sf": ...}.  Full per-query
+detail (incl. spreads) goes to bench_detail.json + stderr — the
+driver's record keeps only a ~2 KB stdout tail.
 
 Queries are materialized through the noop sink (full execution, no
 driver-side row transfer) so the numbers measure engine throughput,
@@ -107,6 +110,12 @@ HEADLINE = [
     # two more plan families under bench watch.
     "freq_itemsets_apriori",
     "decision_stump_histogram",
+    # round 9: the deterministic log-linear quantile sketch (integer
+    # bucket agg + sketch-grain readout) and the bounded subsequence
+    # enumeration (nested-transform fan-out, no self-join) — the two
+    # new plan families under bench watch.
+    "quantile_ddsketch_chars",
+    "seq_pattern_triples",
 ]
 
 
@@ -128,10 +137,37 @@ def warm_pass(spark, qs, names, sf_dir: str, label: str) -> None:
             )
 
 
+def is_contended(
+    n_spread_gt2: int, n_queries: int, loadavg_1m: float, cpus: int
+) -> bool:
+    """A run is contended when EITHER within-run spread says so (>25%
+    of queries with max/min over 2x) OR the 1-minute load average was
+    already elevated when the run finished.  The r8 driver run proved
+    the spread metric alone cannot see BETWEEN-run neighbor load: three
+    identical-code runs spanned 37-53 s total with every within-run
+    spread < 2, and loadavg 2.35 recorded phantom 2.6x per-query
+    regressions as clean data.  cpus/8 (= 4 on the 32-cpu box) is well
+    above this box's idle load (~0.3) and well below the loadavg a
+    co-running Spark job produces (>8)."""
+    return n_spread_gt2 > n_queries / 4 or loadavg_1m > cpus / 8
+
+
 def main() -> int:
+    # Sample load BEFORE any Spark work: by the end of a run the
+    # 1-minute average reflects the bench's OWN 32-thread activity
+    # (measured 4.79 on an otherwise idle box), which would trip the
+    # contended flag on every run.  At process start it reflects the
+    # pre-existing neighbor load the flag is meant to detect.
+    loadavg_1m = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("kbrowse_bench")
+    # Input-size-aware shuffle sizing (session.py deployment rule):
+    # no-op at sf<=1 (floor = cpu count), scales past it so a bigger
+    # bench SF can't silently spill.
+    from kbrowse_spark.session import tune_for_input
+
+    tune_for_input(spark, sf_dir)
     qs = all_queries()
 
     # Warm the session (JVM/codegen/parquet footers/OS page cache)
@@ -185,29 +221,39 @@ def main() -> int:
 
     total = round(sum(times.values()), 3)
     n_contended = sum(1 for s in spreads.values() if s > 2.0)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "spread": spreads,
-                # >25% of queries with max/min spread over 2x = the box
-                # was under sustained neighbor load during the run.
-                "contended": n_contended > len(HEADLINE) / 4,
-                "n_spread_gt2": n_contended,
-                # Neighbor load is BETWEEN-run on this box (r8: three
-                # identical-code runs spanned 37-53 s total while every
-                # within-run spread stayed < 2) — record the 1-minute
-                # load average so cross-round comparisons can reject
-                # contaminated runs.
-                "loadavg_1m": round(os.getloadavg()[0], 2),
-                "runs_per_query": n_runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    summary = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "n_queries": len(times),
+        "contended": is_contended(n_contended, len(HEADLINE), loadavg_1m, cpus),
+        "n_spread_gt2": n_contended,
+        "loadavg_1m": loadavg_1m,
+        "runs_per_query": n_runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query detail (incl. the spread column) goes to a sidecar
+    # file + stderr; the driver's record keeps only a ~2 KB tail of
+    # stdout, and r1-r8 every BENCH_r*.json had "parsed": null because
+    # the spread dict pushed the single JSON line past that capture.
+    # The stdout line must stay compact AND be the LAST line printed.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "bench_detail.json")
     )
+    detail = dict(summary, spread=spreads)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail), file=sys.stderr)
+    line = json.dumps(summary)
+    if len(line) > 1900:
+        # Catalog growth safety valve: never exceed the driver's tail
+        # capture — drop the per-query dict (still in the sidecar).
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line)
     return 0
 
 

@@ -2560,17 +2560,27 @@ def ridge_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x2"),
         F.col("n_chars").cast("long").alias("y"),
     )
-    s = f.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x1").cast("long").alias("s1"),
-        F.sum("x2").cast("long").alias("s2"),
-        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
-        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
-        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
-    ).cache()
+    from kbrowse_spark.functions.cache_registry import cached
+
+    # Registry-keyed (not a bare .cache()): repeat invocations reuse
+    # one materialized 1-row statistic and invalidate() reclaims it
+    # (ADVICE r8).
+    s = cached(
+        spark,
+        sf_dir,
+        "ridge_suffstats",
+        lambda: f.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x1").cast("long").alias("s1"),
+            F.sum("x2").cast("long").alias("s2"),
+            F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+            F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+            F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+            F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+        ),
+    )
     arms = []
     for lam in _RIDGE_LAMBDAS:
         e = _ridge_solve_exprs(lam)
@@ -2587,3 +2597,97 @@ def ridge_lambda_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("lam")
+
+
+# ---------------------------------------------------------------------------
+# Bounded sequential-pattern mining (PrefixSpan-style support counting)
+
+_SEQ_WIN = 10   # events considered per user (prefix window)
+_SEQ_TOP = 20   # patterns reported
+
+
+@register(
+    "seq_pattern_triples",
+    f"""
+    WITH w AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    t AS (SELECT * FROM w WHERE rn <= {_SEQ_WIN}),
+    p AS (
+      SELECT DISTINCT a.user_id,
+             a.event_type || '>' || b.event_type || '>' || c.event_type
+               AS pattern
+      FROM t a
+      JOIN t b ON a.user_id = b.user_id AND a.rn < b.rn
+      JOIN t c ON b.user_id = c.user_id AND b.rn < c.rn)
+    SELECT pattern, CAST(COUNT(*) AS BIGINT) AS support
+    FROM p GROUP BY pattern
+    ORDER BY support DESC, pattern
+    LIMIT {_SEQ_TOP}
+    """,
+    "analytics",
+)
+def seq_pattern_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: the top-{top} length-3 SUBSEQUENCES
+    (gaps allowed — order, not adjacency) over each user's first
+    {win} events, with support = users containing the pattern.  The
+    full-sequential-pattern step past ``frequent_event_paths`` (which
+    counts contiguous prefixes only).
+
+    Design: PrefixSpan's projected-database recursion earns its keep
+    when patterns are long and sequences unbounded; with a bounded
+    window (K={win}) and fixed pattern length (3), DIRECT enumeration
+    is the better distributed plan — C(K,3) <= 120 candidate triples
+    per user, generated entirely inside one per-user array by a nested
+    ``transform``/``slice`` comprehension (JVM codegen, no self-join,
+    no extra shuffle).  The oracle intentionally uses the OTHER
+    formulation (a 3-way rn-inequality self-join), so the value hash
+    cross-checks two independent constructions.
+
+    Scale posture: one user-hash exchange builds the bounded per-user
+    array (window + groupBy share the partitioning); the triple
+    explode is a bounded 120x map-side fan-out; per-user DISTINCT +
+    support counting are one pattern-keyed exchange whose cardinality
+    is |event_types|^3 (vocabulary-grain), then a TOP-{top}
+    TakeOrderedAndProject.  Per-user state never exceeds K events —
+    skewed users are clipped by the window, not shuffled whole.
+
+    Reference has no sequence operators (SURVEY §2c extension).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (
+        e.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _SEQ_WIN)
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(rn, event_type))),"
+                " x -> x.event_type)"
+            ).alias("s")
+        )
+    )
+    pats = seqs.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "flatten(flatten(transform(s, (a, i) ->"
+                " transform(slice(s, i + 2, size(s)), (b, j) ->"
+                " transform(slice(s, i + j + 3, size(s)),"
+                " c -> concat(a, '>', b, '>', c))))))"
+            )
+        ).alias("pattern"),
+    ).distinct()
+    return (
+        pats.groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .orderBy(F.col("support").desc(), "pattern")
+        .limit(_SEQ_TOP)
+    )
+
+
+seq_pattern_triples.__doc__ = seq_pattern_triples.__doc__.format(
+    top=_SEQ_TOP, win=_SEQ_WIN
+)

@@ -1578,3 +1578,132 @@ def kmv_jaccard_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic log-linear quantile sketch (DDSketch-style)
+
+# Mergeable quantile sketch with a RELATIVE-error guarantee — the
+# quantile complement to the CMS/HLL/KMV sketch family above.  Design
+# choice (why not t-digest / KLL): both are randomized or merge-order-
+# dependent, which forfeits the exact cross-engine oracle this catalog
+# is built on.  A DDSketch-style log-linear histogram (Masson et al.,
+# VLDB 2019) is fully deterministic: bucket(v) depends only on v, the
+# sketch is a plain (group, bucket) -> count table (map-side
+# combinable, trivially mergeable across shards/days — union + sum),
+# and the quantile readout walks the cumulative counts.  Buckets here
+# are INTEGER log-linear: exponent e = floor(log2(v)) computed as
+# length(bin(v)) - 1 (exact integer text op in both engines — no libm,
+# so no boundary-ulp divergence), plus a 4-bit linear mantissa slice
+# (16 sub-buckets per octave), giving a guaranteed relative error of
+# at most 1/16 on the readout (est_lo <= true quantile < est_hi with
+# (est_hi - est_lo) / est_lo <= 1/16; pinned by an invariant test
+# against exact order statistics).
+_DDQ_SUB_BITS = 4
+_DDQ_QS = (50, 90, 99)
+
+
+def _ddq_bucket_sql(v: str, shift: str) -> str:
+    """Portable bucket id: e*16 + sub, as dialect-parametrized text.
+
+    ``shift`` is the 1<<e expression: ``shiftleft(CAST(1 AS BIGINT), {e})``
+    for Spark, ``(CAST(1 AS BIGINT) << ({e}))`` for DuckDB; integer
+    division is spelled ``div``/``//`` by the caller via {d}.
+    """
+    e = f"(length(bin({v})) - 1)"
+    return (
+        f"(({e}) * 16 + (({v} * 16) {{d}} {shift.format(e=e)}) - 16)"
+    )
+
+
+_DDQ_SPARK_BUCKET = _ddq_bucket_sql(
+    "n_chars", "shiftleft(CAST(1 AS BIGINT), {e})"
+).format(d="div")
+_DDQ_DUCK_BUCKET = _ddq_bucket_sql(
+    "n_chars", "(CAST(1 AS BIGINT) << ({e}))"
+).format(d="//")
+
+
+@register(
+    "quantile_ddsketch_chars",
+    f"""
+    WITH v AS (
+      SELECT lang, n_chars FROM documents WHERE n_chars >= 1),
+    sk AS (
+      SELECT lang, CAST({_DDQ_DUCK_BUCKET} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+    cum AS (
+      SELECT lang, bucket,
+             CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+                  AS BIGINT) AS cum
+      FROM sk),
+    qs AS (SELECT CAST(unnest([{', '.join(map(str, _DDQ_QS))}]) AS INT) AS q),
+    sel AS (
+      SELECT c.lang, q.q, MIN(c.bucket) AS bucket
+      FROM cum c JOIN tot t USING (lang) CROSS JOIN qs q
+      WHERE c.cum >= (q.q * t.n + 99) // 100
+      GROUP BY 1, 2)
+    SELECT lang, q, CAST(bucket AS BIGINT) AS bucket,
+           CAST(((16 + bucket % 16) * (CAST(1 AS BIGINT) << (bucket // 16)))
+                // 16 AS BIGINT) AS est_lo,
+           CAST(((17 + bucket % 16) * (CAST(1 AS BIGINT) << (bucket // 16)))
+                // 16 AS BIGINT) AS est_hi
+    FROM sel ORDER BY lang, q
+    """,
+    "sketch",
+    "analytics",
+)
+def quantile_ddsketch_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language p50/p90/p99 of document length through the
+    deterministic log-linear quantile sketch described above.
+
+    Plan: one narrow scan -> integer bucket expression (JVM codegen,
+    no libm) -> (lang, bucket) hash aggregate (map-side combined; the
+    SKETCH — at 100 TB this is the only corpus-sized pass and ships
+    ~|langs| x ~500 bucket rows per shard), then the readout runs
+    entirely at sketch grain: a cumulative window over <=500 buckets
+    per language and a 3-quantile probe join.  Merging day/shard
+    sketches is union + sum on the same key — no re-scan.
+
+    Reference has no sketch operators (SURVEY §2c extension).
+    """
+    v = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    sk = (
+        v.select("lang", F.expr(_DDQ_SPARK_BUCKET).cast("long").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = sk.groupBy("lang").agg(F.sum("cnt").cast("long").alias("n"))
+    cum = sk.select(
+        "lang",
+        "bucket",
+        F.sum("cnt")
+        .over(Window.partitionBy("lang").orderBy("bucket"))
+        .cast("long")
+        .alias("cum"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _DDQ_QS])).alias("q")
+    ).select(F.col("q").cast("int").alias("q"))
+    sel = (
+        cum.join(tot, "lang")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("lang", "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return sel.select(
+        "lang",
+        "q",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr(
+            "CAST((16 + bucket % 16) * shiftleft(CAST(1 AS BIGINT),"
+            " CAST(bucket div 16 AS INT)) div 16 AS BIGINT)"
+        ).alias("est_lo"),
+        F.expr(
+            "CAST((17 + bucket % 16) * shiftleft(CAST(1 AS BIGINT),"
+            " CAST(bucket div 16 AS INT)) div 16 AS BIGINT)"
+        ).alias("est_hi"),
+    ).orderBy("lang", "q")

@@ -507,6 +507,14 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         for old_rel in prev:
             old_rel.unpersist()
         prev = [ar, hr]
+    # The final round's two cached relations underpin the returned
+    # top-k and must outlive this builder — hand them to the registry
+    # so invalidate() reclaims them and repeat invocations don't pin
+    # one orphan pair per run (ADVICE r8).
+    from kbrowse_spark.functions.cache_registry import adopt
+
+    adopt(spark, sf_dir, "hits_final_ar", prev[0])
+    adopt(spark, sf_dir, "hits_final_hr", prev[1])
     top_s = (
         a.orderBy(F.col("a").desc(), "s")
         .limit(_HITS_TOP)

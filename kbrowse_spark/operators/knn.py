@@ -38,7 +38,7 @@ TOP_K = 10
 # within-bucket pair join grows quadratically — measured 17.4x for a
 # 10x data step.  The fix is the standard LSH scaling rule: grow bits
 # per band with log2(n) so expected occupancy stays ~constant.  The
-# signature is computed 24 bits wide once (a map-only stage, 24x64
+# signature is computed 32 bits wide once (a map-only stage, 32x64
 # multiply-adds per row, JVM codegen); the band width is chosen by an
 # integer CASE ladder over the corpus COUNT(*) — a 1-row broadcast
 # attach, no driver action, and integer comparisons so Spark and the
@@ -163,8 +163,8 @@ def _sql_signature_wide(col: str) -> str:
 
 def _neardup_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared cached signature table for the near-dup pair queries:
-    24-bit wide signature + norm, computed once per vector (both
-    queries substitute onto the same cache entry)."""
+    32-bit wide signature (planes 0..31) + norm, computed once per
+    vector (both queries substitute onto the same cache entry)."""
     from kbrowse_spark.functions.cache_registry import cached
 
     emb = load(spark, sf_dir, "embeddings")
@@ -426,6 +426,96 @@ def embedding_neardup_rerank_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.mapInPandas(rerank, schema="vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "neardup_lsh_pair_stats",
+    f"""
+    WITH nrow AS (SELECT COUNT(*) AS n_corpus FROM embeddings),
+    sig AS (
+      SELECT vec_id, {_sql_signature_wide('embedding')} AS signature
+      FROM embeddings),
+    banded AS (
+      SELECT vec_id, band,
+             {_band_val_case('signature', 'band', 'bpb')} AS band_val
+      FROM (SELECT s.*, {_bpb_case('n_corpus')} AS bpb
+            FROM sig s CROSS JOIN nrow)
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS band)),
+    bucket AS (
+      SELECT band, band_val, COUNT(*) AS m FROM banded GROUP BY 1, 2),
+    gross AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(MAX(m) AS BIGINT) AS max_bucket,
+             CAST(SUM((m * (m - 1)) // 2) AS BIGINT) AS pairs_gross
+      FROM bucket),
+    dist AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS pairs_distinct FROM (
+        SELECT DISTINCT a.vec_id, b.vec_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id))
+    SELECT CAST(n_corpus AS BIGINT) AS n_corpus,
+           CAST({_bpb_case('n_corpus')} AS BIGINT) AS bpb,
+           n_buckets, max_bucket, pairs_gross, pairs_distinct
+    FROM nrow CROSS JOIN gross CROSS JOIN dist
+    """,
+    "knn",
+    "dedup",
+    "invariant",
+)
+def neardup_lsh_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-volume instrumentation for the adaptive LSH band
+    ladder — the TESTED form of the scale claim behind
+    ``embedding_neardup_lsh``/``_rerank_np``.
+
+    One row per corpus: ``pairs_gross`` = sum over (band, band_val)
+    buckets of C(m, 2) — exactly the row count the banded self-join
+    produces before DISTINCT (the cost driver of the rerank) — plus the
+    post-DISTINCT pair count, bucket count, and max occupancy.  The
+    invariant (tests/test_lsh_invariant.py + tools/pair_growth_probe.py)
+    is that ``pairs_gross / n_corpus`` stays inside a bounded envelope
+    as the corpus grows a decade: the bpb ladder holds expected bucket
+    occupancy in [BAND_OCCUPANCY, 2*BAND_OCCUPANCY), so pair volume
+    oscillates around linear instead of growing quadratically (the
+    fixed-band failure mode measured at 17.4x/decade pre-r8).
+
+    Scale: two aggregations over the banded table plus one
+    bucket-blocked self-join — the same shuffle keys as the production
+    pair query; nothing funnels through the driver.
+    """
+    sig = _neardup_sig(spark, sf_dir)
+    banded = _neardup_banded(sig)
+    bucket = banded.groupBy("band", "band_val").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    gross = bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("m").cast("long").alias("max_bucket"),
+        F.sum(F.expr("(m * (m - 1)) div 2")).cast("long").alias("pairs_gross"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    dist = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("pairs_distinct"))
+    )
+    nrow = sig.agg(F.count(F.lit(1)).cast("long").alias("n_corpus")).withColumn(
+        "bpb", F.expr(_bpb_case("n_corpus")).cast("long")
+    )
+    return (
+        nrow.crossJoin(gross)
+        .crossJoin(dist)
+        .select(
+            "n_corpus", "bpb", "n_buckets", "max_bucket",
+            "pairs_gross", "pairs_distinct",
+        )
     )
 
 

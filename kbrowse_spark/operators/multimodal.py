@@ -6,10 +6,14 @@ routing on the metadata (JVM-side), and run decode/feature-extraction
 as Arrow-batched ``mapInPandas`` over only the rows that survive the
 metadata filters.
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic stub (`_fake_decode`); the Spark-side
-plumbing — schema, batching, partition behavior — is real and tested.
-The fixture carrier is ``documents.text`` encoded to UTF-8 bytes.
+The container has no image/audio *libraries*, so the codecs here are
+real from-scratch parsers/writers for self-describing formats (BMP,
+WAVE, AVI idx1, WARC, PNG via zlib) running as Arrow-batched
+``mapInPandas`` stages; the Spark-side plumbing — schema, batching,
+partition behavior — is tested, and each codec is cross-checked
+against an independent oracle reconstruction (adversarial random
+corpora in tests/test_multimodal_random.py).  The fixture carrier is
+``documents.text`` encoded to UTF-8 bytes.
 """
 
 from __future__ import annotations
@@ -591,7 +595,9 @@ _VIDEO_SCHEMA = (
              string_agg(substr(p.padded,
                                CAST(g.i * {_VID_FRAME} + 1 AS BIGINT),
                                {_VID_FRAME}), '' ORDER BY g.i) AS sampled
-      FROM p, (SELECT unnest(generate_series(0, 100000, {_VID_STEP})) AS i) g
+      FROM p, (SELECT unnest(generate_series(
+                 0, (SELECT CAST(MAX(nf) AS BIGINT) FROM c), {_VID_STEP}))
+               AS i) g
       WHERE g.i < p.nf
       GROUP BY p.doc_id, p.nf)
     SELECT doc_id,

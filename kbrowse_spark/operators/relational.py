@@ -1443,9 +1443,15 @@ def scalar_string_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decimal order of magnitude coarser than the worst observed
 # cross-engine disagreement (~2e-16 relative, measured over the whole
 # fixture in r8) — via each engine's own printf family, which produce
-# byte-identical strings for every fixture cell.  A future fixture cell
-# sitting exactly on a 12-digit rounding boundary would fail the hash
-# loudly (not silently), at which point the format widens.
+# byte-identical strings for every fixture cell.  The formatters also
+# ROUND differently at exact midpoints (Java HALF_UP vs C half-even),
+# so the contract additionally requires every cell to sit well clear of
+# a 12-digit rounding boundary — pinned by
+# tests/test_operator_invariants.py::
+# test_transcendental_format_boundary_margin, which asserts >=~45 ulps
+# of midpoint margin for every fixture cell at both the test and
+# driver-gate SFs; a future boundary-hugging cell fails THAT test
+# loudly (naming the cell) before the driver's hash can.
 _TRANSCENDENTAL_EXPRS = {
     "size_sq": "pow(CAST(p_size AS DOUBLE), 2.0)",
     "ln_price": "ln(p_retailprice)",

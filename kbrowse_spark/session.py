@@ -17,6 +17,50 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Input-size-aware shuffle sizing (the deployment rule, promoted from
+# the sf10 scaling probe per VERDICT r8 #3): a shuffle partition should
+# hold a ROUGHLY FIXED volume of input regardless of corpus size, so
+# growing the data can never silently turn an in-memory shuffle into a
+# spilling one.  8 MiB of on-disk parquet per partition (~3-5x that in
+# memory after decompression) keeps partitions comfortably inside a
+# local[32] thread's share of the heap; a real cluster deployment would
+# raise the target to ~128 MiB per core-slot and let AQE coalesce the
+# small tail.  Measured effect: dedup_prefix_filter_join's sf1->sf10
+# step went 5.5x -> 2.9x when partitions scaled 32 -> 128+ instead of
+# staying pinned at the cpu count.
+_TARGET_PARTITION_BYTES = 8 * 1024 * 1024
+_MAX_SHUFFLE_PARTITIONS = 4096
+
+
+def shuffle_partitions_for(input_bytes: int, cpus: int = DEFAULT_CPUS) -> int:
+    """Partitions for ``input_bytes`` of on-disk input: floor at the
+    parallelism actually available, grow linearly with data, cap at
+    4096 (AQE coalesces any over-split tail at runtime)."""
+    by_bytes = -(-input_bytes // _TARGET_PARTITION_BYTES)  # ceil
+    return max(cpus, min(_MAX_SHUFFLE_PARTITIONS, by_bytes))
+
+
+def dir_bytes(path: str) -> int:
+    """Total on-disk bytes under ``path`` (parquet dirs or files)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def tune_for_input(spark: SparkSession, sf_dir: str) -> int:
+    """Apply the input-size-aware shuffle sizing to a live session for
+    queries over ``sf_dir``; returns the partition count chosen.
+    ``spark.sql.shuffle.partitions`` is a runtime conf read at planning
+    time, so this takes effect for every subsequently-built plan."""
+    n = shuffle_partitions_for(dir_bytes(sf_dir))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
+
 
 def get_spark(
     app_name: str = "kbrowse_spark",

@@ -46,7 +46,12 @@ def write_sized_parquet(
       actual row count is collected DURING the write action (zero
       extra jobs) and a >2x deviation raises a warning: at 100 TB a
       stale estimate silently writes 10 GB or 10 KB files, and the
-      observation is the free way to catch it.
+      observation is the free way to catch it.  The observation sits
+      ABOVE the range exchange: ``repartitionByRange`` runs an extra
+      range-boundary SAMPLING job over its child, so a CollectMetrics
+      below the exchange is executed twice and reports ~2x the true
+      count (ADVICE r8) — above it, only the write job traverses the
+      node and the count is exact.
     """
     from pyspark.sql import functions as F
 
@@ -54,8 +59,8 @@ def write_sized_parquet(
     shards = max(1, math.ceil(total / max(1, target_rows_per_file)))
     obs = Observation()
     writer = (
-        df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
-        .repartitionByRange(shards, sort_col)
+        df.repartitionByRange(shards, sort_col)
+        .observe(obs, F.count(F.lit(1)).alias("n_rows"))
         .sortWithinPartitions(sort_col)
         .write.option("maxRecordsPerFile", target_rows_per_file)
         .mode("overwrite")

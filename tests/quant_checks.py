@@ -1,23 +1,24 @@
 """Quantitative checks for catalog queries that have no SQL oracle.
 
-Seven queries are rows-only by design — approx sketches (HLL,
-t-digest), libm transcendentals, JSON rendering, and the two honest
-stub-inference plans.  Each still admits a strong check short of exact
-value hashing:
+Five queries are quantitative-by-design — the approx sketches whose
+estimates are engine-specific (``approx_distinct_parts``,
+``sketch_hll_rollup_merge``, ``approx_percentile_prices``) and the two
+deflate-dependent codecs whose byte streams depend on the zlib build
+(``compression_ratio_quality``, ``multimodal_png_extract``).  (Earlier
+rounds also listed libm transcendentals and JSON rendering here; both
+were upgraded to exact oracles — integer-scaled formatting and parsed
+round-trip comparison respectively.)  Each still admits a strong
+value-level check short of exact hashing:
 
 * HLL estimates — within a relative tolerance of the exact
   ``COUNT(DISTINCT …)`` computed by DuckDB on the same parquet;
 * ``percentile_approx`` — the returned value's RANK inside its group
   must sit within the sketch's documented rank-error bound of the
   target quantile (computed against DuckDB order statistics);
-* transcendentals — per-cell comparison against DuckDB's libm within a
-  1e-12 relative tolerance (≈ last-few-ulps; exactly the divergence
-  that makes them unfit for hash equality);
-* JSON round-trip — re-parse the rendered text and compare the parsed
-  fields against the source rows from DuckDB (render spacing differs
-  across engines; parsed VALUES must not);
-* stub inference — exact schema/shape invariants plus determinism
-  (two independent builds collect to identical canonical rows).
+* deflate codecs — decompress/re-parse the produced bytes and compare
+  the recovered CONTENT exactly against DuckDB-side source text
+  (compressed byte streams differ across zlib builds; payloads must
+  not), plus determinism (two independent builds collect identically).
 
 Registered per query name in ``CHECKS``; ``tests/oracle_check.compare``
 consults this for every ``oracle=None`` query, so a passing run means

@@ -28,6 +28,60 @@ def test_warm_pass_names_failing_query(capsys):
     assert "warm pass failed" in err
 
 
+def test_contended_flag_sees_between_run_load():
+    """VERDICT r8 #3: within-run spread provably cannot see BETWEEN-run
+    neighbor load, so an elevated 1-minute loadavg alone must flip the
+    flag (the r8 driver run: loadavg 2.35 -> borderline but spreads
+    clean recorded phantom 2.6x regressions; threshold cpus/8 = 4)."""
+    # idle box, clean spreads -> not contended
+    assert not bench.is_contended(0, 43, 0.3, 32)
+    # loaded box, clean spreads -> contended (the r8 failure mode)
+    assert bench.is_contended(0, 43, 4.5, 32)
+    # idle loadavg but >25% of queries spread>2 -> contended
+    assert bench.is_contended(12, 43, 0.3, 32)
+    assert not bench.is_contended(10, 43, 0.3, 32)
+    # boundary: exactly cpus/8 does not fire (strict >)
+    assert not bench.is_contended(0, 43, 4.0, 32)
+
+
+def test_stdout_summary_line_fits_driver_tail_capture():
+    """The driver records a ~2 KB stdout tail; r1-r8 every
+    BENCH_r*.json had parsed:null because the line outgrew it.  The
+    summary with the CURRENT headline set (worst-case 9.999s values)
+    must serialize under 1900 bytes — and the safety valve drops the
+    per-query dict rather than ever exceeding it."""
+    import json
+
+    times = {n: 9.999 for n in bench.HEADLINE}
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "n_queries": len(times),
+        "contended": False,
+        "n_spread_gt2": 0,
+        "loadavg_1m": 0.25,
+        "runs_per_query": 3,
+        "sf": 0.1,
+    }
+    assert len(json.dumps(summary)) < 1900
+
+
+def test_input_size_aware_shuffle_partitions():
+    """session.py deployment rule (VERDICT r8 #3): partitions floor at
+    the cpu count, grow linearly with input bytes (8 MiB/partition),
+    cap at 4096 for AQE to coalesce."""
+    from kbrowse_spark.session import shuffle_partitions_for
+
+    mib = 1024 * 1024
+    assert shuffle_partitions_for(17 * mib, cpus=32) == 32  # sf0.1
+    assert shuffle_partitions_for(118 * mib, cpus=32) == 32  # sf1: floor
+    assert shuffle_partitions_for(1132 * mib, cpus=32) == 142  # sf10
+    assert shuffle_partitions_for(10**14, cpus=32) == 4096  # 100 TB: cap
+    assert shuffle_partitions_for(0, cpus=32) == 32
+
+
 def test_headline_queries_all_registered():
     from kbrowse_spark.catalog import all_queries
 

@@ -1498,3 +1498,78 @@ def test_bitext_margin_numpy_replay(spark, sf_dir):
         exp = sims[(r.qid, r.tid)] / ((fs + bs) / (2 * _BM_K))
         assert abs(r.margin - exp) < 1e-9
         assert abs(r.cosine - sims[(r.qid, r.tid)]) < 1e-12
+
+
+def test_transcendental_format_boundary_margin(spark, sf_dir):
+    """The scalar_transcendental hash contract formats libm doubles to
+    12 significant digits via each engine's printf family — which
+    round differently at EXACT midpoints (Java HALF_UP vs C
+    half-even), and a value within ~1 ulp of a 12-digit boundary could
+    format differently if the two engines' libm results straddle it
+    (ADVICE r8).  This pins the contract's safety on the actual
+    fixture: every cell's exact binary value must sit at least ~45
+    double-ulps (margin 1e-3 in units of the 12th significant digit;
+    1 ulp ~ 2.2e-5 in those units) away from the nearest rounding
+    midpoint, so no last-ulp cross-engine disagreement can flip the
+    string.  If a future fixture lands near a boundary this fails
+    loudly with the offending value — widen the format then."""
+    from decimal import Decimal
+
+    from kbrowse_spark.operators.relational import _TRANSCENDENTAL_EXPRS
+    from kbrowse_spark.sources.tables import load
+
+    raw = []
+    for d in {sf_dir, "/root/testdata/sf0.01"}:  # incl. the driver's gate SF
+        p = load(spark, d, "part").filter(F.col("p_partkey") < 100)
+        raw += p.selectExpr(
+            "p_partkey",
+            *[f"{e} AS {k}" for k, e in _TRANSCENDENTAL_EXPRS.items()],
+        ).collect()
+    assert raw
+    checked = 0
+    for r in raw:
+        for k in _TRANSCENDENTAL_EXPRS:
+            v = r[k]
+            if v == 0.0:
+                continue
+            d = abs(Decimal(v))          # exact binary expansion
+            scaled = d.scaleb(11 - d.adjusted())  # 12 sig digits as int part
+            frac = scaled - int(scaled)
+            margin = abs(float(frac) - 0.5)
+            assert margin > 1e-3, (
+                f"{k} p_partkey={r.p_partkey}: value {v!r} is within "
+                f"{margin:.2e} of a 12-sig-digit rounding midpoint — the "
+                f"%.11e hash contract is no longer ulp-safe for this cell"
+            )
+            checked += 1
+    assert checked > 100
+
+
+def test_ddsketch_quantile_error_guarantee(spark, sf_dir):
+    """The log-linear sketch's readout must CONTAIN the exact order
+    statistic: est_lo <= true-quantile < est_hi for every (lang, q),
+    with bucket width bounded by ~1/16 relative — the DDSketch-style
+    guarantee the operator's docstring claims."""
+    from kbrowse_spark.sources.tables import load
+
+    rows = _q(spark, sf_dir, "quantile_ddsketch_chars").collect()
+    assert rows
+    vals: dict[str, list[int]] = {}
+    for r in (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 1)
+        .select("lang", "n_chars")
+        .collect()
+    ):
+        vals.setdefault(r.lang, []).append(r.n_chars)
+    for v in vals.values():
+        v.sort()
+    seen = set()
+    for r in rows:
+        n = len(vals[r.lang])
+        rank = (r.q * n + 99) // 100  # ceil(q*n/100), 1-based
+        true = vals[r.lang][rank - 1]
+        assert r.est_lo <= true < r.est_hi, (r, true)
+        assert r.est_hi - r.est_lo <= r.est_lo // 16 + 2, r
+        seen.add((r.lang, r.q))
+    assert len(seen) == len(vals) * 3

@@ -827,6 +827,20 @@ def test_write_sized_parquet_estimate_audit(spark, sf_dir, tmp_path):
         )
         hits = [c for c in caught if "approx_total_rows" in str(c.message)]
         assert hits and "2x-off estimate" in str(hits[0].message)
+        # The observed count must be EXACT (ADVICE r8: an observation
+        # below the range exchange is re-executed by the boundary
+        # sampling pass and reads ~2x the true count).
+        assert f"observed {n} rows" in str(hits[0].message)
+
+    # Estimates >2x too HIGH must flag too (the old below-exchange
+    # placement made actual/total look like 2n/3n and never fired).
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        write_sized_parquet(
+            docs, str(tmp_path / "high"), sort_col="doc_id",
+            target_rows_per_file=100, approx_total_rows=3 * n,
+        )
+        assert [c for c in caught if "approx_total_rows" in str(c.message)]
 
 
 def test_udf_queries_survive_bare_worker_pythonpath(tmp_path):

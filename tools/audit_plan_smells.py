@@ -55,6 +55,10 @@ ALLOW = {
     # 1-row broadcast so the bits-per-band CASE ladder is in-plan.
     "embedding_neardup_lsh": "1-row corpus-count attach (adaptive band width)",
     "embedding_neardup_rerank_np": "1-row corpus-count attach (adaptive band width)",
+    # r9 instrumentation/sketch readouts: every cross side is a 1-row
+    # aggregate or a literal <=3-row probe table by construction.
+    "neardup_lsh_pair_stats": "1-row corpus/gross/distinct aggregate attaches",
+    "quantile_ddsketch_chars": "3-row literal quantile-probe attach",
     # Iterative BPE: each round's argmax merge rule is a 1-row
     # broadcast attach (in-plan pair selection, no driver collect).
     "bpe_train_merges": "1-row argmax merge-rule attach per round",

@@ -118,9 +118,13 @@ NOTES = {
     ),
     "embedding_neardup_rerank_np": (
         "sub-linear AFTER the r8 adaptive band width (was 17.4x at "
-        "fixed 4-bit bands: 32 buckets total means occupancy grows "
-        "linearly and candidate pairs quadratically; bits-per-band now "
-        "follow an integer log2(n/64) ladder so occupancy stays flat)"
+        "fixed 4-bit bands; the ladder keeps occupancy flat).  The "
+        "sf1->sf10 step is EXPLAINED by measured candidate volume "
+        "(neardup_lsh_pair_stats, r9): pairs/row oscillates 31-73 "
+        "across 2.5 decades (51.5 at sf1 -> 72.8 at sf10, i.e. 14.1x "
+        "pairs for 10x rows this decade, swinging back as the ladder "
+        "adds a bit at n~2.1M) — bounded envelope pinned by "
+        "tests/test_lsh_invariant.py on pair COUNTS, not wall-clock"
     ),
     "cms_heavy_hitters": (
         "count-min sketch is a fixed-width agg over exploded tokens; "
@@ -273,10 +277,35 @@ NOTES = {
         "bounded query block x corpus-linear target scan; backward "
         "pass candidate-bounded — linear in target volume"
     ),
+    "quantile_ddsketch_chars": (
+        "integer log-linear bucket expression + (lang, bucket) "
+        "map-side-combinable agg is the only corpus pass; readout is "
+        "sketch-grain (<=500 buckets/lang) — linear scan, constant "
+        "readout"
+    ),
+    "seq_pattern_triples": (
+        "one user-hash exchange builds the K-bounded per-user array; "
+        "<=C(10,3)=120 triples/user generated in-plan (nested "
+        "transform, no self-join); support count is vocabulary-grain "
+        "— linear in users"
+    ),
+    "neardup_lsh_pair_stats": (
+        "same banded shuffle keys as the production pair query; two "
+        "sketch-grain aggregates + the bucket-blocked DISTINCT join "
+        "— tracks the rerank family's candidate volume by design"
+    ),
 }
 
 
 def _bench(spark, qs, name: str, sf: str, n_runs: int) -> tuple[float, float]:
+    # Untimed re-warm IMMEDIATELY before the timed block: the global
+    # warm pass ran long ago by the time later ops/SFs are sampled, and
+    # shared cached subtrees (e.g. the neardup signature table) may
+    # have been evicted since — without this the first timed sample
+    # pays re-materialization and reads as a fake 3x spread (r9: the
+    # rerank_np sf10 spread was 3.6 probe-order-dependent vs 1.13
+    # measured steady-state in a focused 6-sample run).
+    qs[name].builder(spark, sf).write.format("noop").mode("overwrite").save()
     samples = []
     for _ in range(n_runs):
         t0 = time.perf_counter()

@@ -62,16 +62,22 @@ def main() -> None:
                 f"missing {d}: run tools/make_bigsf.py "
                 f"[{'100 .localdata/sf10' if d.endswith('sf10') else '10'}] first"
             )
-    # The deployment rule (session.py docstring): shuffle partitions
-    # sized so a partition fits executor memory — at sf10 the bench
-    # default of 32 means 60M-row shuffles spill, which reads as a
-    # fake super-linear step.  128 partitions is the same data per
-    # partition as 32 at sf1 — i.e. what any real deployment config
-    # would set, not a benchmark cheat.
-    spark = get_spark(
-        "scaling_probe_sf10",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SF10_PARTS", "128")),
-    )
+    # The deployment rule now lives in the engine (session.py
+    # tune_for_input, promoted from this probe per VERDICT r8 #3):
+    # shuffle partitions scale with input bytes so a partition's
+    # volume stays fixed as the corpus grows — at sf10 a static 32
+    # means 60M-row shuffles spill, which reads as a fake super-linear
+    # step.  SPARK_GRAFT_SF10_PARTS remains as a manual override for
+    # experiments only.
+    spark = get_spark("scaling_probe_sf10")
+    override = os.environ.get("SPARK_GRAFT_SF10_PARTS")
+    if override:
+        spark.conf.set("spark.sql.shuffle.partitions", override)
+    else:
+        from kbrowse_spark.session import tune_for_input
+
+        n_parts = tune_for_input(spark, SF10)
+        print(f"shuffle partitions (input-size rule, sf10): {n_parts}")
     qs = all_queries()
     n_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "2"))
     ops = [a for a in sys.argv[1:] if not a.startswith("-")] or OPS10
