@@ -116,6 +116,9 @@ HEADLINE = [
     # new plan families under bench watch.
     "quantile_ddsketch_chars",
     "seq_pattern_triples",
+    # round 9 second wave: the windowed-adjacency blocking self-join
+    # (rank-range join per pass — the sorted-neighborhood family).
+    "linkage_sorted_neighborhood",
 ]
 
 

@@ -1707,3 +1707,124 @@ def quantile_ddsketch_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(bucket div 16 AS INT)) div 16 AS BIGINT)"
         ).alias("est_hi"),
     ).orderBy("lang", "q")
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) second-moment sketch
+
+# F2 = sum of squared token frequencies — the self-join size / skew
+# statistic (a vocabulary with F2 >> F1 has heavy hitters; equi-join
+# output on the token key is exactly F2).  The AMS tug-of-war sketch
+# estimates it in O(k) space: k independent +-1 hash functions, each
+# estimator is (sum over tokens of sign_j(token) * freq)^2, and the
+# median of the k estimators concentrates around F2.  Signs here are
+# md5-derived (parity of the first hex digit of md5(token|j)) — fully
+# deterministic, so Spark and DuckDB compute the SAME sketch and the
+# estimate itself is exact-oracle-verifiable; f2_exact rides along so
+# the sketch's error is visible (and invariant-tested) per group.
+_AMS_K = 9
+
+
+def _ams_sign(dialect: str, tok: str, j: str) -> str:
+    """+-1 from the parity of md5(token|estimator)'s first hex digit."""
+    if dialect == "spark":
+        par = f"CAST(conv(substr(md5(concat({tok}, '|', {j})), 1, 1), 16, 10) AS INT) % 2"
+    else:
+        par = f"('0x' || substr(md5({tok} || '|' || {j}), 1, 1))::INT % 2"
+    return f"(CASE WHEN {par} = 1 THEN 1 ELSE -1 END)"
+
+
+@register(
+    "f2_ams_sketch",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents),
+    freq AS (
+      SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok WHERE t <> '' GROUP BY 1, 2),
+    exact AS (
+      SELECT lang, CAST(SUM(f * f) AS BIGINT) AS f2_exact
+      FROM freq GROUP BY 1),
+    est AS (
+      SELECT lang, j.j,
+             CAST(SUM({_ams_sign('duck', 't', 'j.j')} * f) AS BIGINT) AS s
+      FROM freq CROSS JOIN
+           (SELECT unnest(generate_series(0, {_AMS_K - 1})) AS j) j
+      GROUP BY 1, 2),
+    med AS (
+      SELECT lang,
+             list_sort(list(s * s))[{_AMS_K // 2 + 1}] AS f2_est
+      FROM est GROUP BY 1)
+    SELECT e.lang, {_AMS_K} AS k,
+           e.f2_exact,
+           CAST(m.f2_est AS BIGINT) AS f2_est,
+           CAST(1000000 * abs(m.f2_est - e.f2_exact) // e.f2_exact AS BIGINT)
+             AS err_ppm
+    FROM exact e JOIN med m USING (lang)
+    ORDER BY e.lang
+    """,
+    "sketch",
+    "analytics",
+)
+def f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language F2 (self-join size on the token key) via the AMS
+    tug-of-war sketch, with the exact value alongside for visible
+    error.
+
+    Plan: one corpus pass builds the (lang, token) frequency table
+    (map-side-combinable hash agg — at 100 TB this is the only
+    data-sized stage and the freq table is vocabulary-grain); the k={k}
+    estimators attach as an exploded literal range, signs are md5
+    parity (JVM codegen, no RNG, no driver state), each estimator is
+    one more combinable SUM, and the median is an in-plan sort of k
+    values per group.  Merging shard sketches = summing the per-(group,
+    j) S_j partials — the same mergeability contract as the CMS/KMV/
+    DDSketch family.
+
+    Reference has no sketch operators (SURVEY §2c extension).
+    """
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    exact = freq.groupBy("lang").agg(
+        F.sum(F.expr("f * f")).cast("long").alias("f2_exact")
+    )
+    est = (
+        freq.select(
+            "lang",
+            "t",
+            "f",
+            F.explode(F.array(*[F.lit(j) for j in range(_AMS_K)])).alias("j"),
+        )
+        .groupBy("lang", "j")
+        .agg(
+            F.sum(F.expr(f"{_ams_sign('spark', 't', 'j')} * f"))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    med = est.groupBy("lang").agg(
+        F.expr(
+            f"element_at(array_sort(collect_list(s * s)), {_AMS_K // 2 + 1})"
+        ).alias("f2_est")
+    )
+    return (
+        exact.join(med, "lang")
+        .select(
+            "lang",
+            F.lit(_AMS_K).cast("int").alias("k"),
+            "f2_exact",
+            F.col("f2_est").cast("long").alias("f2_est"),
+            F.expr(
+                "CAST(1000000 * abs(f2_est - f2_exact) DIV f2_exact AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+f2_ams_sketch.__doc__ = f2_ams_sketch.__doc__.format(k=_AMS_K)

@@ -853,3 +853,283 @@ def blocking_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("candidate_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pass sorted-neighborhood blocking (windowed adjacency)
+# ---------------------------------------------------------------------------
+
+# The OTHER classic blocking family (Hernandez & Stolfo 1995): sort by
+# a key, compare each record only to its w nearest neighbors in sort
+# order, run multiple passes with different keys to recover pairs the
+# first ordering separates.  Unlike the pigeonhole join above it is a
+# HEURISTIC — recall < 100% by design — so the operator reports, per
+# pass and combined, candidate volume, match volume, and matched-pair
+# checksums; the recall actually achieved vs the exact distance-<=1
+# truth is measured (not assumed) by an invariant test.
+#
+# Pass 0 sorts by the name itself (numeric id order: catches low-digit
+# substitutions — neighbors within +-w numerically); pass 1 sorts by
+# the REVERSED digit block (catches high-digit substitutions — ids
+# sharing a low-digit suffix become adjacent).  Middle-digit edits can
+# escape both windows: that tradeoff is the point of the operator, and
+# the measured number is in the test.
+_SN_W = 10         # neighbors compared per record per pass
+_SN_PASSES = 4
+
+# A pass catches a substitution at digit position p exactly when its
+# sort key places p LAST among the digits that records otherwise
+# share: the two keys then differ only near the end, so the records
+# are adjacent within the block.  Rotating the digit block right by k
+# puts position 9-k last (k=0,1,2 -> units/tens/hundreds); the reverse
+# key puts position 1 last and, because dense sequential ids share
+# digit SUFFIXES sparsely, opportunistically catches the other high
+# positions too.  Middle positions 5-6 stay uncovered — the classic
+# multi-pass-SN recall tradeoff, measured (not assumed) by the
+# invariant test.
+_SN_DIG = "substr(c_name, 10, 9)"
+_SN_SKEYS = [
+    "c_name",                                                  # rot 0
+    f"substr({_SN_DIG}, 9, 1) || substr({_SN_DIG}, 1, 8)",     # rot 1
+    f"substr({_SN_DIG}, 8, 2) || substr({_SN_DIG}, 1, 7)",     # rot 2
+    f"reverse({_SN_DIG})",                                     # reverse
+]
+_SN_BLKS = [
+    f"substr({_SN_DIG}, 1, 4)",
+    f"substr({_SN_DIG}, 9, 1) || substr({_SN_DIG}, 1, 3)",
+    f"substr({_SN_DIG}, 8, 2) || substr({_SN_DIG}, 1, 2)",
+    f"substr(reverse({_SN_DIG}), 1, 3)",
+]
+
+
+def _sn_keys(dialect: str) -> tuple[str, str]:
+    """(skey, blk) CASE expressions over the pass column, portable."""
+    skey = (
+        "(CASE "
+        + " ".join(
+            f"WHEN pass = {i} THEN {e}" for i, e in enumerate(_SN_SKEYS[:-1])
+        )
+        + f" ELSE {_SN_SKEYS[-1]} END)"
+    )
+    blk = (
+        "(CASE "
+        + " ".join(
+            f"WHEN pass = {i} THEN {e}" for i, e in enumerate(_SN_BLKS[:-1])
+        )
+        + f" ELSE {_SN_BLKS[-1]} END)"
+    )
+    return skey, blk
+
+
+@register(
+    "linkage_sorted_neighborhood",
+    f"""
+    WITH c AS (SELECT c_custkey, c_name FROM customer),
+    k AS (
+      SELECT p.pass, c_custkey, c_name,
+             {_sn_keys('duck')[0]} AS skey,
+             {_sn_keys('duck')[1]} AS blk
+      FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS pass) p),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY pass, blk
+                                   ORDER BY skey, c_custkey) AS rn
+      FROM k),
+    rb AS (SELECT *, rn // {_SN_W} AS band FROM r),
+    probe AS (
+      SELECT rb.*, u.jband
+      FROM rb CROSS JOIN LATERAL
+           (SELECT unnest([rb.band, rb.band + 1]) AS jband) u),
+    cand AS (
+      SELECT a.pass,
+             LEAST(a.c_custkey, b.c_custkey) AS a_key,
+             GREATEST(a.c_custkey, b.c_custkey) AS b_key,
+             CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                  THEN 1 ELSE 0 END AS is_match
+      FROM probe a JOIN rb b
+        ON a.pass = b.pass AND a.blk = b.blk AND a.jband = b.band
+       AND b.rn > a.rn AND b.rn <= a.rn + {_SN_W}),
+    agg AS (
+      SELECT 'pass' || CAST(pass AS VARCHAR) AS pass,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(is_match) AS BIGINT) AS n_matches,
+             CAST(SUM(CASE WHEN is_match = 1 THEN a_key ELSE 0 END) AS BIGINT) AS sum_a,
+             CAST(SUM(CASE WHEN is_match = 1 THEN b_key ELSE 0 END) AS BIGINT) AS sum_b,
+             CAST(SUM(CASE WHEN is_match = 1 THEN a_key * b_key ELSE 0 END) AS BIGINT) AS sum_ab
+      FROM cand GROUP BY pass),
+    per AS (
+      SELECT l.pass,
+             COALESCE(g.n_candidates, 0) AS n_candidates,
+             COALESCE(g.n_matches, 0) AS n_matches,
+             COALESCE(g.sum_a, 0) AS sum_a,
+             COALESCE(g.sum_b, 0) AS sum_b,
+             COALESCE(g.sum_ab, 0) AS sum_ab
+      FROM (SELECT 'pass' || CAST(unnest(generate_series(0, 3)) AS VARCHAR)
+              AS pass) l
+      LEFT JOIN agg g USING (pass)),
+    ded AS (
+      SELECT a_key, b_key, MAX(is_match) AS is_match
+      FROM cand GROUP BY a_key, b_key),
+    comb AS (
+      SELECT 'combined' AS pass,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(is_match) AS BIGINT) AS n_matches,
+             CAST(SUM(CASE WHEN is_match = 1 THEN a_key ELSE 0 END) AS BIGINT) AS sum_a,
+             CAST(SUM(CASE WHEN is_match = 1 THEN b_key ELSE 0 END) AS BIGINT) AS sum_b,
+             CAST(SUM(CASE WHEN is_match = 1 THEN a_key * b_key ELSE 0 END) AS BIGINT) AS sum_ab
+      FROM ded)
+    SELECT * FROM per UNION ALL SELECT * FROM comb
+    ORDER BY pass
+    """,
+    "linkage",
+)
+def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood entity resolution over customer
+    names: {np} sort orders (digit rotations + reverse, see _SN_SKEYS),
+    each record verified (levenshtein<=1, JVM-side) against its {w}
+    forward neighbors per pass, reported as per-pass + combined
+    candidate/match counts with matched-pair checksums (pair identity
+    value-checked without shipping the pair list).
+
+    Scale posture: per pass, ONE exchange on the block key (a
+    3-4-char sort-key prefix — bounded-size range blocks at
+    any corpus size), a within-block rank window, and a self-join on
+    (block, rank-range) that generates exactly w rows per record —
+    candidate volume is w*n by CONSTRUCTION, independent of data skew
+    (contrast: hash-block families degenerate on hot blocks).  This is
+    the blocking family you reach for when the similarity key has no
+    stable segments to pigeonhole on; its cost certainty is bought
+    with heuristic recall, which tests/test_operator_invariants.py
+    measures against the exact distance-<=1 truth instead of assuming.
+
+    Reference has no linkage operators (SURVEY §2c extension).
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    skey, blk = _sn_keys("spark")
+    k = c.crossJoin(
+        F.broadcast(
+            c.sparkSession.range(4).select(F.col("id").cast("int").alias("pass"))
+        )
+    ).select(
+        "pass",
+        "c_custkey",
+        "c_name",
+        F.expr(skey).alias("skey"),
+        F.expr(blk).alias("blk"),
+    )
+    r = k.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("pass", "blk").orderBy("skey", "c_custkey")
+        ),
+    )
+    # Band the rank-range join: with only (pass, blk) as equi-keys the
+    # physical sort-merge join materializes |block|^2 rows before the
+    # rn-range filter (measured 6.5 s at sf0.1 / quadratic in block
+    # size).  rn div w bands make the range an EQUI-join: a forward
+    # neighbor within w lies in the probe row's band or the next one,
+    # so the probe side fans out 2x and every join group holds <= 2w
+    # rows — candidate volume is w*n physically, not just logically.
+    rb = r.withColumn("band", F.expr(f"rn div {_SN_W}"))
+    probe = rb.withColumn(
+        "jband", F.explode(F.array(F.col("band"), F.col("band") + F.lit(1)))
+    )
+    a, b = probe.alias("a"), rb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pass") == F.col("b.pass"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.jband") == F.col("b.band"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + _SN_W),
+        )
+        .select(
+            F.col("a.pass").alias("pass"),
+            F.least("a.c_custkey", "b.c_custkey").alias("a_key"),
+            F.greatest("a.c_custkey", "b.c_custkey").alias("b_key"),
+            (F.levenshtein("a.c_name", "b.c_name") <= 1)
+            .cast("int")
+            .alias("is_match"),
+        )
+    )
+
+    def _sums(df, label_col):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum("is_match").cast("long").alias("n_matches"),
+            F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key ELSE 0 END"))
+            .cast("long")
+            .alias("sum_a"),
+            F.sum(F.expr("CASE WHEN is_match = 1 THEN b_key ELSE 0 END"))
+            .cast("long")
+            .alias("sum_b"),
+            F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key * b_key ELSE 0 END"))
+            .cast("long")
+            .alias("sum_ab"),
+        ).select(label_col.alias("pass"), "*")
+
+    agg = (
+        cand.groupBy("pass")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum("is_match").cast("long").alias("n_matches"),
+            F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key ELSE 0 END"))
+            .cast("long")
+            .alias("sum_a"),
+            F.sum(F.expr("CASE WHEN is_match = 1 THEN b_key ELSE 0 END"))
+            .cast("long")
+            .alias("sum_b"),
+            F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key * b_key ELSE 0 END"))
+            .cast("long")
+            .alias("sum_ab"),
+        )
+        .select(
+            F.concat(F.lit("pass"), F.col("pass").cast("string")).alias("pass"),
+            "n_candidates",
+            "n_matches",
+            "sum_a",
+            "sum_b",
+            "sum_ab",
+        )
+    )
+    # A pass with zero candidates must still report (groupBy drops
+    # empty groups): left-join the static label pair, zero-fill.
+    labels = c.sparkSession.range(4).select(
+        F.concat(F.lit("pass"), F.col("id").cast("string")).alias("pass")
+    )
+    per = labels.join(agg, "pass", "left").select(
+        "pass",
+        *[
+            F.coalesce(F.col(col), F.lit(0)).cast("long").alias(col)
+            for col in ("n_candidates", "n_matches", "sum_a", "sum_b", "sum_ab")
+        ],
+    )
+    dedup = cand.groupBy("a_key", "b_key").agg(
+        F.max("is_match").alias("is_match")
+    )
+    comb = dedup.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("is_match").cast("long").alias("n_matches"),
+        F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key ELSE 0 END"))
+        .cast("long")
+        .alias("sum_a"),
+        F.sum(F.expr("CASE WHEN is_match = 1 THEN b_key ELSE 0 END"))
+        .cast("long")
+        .alias("sum_b"),
+        F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key * b_key ELSE 0 END"))
+        .cast("long")
+        .alias("sum_ab"),
+    ).select(
+        F.lit("combined").alias("pass"),
+        "n_candidates",
+        "n_matches",
+        "sum_a",
+        "sum_b",
+        "sum_ab",
+    )
+    return per.unionByName(comb).orderBy("pass")
+
+
+linkage_sorted_neighborhood.__doc__ = linkage_sorted_neighborhood.__doc__.format(
+    w=_SN_W, np=_SN_PASSES
+)

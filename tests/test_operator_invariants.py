@@ -1573,3 +1573,96 @@ def test_ddsketch_quantile_error_guarantee(spark, sf_dir):
         assert r.est_hi - r.est_lo <= r.est_lo // 16 + 2, r
         seen.add((r.lang, r.q))
     assert len(seen) == len(vals) * 3
+
+
+def test_ams_sketch_merge_linearity_and_accuracy(spark, sf_dir):
+    """The AMS sketch's mergeability contract: per-(lang, j) S is
+    LINEAR in the data, so sharded sketches merged by summing S equal
+    the single-pass sketch (here: doc_id-parity halves).  Also pins
+    the observed accuracy envelope: median-of-9 within 50% of exact
+    (measured 7-20% at both test SFs; a sign/aggregation bug shows up
+    as orders of magnitude, not percent)."""
+    from kbrowse_spark.operators.corpus_stats import _AMS_K, _ams_sign
+    from kbrowse_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+
+    def s_table(df):
+        freq = (
+            df.select("lang", F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != "")
+            .groupBy("lang", "t")
+            .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        )
+        return (
+            freq.select(
+                "lang", "t", "f",
+                F.explode(
+                    F.array(*[F.lit(j) for j in range(_AMS_K)])
+                ).alias("j"),
+            )
+            .groupBy("lang", "j")
+            .agg(
+                F.sum(F.expr(f"{_ams_sign('spark', 't', 'j')} * f"))
+                .cast("long")
+                .alias("s")
+            )
+        )
+
+    full = {(r.lang, r.j): r.s for r in s_table(d).collect()}
+    half_a = {
+        (r.lang, r.j): r.s
+        for r in s_table(d.filter(F.col("doc_id") % 2 == 0)).collect()
+    }
+    half_b = {
+        (r.lang, r.j): r.s
+        for r in s_table(d.filter(F.col("doc_id") % 2 == 1)).collect()
+    }
+    assert full
+    for key, s in full.items():
+        assert s == half_a.get(key, 0) + half_b.get(key, 0), key
+
+    for r in _q(spark, sf_dir, "f2_ams_sketch").collect():
+        assert r.err_ppm <= 500_000, r
+
+
+def test_sorted_neighborhood_recall_and_candidate_bound(spark, sf_dir):
+    """Sorted-neighborhood blocking is a heuristic: measure it.
+    Precision is 1.0 by construction (the verify filter IS the truth
+    predicate), candidate volume is bounded by passes*w*n by
+    construction, and recall vs the exact quadratic distance-<=1 truth
+    must hold the measured level (100% at both fixture SFs, where ids
+    have <=4 significant digits and the 4 pass keys cover every
+    position; asserted at >=0.9 to leave room for fixture growth into
+    the uncovered middle positions)."""
+    import duckdb
+
+    from kbrowse_spark.operators.linkage import _SN_PASSES, _SN_W
+    from kbrowse_spark.sources.tables import table_path
+
+    rows = {
+        r["pass"]: r
+        for r in _q(spark, sf_dir, "linkage_sorted_neighborhood").collect()
+    }
+    assert set(rows) == {"pass0", "pass1", "pass2", "pass3", "combined"}
+    cust = table_path(sf_dir, "customer")
+    n, truth = duckdb.sql(
+        f"""
+        SELECT (SELECT COUNT(*) FROM read_parquet('{cust}')),
+               (SELECT COUNT(*)
+                FROM read_parquet('{cust}') a
+                JOIN read_parquet('{cust}') b
+                  ON a.c_custkey < b.c_custkey
+                 AND levenshtein(a.c_name, b.c_name) <= 1)
+        """
+    ).fetchone()
+    comb = rows["combined"]
+    assert comb.n_candidates <= _SN_PASSES * _SN_W * n
+    assert truth > 0
+    assert comb.n_matches / truth >= 0.9, (comb.n_matches, truth)
+    # per-pass matches can overlap; the deduped union never exceeds
+    # their sum and never exceeds the truth (precision 1.0)
+    assert comb.n_matches <= sum(
+        rows[f"pass{i}"].n_matches for i in range(_SN_PASSES)
+    )
+    assert comb.n_matches <= truth

@@ -59,6 +59,7 @@ ALLOW = {
     # aggregate or a literal <=3-row probe table by construction.
     "neardup_lsh_pair_stats": "1-row corpus/gross/distinct aggregate attaches",
     "quantile_ddsketch_chars": "3-row literal quantile-probe attach",
+    "linkage_sorted_neighborhood": "4-row literal pass-id attach",
     # Iterative BPE: each round's argmax merge rule is a 1-row
     # broadcast attach (in-plan pair selection, no driver collect).
     "bpe_train_merges": "1-row argmax merge-rule attach per round",

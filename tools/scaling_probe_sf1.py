@@ -294,6 +294,16 @@ NOTES = {
         "sketch-grain aggregates + the bucket-blocked DISTINCT join "
         "— tracks the rerank family's candidate volume by design"
     ),
+    "f2_ams_sketch": (
+        "one corpus token pass to a vocab-grain freq table; the 9 "
+        "estimators are a bounded explode over vocab rows with "
+        "combinable sums — linear in tokens, constant sketch"
+    ),
+    "linkage_sorted_neighborhood": (
+        "4 passes x one block-key exchange + rank window; the "
+        "rank-range self-join emits exactly w rows per record — "
+        "candidate volume w*n by construction, skew-immune"
+    ),
 }
 
 
