@@ -113,6 +113,12 @@ AUDIT = [
     ("stream_bloom_firstseen", "per-batch in-plan bit probes vs literal sketch; bit_or agg to driver"),
     ("takedown_propagation", "broadcast semi/anti per table; map-side-combinable counts, no corpus shuffle"),
     ("bitext_margin_mining", "bounded source block broadcast; target scans once; WindowGroupLimit top-k"),
+    # round 9
+    ("neardup_lsh_pair_stats", "bucket stats ride the banded agg; pair count via same banded join keys"),
+    ("quantile_ddsketch_chars", "integer bucket expr in-scan; one combinable sketch agg; readout sketch-grain"),
+    ("seq_pattern_triples", "one user-hash exchange; triples generated in-plan (nested transform, no self-join)"),
+    ("f2_ams_sketch", "one token pass to vocab grain; 9x estimator explode with combinable sums"),
+    ("linkage_sorted_neighborhood", "rank-range join banded into equi-keys (rn div w): w rows/record physically"),
 ]
 
 

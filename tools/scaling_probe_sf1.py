@@ -304,6 +304,16 @@ NOTES = {
         "rank-range self-join emits exactly w rows per record — "
         "candidate volume w*n by construction, skew-immune"
     ),
+    "dedup_cc_star": (
+        "large-star/small-star alternation: 2 edge-keyed shuffles per "
+        "round over the cached pair list; O(log n) rounds, per-round "
+        "checksum is one scalar collect"
+    ),
+    "pagerank_interaction": (
+        "per-round edge-keyed contribution join + rank agg; rank "
+        "table is node-grain and the damping rebase is a 1-row "
+        "broadcast — linear per round, fixed rounds"
+    ),
 }
 
 
