@@ -1891,6 +1891,17 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel: the span list rejoins the corpus doc-by-doc (spans per
     doc are few), and the cut is a per-row higher-order filter over the
     word array — JVM-side, no shuffle beyond the one span groupBy.
+
+    Measured scale anatomy (r9, sf1->sf10): marked positions and
+    merged spans grow EXACTLY 10x per decade (110,100->1,101,000 and
+    2,440->24,400 — linear by measurement, not argument).  The
+    wall-clock step over the span *reporter* is the rewrite's output
+    volume: this operator materializes the full cleaned corpus, and
+    the final ORDER BY doc_id range-exchanges all of it (~40% of sf10
+    wall-clock in a matched A/B).  The sort exists for the correctness
+    harness's deterministic row order; a production 100 TB rewrite
+    would write partitioned and unsorted, dropping that exchange
+    entirely.
     The reference has no text-rewrite operators (its values pass
     through verbatim, `/root/reference/src/kbrowse/search.clj:83-120`);
     this is §2c LLM-extension surface.
