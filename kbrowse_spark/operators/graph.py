@@ -541,3 +541,124 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 hits_hubs_authorities.__doc__ = hits_hubs_authorities.__doc__.format(
     iters=_HITS_ITERS, top=_HITS_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+
+_KCORE_K = 8
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
+    ]
+    for t in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    e{t} AS (
+      SELECT c, s FROM e{t - 1}
+      WHERE c IN (SELECT c FROM e{t - 1} GROUP BY c
+                  HAVING COUNT(*) >= {_KCORE_K})
+        AND s IN (SELECT s FROM e{t - 1} GROUP BY s
+                  HAVING COUNT(*) >= {_KCORE_K}))"""
+        )
+    t = _KCORE_ROUNDS
+    parts.append(
+        f"""
+    SELECT node_type, id, degree FROM (
+      SELECT 'customer' AS node_type, c AS id,
+             CAST(COUNT(*) AS BIGINT) AS degree
+      FROM e{t} GROUP BY c
+      UNION ALL
+      SELECT 'supplier', s, CAST(COUNT(*) AS BIGINT) FROM e{t} GROUP BY s)
+    ORDER BY node_type, id"""
+    )
+    return "".join(parts)
+
+
+@register("kcore_decomposition", _kcore_oracle(), "graph")
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the customer-supplier interaction graph (k={k}):
+    iteratively peel nodes of degree < k until the surviving subgraph
+    — the unique maximal subgraph where EVERY node keeps degree >= k —
+    is stable.  The classic dense-substructure primitive (spam-farm /
+    community-core detection; Seidman 1983); completes the iterative
+    graph family (PageRank fixed-point, CC star-contraction, LPA
+    argmax, HITS normalization) with the PEELING shape: the working
+    set only ever SHRINKS, so per-round cost falls monotonically.
+
+    {r} fixed peel rounds run identically in both engines (the
+    invariant test proves that is past the fixpoint on the fixtures,
+    so the output IS the k-core, not an artifact of the round count).
+    Per round: two map-side-combinable degree aggregates + two
+    broadcast-able semi-joins on the shrinking edge list.  Each round
+    ends with an EAGER localCheckpoint — not .cache(): every round
+    references the edge list THREE times (edges + both degree
+    filters), so a cache-only loop grows the LOGICAL tree 3x per
+    round and the 3^{r}-leaf plan string OOMs a default-heap driver
+    at plan-render time (caught by the bare-session driver emulator;
+    the engine session's 16g driver masked it).  localCheckpoint
+    truncates lineage to a flat scan per round; the per-round blocks
+    are edge-grain and reclaimed by the ContextCleaner as references
+    drop.
+
+    Scale posture: edges shuffle on their own keys only; node-grain
+    degree tables are the only aggregates; nothing is driver-side
+    except the loop counter (round count fixed, not data-dependent —
+    at 100 TB the fixpoint check would be a 1-row count comparison
+    per round).
+
+    Reference has no graph operators (SURVEY §2c extension).
+    """
+    from kbrowse_spark.functions.cache_registry import cached
+
+    def build_edges():
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        return (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+            .distinct()
+        )
+
+    edges = cached(spark, sf_dir, "kcore_edges_r0", build_edges)
+    for _ in range(_KCORE_ROUNDS):
+        keep_c = (
+            edges.groupBy("c")
+            .agg(F.count(F.lit(1)).alias("dc"))
+            .filter(F.col("dc") >= _KCORE_K)
+            .select("c")
+        )
+        keep_s = (
+            edges.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("ds"))
+            .filter(F.col("ds") >= _KCORE_K)
+            .select("s")
+        )
+        edges = (
+            edges.join(keep_c, "c")
+            .join(keep_s, "s")
+            .select("c", "s")
+            .localCheckpoint(eager=True)
+        )
+    deg_c = edges.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(
+        F.lit("customer").alias("node_type"), F.col("c").alias("id"), "degree"
+    )
+    deg_s = edges.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    ).select(
+        F.lit("supplier").alias("node_type"), F.col("s").alias("id"), "degree"
+    )
+    return deg_c.unionByName(deg_s).orderBy("node_type", "id")
+
+
+kcore_decomposition.__doc__ = kcore_decomposition.__doc__.format(
+    k=_KCORE_K, r=_KCORE_ROUNDS
+)

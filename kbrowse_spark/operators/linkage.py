@@ -1068,9 +1068,22 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_ab"),
         ).select(label_col.alias("pass"), "*")
 
-    agg = (
-        cand.groupBy("pass")
-        .agg(
+    # Collapse to PAIR grain once, then derive both readouts from the
+    # pair table: the per-pass and combined branches would otherwise
+    # each re-execute the corpus-sized candidate subtree (scan +
+    # explode + 4 windows + banded join) — measured ~2x wall-clock,
+    # and a real double-scan at 100 TB.  is_match is a property of the
+    # pair (the names), so one flag + the pass membership set carries
+    # everything both readouts need; the per-pass branch re-expands at
+    # pair grain (bounded by passes*w*n), the combined branch is a
+    # global aggregate.
+    pairs = cand.groupBy("a_key", "b_key").agg(
+        F.max("is_match").alias("is_match"),
+        F.collect_set("pass").alias("passes"),
+    )
+
+    def _stats(df):
+        return [
             F.count(F.lit(1)).cast("long").alias("n_candidates"),
             F.sum("is_match").cast("long").alias("n_matches"),
             F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key ELSE 0 END"))
@@ -1082,7 +1095,14 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key * b_key ELSE 0 END"))
             .cast("long")
             .alias("sum_ab"),
+        ]
+
+    agg = (
+        pairs.select(
+            "a_key", "b_key", "is_match", F.explode("passes").alias("pass")
         )
+        .groupBy("pass")
+        .agg(*_stats(None))
         .select(
             F.concat(F.lit("pass"), F.col("pass").cast("string")).alias("pass"),
             "n_candidates",
@@ -1104,22 +1124,7 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             for col in ("n_candidates", "n_matches", "sum_a", "sum_b", "sum_ab")
         ],
     )
-    dedup = cand.groupBy("a_key", "b_key").agg(
-        F.max("is_match").alias("is_match")
-    )
-    comb = dedup.agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates"),
-        F.sum("is_match").cast("long").alias("n_matches"),
-        F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key ELSE 0 END"))
-        .cast("long")
-        .alias("sum_a"),
-        F.sum(F.expr("CASE WHEN is_match = 1 THEN b_key ELSE 0 END"))
-        .cast("long")
-        .alias("sum_b"),
-        F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key * b_key ELSE 0 END"))
-        .cast("long")
-        .alias("sum_ab"),
-    ).select(
+    comb = pairs.agg(*_stats(None)).select(
         F.lit("combined").alias("pass"),
         "n_candidates",
         "n_matches",

@@ -110,3 +110,40 @@ def test_pair_growth_envelope_decade_sf01_to_sf1(spark):
     """A full measured decade (n=2000 -> n=20000): pairs/row growth
     must stay under 4x; fixed-band measures ~10x."""
     _assert_envelope(_stats(spark, SF01), _stats(spark, SF1))
+
+
+def test_ddsketch_bucket_function_properties():
+    """Pure-math property test of the log-linear bucket expression
+    (no Spark): for random positive int64 values, the DuckDB-evaluated
+    bucket (same text the oracle runs) must equal a Python reference,
+    be monotone in v, and contain v in [est_lo, est_hi) with relative
+    width <= 1/16 + rounding."""
+    import random
+
+    from kbrowse_spark.operators.corpus_stats import _DDQ_DUCK_BUCKET
+
+    rnd = random.Random(9)
+    vals = sorted(
+        {rnd.randint(1, 2**k) for k in range(1, 60) for _ in range(4)}
+        | {1, 2, 15, 16, 17, 2**40 - 1, 2**40, 2**40 + 1}
+    )
+    expr = _DDQ_DUCK_BUCKET.replace("n_chars", "v")
+    got = duckdb.sql(
+        f"SELECT v, CAST({expr} AS BIGINT) AS b,"
+        " ((16 + CAST({e} AS BIGINT) % 16) * (CAST(1 AS BIGINT) << ({e} // 16))) // 16 AS lo,"
+        " ((17 + CAST({e} AS BIGINT) % 16) * (CAST(1 AS BIGINT) << ({e} // 16))) // 16 AS hi"
+        " FROM (SELECT unnest(?) AS v)".replace("{e}", f"({expr})"),
+        params=[vals],
+    ).fetchall()
+    prev_v, prev_b = 0, -1
+    for v, b, lo, hi in got:
+        e = v.bit_length() - 1
+        sub = (v * 16) // (1 << e) - 16
+        assert b == e * 16 + sub, (v, b)
+        assert 0 <= sub < 16, (v, sub)
+        # closed interval: for v < 16 the bucket is a single integer
+        # and the floored upper bound collapses onto it (hi == lo == v)
+        assert lo <= v <= hi, (v, lo, hi)
+        assert (hi - lo) <= lo // 16 + 2, (v, lo, hi)
+        assert b >= prev_b, (prev_v, v)  # monotone in v
+        prev_v, prev_b = v, b

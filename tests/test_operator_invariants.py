@@ -1666,3 +1666,50 @@ def test_sorted_neighborhood_recall_and_candidate_bound(spark, sf_dir):
         rows[f"pass{i}"].n_matches for i in range(_SN_PASSES)
     )
     assert comb.n_matches <= truth
+
+
+def test_kcore_reaches_true_fixpoint(spark, sf_dir):
+    """The fixed 6-round peel must land on the TRUE k-core (the unique
+    maximal subgraph with all degrees >= k), proven against an
+    independent Python peel-to-fixpoint over the same edge list — if
+    the fixture ever needs more rounds than _KCORE_ROUNDS, this fails
+    naming the gap rather than the oracle silently agreeing on a
+    half-peeled artifact (both engines run the same round count)."""
+    import duckdb
+
+    from kbrowse_spark.operators.graph import _KCORE_K
+    from kbrowse_spark.sources.tables import table_path
+
+    edges = duckdb.sql(
+        f"""
+        SELECT DISTINCT o_custkey, l_suppkey
+        FROM read_parquet('{table_path(sf_dir, "orders")}') o
+        JOIN read_parquet('{table_path(sf_dir, "lineitem")}') l
+          ON o.o_orderkey = l.l_orderkey
+        """
+    ).fetchall()
+    # peel to fixpoint
+    while True:
+        from collections import Counter
+
+        dc, ds = Counter(c for c, _ in edges), Counter(s for _, s in edges)
+        nxt = [
+            (c, s)
+            for c, s in edges
+            if dc[c] >= _KCORE_K and ds[s] >= _KCORE_K
+        ]
+        if len(nxt) == len(edges):
+            break
+        edges = nxt
+    from collections import Counter
+
+    dc, ds = Counter(c for c, _ in edges), Counter(s for _, s in edges)
+    expect = {("customer", c): d for c, d in dc.items()}
+    expect |= {("supplier", s): d for s, d in ds.items()}
+    got = {
+        (r.node_type, r.id): r.degree
+        for r in _q(spark, sf_dir, "kcore_decomposition").collect()
+    }
+    assert got == expect
+    for (_t, _i), d in got.items():
+        assert d >= _KCORE_K

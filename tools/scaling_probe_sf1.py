@@ -314,6 +314,12 @@ NOTES = {
         "table is node-grain and the damping rebase is a 1-row "
         "broadcast — linear per round, fixed rounds"
     ),
+    "kcore_decomposition": (
+        "iterative peeling: per round two combinable degree aggs + "
+        "two key semi-joins on a working set that only SHRINKS — "
+        "round cost falls monotonically; fixed rounds, python-proven "
+        "past the fixpoint"
+    ),
 }
 
 
