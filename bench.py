@@ -119,6 +119,12 @@ HEADLINE = [
     # round 9 second wave: the windowed-adjacency blocking self-join
     # (rank-range join per pass — the sorted-neighborhood family).
     "linkage_sorted_neighborhood",
+    # round 9 third wave: iterative peeling (shrinking working set,
+    # count-stable early exit) and the one-shuffle hierarchical
+    # transform (per-leaf ancestor explode) — two more plan families
+    # under bench watch.
+    "kcore_decomposition",
+    "wavelet_haar_synopsis",
 ]
 
 

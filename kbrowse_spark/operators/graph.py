@@ -627,6 +627,12 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = cached(spark, sf_dir, "kcore_edges_r0", build_edges)
+    # Early exit on convergence: peeling only ever REMOVES edges, so an
+    # unchanged count  <=>  no node fell below k  <=>  fixpoint — and
+    # extra rounds past the fixpoint are no-ops, so stopping early is
+    # result-identical to the oracle's fixed {r}-round CTE chain (one
+    # scalar count per round to the driver, the kmeans footprint rule).
+    n_prev = edges.count()
     for _ in range(_KCORE_ROUNDS):
         keep_c = (
             edges.groupBy("c")
@@ -646,6 +652,10 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c", "s")
             .localCheckpoint(eager=True)
         )
+        n_now = edges.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
     deg_c = edges.groupBy("c").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     ).select(

@@ -132,3 +132,232 @@ def sketch_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet synopsis (hierarchical dyadic transform, top-B selection)
+
+# The classic time-series synopsis (Matias/Vitter/Wang SIGMOD'98): one
+# pass builds the dyadic sum tree, coefficients d = sum(left half) -
+# sum(right half) are ranked and only the top-B kept per series, and
+# any dyadic range sum is later reconstructed from the B kept numbers
+# plus the total.  Everything here is INTEGER (revenue in cents;
+# unnormalized Haar differences; reconstruction kept in x8 fixed
+# scale so no division ever happens) — hence exactly oracle-checkable.
+# Selection ranks by |d| with a (level, pos) tie-break: deterministic,
+# and the standard greedy largest-detail variant (the L2-optimal rule
+# divides by sqrt(2)^level, which would leave integer arithmetic).
+_WAV_LEVELS = 12            # N = 4096 day slots
+_WAV_N = 1 << _WAV_LEVELS
+_WAV_B = 6                  # coefficients kept per series
+_WAV_EPOCH = "1992-01-01"
+# The audited reconstruction block: days [1024, 1536) = node (3, 2);
+# its root path is (0,0)+, (1,0)-, (2,1)+ giving
+#   8 * block_sum = T + d(0,0) - 2*d(1,0) + 4*d(2,1)
+# with dropped coefficients contributing zero.
+_WAV_PATH = [(0, 0, 1), (1, 0, -2), (2, 1, 4)]
+_WAV_BLOCK_LO, _WAV_BLOCK_HI = 1024, 1536
+
+
+def _wavelet_oracle() -> str:
+    parts = [
+        f"""
+    WITH lev{_WAV_LEVELS} AS (
+      SELECT l_suppkey AS s,
+             CAST(datediff('day', DATE '{_WAV_EPOCH}', l_shipdate)
+                  AS BIGINT) AS pos,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM lineitem GROUP BY 1, 2)"""
+    ]
+    for lev in range(_WAV_LEVELS - 1, -1, -1):
+        parts.append(
+            f""",
+    lev{lev} AS (
+      SELECT s, pos // 2 AS pos,
+             CAST(SUM(v) AS BIGINT) AS v,
+             CAST(SUM(v * (1 - 2 * (pos % 2))) AS BIGINT) AS d
+      FROM lev{lev + 1} GROUP BY 1, 2)"""
+        )
+    coeff_union = " UNION ALL ".join(
+        f"SELECT s, {lev} AS level, pos, d FROM lev{lev}"
+        for lev in range(_WAV_LEVELS)
+    )
+    path_cases = " ".join(
+        f"WHEN level = {lv} AND pos = {p} THEN {w}" for lv, p, w in _WAV_PATH
+    )
+    parts.append(
+        f""",
+    coeff AS ({coeff_union}),
+    kept AS (
+      SELECT s, level, pos, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY s
+                   ORDER BY abs(d) DESC, level, pos) AS rk
+        FROM coeff) WHERE rk <= {_WAV_B}),
+    total AS (SELECT s, v AS t_cents FROM lev0),
+    est AS (
+      SELECT t.s,
+             t.t_cents + COALESCE(SUM(
+               (CASE {path_cases} ELSE 0 END) * k.d), 0) AS est_x8
+      FROM total t LEFT JOIN kept k USING (s)
+      GROUP BY t.s, t.t_cents),
+    exact AS (
+      SELECT s, CAST(8 * SUM(v) AS BIGINT) AS exact_x8
+      FROM lev{_WAV_LEVELS}
+      WHERE pos >= {_WAV_BLOCK_LO} AND pos < {_WAV_BLOCK_HI}
+      GROUP BY s)
+    SELECT t.s AS suppkey,
+           CAST(t.t_cents AS BIGINT) AS t_cents,
+           CAST(e.est_x8 AS BIGINT) AS est_x8,
+           CAST(COALESCE(x.exact_x8, 0) AS BIGINT) AS exact_x8,
+           CAST(abs(e.est_x8 - COALESCE(x.exact_x8, 0)) AS BIGINT)
+             AS err_x8
+    FROM total t JOIN est e USING (s) LEFT JOIN exact x USING (s)
+    ORDER BY suppkey"""
+    )
+    return "".join(parts)
+
+
+@register("wavelet_haar_synopsis", _wavelet_oracle(), "rollup", "sketch")
+def wavelet_haar_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier Haar wavelet synopsis of the daily-revenue series:
+    build the {n}-slot dyadic sum tree (levels by repeated pairwise
+    aggregation), keep the top-{b} coefficients per series, and audit
+    the synopsis by reconstructing one dyadic block's revenue from the
+    kept coefficients alone, reporting estimate vs exact (both in the
+    x8 fixed scale — no division, no rounding-mode divergence).
+
+    Plan shape: ONE corpus pass (the (supplier, day) rollup — the only
+    data-sized stage at 100 TB), then {k} chained pairwise aggregations
+    over series-grain rows (<= |suppliers| x 4096, shrinking by half
+    each level; every level is map-side-combinable).  ALL series
+    transform simultaneously — the level loop is over tree DEPTH, not
+    over series, so adding suppliers adds no rounds.  Selection is one
+    per-series WindowGroupLimit; reconstruction joins the B-row kept
+    set against a 3-literal path table.
+
+    Reference has no aggregation at all (SURVEY §2a); synopsis
+    operators are §2c extension surface with the CMS/KMV/DDSketch/AMS
+    family.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s"),
+        F.expr(
+            f"CAST(datediff(l_shipdate, DATE '{_WAV_EPOCH}') AS BIGINT)"
+        ).alias("pos"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    # Loud shape guard: a future fixture vintage whose ship dates run
+    # past the 4096-day window would silently alias tree positions —
+    # abort instead (same pattern as the linkage name guard).
+    li = li.withColumn(
+        "pos",
+        F.when(
+            (F.col("pos") >= 0) & (F.col("pos") < _WAV_N), F.col("pos")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"wavelet_haar_synopsis: shipdate outside the "
+                        f"{_WAV_N}-day window from {_WAV_EPOCH}: pos="
+                    ),
+                    F.col("pos").cast("string"),
+                )
+            )
+        ),
+    )
+    cur = li.groupBy("s", "pos").agg(F.sum("cents").cast("long").alias("v"))
+    leaves = cur
+    # All coefficients in ONE shuffle instead of {k} chained ones: the
+    # Haar coefficient d(level, p) is a +-1-signed sum of the leaves in
+    # its block — sign = the leaf's child-direction bit at that level
+    # (bit (LEVELS-1-level) of pos), block id = pos >> (LEVELS-level).
+    # Each leaf explodes into its {k} ancestors and one hash aggregate
+    # produces every level simultaneously (the first cut chained 12
+    # pairwise aggregations: 12 sequential exchanges, 6.2 s at sf0.1;
+    # this is one 12x fan-out + one exchange).  The ORACLE keeps the
+    # chained-CTE pyramid formulation, so the value hash cross-checks
+    # two independent constructions of the transform.
+    lev_arr = "array(" + ", ".join(
+        str(v) for v in range(_WAV_LEVELS)
+    ) + ")"
+    coeff = (
+        leaves.select(
+            "s",
+            "pos",
+            "v",
+            F.explode(F.expr(lev_arr)).alias("level"),
+        )
+        .select(
+            "s",
+            "level",
+            F.expr(f"shiftright(pos, {_WAV_LEVELS} - level)").alias("cpos"),
+            F.expr(
+                f"v * (1 - 2 * (shiftright(pos, {_WAV_LEVELS} - 1 - level)"
+                " & 1))"
+            ).alias("contrib"),
+        )
+        .groupBy("s", "level", F.col("cpos").alias("pos"))
+        .agg(F.sum("contrib").cast("long").alias("d"))
+        .select("s", "level", "pos", "d")
+    )
+    from pyspark.sql import Window as W
+
+    kept = (
+        coeff.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("s").orderBy(
+                    F.abs(F.col("d")).desc(), "level", "pos"
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _WAV_B)
+        .select("s", "level", "pos", "d")
+    )
+    total = leaves.groupBy("s").agg(
+        F.sum("v").cast("long").alias("t_cents")
+    )
+    path_cases = " ".join(
+        f"WHEN level = {lv} AND pos = {p} THEN {w}" for lv, p, w in _WAV_PATH
+    )
+    est = (
+        total.join(kept, "s", "left")
+        .groupBy("s", "t_cents")
+        .agg(
+            (
+                F.first("t_cents")
+                + F.coalesce(
+                    F.sum(F.expr(f"(CASE {path_cases} ELSE 0 END) * d")),
+                    F.lit(0),
+                )
+            )
+            .cast("long")
+            .alias("est_x8")
+        )
+        .select("s", "t_cents", "est_x8")
+    )
+    exact = (
+        leaves.filter(
+            (F.col("pos") >= _WAV_BLOCK_LO) & (F.col("pos") < _WAV_BLOCK_HI)
+        )
+        .groupBy("s")
+        .agg((F.lit(8) * F.sum("v")).cast("long").alias("exact_x8"))
+    )
+    return (
+        est.join(exact, "s", "left")
+        .select(
+            F.col("s").alias("suppkey"),
+            F.col("t_cents").cast("long").alias("t_cents"),
+            "est_x8",
+            F.coalesce("exact_x8", F.lit(0)).cast("long").alias("exact_x8"),
+            F.abs(
+                F.col("est_x8") - F.coalesce("exact_x8", F.lit(0))
+            ).cast("long").alias("err_x8"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+wavelet_haar_synopsis.__doc__ = wavelet_haar_synopsis.__doc__.format(
+    n=_WAV_N, b=_WAV_B, k=_WAV_LEVELS
+)

@@ -1713,3 +1713,69 @@ def test_kcore_reaches_true_fixpoint(spark, sf_dir):
     assert got == expect
     for (_t, _i), d in got.items():
         assert d >= _KCORE_K
+
+
+def test_wavelet_synopsis_matches_python_reference(spark, sf_dir):
+    """Full independent reimplementation of the Haar synopsis in plain
+    Python from the raw leaf table: tree build, |d|-ranked top-B
+    selection with the same tie-break, and the x8 path reconstruction
+    must agree EXACTLY with the operator — a third formulation beyond
+    the Spark plan and the chained-CTE oracle."""
+    import duckdb
+
+    from kbrowse_spark.operators.rollup import (
+        _WAV_B,
+        _WAV_BLOCK_HI,
+        _WAV_BLOCK_LO,
+        _WAV_EPOCH,
+        _WAV_LEVELS,
+        _WAV_PATH,
+    )
+    from kbrowse_spark.sources.tables import table_path
+
+    rows = duckdb.sql(
+        f"""
+        SELECT l_suppkey,
+               datediff('day', DATE '{_WAV_EPOCH}', l_shipdate) AS pos,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM read_parquet('{table_path(sf_dir, "lineitem")}')
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    series: dict[int, dict[int, int]] = {}
+    for s, pos, v in rows:
+        series.setdefault(s, {})[pos] = v
+    expect = {}
+    for s, leaf in series.items():
+        cur = dict(leaf)
+        coeffs = []  # (level, pos, d)
+        for lev in range(_WAV_LEVELS - 1, -1, -1):
+            nxt: dict[int, int] = {}
+            dd: dict[int, int] = {}
+            for pos, v in cur.items():
+                nxt[pos // 2] = nxt.get(pos // 2, 0) + v
+                dd[pos // 2] = dd.get(pos // 2, 0) + v * (1 - 2 * (pos % 2))
+            coeffs += [(lev, p, d) for p, d in dd.items()]
+            cur = nxt
+        t_cents = cur[0]
+        kept = set()
+        for lev, p, d in sorted(coeffs, key=lambda x: (-abs(x[2]), x[0], x[1]))[
+            :_WAV_B
+        ]:
+            kept.add((lev, p, d))
+        est = t_cents + sum(
+            w * d
+            for lv, p, w in _WAV_PATH
+            for klv, kp, d in kept
+            if (klv, kp) == (lv, p)
+        )
+        exact = 8 * sum(
+            v for pos, v in leaf.items() if _WAV_BLOCK_LO <= pos < _WAV_BLOCK_HI
+        )
+        expect[s] = (t_cents, est, exact, abs(est - exact))
+    got = {
+        r.suppkey: (r.t_cents, r.est_x8, r.exact_x8, r.err_x8)
+        for r in _q(spark, sf_dir, "wavelet_haar_synopsis").collect()
+    }
+    assert got == expect

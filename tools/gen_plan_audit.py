@@ -119,6 +119,8 @@ AUDIT = [
     ("seq_pattern_triples", "one user-hash exchange; triples generated in-plan (nested transform, no self-join)"),
     ("f2_ams_sketch", "one token pass to vocab grain; 9x estimator explode with combinable sums"),
     ("linkage_sorted_neighborhood", "rank-range join banded into equi-keys (rn div w): w rows/record physically"),
+    ("kcore_decomposition", "per-round degree aggs + semi-joins over a shrinking, lineage-truncated edge list"),
+    ("wavelet_haar_synopsis", "one corpus rollup; 12 chained series-grain pairwise aggs; B-row kept set joins 3-literal path"),
 ]
 
 

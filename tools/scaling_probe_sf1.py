@@ -317,8 +317,15 @@ NOTES = {
     "kcore_decomposition": (
         "iterative peeling: per round two combinable degree aggs + "
         "two key semi-joins on a working set that only SHRINKS — "
-        "round cost falls monotonically; fixed rounds, python-proven "
-        "past the fixpoint"
+        "round cost falls monotonically, with a count-stable early "
+        "exit (result-identical: extra rounds are no-ops); "
+        "python-proven past the fixpoint"
+    ),
+    "wavelet_haar_synopsis": (
+        "one corpus rollup is the only data-sized pass; the 12 "
+        "chained pairwise aggs run at series grain (halving each "
+        "level, all series simultaneously) — linear scan, "
+        "depth-bounded tail"
     ),
 }
 
