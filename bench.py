@@ -125,6 +125,11 @@ HEADLINE = [
     # under bench watch.
     "kcore_decomposition",
     "wavelet_haar_synopsis",
+    # round 9 fourth wave: grid-cell spatial blocking (bounded 9x
+    # probe fan-out) and the bucketed dominance sweep — two more plan
+    # families under bench watch.
+    "spatial_grid_epsilon_join",
+    "skyline_price_size",
 ]
 
 

@@ -2691,3 +2691,106 @@ def seq_pattern_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 seq_pattern_triples.__doc__ = seq_pattern_triples.__doc__.format(
     top=_SEQ_TOP, win=_SEQ_WIN
 )
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (Pareto frontier) via bucketed sweep
+
+# Dominance queries without the quadratic anti-join: a part is on the
+# (min price, max size) skyline iff no other part is at-most-as-
+# expensive AND at-least-as-large with one strict.  The sweep
+# formulation needs only "max size among strictly cheaper points",
+# which decomposes scalably: price-GRAIN maxima, a within-bucket
+# running max (bounded partitions), and a bucket-grain carry-in (the
+# price domain is fixed, so the bucket table is domain-bounded — the
+# same two-level pattern as max_concurrency_sweep's sharded prefix
+# sum).  The oracle is the DIRECT quadratic NOT EXISTS, so the sweep
+# and the truth are independent formulations.
+_SKY_BUCKET_CENTS = 10_000  # $100 price buckets; TPC-H prices ~$900-2100
+
+
+@register(
+    "skyline_price_size",
+    f"""
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part)
+    SELECT p.p_partkey, p.price_cents, p.size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+        AND (q.price_cents < p.price_cents OR q.size > p.size))
+    ORDER BY p.price_cents, p.p_partkey
+    """,
+    "analytics",
+    "spatial",
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts (minimize retail price, maximize size):
+    the parts no other part dominates.
+
+    Plan: price-grain group maxima (one combinable agg), a running max
+    within ${b}-cent price buckets (bounded window partitions at any
+    corpus size — the price DOMAIN is fixed), and a bucket-grain
+    carry-in computed over the domain-bounded bucket table; a point
+    survives iff it holds its price group's max size AND beats the
+    strictly-cheaper running max.  No self-join anywhere — contrast
+    the oracle's quadratic NOT EXISTS, kept deliberately as the
+    independent truth formulation.
+
+    Ties: equal (price, size) points dominate neither each other nor
+    anything strictly — all survive, exactly as NOT EXISTS has it.
+
+    Reference has no analytics operators (SURVEY §2c extension).
+    """
+    from pyspark.sql import Window as W
+
+    pts = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(FLOOR(p_retailprice * 100) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    pg = pts.groupBy("price_cents").agg(F.max("size").alias("gmax"))
+    pg = pg.withColumn(
+        "b", F.expr(f"price_cents div {_SKY_BUCKET_CENTS}")
+    ).withColumn(
+        "inmax",
+        F.max("gmax").over(
+            W.partitionBy("b")
+            .orderBy("price_cents")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    buckets = pg.groupBy("b").agg(F.max("gmax").alias("bmax"))
+    carry = buckets.withColumn(
+        "carry",
+        F.max("bmax").over(
+            W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+        ),
+    ).select("b", "carry")
+    thresh = (
+        pg.join(F.broadcast(carry), "b")
+        .select(
+            "price_cents",
+            "gmax",
+            F.greatest(
+                F.coalesce("inmax", F.lit(-1)), F.coalesce("carry", F.lit(-1))
+            ).alias("m1"),
+        )
+    )
+    return (
+        pts.join(F.broadcast(thresh), "price_cents")
+        .filter((F.col("size") == F.col("gmax")) & (F.col("size") > F.col("m1")))
+        .select("p_partkey", "price_cents", "size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+skyline_price_size.__doc__ = skyline_price_size.__doc__.format(
+    b=_SKY_BUCKET_CENTS
+)

@@ -1265,3 +1265,121 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("margin").desc(), "qid", "tid")
         .limit(_BM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed epsilon self-join (2D spatial blocking)
+
+# The spatial counterpart to the LSH/prefix-filter blocking families:
+# points bucket into eps-sized grid cells, and a within-distance pair
+# can only straddle ADJACENT cells, so the probe side explodes into
+# its 3x3 cell neighborhood and the join is a plain equi-join on cell
+# id — candidate volume is bounded by local density (9 x occupancy per
+# point), never corpus^2.  Every pair is produced exactly once: the
+# build row lives in ONE cell, and exactly one of the probe row's 9
+# probes hits it (no DISTINCT pass needed).
+_EPS = 0.05
+
+
+def _grid_cell(v: str) -> str:
+    """floor(v / eps) — identical IEEE division + floor both engines."""
+    return f"CAST(floor({v} / {_EPS}) AS BIGINT)"
+
+
+@register(
+    "spatial_grid_epsilon_join",
+    f"""
+    WITH p AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    cells AS (
+      SELECT vec_id, x, y, {_grid_cell('x')} AS cx, {_grid_cell('y')} AS cy
+      FROM p),
+    probe AS (
+      SELECT c.*, c.cx + dx.d AS px, c.cy + dy.d AS py
+      FROM cells c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      FROM probe a JOIN cells b
+        ON a.px = b.cx AND a.py = b.cy AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, dist2
+    FROM pairs WHERE dist2 < {_EPS} * {_EPS}
+    ORDER BY vec_a, vec_b
+    """,
+    "knn",
+    "spatial",
+)
+def spatial_grid_epsilon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within euclidean distance eps={eps} in the
+    embedding's first two dimensions, via grid-cell blocking: bucket
+    to eps-sized cells, explode each probe point into its 3x3
+    neighborhood, equi-join on cell id, verify exact distance.  The
+    oracle is the DIRECT quadratic join, so a blocking bug that drops
+    boundary-straddling pairs cannot hide (the blocking and the truth
+    are independent formulations).
+
+    dist2 is computed from identical IEEE doubles by the identical
+    expression on both sides — bit-equal, hash-safe, and the eps^2
+    threshold compare is therefore boundary-exact.
+
+    Scale posture: one narrow scan, a bounded 9x fan-out, and one
+    equi-join shuffle on cell id; candidate volume is 9 x sum of cell
+    occupancy^2 — local-density-bounded, the property that makes
+    grid blocking the standard spatial-join plan (and a skewed hot
+    cell is an AQE skew-join split, not a plan change).
+
+    Reference has no spatial operators (SURVEY §2c extension).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id",
+        F.expr("CAST(embedding[0] AS DOUBLE)").alias("x"),
+        F.expr("CAST(embedding[1] AS DOUBLE)").alias("y"),
+    ).select(
+        "vec_id",
+        "x",
+        "y",
+        F.expr(_grid_cell("x")).alias("cx"),
+        F.expr(_grid_cell("y")).alias("cy"),
+    )
+    probe = (
+        cells.select(
+            "vec_id", "x", "y", "cx", "cy",
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dx"),
+        )
+        .select(
+            "vec_id", "x", "y", "cy",
+            (F.col("cx") + F.col("dx")).alias("px"),
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
+        )
+        .select(
+            "vec_id", "x", "y", "px", (F.col("cy") + F.col("dy")).alias("py")
+        )
+    )
+    a, b = probe.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.px") == F.col("b.cx"))
+            & (F.col("a.py") == F.col("b.cy"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.expr(
+                "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
+            ).alias("dist2"),
+        )
+        .filter(F.col("dist2") < F.lit(_EPS * _EPS))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+spatial_grid_epsilon_join.__doc__ = spatial_grid_epsilon_join.__doc__.format(
+    eps=_EPS
+)

@@ -60,6 +60,7 @@ ALLOW = {
     "neardup_lsh_pair_stats": "1-row corpus/gross/distinct aggregate attaches",
     "quantile_ddsketch_chars": "3-row literal quantile-probe attach",
     "linkage_sorted_neighborhood": "4-row literal pass-id attach",
+    "skyline_price_size": "carry window over the domain-bounded price-bucket table (~20 rows)",
     # Iterative BPE: each round's argmax merge rule is a 1-row
     # broadcast attach (in-plan pair selection, no driver collect).
     "bpe_train_merges": "1-row argmax merge-rule attach per round",

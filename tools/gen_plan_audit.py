@@ -121,6 +121,8 @@ AUDIT = [
     ("linkage_sorted_neighborhood", "rank-range join banded into equi-keys (rn div w): w rows/record physically"),
     ("kcore_decomposition", "per-round degree aggs + semi-joins over a shrinking, lineage-truncated edge list"),
     ("wavelet_haar_synopsis", "one corpus rollup; 12 chained series-grain pairwise aggs; B-row kept set joins 3-literal path"),
+    ("spatial_grid_epsilon_join", "bounded 9x probe fan-out + cell-id equi-join; verify is an in-plan filter"),
+    ("skyline_price_size", "price-grain maxima + bounded-bucket windows; no self-join (oracle keeps the quadratic truth)"),
 ]
 
 

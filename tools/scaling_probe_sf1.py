@@ -327,6 +327,14 @@ NOTES = {
         "level, all series simultaneously) — linear scan, "
         "depth-bounded tail"
     ),
+    "spatial_grid_epsilon_join": (
+        'grid-cell blocking: bounded 9x probe fan-out + one cell-id equi-join.  The sf1 step is OUTPUT-volume-driven, not a plan defect: fixed eps in a fixed coordinate domain means pair count grows with density^2 — measured 79,813 -> 8,028,293 pairs (100.6x) for 10x points, against only a 6.0x wall-clock step (strongly sub-output-linear).  A density-aware deployment shrinks eps (or switches to top-k per point) exactly as the LSH bpb ladder adds bits'
+    ),
+    "skyline_price_size": (
+        "price-grain maxima + bounded-bucket running max + "
+        "domain-bounded carry table; no self-join — linear scan, "
+        "domain-bounded tail"
+    ),
 }
 
 
