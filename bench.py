@@ -130,6 +130,10 @@ HEADLINE = [
     # families under bench watch.
     "spatial_grid_epsilon_join",
     "skyline_price_size",
+    # round 9 fifth wave: the exact rank-sum AUC (score-grain
+    # two-level prefix sums, no corpus window) — the eval-metric
+    # family under bench watch.
+    "eval_auc_rank",
 ]
 
 

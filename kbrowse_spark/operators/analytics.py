@@ -2794,3 +2794,307 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 skyline_price_size.__doc__ = skyline_price_size.__doc__.format(
     b=_SKY_BUCKET_CENTS
 )
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation metrics: exact rank-sum AUC + decile gains table
+
+# The eval side of the quality-filter pipeline: how well does the
+# linear quality classifier's score (quality_classifier_logit,
+# corpus_stats.py) separate a reference label (here lang='en' — the
+# classifier's stopword features ARE English, so the score should rank
+# English documents higher).  Both metrics are EXACT integers:
+#
+# * AUC via the Mann-Whitney rank-sum with tie correction, kept in a
+#   x2 fixed scale (tied groups take min_rank+max_rank = 2x their
+#   average rank, always an integer);
+# * the cumulative-gains table over average-rank deciles (ties land in
+#   ONE decile by construction, so no tie-break ordering is needed).
+#
+# Scale shape: everything reduces to the SCORE-GRAIN count table
+# (n_pos, n_neg per distinct score) — one combinable aggregate over
+# the corpus — and the cumulative counts over it use the two-level
+# sharded prefix-sum pattern (within-bucket window + bucket-grain
+# carry) so no corpus-sized single-partition window exists; the score
+# domain is MODEL-bounded (integer weights x bounded features), so
+# the 2^14-wide bucket table is domain-bounded.
+_EVAL_BUCKET = 1 << 14
+
+
+# Reference label: stopword density >= 4 — the CCNet-style "looks like
+# natural language" proxy.  The classifier carries the stopword count
+# as ONE of its three features, so the score predicts the label well
+# but imperfectly (AUC ~0.90 on the fixtures; labels split ~215/285) —
+# exactly the regime a gains/AUC eval is for.  (lang='en' was measured
+# first and rejected: the synthetic corpus carries no language signal,
+# AUC 0.496 — an uninformative demo.)
+_EVAL_LABEL_MIN_STOP = 4
+
+
+def _eval_score_sql(table: str = "documents") -> str:
+    """(score, y) per document — the classifier logit (same constants
+    as quality_classifier_logit) and the stopword-density label."""
+    from kbrowse_spark.operators.corpus_stats import (
+        _CLF_BIAS,
+        _CLF_W_DISTINCT,
+        _CLF_W_STOP,
+        _CLF_W_TOKENS,
+    )
+
+    return f"""
+      SELECT CAST({_CLF_BIAS}
+                  + {_CLF_W_TOKENS} * len(string_split(text, ' '))
+                  + {_CLF_W_STOP} * len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the','a','and','of','to','in')))
+                  + {_CLF_W_DISTINCT} * len(list_distinct(string_split(text, ' ')))
+                  AS BIGINT) AS s,
+             CAST(CASE WHEN len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the','a','and','of','to','in')))
+                      >= {_EVAL_LABEL_MIN_STOP}
+                  THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM {table}"""
+
+
+def _eval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kbrowse_spark.operators.corpus_stats import (
+        _CLF_BIAS,
+        _CLF_W_DISTINCT,
+        _CLF_W_STOP,
+        _CLF_W_TOKENS,
+    )
+
+    stop_arr = "array('the','a','and','of','to','in')"
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        F.expr(
+            f"CAST({_CLF_BIAS}"
+            f" + {_CLF_W_TOKENS} * size(split(text, ' '))"
+            f" + {_CLF_W_STOP} * size(filter(split(text, ' '),"
+            f"     w -> array_contains({stop_arr}, w)))"
+            f" + {_CLF_W_DISTINCT} * size(array_distinct(split(text, ' ')))"
+            " AS BIGINT)"
+        ).alias("s"),
+        F.expr(
+            f"CAST(size(filter(split(text, ' '),"
+            f" w -> array_contains({stop_arr}, w)))"
+            f" >= {_EVAL_LABEL_MIN_STOP} AS INT)"
+        ).cast("long").alias("y"),
+    )
+
+
+def _score_grain_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-grain counts with exclusive cumulative counts in BOTH
+    orders, via within-bucket windows + a domain-bounded bucket carry
+    (no corpus-sized single-partition window)."""
+    from pyspark.sql import Window as W
+
+    sg = (
+        _eval_scores(spark, sf_dir)
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("npos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("nneg"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .withColumn("b", F.expr(f"s div {_EVAL_BUCKET}"))
+    )
+    sg = sg.withColumn(
+        "in_asc",
+        F.coalesce(
+            F.sum("c").over(
+                W.partitionBy("b").orderBy("s")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "in_desc",
+        F.coalesce(
+            F.sum("c").over(
+                W.partitionBy("b").orderBy(F.col("s").desc())
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    bt = sg.groupBy("b").agg(F.sum("c").alias("bc"))
+    carry = bt.select(
+        "b",
+        F.coalesce(
+            F.sum("bc").over(
+                W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("carry_asc"),
+        F.coalesce(
+            F.sum("bc").over(
+                W.orderBy(F.col("b").desc())
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("carry_desc"),
+    )
+    return sg.join(F.broadcast(carry), "b").select(
+        "s",
+        "npos",
+        "nneg",
+        "c",
+        (F.col("carry_asc") + F.col("in_asc")).alias("cum_asc"),
+        (F.col("carry_desc") + F.col("in_desc")).alias("cum_desc"),
+    )
+
+
+@register(
+    "eval_auc_rank",
+    f"""
+    WITH sc AS ({_eval_score_sql()}),
+    r AS (
+      SELECT y,
+             2 * rank() OVER (ORDER BY s)
+               + COUNT(*) OVER (PARTITION BY s) - 1 AS rank2
+      FROM sc),
+    agg AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN y = 1 THEN rank2 ELSE 0 END) AS BIGINT)
+               AS pos_rank2
+      FROM r)
+    SELECT n_pos, n_neg,
+           CAST(pos_rank2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
+           CAST(1000000 * (pos_rank2 - n_pos * (n_pos + 1))
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM agg
+    """,
+    "analytics",
+    "eval",
+)
+def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality-classifier score against the
+    stopword-density reference label, by the Mann-Whitney rank-sum with tie
+    correction — the distributed-AUC formulation (no pair join, no
+    sort of the corpus): AUC = (sum of positives' average ranks -
+    n_pos(n_pos+1)/2) / (n_pos*n_neg), kept x2 so ties stay integer.
+
+    The Spark plan derives ranks from score-grain cumulative counts
+    (see _score_grain_cum — two-level sharded prefix sum, no global
+    window); the oracle uses the direct rank()/count() window
+    formulation, so the value hash cross-checks two constructions.
+
+    Reference has no eval operators (SURVEY §2c extension).
+    """
+    sg = _score_grain_cum(spark, sf_dir)
+    # avg rank x2 of every row at score s (ascending) = 2*cum_asc + c + 1
+    agg = sg.agg(
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum("nneg").cast("long").alias("n_neg"),
+        F.sum(F.expr("npos * (2 * cum_asc + c + 1)"))
+        .cast("long")
+        .alias("pos_rank2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr("CAST(pos_rank2 - n_pos * (n_pos + 1) AS BIGINT)").alias(
+            "auc_num2"
+        ),
+        F.expr(
+            "CAST(1000000 * (pos_rank2 - n_pos * (n_pos + 1))"
+            " DIV (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+@register(
+    "eval_gains_deciles",
+    f"""
+    WITH sc AS ({_eval_score_sql()}),
+    n AS (SELECT COUNT(*) AS n, SUM(y) AS tot_pos FROM sc),
+    r AS (
+      SELECT y,
+             2 * rank() OVER (ORDER BY s DESC)
+               + COUNT(*) OVER (PARTITION BY s) - 1 AS rank2d
+      FROM sc),
+    d AS (
+      SELECT CAST(((rank2d - 1) * 10) // (2 * n.n) AS BIGINT) AS decile, y
+      FROM r CROSS JOIN n),
+    per AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(y) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile),
+    cum AS (
+      SELECT decile, n_docs, n_pos,
+             CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+      FROM per)
+    SELECT decile, n_docs, n_pos,
+           CAST(1000000 * n_pos // n_docs AS BIGINT) AS pos_rate_ppm,
+           cum_pos,
+           CAST(1000000 * cum_pos // (SELECT tot_pos FROM n) AS BIGINT)
+             AS cum_capture_ppm
+    FROM cum ORDER BY decile
+    """,
+    "analytics",
+    "eval",
+)
+def eval_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains table of the quality-classifier score against
+    the stopword-density label: documents in descending-score average-rank
+    deciles (tied scores land in ONE decile — no tie-break ordering
+    exists to diverge on), per-decile positive rate and the cumulative
+    capture fraction (what share of all positives the top-k deciles
+    hold) — the gains/lift curve behind every "filter the top X% by
+    classifier score" curation decision, in exact ppm integers.
+
+    Same score-grain machinery as eval_auc_rank (two-level prefix sum;
+    the decile re-aggregation is 10-row-grain); the oracle uses the
+    direct window formulation.
+
+    Reference has no eval operators (SURVEY §2c extension).
+    """
+    from pyspark.sql import Window as W
+
+    sg = _score_grain_cum(spark, sf_dir)
+    n = F.broadcast(
+        sg.agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum("npos").cast("long").alias("tot_pos"),
+        )
+    )
+    per = (
+        sg.crossJoin(n)
+        .select(
+            F.expr(
+                "CAST(((2 * cum_desc + c + 1 - 1) * 10) DIV (2 * n)"
+                " AS BIGINT)"
+            ).alias("decile"),
+            "c",
+            "npos",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum("npos").cast("long").alias("n_pos"),
+        )
+    )
+    cum = per.withColumn(
+        "cum_pos",
+        F.sum("n_pos")
+        .over(W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return (
+        cum.crossJoin(n)
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            F.expr("CAST(1000000 * n_pos DIV n_docs AS BIGINT)").alias(
+                "pos_rate_ppm"
+            ),
+            "cum_pos",
+            F.expr("CAST(1000000 * cum_pos DIV tot_pos AS BIGINT)").alias(
+                "cum_capture_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )

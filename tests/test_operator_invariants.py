@@ -1779,3 +1779,26 @@ def test_wavelet_synopsis_matches_python_reference(spark, sf_dir):
         for r in _q(spark, sf_dir, "wavelet_haar_synopsis").collect()
     }
     assert got == expect
+
+
+def test_eval_metrics_signal_and_monotonicity(spark, sf_dir):
+    """The eval pair must show the designed signal regime (the
+    classifier carries the label's feature as one of three -> AUC
+    ~0.90, asserted in a wide band so fixture drift fails loudly
+    rather than silently going uninformative), and the gains table
+    must be internally consistent: deciles partition the corpus,
+    cumulative capture is nondecreasing to exactly 1.0, and the top
+    decile is at least as positive-rich as the bottom."""
+    auc = _q(spark, sf_dir, "eval_auc_rank").collect()[0]
+    assert auc.n_pos > 0 and auc.n_neg > 0
+    assert 700_000 <= auc.auc_ppm <= 999_999, auc
+    rows = sorted(
+        _q(spark, sf_dir, "eval_gains_deciles").collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(10))
+    assert sum(r.n_docs for r in rows) == auc.n_pos + auc.n_neg
+    assert sum(r.n_pos for r in rows) == auc.n_pos
+    caps = [r.cum_capture_ppm for r in rows]
+    assert caps == sorted(caps) and caps[-1] == 1_000_000
+    assert rows[0].pos_rate_ppm >= rows[-1].pos_rate_ppm

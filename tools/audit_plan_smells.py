@@ -61,6 +61,8 @@ ALLOW = {
     "quantile_ddsketch_chars": "3-row literal quantile-probe attach",
     "linkage_sorted_neighborhood": "4-row literal pass-id attach",
     "skyline_price_size": "carry window over the domain-bounded price-bucket table (~20 rows)",
+    "eval_auc_rank": "carry window over the model-domain-bounded score-bucket table",
+    "eval_gains_deciles": "carry window over score buckets + cumulative over the 10-row decile table",
     # Iterative BPE: each round's argmax merge rule is a 1-row
     # broadcast attach (in-plan pair selection, no driver collect).
     "bpe_train_merges": "1-row argmax merge-rule attach per round",

@@ -123,6 +123,8 @@ AUDIT = [
     ("wavelet_haar_synopsis", "one corpus rollup; 12 chained series-grain pairwise aggs; B-row kept set joins 3-literal path"),
     ("spatial_grid_epsilon_join", "bounded 9x probe fan-out + cell-id equi-join; verify is an in-plan filter"),
     ("skyline_price_size", "price-grain maxima + bounded-bucket windows; no self-join (oracle keeps the quadratic truth)"),
+    ("eval_auc_rank", "one combinable score-grain agg; rank math via two-level prefix sum, no corpus window"),
+    ("eval_gains_deciles", "score-grain prefix sums; decile re-aggregation at 10-row grain"),
 ]
 
 

@@ -335,6 +335,15 @@ NOTES = {
         "domain-bounded carry table; no self-join — linear scan, "
         "domain-bounded tail"
     ),
+    "eval_auc_rank": (
+        "one combinable score-grain aggregate is the only corpus "
+        "pass; rank math runs at score grain via the two-level "
+        "prefix sum — linear scan, model-domain-bounded tail"
+    ),
+    "eval_gains_deciles": (
+        "same score-grain machinery as eval_auc_rank; decile "
+        "re-aggregation is 10-row-grain — linear scan, bounded tail"
+    ),
 }
 
 
