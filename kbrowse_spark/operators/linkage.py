@@ -902,8 +902,12 @@ _SN_BLKS = [
 ]
 
 
-def _sn_keys(dialect: str) -> tuple[str, str]:
-    """(skey, blk) CASE expressions over the pass column, portable."""
+def _sn_keys() -> tuple[str, str]:
+    """(skey, blk) CASE expressions over the pass column.  Every
+    expression in _SN_SKEYS/_SN_BLKS is dialect-portable (substr /
+    reverse / || behave identically in Spark SQL and DuckDB), so ONE
+    definition serves both engines; a future dialect-specific key must
+    split this function rather than silently diverging."""
     skey = (
         "(CASE "
         + " ".join(
@@ -927,8 +931,8 @@ def _sn_keys(dialect: str) -> tuple[str, str]:
     WITH c AS (SELECT c_custkey, c_name FROM customer),
     k AS (
       SELECT p.pass, c_custkey, c_name,
-             {_sn_keys('duck')[0]} AS skey,
-             {_sn_keys('duck')[1]} AS blk
+             {_sn_keys()[0]} AS skey,
+             {_sn_keys()[1]} AS blk
       FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS pass) p),
     r AS (
       SELECT *, row_number() OVER (PARTITION BY pass, blk
@@ -1004,7 +1008,7 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference has no linkage operators (SURVEY §2c extension).
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    skey, blk = _sn_keys("spark")
+    skey, blk = _sn_keys()
     k = c.crossJoin(
         F.broadcast(
             c.sparkSession.range(4).select(F.col("id").cast("int").alias("pass"))
@@ -1053,21 +1057,6 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _sums(df, label_col):
-        return df.agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.sum("is_match").cast("long").alias("n_matches"),
-            F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key ELSE 0 END"))
-            .cast("long")
-            .alias("sum_a"),
-            F.sum(F.expr("CASE WHEN is_match = 1 THEN b_key ELSE 0 END"))
-            .cast("long")
-            .alias("sum_b"),
-            F.sum(F.expr("CASE WHEN is_match = 1 THEN a_key * b_key ELSE 0 END"))
-            .cast("long")
-            .alias("sum_ab"),
-        ).select(label_col.alias("pass"), "*")
-
     # Collapse to PAIR grain once, then derive both readouts from the
     # pair table: the per-pass and combined branches would otherwise
     # each re-execute the corpus-sized candidate subtree (scan +
@@ -1082,7 +1071,7 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_set("pass").alias("passes"),
     )
 
-    def _stats(df):
+    def _stats():
         return [
             F.count(F.lit(1)).cast("long").alias("n_candidates"),
             F.sum("is_match").cast("long").alias("n_matches"),
@@ -1102,7 +1091,7 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_key", "b_key", "is_match", F.explode("passes").alias("pass")
         )
         .groupBy("pass")
-        .agg(*_stats(None))
+        .agg(*_stats())
         .select(
             F.concat(F.lit("pass"), F.col("pass").cast("string")).alias("pass"),
             "n_candidates",
@@ -1124,7 +1113,7 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             for col in ("n_candidates", "n_matches", "sum_a", "sum_b", "sum_ab")
         ],
     )
-    comb = pairs.agg(*_stats(None)).select(
+    comb = pairs.agg(*_stats()).select(
         F.lit("combined").alias("pass"),
         "n_candidates",
         "n_matches",
