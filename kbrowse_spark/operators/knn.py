@@ -1279,35 +1279,50 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # build row lives in ONE cell, and exactly one of the probe row's 9
 # probes hits it (no DISTINCT pass needed).
 _EPS = 0.05
+# Density calibration point for _eps_for_density: _EPS is sized for
+# the sf0.1 fixture's 2,000 points in the fixed ~[-0.4, 0.4]^2 domain.
+_EPS_N0 = 2000
 
 
-def _grid_cell(v: str) -> str:
+def _eps_for_density(n: int, eps0: float = _EPS, n0: int = _EPS_N0) -> float:
+    """Density-scaled epsilon: shrink eps as the corpus grows so the
+    EXPECTED GRID-CELL OCCUPANCY stays flat — the spatial twin of the
+    LSH bpb ladder (which adds band bits as n grows to hold pairs/row
+    flat).  In a fixed 2D domain, occupancy per cell ~ n * eps^2, so
+    eps(n) = eps0 * sqrt(n0 / n) holds n * eps(n)^2 == n0 * eps0^2
+    exactly; candidate volume (9 * n * occupancy) and expected output
+    pairs (~ n^2 * eps^2) both become LINEAR in n instead of the
+    fixed-eps density^2 blow-up (measured 100.6x pairs for 10x points
+    at fixed eps, docs/SCALING_MEASUREMENTS.md).  Deployment knob, not
+    part of the registered query: the gate's oracle parity requires
+    the fixed _EPS on both sides."""
+    import math
+
+    return eps0 * math.sqrt(n0 / max(n, 1))
+
+
+def _grid_cell(v: str, eps: float = _EPS) -> str:
     """floor(v / eps) — identical IEEE division + floor both engines."""
-    return f"CAST(floor({v} / {_EPS}) AS BIGINT)"
+    return f"CAST(floor({v} / {eps!r}) AS BIGINT)"
 
 
 @register(
     "spatial_grid_epsilon_join",
+    # Independent formulation: the oracle is the DIRECT quadratic
+    # self-join — no grid, no _grid_cell, no shared blocking scheme —
+    # so a conceptual blocking bug (e.g. dropping boundary-straddling
+    # pairs) on the Spark side cannot also hide in the oracle.
+    # 500 points at sf0.01 = 125k candidate pairs: trivial for DuckDB.
     f"""
     WITH p AS (
       SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
              CAST(embedding[2] AS DOUBLE) AS y
-      FROM embeddings),
-    cells AS (
-      SELECT vec_id, x, y, {_grid_cell('x')} AS cx, {_grid_cell('y')} AS cy
-      FROM p),
-    probe AS (
-      SELECT c.*, c.cx + dx.d AS px, c.cy + dy.d AS py
-      FROM cells c
-      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
-      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
-    pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
-      FROM probe a JOIN cells b
-        ON a.px = b.cx AND a.py = b.cy AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, dist2
-    FROM pairs WHERE dist2 < {_EPS} * {_EPS}
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          < {_EPS} * {_EPS}
     ORDER BY vec_a, vec_b
     """,
     "knn",
@@ -1318,9 +1333,13 @@ def spatial_grid_epsilon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding's first two dimensions, via grid-cell blocking: bucket
     to eps-sized cells, explode each probe point into its 3x3
     neighborhood, equi-join on cell id, verify exact distance.  The
-    oracle is the DIRECT quadratic join, so a blocking bug that drops
-    boundary-straddling pairs cannot hide (the blocking and the truth
-    are independent formulations).
+    oracle is the DIRECT quadratic join (no grid, no shared blocking
+    helper), so a blocking bug that drops boundary-straddling pairs
+    cannot hide — the blocking and the truth are genuinely independent
+    formulations.  (Round 9 shipped a grid-formulated oracle with this
+    same claim; round 10 made the claim true by swapping the oracle to
+    the quadratic join, plus test_spatial_grid_equals_quadratic pins
+    the blocked plan against the quadratic truth in-engine.)
 
     dist2 is computed from identical IEEE doubles by the identical
     expression on both sides — bit-equal, hash-safe, and the eps^2
@@ -1334,6 +1353,14 @@ def spatial_grid_epsilon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference has no spatial operators (SURVEY §2c extension).
     """
+    return _spatial_pairs(spark, sf_dir, _EPS)
+
+
+def _spatial_pairs(spark: SparkSession, sf_dir: str, eps: float) -> DataFrame:
+    """The grid-blocked eps-join plan at an explicit eps — shared by
+    the registered query (fixed _EPS, oracle parity) and the
+    density-scaled deployment arm (eps from _eps_for_density, measured
+    by tools/probe_spatial_density_eps.py)."""
     emb = load(spark, sf_dir, "embeddings")
     cells = emb.select(
         "vec_id",
@@ -1343,8 +1370,8 @@ def spatial_grid_epsilon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "x",
         "y",
-        F.expr(_grid_cell("x")).alias("cx"),
-        F.expr(_grid_cell("y")).alias("cy"),
+        F.expr(_grid_cell("x", eps)).alias("cx"),
+        F.expr(_grid_cell("y", eps)).alias("cy"),
     )
     probe = (
         cells.select(
@@ -1375,7 +1402,7 @@ def spatial_grid_epsilon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)"
             ).alias("dist2"),
         )
-        .filter(F.col("dist2") < F.lit(_EPS * _EPS))
+        .filter(F.col("dist2") < F.lit(eps * eps))
         .orderBy("vec_a", "vec_b")
     )
 

@@ -141,6 +141,61 @@ def test_fuzzy_pigeonhole_equals_quadratic(spark, sf_dir):
     assert all(1 <= r.pos_changed <= 9 for r in summary)
 
 
+def test_spatial_grid_equals_quadratic(spark, sf_dir):
+    """Grid-blocked epsilon join must produce EXACTLY the pair set the
+    direct quadratic join produces — the blocking-completeness
+    invariant for the spatial family (same pattern as
+    test_fuzzy_pigeonhole_equals_quadratic).  The registered DuckDB
+    oracle is the quadratic formulation too (r10 swap: the r9 oracle
+    shared the grid scheme, so precisely a blocking bug could have
+    hidden); this test additionally pins the two SPARK plans to each
+    other at full pair grain, including bit-equal dist2."""
+    from kbrowse_spark.operators import knn as K
+    from kbrowse_spark.sources.tables import load
+
+    p = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("CAST(embedding[0] AS DOUBLE)").alias("x"),
+        F.expr("CAST(embedding[1] AS DOUBLE)").alias("y"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    d2 = F.expr("(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)")
+    direct = sorted(
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            d2.alias("dist2"),
+        )
+        .where(F.col("dist2") < F.lit(K._EPS * K._EPS))
+        .collect(),
+        key=lambda r: (r.vec_a, r.vec_b),
+    )
+    blocked = _q(spark, sf_dir, "spatial_grid_epsilon_join").collect()
+    assert len(blocked) == len(direct) > 0
+    for got, want in zip(blocked, direct):
+        assert (got.vec_a, got.vec_b) == (want.vec_a, want.vec_b)
+        assert got.dist2 == want.dist2  # identical IEEE tree: bit-equal
+
+
+def test_eps_for_density_holds_occupancy_flat():
+    """The density ladder's defining invariant: n * eps(n)^2 is
+    constant (expected cell occupancy in a fixed 2D domain), eps at
+    the calibration point is exactly _EPS, and eps shrinks
+    monotonically with n."""
+    from kbrowse_spark.operators.knn import _EPS, _EPS_N0, _eps_for_density
+
+    assert _eps_for_density(_EPS_N0) == _EPS
+    base = _EPS_N0 * _EPS**2
+    prev = None
+    for n in (500, 2_000, 20_000, 200_000, 2_000_000):
+        e = _eps_for_density(n)
+        assert abs(n * e * e - base) < 1e-12
+        if prev is not None:
+            assert e < prev
+        prev = e
+
+
 def test_fuzzy_pigeonhole_rejects_malformed_keys(spark, tmp_path):
     """The blocking scheme pins the fixed 'Customer#ddddddddd' width
     into every key; a record outside that shape would be SILENTLY
@@ -1715,6 +1770,28 @@ def test_kcore_reaches_true_fixpoint(spark, sf_dir):
         assert d >= _KCORE_K
 
 
+def test_kcore_reliable_checkpoint_knob(spark, sf_dir):
+    """_KCORE_RELIABLE_CHECKPOINT=True swaps the per-round lineage cut
+    from executor-local localCheckpoint to reliable .checkpoint() (the
+    cluster fault-tolerance posture the docstring names); results must
+    be IDENTICAL — the knob changes recovery semantics, never values."""
+    from kbrowse_spark.operators import graph as G
+
+    base = [
+        tuple(r) for r in _q(spark, sf_dir, "kcore_decomposition").collect()
+    ]
+    old = G._KCORE_RELIABLE_CHECKPOINT
+    G._KCORE_RELIABLE_CHECKPOINT = True
+    try:
+        reliable = [
+            tuple(r)
+            for r in _q(spark, sf_dir, "kcore_decomposition").collect()
+        ]
+    finally:
+        G._KCORE_RELIABLE_CHECKPOINT = old
+    assert reliable == base
+
+
 def test_wavelet_synopsis_matches_python_reference(spark, sf_dir):
     """Full independent reimplementation of the Haar synopsis in plain
     Python from the raw leaf table: tree build, |d|-ranked top-B
@@ -1796,7 +1873,13 @@ def test_eval_metrics_signal_and_monotonicity(spark, sf_dir):
         _q(spark, sf_dir, "eval_gains_deciles").collect(),
         key=lambda r: r.decile,
     )
-    assert [r.decile for r in rows] == list(range(10))
+    # Deciles are distinct labels from 0..9 — but not necessarily ALL
+    # ten: a large tie group lands wholly in one decile by design
+    # (ntile on a tied ORDER BY), which can legitimately leave a
+    # decile empty on a different fixture.  Completeness is asserted
+    # via the doc-count sum, not decile cardinality.
+    labels = [r.decile for r in rows]
+    assert len(set(labels)) == len(labels) and set(labels) <= set(range(10))
     assert sum(r.n_docs for r in rows) == auc.n_pos + auc.n_neg
     assert sum(r.n_pos for r in rows) == auc.n_pos
     caps = [r.cum_capture_ppm for r in rows]
