@@ -548,6 +548,24 @@ hits_hubs_authorities.__doc__ = hits_hubs_authorities.__doc__.format(
 
 _KCORE_K = 8
 _KCORE_ROUNDS = 6
+# Lineage-truncation strategy per peel round.  False (default, right
+# for local[]/bench): EAGER localCheckpoint — blocks live on executor
+# local store, zero HDFS traffic.  True (right for a real cluster):
+# reliable .checkpoint() to the fault-tolerant checkpoint dir, so an
+# executor loss mid-peel recomputes from the checkpoint instead of
+# killing the query (localCheckpoint blocks are executor-local and
+# UNRECOVERABLE — truncated lineage means no recomputation path).
+_KCORE_RELIABLE_CHECKPOINT = False
+
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """One peel round's lineage cut, honoring the deployment knob."""
+    if _KCORE_RELIABLE_CHECKPOINT:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir("/tmp/kbrowse_spark_checkpoints")
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def _kcore_oracle() -> str:
@@ -607,6 +625,16 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     are edge-grain and reclaimed by the ContextCleaner as references
     drop.
 
+    Fault-tolerance delta at cluster scale: localCheckpoint blocks
+    are EXECUTOR-LOCAL and unrecoverable — truncated lineage means an
+    executor loss mid-peel has no recomputation path and kills the
+    query.  Right for local[]/bench (zero distributed-FS traffic);
+    on a real cluster set _KCORE_RELIABLE_CHECKPOINT=True to use
+    reliable .checkpoint() to the fault-tolerant checkpoint dir
+    (or periodically write the shrinking edge list to parquet), the
+    same deployment-delta pattern dedup_span_removal documents for
+    its harness ORDER BY.
+
     Scale posture: edges shuffle on their own keys only; node-grain
     degree tables are the only aggregates; nothing is driver-side
     except the loop counter (round count fixed, not data-dependent —
@@ -646,11 +674,8 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("ds") >= _KCORE_K)
             .select("s")
         )
-        edges = (
-            edges.join(keep_c, "c")
-            .join(keep_s, "s")
-            .select("c", "s")
-            .localCheckpoint(eager=True)
+        edges = _truncate_lineage(
+            edges.join(keep_c, "c").join(keep_s, "s").select("c", "s")
         )
         n_now = edges.count()
         if n_now == n_prev:
