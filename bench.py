@@ -134,6 +134,12 @@ HEADLINE = [
     # two-level prefix sums, no corpus window) — the eval-metric
     # family under bench watch.
     "eval_auc_rank",
+    # round 10: the ranking-metric composition (rag top-k + bigram
+    # relevance window) and the dual-layout Morton/linear skipping
+    # audit (2x exploded file assignment, file-grain stats) — two new
+    # plan families under bench watch.
+    "eval_mrr_ndcg_at_k",
+    "layout_zorder_skipping",
 ]
 
 

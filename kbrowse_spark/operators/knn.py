@@ -1062,15 +1062,51 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys join back to document text (a broadcast semi-sized join).
     All scores are exact integer counts — identical in both engines.
     """
+    topk = _rag_topk(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    return (
+        topk.join(docs, "doc_id")
+        .select(
+            "query_id",
+            F.col("rnk").cast("int").alias("rnk"),
+            "doc_id",
+            "chunk_idx",
+            "dot",
+            F.concat_ws(
+                " ",
+                F.expr(f"slice(ws, chunk_idx * {_RAG_CHUNK_W} + 1, 8)"),
+            ).alias("snippet"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _rag_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, w): every document word at chunk grain —
+    the shared chunking pass for rag scoring and relevance labeling."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )
-    words = d.select(
+    return d.select(
         "doc_id",
         F.posexplode("ws").alias("pos", "w"),
     ).select(
         "doc_id",
         (F.col("pos") / _RAG_CHUNK_W).cast("long").alias("chunk_idx"),
+        "w",
+    )
+
+
+def _rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rag retrieval core: (query_id, rnk, doc_id, chunk_idx, dot)
+    top-{k} rows per query — shared by rag_chunk_retrieval (which adds
+    the snippet join-back) and eval_mrr_ndcg_at_k (which scores the
+    ranking against exact-word relevance labels)."""
+    words = _rag_chunk_words(spark, sf_dir).select(
+        "doc_id",
+        "chunk_idx",
         (
             F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
             % _RAG_BUCKETS
@@ -1104,25 +1140,243 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot").desc(), "doc_id", "chunk_idx"
         )
     )
-    topk = scored.withColumn("rnk", rnk).filter(F.col("rnk") <= _RAG_TOPK)
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ws")
+    return scored.withColumn("rnk", rnk).filter(F.col("rnk") <= _RAG_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality metrics: exact MRR / NDCG@k over the rag top-k
+# ---------------------------------------------------------------------------
+
+# Integer-scaled DCG rank weights: W[r] = round(1e6 / log2(r+1)),
+# computed ONCE in Python and embedded as literals in BOTH engines —
+# the only transcendental (log2) never executes in either engine, so
+# every downstream value is exact integer arithmetic, hash-safe with
+# no ulp contract needed.  _NDCG_CUM[i] = W[1]+..+W[i] is the ideal
+# DCG for i relevant items (binary relevance).
+import math as _math
+
+_NDCG_W = tuple(
+    round(1_000_000 / _math.log2(r + 1)) for r in range(1, _RAG_TOPK + 1)
+)
+_NDCG_CUM = tuple(
+    sum(_NDCG_W[:i]) for i in range(_RAG_TOPK + 1)
+)  # (0, 1000000, 1630930, 2130930, 2561607, 2948460)
+_NDCG_W_CASE = "CASE rnk " + " ".join(
+    f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W)
+) + " END"
+_NDCG_IDCG_CASE = (
+    f"CASE LEAST(COALESCE(n_rel_corpus, 0), {_RAG_TOPK}) "
+    + " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(_NDCG_CUM))
+    + " END"
+)
+
+
+@register(
+    "eval_mrr_ndcg_at_k",
+    f"""
+    WITH wpos AS (
+      SELECT doc_id, (i - 1) // {_RAG_CHUNK_W} AS chunk_idx, i AS pos,
+             ws[i] AS w
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents))),
+    cfeat AS (
+      SELECT doc_id, chunk_idx,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {_RAG_BUCKETS} AS b,
+             COUNT(*) AS cnt
+      FROM wpos GROUP BY doc_id, chunk_idx, b),
+    qwords AS (
+      SELECT query_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {_RAG_BUCKETS} AS b
+      FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS w
+            FROM (VALUES {_RAG_QUERY_VALUES}) AS q(query_id, qtext))),
+    qfeat AS (
+      SELECT query_id, b, COUNT(*) AS qcnt FROM qwords GROUP BY query_id, b),
+    scored AS (
+      SELECT q.query_id AS query_id, c.doc_id AS doc_id,
+             c.chunk_idx AS chunk_idx,
+             CAST(SUM(c.cnt * q.qcnt) AS BIGINT) AS dot
+      FROM cfeat c JOIN qfeat q ON c.b = q.b
+      GROUP BY q.query_id, c.doc_id, c.chunk_idx),
+    topk AS (
+      SELECT * FROM (
+        SELECT query_id, doc_id, chunk_idx, dot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, doc_id, chunk_idx) AS rnk
+        FROM scored) WHERE rnk <= {_RAG_TOPK}),
+    qbi AS (
+      SELECT query_id, qs[i] AS w1, qs[i + 1] AS w2
+      FROM (SELECT query_id, string_split(qtext, ' ') AS qs,
+                   unnest(generate_series(
+                     1, len(string_split(qtext, ' ')) - 1)) AS i
+            FROM (VALUES {_RAG_QUERY_VALUES}) AS q(query_id, qtext))),
+    hits AS (
+      SELECT DISTINCT b.query_id AS query_id, a.doc_id AS doc_id,
+             a.chunk_idx AS chunk_idx
+      FROM wpos a
+      JOIN wpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1
+                 AND a.chunk_idx = c.chunk_idx
+      JOIN qbi b ON a.w = b.w1 AND c.w = b.w2),
+    rcorpus AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_corpus
+      FROM hits GROUP BY query_id),
+    tk AS (
+      SELECT t.query_id AS query_id, t.rnk AS rnk,
+             CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM topk t LEFT JOIN hits h USING (query_id, doc_id, chunk_idx)),
+    m AS (
+      SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel_topk,
+             CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rnk END), 0)
+                  AS BIGINT) AS first_rel_rank,
+             CAST(SUM(rel * ({_NDCG_W_CASE})) AS BIGINT) AS dcg_scaled
+      FROM tk GROUP BY query_id)
+    SELECT s.query_id AS query_id,
+           CAST(COALESCE(r.n_rel_corpus, 0) AS BIGINT) AS n_rel_corpus,
+           COALESCE(m.n_rel_topk, 0) AS n_rel_topk,
+           COALESCE(m.first_rel_rank, 0) AS first_rel_rank,
+           CAST(CASE WHEN COALESCE(m.first_rel_rank, 0) > 0
+                     THEN 1000000 // m.first_rel_rank
+                     ELSE 0 END AS BIGINT) AS rr_ppm,
+           COALESCE(m.dcg_scaled, 0) AS dcg_scaled,
+           CAST({_NDCG_IDCG_CASE} AS BIGINT) AS idcg_scaled,
+           CAST(CASE WHEN COALESCE(r.n_rel_corpus, 0) > 0
+                     THEN (1000000 * COALESCE(m.dcg_scaled, 0))
+                          // ({_NDCG_IDCG_CASE})
+                     ELSE 0 END AS BIGINT) AS ndcg_ppm
+    FROM (VALUES {_RAG_QUERY_VALUES}) AS s(query_id, qtext)
+    LEFT JOIN rcorpus r ON s.query_id = r.query_id
+    LEFT JOIN m ON s.query_id = m.query_id
+    ORDER BY s.query_id
+    """,
+    "knn",
+    "eval",
+)
+def eval_mrr_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MRR and NDCG@{k} for the rag_chunk_retrieval ranking,
+    completing the eval family (AUC, gains) with the RANKING metrics
+    an LLM retrieval pipeline reports.  Relevance is judged by a
+    criterion the retriever does NOT optimize: a chunk is relevant to
+    a query iff it contains an exact adjacent query BIGRAM (same
+    chunk, query word order), while retrieval scores order-blind
+    hashed bag-of-words dot products — so the metric genuinely
+    discriminates (measured sf0.01: MRR 0.25-0.50, NDCG@5 0.15-0.51,
+    not saturated; a word-presence label saturated to 1.0 and was
+    rejected).
+
+    All arithmetic is exact integers: the only transcendental
+    (log2 in the DCG weights) is evaluated ONCE in Python and
+    embedded as per-rank literal weights W[r]=round(1e6/log2(r+1)) in
+    both engines; rr_ppm = 1000000 DIV first_rel_rank and ndcg_ppm =
+    (1000000 * DCG) DIV IDCG use integer floor division — bit-equal
+    with no float contract.  IDCG uses min(n_rel_corpus, k) ideal
+    items (binary relevance), with n_rel_corpus counted corpus-wide.
+
+    Scale posture: one corpus-grain window (lead over doc word
+    positions, partitioned by doc) for bigram adjacency + the tiny
+    (9-row) bigram dim broadcast; everything after the chunk-grain
+    DISTINCT is query-grain.  The retrieval side reuses _rag_topk
+    (broadcast-scored, WindowGroupLimit top-k).
+    """
+    from pyspark.sql import Window as W
+
+    topk = _rag_topk(spark, sf_dir)
+    # Bigram relevance labels: lead(w) within each doc (one shuffle by
+    # doc_id), same-chunk guard, broadcast join to the 9-row bigram dim.
+    wpos = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
-    return (
-        topk.join(docs, "doc_id")
+    seq = W.partitionBy("doc_id").orderBy("pos")
+    adj = wpos.select(
+        "doc_id",
+        (F.col("pos") / _RAG_CHUNK_W).cast("long").alias("chunk_idx"),
+        "w",
+        F.lead("w").over(seq).alias("next_w"),
+        (F.lead("pos").over(seq) / _RAG_CHUNK_W)
+        .cast("long")
+        .alias("next_chunk"),
+    ).filter(F.col("chunk_idx") == F.col("next_chunk"))
+    qbi_rows = [
+        (i, ws[j], ws[j + 1])
+        for i, t in _RAG_QUERIES
+        for ws in [t.split(" ")]
+        for j in range(len(ws) - 1)
+    ]
+    qbi = spark.createDataFrame(qbi_rows, "query_id long, w1 string, w2 string")
+    hits = (
+        adj.join(
+            F.broadcast(qbi),
+            (adj["w"] == qbi["w1"]) & (adj["next_w"] == qbi["w2"]),
+        )
+        .select("query_id", "doc_id", "chunk_idx")
+        .distinct()
+    )
+    rcorpus = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel_corpus")
+    )
+    tk = topk.join(
+        hits.withColumn("rel_hit", F.lit(1)),
+        ["query_id", "doc_id", "chunk_idx"],
+        "left",
+    ).select(
+        "query_id", "rnk", F.coalesce("rel_hit", F.lit(0)).alias("rel")
+    )
+    m = tk.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_topk"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.sum(F.expr(f"rel * ({_NDCG_W_CASE})")).cast("long").alias(
+            "dcg_scaled"
+        ),
+    )
+    spine = spark.createDataFrame(
+        [(i,) for i, _ in _RAG_QUERIES], "query_id long"
+    )
+    out = (
+        spine.join(F.broadcast(m), "query_id", "left")
+        .join(F.broadcast(rcorpus), "query_id", "left")
         .select(
             "query_id",
-            F.col("rnk").cast("int").alias("rnk"),
-            "doc_id",
-            "chunk_idx",
-            "dot",
-            F.concat_ws(
-                " ",
-                F.expr(f"slice(ws, chunk_idx * {_RAG_CHUNK_W} + 1, 8)"),
-            ).alias("snippet"),
+            F.coalesce("n_rel_corpus", F.lit(0))
+            .cast("long")
+            .alias("n_rel_corpus"),
+            F.coalesce("n_rel_topk", F.lit(0))
+            .cast("long")
+            .alias("n_rel_topk"),
+            F.coalesce("first_rel_rank", F.lit(0))
+            .cast("long")
+            .alias("first_rel_rank"),
+            F.coalesce("dcg_scaled", F.lit(0)).cast("long").alias(
+                "dcg_scaled"
+            ),
         )
-        .orderBy("query_id", "rnk")
+        .select(
+            "query_id",
+            "n_rel_corpus",
+            "n_rel_topk",
+            "first_rel_rank",
+            F.expr(
+                "CAST(CASE WHEN first_rel_rank > 0 "
+                "THEN 1000000 DIV first_rel_rank ELSE 0 END AS BIGINT)"
+            ).alias("rr_ppm"),
+            "dcg_scaled",
+            F.expr(f"CAST({_NDCG_IDCG_CASE} AS BIGINT)").alias(
+                "idcg_scaled"
+            ),
+            F.expr(
+                f"CAST(CASE WHEN COALESCE(n_rel_corpus, 0) > 0 "
+                f"THEN (1000000 * dcg_scaled) DIV ({_NDCG_IDCG_CASE}) "
+                f"ELSE 0 END AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
     )
+    return out
+
+
+eval_mrr_ndcg_at_k.__doc__ = eval_mrr_ndcg_at_k.__doc__.format(k=_RAG_TOPK)
 
 
 # ---------------------------------------------------------------------------

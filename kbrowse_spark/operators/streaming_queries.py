@@ -1919,3 +1919,131 @@ def stream_bloom_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
 stream_bloom_firstseen.__doc__ = stream_bloom_firstseen.__doc__.format(
     m=_SB_M, nb=_SB_BATCHES, w=_SB_WORDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming spatial epsilon match (stream-static grid join)
+# ---------------------------------------------------------------------------
+
+from kbrowse_spark.operators.knn import _EPS, _grid_cell  # noqa: E402
+
+
+@register(
+    "stream_spatial_epsilon_match",
+    f"""
+    WITH p AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(b.vec_id) AS BIGINT) AS sum_vec_b
+    FROM p a JOIN p b
+      ON a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         < {_EPS} * {_EPS}
+    GROUP BY a.vec_id
+    ORDER BY vec_a
+    """,
+    "streaming",
+    "spatial",
+)
+def stream_spatial_epsilon_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming arm of the spatial family: PROBE points arrive as a
+    stream (odd vec_ids) and match against a STATIC grid-indexed
+    build side (even vec_ids) within euclidean eps={eps} — the
+    geofence/sensor-proximity shape (stream of positions vs a fixed
+    site table).  Per micro-batch the probe row explodes into its 3x3
+    cell neighborhood and equi-joins the static cell table — a
+    stateless stream-static join (no watermark, no state store), so
+    each batch's cost is bounded by batch size x local density,
+    independent of stream history.  The memory sink receives pair
+    grain; the post-sink step folds to per-probe match counts with an
+    order-independent id checksum.  The oracle re-derives the same
+    matches by scoring every odd x even point pair with NO grid, so a
+    blocking bug on the Spark side (e.g. dropped boundary-straddling
+    pairs) cannot also hide in the oracle.
+
+    dist2 is the identical IEEE expression on identical doubles in
+    both engines; the integer outputs (counts, id sums) are exact.
+
+    Scale posture: the static build side is cell-keyed and broadcast
+    per micro-batch (site tables are dimension-sized in the geofence
+    shape); the probe explode is a bounded 9x fan-out.  At a larger
+    build side the join flips to a shuffled equi-join on cell id —
+    same plan family as the batch spatial_grid_epsilon_join.  A
+    density-aware deployment shrinks eps via knn._eps_for_density.
+
+    Reference has no spatial or streaming-join operators (SURVEY §2c
+    extension; stream-static join family alongside
+    stream_static_enrich).
+    """
+    path = table_path(sf_dir, "embeddings")
+    static = spark.read.parquet(path)
+    xy = [
+        F.expr("CAST(embedding[0] AS DOUBLE)").alias("x"),
+        F.expr("CAST(embedding[1] AS DOUBLE)").alias("y"),
+    ]
+    build = (
+        static.filter(F.expr("vec_id % 2 = 0"))
+        .select(F.col("vec_id").alias("vec_b"), *xy)
+        .select(
+            "vec_b",
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.expr(_grid_cell("x")).alias("cx"),
+            F.expr(_grid_cell("y")).alias("cy"),
+        )
+    )
+    stream = spark.readStream.schema(static.schema).parquet(
+        _stage_stream_dir(path)
+    )
+    probe = (
+        stream.filter(F.expr("vec_id % 2 = 1"))
+        .select(F.col("vec_id").alias("vec_a"), *xy)
+        .select(
+            "vec_a",
+            "x",
+            "y",
+            F.expr(_grid_cell("x")).alias("pcx"),
+            F.expr(_grid_cell("y")).alias("pcy"),
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dx"),
+        )
+        .select(
+            "vec_a",
+            "x",
+            "y",
+            (F.col("pcx") + F.col("dx")).alias("px"),
+            F.col("pcy").alias("pcy"),
+            F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
+        )
+        .select(
+            "vec_a", "x", "y", "px", (F.col("pcy") + F.col("dy")).alias("py")
+        )
+    )
+    pairs = (
+        probe.join(
+            F.broadcast(build),
+            (F.col("px") == F.col("cx")) & (F.col("py") == F.col("cy")),
+        )
+        .withColumn(
+            "dist2",
+            F.expr("(x - bx) * (x - bx) + (y - by) * (y - by)"),
+        )
+        .filter(F.col("dist2") < F.lit(_EPS * _EPS))
+        .select("vec_a", "vec_b")
+    )
+    result = _run_to_memory(pairs, "append")
+    return (
+        result.groupBy("vec_a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.sum("vec_b").cast("long").alias("sum_vec_b"),
+        )
+        .orderBy("vec_a")
+    )
+
+
+stream_spatial_epsilon_match.__doc__ = stream_spatial_epsilon_match.__doc__.format(
+    eps=_EPS
+)

@@ -196,6 +196,101 @@ def test_eps_for_density_holds_occupancy_flat():
         prev = e
 
 
+def test_mrr_ndcg_consistency_and_discrimination(spark, sf_dir):
+    """Internal consistency of the exact ranking metrics (rr_ppm
+    recomputes from first_rel_rank by integer division; dcg <= idcg
+    hence ndcg <= 1e6; idcg matches the cumulative-weight ladder at
+    min(n_rel_corpus, k)) AND the design signal: the bigram relevance
+    label must DISCRIMINATE (the word-presence label saturated every
+    query to ndcg=1.0 and was rejected — at least one query must be
+    strictly between 0 and 1e6 so the metric stays informative)."""
+    from kbrowse_spark.operators.knn import _NDCG_CUM, _RAG_TOPK
+
+    rows = _q(spark, sf_dir, "eval_mrr_ndcg_at_k").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r.n_rel_topk <= _RAG_TOPK
+        assert r.n_rel_topk <= r.n_rel_corpus
+        if r.first_rel_rank > 0:
+            assert r.rr_ppm == 1_000_000 // r.first_rel_rank
+            assert 1 <= r.first_rel_rank <= _RAG_TOPK
+        else:
+            assert r.rr_ppm == 0 and r.n_rel_topk == 0
+        assert r.idcg_scaled == _NDCG_CUM[min(r.n_rel_corpus, _RAG_TOPK)]
+        assert 0 <= r.dcg_scaled <= r.idcg_scaled
+        if r.n_rel_corpus > 0:
+            assert r.ndcg_ppm == (1_000_000 * r.dcg_scaled) // r.idcg_scaled
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+    assert any(0 < r.ndcg_ppm < 1_000_000 for r in rows)
+
+
+def test_zorder_layout_beats_linear_on_second_dim(spark, sf_dir):
+    """The audit's reason to exist: both layouts hold the same rows in
+    the same file count, the linear layout cannot skip ANY file for
+    the second-dimension (l_partkey) predicates, and Z-order skips a
+    strict majority of files for every predicate on BOTH dimensions —
+    while never scanning fewer rows than the true selection (zone
+    pruning is conservative, never lossy)."""
+    from kbrowse_spark.sources.tables import load
+
+    rows = _q(spark, sf_dir, "layout_zorder_skipping").collect()
+    assert len(rows) == 8
+    n_total = load(spark, sf_dir, "lineitem").count()
+    by = {(r.layout, r.dim, r.pred_id): r for r in rows}
+    for r in rows:
+        assert r.files_total == 64
+        assert 0 <= r.files_skipped < r.files_total
+        assert 0 <= r.rows_scanned <= n_total
+        # conservative: scanned rows cover the true predicate selection
+        col = "l_orderkey" if r.dim == "x" else "l_partkey"
+        true_sel = (
+            load(spark, sf_dir, "lineitem")
+            .filter(F.col(col).between(r.lo, r.hi))
+            .count()
+        )
+        assert r.rows_scanned >= true_sel
+    for pid in (0, 1):
+        assert by[("linear", "y", pid)].files_skipped == 0
+        assert by[("zorder", "y", pid)].files_skipped > 32
+        assert by[("zorder", "x", pid)].files_skipped > 32
+
+
+def test_stream_spatial_matches_batch_quadratic(spark, sf_dir):
+    """The streaming grid join must produce EXACTLY the per-probe
+    match summary a direct batch quadratic join over the same odd
+    (probe) x even (build) split produces — the blocking-completeness
+    invariant extended to the stream-static arm (the batch twin is
+    test_spatial_grid_equals_quadratic)."""
+    from kbrowse_spark.operators.knn import _EPS
+    from kbrowse_spark.sources.tables import load
+
+    p = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("CAST(embedding[0] AS DOUBLE)").alias("x"),
+        F.expr("CAST(embedding[1] AS DOUBLE)").alias("y"),
+    )
+    a = p.filter(F.expr("vec_id % 2 = 1")).alias("a")
+    b = p.filter(F.expr("vec_id % 2 = 0")).alias("b")
+    d2 = F.expr("(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)")
+    want = {
+        (r.vec_a, r.n_matches, r.sum_vec_b)
+        for r in (
+            a.join(b, d2 < F.lit(_EPS * _EPS))
+            .groupBy(F.col("a.vec_id").alias("vec_a"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_matches"),
+                F.sum("b.vec_id").cast("long").alias("sum_vec_b"),
+            )
+            .collect()
+        )
+    }
+    got = {
+        (r.vec_a, r.n_matches, r.sum_vec_b)
+        for r in _q(spark, sf_dir, "stream_spatial_epsilon_match").collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_fuzzy_pigeonhole_rejects_malformed_keys(spark, tmp_path):
     """The blocking scheme pins the fixed 'Customer#ddddddddd' width
     into every key; a record outside that shape would be SILENTLY

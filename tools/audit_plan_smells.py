@@ -164,6 +164,11 @@ ALLOW = {
         "constant 4-row predicate x 8-row zone-stat audit join "
         "(both bounded by construction, pipeline_ops.py)"
     ),
+    "layout_zorder_skipping": (
+        "constant 4-row predicate x 128-row file-stat audit join "
+        "(2 layouts x 64 files, both bounded by construction, "
+        "pipeline_ops.py)"
+    ),
     "join_bloom_prefilter": (
         "1-row sizing attach + 1-row bloom-array attach + 1-row funnel "
         "stats attach (the runtime-filter broadcast by design, "
