@@ -3098,3 +3098,232 @@ def eval_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classification eval: confusion matrix, F1, Cohen's kappa
+# ---------------------------------------------------------------------------
+
+# Classifier decision threshold on the integer logit (sign rule).
+_EVAL_CLS_THRESHOLD = 0
+
+# Floor division that agrees across engines for ANY sign: DuckDB //
+# floors while Spark DIV truncates toward zero, so a negative
+# numerator (possible for kappa when agreement is below chance) would
+# silently diverge; this CASE keeps every division's operands
+# non-negative.  {num} must be an expression, {den} strictly positive.
+_FLOORDIV_CASE = (
+    "CASE WHEN ({num}) >= 0 THEN ({num}) {div} ({den}) "
+    "ELSE -((-({num}) + ({den}) - 1) {div} ({den})) END"
+)
+
+
+def _kappa_select(div: str) -> list[str]:
+    """The shared metric readout over (tp, fp, fn, tn) as a list of
+    column expressions — identical integer arithmetic in both engines;
+    `div` is the engine's integer division operator ('//' DuckDB,
+    'DIV' Spark)."""
+    n = "(tp + fp + fn + tn)"
+    chance = "((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))"
+    kn = f"({n} * (tp + tn) - {chance})"
+    kd = f"({n} * {n} - {chance})"
+    kappa = _FLOORDIV_CASE.format(num=f"1000000 * {kn}", den=kd, div=div)
+    return [
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        f"CAST(1000000 * tp {div} (tp + fp) AS BIGINT) AS precision_ppm",
+        f"CAST(1000000 * tp {div} (tp + fn) AS BIGINT) AS recall_ppm",
+        f"CAST(2000000 * tp {div} (2 * tp + fp + fn) AS BIGINT) AS f1_ppm",
+        f"CAST(1000000 * (tp + tn) {div} {n} AS BIGINT) AS po_ppm",
+        f"CAST(1000000 * {chance} {div} ({n} * {n}) AS BIGINT) AS pe_ppm",
+        f"CAST({kappa} AS BIGINT) AS kappa_ppm",
+    ]
+
+
+@register(
+    "eval_confusion_kappa",
+    f"""
+    WITH sc AS ({{score_sql}}),
+    cm AS (
+      SELECT
+        CAST(SUM(CASE WHEN s >= {_EVAL_CLS_THRESHOLD} AND y = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN s >= {_EVAL_CLS_THRESHOLD} AND y = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN s < {_EVAL_CLS_THRESHOLD} AND y = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN s < {_EVAL_CLS_THRESHOLD} AND y = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM sc)
+    SELECT {', '.join(_kappa_select('//'))}
+    FROM cm
+    """.format(score_sql=_eval_score_sql()),
+    "analytics",
+    "eval",
+)
+def eval_confusion_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the thresholded quality-classifier logit
+    (sign rule, threshold {th}) against the stopword-density label,
+    with exact integer-ppm precision / recall / F1 / accuracy /
+    expected-chance-agreement / Cohen's kappa — the classification
+    readout that completes the eval family (AUC ranks, gains lifts,
+    MRR/NDCG orders; this one JUDGES the hard decision).  kappa
+    corrects accuracy for chance agreement: po=0.80 here deflates to
+    kappa~0.577 because the label split is imbalanced — the reason
+    curation dashboards report kappa next to accuracy.
+
+    All metrics are exact integer arithmetic over the four confusion
+    counts (F1 via the 2tp/(2tp+fp+fn) identity — no float
+    intermediates); division is floor division made sign-portable by
+    a shared CASE (DuckDB // floors, Spark DIV truncates; a
+    below-chance kappa would otherwise diverge silently).
+
+    Scale posture: ONE map-side-combinable aggregate over the corpus
+    (four conditional counts); every metric derives from that 1 row.
+
+    Reference has no eval operators (SURVEY §2c extension).
+    """
+    sc = _eval_scores(spark, sf_dir)
+    cm = sc.agg(
+        F.sum(
+            ((F.col("s") >= _EVAL_CLS_THRESHOLD) & (F.col("y") == 1)).cast(
+                "long"
+            )
+        ).alias("tp"),
+        F.sum(
+            ((F.col("s") >= _EVAL_CLS_THRESHOLD) & (F.col("y") == 0)).cast(
+                "long"
+            )
+        ).alias("fp"),
+        F.sum(
+            ((F.col("s") < _EVAL_CLS_THRESHOLD) & (F.col("y") == 1)).cast(
+                "long"
+            )
+        ).alias("fn"),
+        F.sum(
+            ((F.col("s") < _EVAL_CLS_THRESHOLD) & (F.col("y") == 0)).cast(
+                "long"
+            )
+        ).alias("tn"),
+    )
+    return cm.selectExpr(*_kappa_select("DIV"))
+
+
+eval_confusion_kappa.__doc__ = eval_confusion_kappa.__doc__.format(
+    th=_EVAL_CLS_THRESHOLD
+)
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability bins over the classifier score
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+@register(
+    "eval_calibration_bins",
+    f"""
+    WITH sc AS ({{score_sql}}),
+    mm AS (SELECT MIN(s) AS smin, MAX(s) AS smax FROM sc),
+    b AS (
+      SELECT (s - smin) * {_CAL_BINS} // (smax - smin + 1) AS bin,
+             s, y, smin, smax
+      FROM sc CROSS JOIN mm),
+    g AS (
+      SELECT CAST(bin AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(1000000 * SUM(y) // COUNT(*) AS BIGINT) AS acc_ppm,
+             CAST((1000000 * (SUM(s) - COUNT(*) * ANY_VALUE(smin)))
+                  // (COUNT(*) * (ANY_VALUE(smax) - ANY_VALUE(smin)))
+                  AS BIGINT) AS conf_ppm
+      FROM b GROUP BY bin)
+    SELECT bin, n_docs, n_pos, acc_ppm, conf_ppm,
+           CAST(ABS(acc_ppm - conf_ppm) AS BIGINT) AS gap_ppm,
+           CAST(n_docs * ABS(acc_ppm - conf_ppm) AS BIGINT) AS w_gap
+    FROM g
+    ORDER BY bin
+    """.format(score_sql=_eval_score_sql()),
+    "analytics",
+    "eval",
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality-classifier score: documents
+    in {nb} equal-width integer-score bins, per-bin observed positive
+    rate (acc_ppm) vs the min-max-scaled mean score as the confidence
+    proxy (conf_ppm) — the calibration audit behind "can I trust the
+    classifier's score as a probability when thresholding at 0.9".
+    The weighted gap column w_gap = n_docs * |acc - conf| makes the
+    expected calibration error derivable exactly as SUM(w_gap) DIV n
+    (pinned by the invariant test).
+
+    Transcendental-free: the raw integer logit is scaled by min-max
+    (exact rational -> integer ppm via the all-nonnegative floor
+    division (1e6 * (sum_s - n*smin)) // (n * (smax - smin))) instead
+    of a sigmoid, so both engines stay in exact integer arithmetic —
+    calibration against ANY monotone score transform bins identically.
+
+    Scale posture: one corpus aggregate for (smin, smax) attached as
+    a 1-row broadcast, one map-side-combinable group-by at bin grain
+    ({nb} rows); nothing driver-side.
+
+    Reference has no eval operators (SURVEY §2c extension).
+    """
+    sc = _eval_scores(spark, sf_dir)
+    mm = F.broadcast(
+        sc.agg(
+            F.min("s").cast("long").alias("smin"),
+            F.max("s").cast("long").alias("smax"),
+        )
+    )
+    g = (
+        sc.crossJoin(mm)
+        .select(
+            F.expr(
+                f"(s - smin) * {_CAL_BINS} DIV (smax - smin + 1)"
+            ).alias("bin"),
+            "s",
+            "y",
+            "smin",
+            "smax",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("s").cast("long").alias("sum_s"),
+            F.first("smin").alias("smin"),
+            F.first("smax").alias("smax"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_docs",
+            "n_pos",
+            F.expr("CAST(1000000 * n_pos DIV n_docs AS BIGINT)").alias(
+                "acc_ppm"
+            ),
+            F.expr(
+                "CAST((1000000 * (sum_s - n_docs * smin))"
+                " DIV (n_docs * (smax - smin)) AS BIGINT)"
+            ).alias("conf_ppm"),
+        )
+    )
+    return g.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "acc_ppm",
+        "conf_ppm",
+        F.expr("CAST(ABS(acc_ppm - conf_ppm) AS BIGINT)").alias("gap_ppm"),
+        F.expr(
+            "CAST(n_docs * ABS(acc_ppm - conf_ppm) AS BIGINT)"
+        ).alias("w_gap"),
+    ).orderBy("bin")
+
+
+eval_calibration_bins.__doc__ = eval_calibration_bins.__doc__.format(
+    nb=_CAL_BINS
+)

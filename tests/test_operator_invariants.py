@@ -291,6 +291,60 @@ def test_stream_spatial_matches_batch_quadratic(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_confusion_kappa_identities(spark, sf_dir):
+    """Every ppm metric must recompute exactly from the four confusion
+    counts (the operator may not smuggle in independent state), the
+    counts must partition the corpus against eval_auc_rank's class
+    totals, and kappa must deflate accuracy (po > pe here) while
+    staying consistent with the chance-corrected formula."""
+    r = _q(spark, sf_dir, "eval_confusion_kappa").collect()[0]
+    auc = _q(spark, sf_dir, "eval_auc_rank").collect()[0]
+    tp, fp, fn, tn = r.tp, r.fp, r.fn, r.tn
+    n = tp + fp + fn + tn
+    assert tp + fn == auc.n_pos and fp + tn == auc.n_neg
+    assert r.precision_ppm == 1_000_000 * tp // (tp + fp)
+    assert r.recall_ppm == 1_000_000 * tp // (tp + fn)
+    assert r.f1_ppm == 2_000_000 * tp // (2 * tp + fp + fn)
+    assert r.po_ppm == 1_000_000 * (tp + tn) // n
+    chance = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    assert r.pe_ppm == 1_000_000 * chance // (n * n)
+    num, den = n * (tp + tn) - chance, n * n - chance
+    want_kappa = (
+        1_000_000 * num // den
+        if num >= 0
+        else -((-1_000_000 * num + den - 1) // den)
+    )
+    assert r.kappa_ppm == want_kappa
+    assert 0 < r.kappa_ppm < r.po_ppm  # chance correction bites
+
+
+def test_calibration_bins_partition_and_ece(spark, sf_dir):
+    """Bins partition the corpus (doc/pos counts sum to the confusion
+    totals), per-bin values recompute from raw counts, conf_ppm is
+    strictly increasing in bin id (equal-width bins over the score),
+    w_gap = n_docs * gap, and the derived ECE lands in (0, 1e6) —
+    plus the reliability SIGNAL: observed accuracy must increase from
+    the bottom to the top bin."""
+    rows = sorted(
+        _q(spark, sf_dir, "eval_calibration_bins").collect(),
+        key=lambda r: r.bin,
+    )
+    cm = _q(spark, sf_dir, "eval_confusion_kappa").collect()[0]
+    n = cm.tp + cm.fp + cm.fn + cm.tn
+    assert sum(r.n_docs for r in rows) == n
+    assert sum(r.n_pos for r in rows) == cm.tp + cm.fn
+    assert all(0 <= r.bin <= 9 for r in rows)
+    confs = [r.conf_ppm for r in rows]
+    assert confs == sorted(confs) and len(set(confs)) == len(confs)
+    for r in rows:
+        assert r.acc_ppm == 1_000_000 * r.n_pos // r.n_docs
+        assert r.gap_ppm == abs(r.acc_ppm - r.conf_ppm)
+        assert r.w_gap == r.n_docs * r.gap_ppm
+    ece = sum(r.w_gap for r in rows) // n
+    assert 0 < ece < 1_000_000
+    assert rows[0].acc_ppm < rows[-1].acc_ppm
+
+
 def test_fuzzy_pigeonhole_rejects_malformed_keys(spark, tmp_path):
     """The blocking scheme pins the fixed 'Customer#ddddddddd' width
     into every key; a record outside that shape would be SILENTLY

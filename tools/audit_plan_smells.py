@@ -87,6 +87,9 @@ ALLOW = {
     # CUPED attaches the 1-row (theta, n, sx) moments aggregate to the
     # per-user table — a broadcast of one row by construction.
     "cuped_adjusted_metric": "1-row CUPED theta/moments attach",
+    # Calibration bins attach the 1-row (smin, smax) score-range
+    # aggregate so binning stays in-plan.
+    "eval_calibration_bins": "1-row score min/max attach",
     # The Python UDTF surface is row-at-a-time by nature (Spark 3.5+
     # UDTF protocol); the Arrow-batched alternative is the explode-of-
     # pandas_udf path exercised elsewhere.
