@@ -1099,11 +1099,14 @@ def _rag_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rag_topk(
+    spark: SparkSession, sf_dir: str, k: int = _RAG_TOPK
+) -> DataFrame:
     """The rag retrieval core: (query_id, rnk, doc_id, chunk_idx, dot)
-    top-{k} rows per query — shared by rag_chunk_retrieval (which adds
-    the snippet join-back) and eval_mrr_ndcg_at_k (which scores the
-    ranking against exact-word relevance labels)."""
+    top-k rows per query — shared by rag_chunk_retrieval (which adds
+    the snippet join-back), eval_mrr_ndcg_at_k (which scores the
+    ranking against exact-word relevance labels), and rag_rrf_fusion
+    (which fuses a deeper top-k list with a second ranker)."""
     words = _rag_chunk_words(spark, sf_dir).select(
         "doc_id",
         "chunk_idx",
@@ -1140,7 +1143,7 @@ def _rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot").desc(), "doc_id", "chunk_idx"
         )
     )
-    return scored.withColumn("rnk", rnk).filter(F.col("rnk") <= _RAG_TOPK)
+    return scored.withColumn("rnk", rnk).filter(F.col("rnk") <= k)
 
 
 # ---------------------------------------------------------------------------
@@ -1663,4 +1666,171 @@ def _spatial_pairs(spark: SparkSession, sf_dir: str, eps: float) -> DataFrame:
 
 spatial_grid_epsilon_join.__doc__ = spatial_grid_epsilon_join.__doc__.format(
     eps=_EPS
+)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankers (hybrid search)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF smoothing constant (Cormack et al.)
+_RRF_DEPTH = 20  # per-ranker list depth fed into the fusion
+_RRF_TOP = 5  # fused list length
+
+
+@register(
+    "rag_rrf_fusion",
+    f"""
+    WITH wpos AS (
+      SELECT doc_id, (i - 1) // {_RAG_CHUNK_W} AS chunk_idx, ws[i] AS w
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents))),
+    cfeat AS (
+      SELECT doc_id, chunk_idx,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {_RAG_BUCKETS} AS b,
+             COUNT(*) AS cnt
+      FROM wpos GROUP BY doc_id, chunk_idx, b),
+    qwords AS (
+      SELECT query_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {_RAG_BUCKETS} AS b
+      FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS w
+            FROM (VALUES {_RAG_QUERY_VALUES}) AS q(query_id, qtext))),
+    qfeat AS (
+      SELECT query_id, b, COUNT(*) AS qcnt FROM qwords GROUP BY query_id, b),
+    rank_a AS (
+      SELECT query_id, doc_id, chunk_idx,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, doc_id, chunk_idx) AS rnk
+      FROM (SELECT q.query_id AS query_id, c.doc_id AS doc_id,
+                   c.chunk_idx AS chunk_idx,
+                   CAST(SUM(c.cnt * q.qcnt) AS BIGINT) AS dot
+            FROM cfeat c JOIN qfeat q ON c.b = q.b
+            GROUP BY q.query_id, c.doc_id, c.chunk_idx)
+      QUALIFY rnk <= {_RRF_DEPTH}),
+    qw AS (
+      SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS w
+      FROM (VALUES {_RAG_QUERY_VALUES}) AS q(query_id, qtext)),
+    rank_b AS (
+      SELECT query_id, doc_id, chunk_idx,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY nhit DESC, doc_id, chunk_idx) AS rnk
+      FROM (SELECT q.query_id AS query_id, d.doc_id AS doc_id,
+                   d.chunk_idx AS chunk_idx, COUNT(DISTINCT d.w) AS nhit
+            FROM wpos d JOIN qw q ON d.w = q.w
+            GROUP BY q.query_id, d.doc_id, d.chunk_idx)
+      QUALIFY rnk <= {_RRF_DEPTH}),
+    fused AS (
+      SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             COALESCE(a.chunk_idx, b.chunk_idx) AS chunk_idx,
+             CAST(COALESCE(a.rnk, 0) AS BIGINT) AS rank_dot,
+             CAST(COALESCE(b.rnk, 0) AS BIGINT) AS rank_hits,
+             CAST(CASE WHEN a.rnk IS NULL THEN 0
+                       ELSE 1000000 // ({_RRF_K} + a.rnk) END
+                + CASE WHEN b.rnk IS NULL THEN 0
+                       ELSE 1000000 // ({_RRF_K} + b.rnk) END
+                AS BIGINT) AS rrf_scaled
+      FROM rank_a a
+      FULL OUTER JOIN rank_b b USING (query_id, doc_id, chunk_idx))
+    SELECT query_id, fused_rank, doc_id, chunk_idx,
+           rank_dot, rank_hits, rrf_scaled
+    FROM (
+      SELECT query_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_scaled DESC, doc_id,
+                                         chunk_idx) AS fused_rank,
+             doc_id, chunk_idx, rank_dot, rank_hits, rrf_scaled
+      FROM fused) t
+    WHERE fused_rank <= {_RRF_TOP}
+    ORDER BY query_id, fused_rank
+    """,
+    "knn",
+    "eval",
+)
+def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack/Clarke/
+    Buettcher 2009) of TWO independent rankers over the rag chunks —
+    the hashed bag-of-words dot product (what rag_chunk_retrieval
+    serves) and an exact distinct-query-word-hit count — each cut to
+    its top-{depth} list, outer-joined on chunk identity, scored
+    rrf = sum over rankers of 1e6 DIV ({k} + rank) (absent from a
+    list contributes 0 — the standard union-of-lists convention), and
+    re-ranked to a fused top-{top}.  This is the hybrid
+    dense+sparse-search shape every production RAG stack runs; the
+    integer-scaled 1/({k}+r) keeps both engines in exact arithmetic
+    (the division loses sub-ppm precision identically on both sides —
+    the METRIC is defined as the scaled integer).
+
+    Scale posture: ranker A reuses the broadcast-scored rag pipeline;
+    ranker B is one corpus pass against the tiny query-word dim; both
+    collapse via WindowGroupLimit to {depth}-row-per-query lists
+    BEFORE the fusion join, so the outer join and re-rank run at
+    (queries x <=2x{depth}) grain — fusion cost is independent of
+    corpus size, the property that makes late fusion the standard
+    hybrid plan.
+
+    Reference has no retrieval operators (SURVEY §2c extension;
+    completes the retrieval family: rag_chunk_retrieval serves,
+    eval_mrr_ndcg_at_k scores, this one fuses).
+    """
+    from pyspark.sql import Window as W
+
+    rank_a = _rag_topk(spark, sf_dir, _RRF_DEPTH).select(
+        "query_id", "doc_id", "chunk_idx", F.col("rnk").alias("rnk_a")
+    )
+    qw_rows = sorted(
+        {(i, w) for i, t in _RAG_QUERIES for w in t.split(" ")}
+    )
+    qw = spark.createDataFrame(qw_rows, "query_id long, w string")
+    wpos = _rag_chunk_words(spark, sf_dir)
+    nhit = (
+        wpos.join(F.broadcast(qw), "w")
+        .groupBy("query_id", "doc_id", "chunk_idx")
+        .agg(F.countDistinct("w").alias("nhit"))
+    )
+    w_b = W.partitionBy("query_id").orderBy(
+        F.col("nhit").desc(), "doc_id", "chunk_idx"
+    )
+    rank_b = (
+        nhit.withColumn("rnk_b", F.row_number().over(w_b))
+        .filter(F.col("rnk_b") <= _RRF_DEPTH)
+        .select("query_id", "doc_id", "chunk_idx", "rnk_b")
+    )
+    fused = rank_a.join(
+        rank_b, ["query_id", "doc_id", "chunk_idx"], "full_outer"
+    ).select(
+        "query_id",
+        "doc_id",
+        "chunk_idx",
+        F.coalesce("rnk_a", F.lit(0)).cast("long").alias("rank_dot"),
+        F.coalesce("rnk_b", F.lit(0)).cast("long").alias("rank_hits"),
+        F.expr(
+            f"CAST(CASE WHEN rnk_a IS NULL THEN 0"
+            f" ELSE 1000000 DIV ({_RRF_K} + rnk_a) END"
+            f" + CASE WHEN rnk_b IS NULL THEN 0"
+            f" ELSE 1000000 DIV ({_RRF_K} + rnk_b) END AS BIGINT)"
+        ).alias("rrf_scaled"),
+    )
+    w_f = W.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), "doc_id", "chunk_idx"
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+        .select(
+            "query_id",
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+            "doc_id",
+            "chunk_idx",
+            "rank_dot",
+            "rank_hits",
+            "rrf_scaled",
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+rag_rrf_fusion.__doc__ = rag_rrf_fusion.__doc__.format(
+    depth=_RRF_DEPTH, k=_RRF_K, top=_RRF_TOP
 )

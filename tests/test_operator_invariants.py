@@ -345,6 +345,61 @@ def test_calibration_bins_partition_and_ece(spark, sf_dir):
     assert rows[0].acc_ppm < rows[-1].acc_ppm
 
 
+def test_rrf_fusion_consistency_and_mixing(spark, sf_dir):
+    """rrf_scaled must recompute exactly from the two rank columns
+    (absent = rank 0 = contributes nothing), fused ranks are 1..top
+    per query, the list is ordered by (rrf desc, doc, chunk), and the
+    fusion must actually MIX: every query's fused top list contains
+    at least one chunk found by only ONE of the two rankers (else the
+    second ranker adds nothing and the operator is decorative)."""
+    from kbrowse_spark.operators.knn import _RRF_K, _RRF_TOP
+
+    rows = _q(spark, sf_dir, "rag_rrf_fusion").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 3
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.fused_rank)
+        assert [r.fused_rank for r in rs] == list(range(1, _RRF_TOP + 1))
+        keys = []
+        for r in rs:
+            want = (1_000_000 // (_RRF_K + r.rank_dot) if r.rank_dot else 0) + (
+                1_000_000 // (_RRF_K + r.rank_hits) if r.rank_hits else 0
+            )
+            assert r.rrf_scaled == want
+            keys.append((-r.rrf_scaled, r.doc_id, r.chunk_idx))
+        assert keys == sorted(keys)
+        assert any(r.rank_dot == 0 or r.rank_hits == 0 for r in rs)
+        assert any(r.rank_dot > 0 for r in rs)
+        assert any(r.rank_hits > 0 for r in rs)
+
+
+def test_watermark_lateness_monotone_and_bounded(spark, sf_dir):
+    """Dropped counts must be non-increasing in the candidate delay,
+    the 900 s candidate must drop nothing (max simulated transport
+    delay is 599 s, and lateness can never exceed the max delay:
+    an earlier-arriving event's ets' <= ats' <= ats = ets + delay),
+    max_late_s is one global value <= 599, and the audit must show
+    the designed out-of-order SIGNAL at delay 0."""
+    rows = sorted(
+        _q(spark, sf_dir, "stream_watermark_lateness_audit").collect(),
+        key=lambda r: r.delay_s,
+    )
+    assert [r.delay_s for r in rows] == [0, 60, 300, 900]
+    drops = [r.n_dropped for r in rows]
+    assert drops == sorted(drops, reverse=True)
+    assert drops[0] > 0 and drops[-1] == 0
+    assert len({r.max_late_s for r in rows}) == 1
+    assert 0 < rows[0].max_late_s <= 599
+    # dropped_ppm recomputes from n_dropped / corpus size
+    from kbrowse_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "events").count()
+    for r in rows:
+        assert r.dropped_ppm == 1_000_000 * r.n_dropped // n
+
+
 def test_fuzzy_pigeonhole_rejects_malformed_keys(spark, tmp_path):
     """The blocking scheme pins the fixed 'Customer#ddddddddd' width
     into every key; a record outside that shape would be SILENTLY

@@ -90,6 +90,13 @@ ALLOW = {
     # Calibration bins attach the 1-row (smin, smax) score-range
     # aggregate so binning stays in-plan.
     "eval_calibration_bins": "1-row score min/max attach",
+    # Lateness audit: 4-row literal watermark-candidate attach +
+    # hour-grain carry window (the max_concurrency_sweep machinery).
+    "stream_watermark_lateness_audit": (
+        "4-row literal delay-candidate attach + carry window over "
+        "arrival-hour shard aggregates (bounded by time domain, "
+        "analytics.py)"
+    ),
     # The Python UDTF surface is row-at-a-time by nature (Spark 3.5+
     # UDTF protocol); the Arrow-batched alternative is the explode-of-
     # pandas_udf path exercised elsewhere.
