@@ -400,6 +400,75 @@ def test_watermark_lateness_monotone_and_bounded(spark, sf_dir):
         assert r.dropped_ppm == 1_000_000 * r.n_dropped // n
 
 
+def test_kanonymity_monotone_and_exact(spark, sf_dir):
+    """Suppression must be monotone in k (a stricter k never redacts
+    less), ppm recomputes from counts, group totals are constant
+    across rows, and the audit agrees with an independent Python
+    recount of quasi-identifier group sizes."""
+    from collections import Counter
+
+    import duckdb
+
+    from kbrowse_spark.operators.data_quality import _KA_BAL_BUCKET
+    from kbrowse_spark.sources.tables import table_path
+
+    rows = sorted(
+        _q(spark, sf_dir, "kanonymity_audit").collect(), key=lambda r: r.k
+    )
+    assert [r.k for r in rows] == [2, 5, 10]
+    groups = Counter(
+        duckdb.sql(
+            f"""SELECT c_nationkey, c_mktsegment,
+                 CAST(c_acctbal AS BIGINT) // {_KA_BAL_BUCKET}
+                FROM read_parquet('{table_path(sf_dir, "customer")}')"""
+        ).fetchall()
+    )
+    n = sum(groups.values())
+    sup = [r.n_rows_suppressed for r in rows]
+    assert sup == sorted(sup)
+    for r in rows:
+        assert r.n_groups_total == len(groups)
+        assert r.n_groups_below == sum(1 for c in groups.values() if c < r.k)
+        assert r.n_rows_suppressed == sum(
+            c for c in groups.values() if c < r.k
+        )
+        assert r.suppressed_ppm == 1_000_000 * r.n_rows_suppressed // n
+    assert 0 < rows[0].n_rows_suppressed < rows[-1].n_rows_suppressed
+
+
+def test_skew_diagnosis_partitions_keyspace(spark, sf_dir):
+    """Buckets partition the key space exactly (key and row sums match
+    an independent bigram recount), msb is the true bit length of the
+    bucket's max frequency, shares sum to ~1e6, and the salt factor
+    is the exact ceiling rule — 1 for cold buckets, > 1 only when the
+    hottest key exceeds a 1/32 data share."""
+    import duckdb
+
+    from kbrowse_spark.sources.tables import table_path
+
+    rows = sorted(
+        _q(spark, sf_dir, "skew_key_diagnosis").collect(),
+        key=lambda r: r.msb,
+    )
+    nk, nr = duckdb.sql(
+        f"""WITH bi AS (
+              SELECT ws[i] || ' ' || ws[i+1] AS w
+              FROM (SELECT string_split(text, ' ') AS ws,
+                           unnest(generate_series(1,
+                             len(string_split(text, ' ')) - 1)) AS i
+                    FROM read_parquet('{table_path(sf_dir, "documents")}')))
+            SELECT COUNT(DISTINCT w), COUNT(*) FROM bi"""
+    ).fetchone()
+    assert sum(r.n_keys for r in rows) == nk
+    assert sum(r.n_rows for r in rows) == nr
+    assert abs(sum(r.rows_share_ppm for r in rows) - 1_000_000) <= len(rows)
+    for r in rows:
+        assert r.msb == r.max_freq.bit_length()
+        assert r.n_rows >= r.max_freq >= 1
+        assert r.salt_factor == max((r.max_freq * 32 + nr - 1) // nr, 1)
+        assert (r.salt_factor > 1) == (r.max_freq * 32 > nr)
+
+
 def test_fuzzy_pigeonhole_rejects_malformed_keys(spark, tmp_path):
     """The blocking scheme pins the fixed 'Customer#ddddddddd' width
     into every key; a record outside that shape would be SILENTLY

@@ -90,6 +90,16 @@ ALLOW = {
     # Calibration bins attach the 1-row (smin, smax) score-range
     # aggregate so binning stays in-plan.
     "eval_calibration_bins": "1-row score min/max attach",
+    # Governance/ops audits: every cross side is a 1-row total or a
+    # literal candidate table; re-aggregation runs at group/key grain.
+    "kanonymity_audit": (
+        "1-row total attach + 3-row literal k-candidate attach over "
+        "the QI-group-grain table (data_quality.py)"
+    ),
+    "skew_key_diagnosis": (
+        "1-row total attach over the key-grain frequency table "
+        "(data_quality.py)"
+    ),
     # Lateness audit: 4-row literal watermark-candidate attach +
     # hour-grain carry window (the max_concurrency_sweep machinery).
     "stream_watermark_lateness_audit": (
