@@ -189,6 +189,11 @@ ALLOW = {
         "(2 layouts x 64 files, both bounded by construction, "
         "pipeline_ops.py)"
     ),
+    "layout_hilbert_skipping": (
+        "constant 4-row predicate x 96-row file-stat audit join "
+        "(2 curves x 48 files, both bounded by construction, "
+        "pipeline_ops.py)"
+    ),
     "join_bloom_prefilter": (
         "1-row sizing attach + 1-row bloom-array attach + 1-row funnel "
         "stats attach (the runtime-filter broadcast by design, "
