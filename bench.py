@@ -140,6 +140,11 @@ HEADLINE = [
     # plan families under bench watch.
     "eval_mrr_ndcg_at_k",
     "layout_zorder_skipping",
+    # round 10 second wave: list-depth-bounded rank fusion (full-outer
+    # on two WindowGroupLimit lists) and the 8-stage unrolled Hilbert
+    # transform chain — two more plan families under bench watch.
+    "rag_rrf_fusion",
+    "layout_hilbert_skipping",
 ]
 
 
