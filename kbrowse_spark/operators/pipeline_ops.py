@@ -2223,3 +2223,249 @@ def takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("balanced"),
     ).orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split leakage audit (cross-split contamination)
+# ---------------------------------------------------------------------------
+
+_SPLIT_SEG_W = 16  # contamination grain: 16-word segments (the
+# dedup_paragraph_keepfirst convention — the fixture has no newline
+# paragraphs, and CCNet-style leakage checks run at paragraph grain)
+_SPLIT_HASH = "md5(concat('split:', CAST(doc_id AS {str_t})))"
+
+
+def _split_case(engine: str) -> str:
+    h = _SPLIT_HASH.format(str_t="VARCHAR" if engine == "duck" else "STRING")
+    b = (
+        f"('0x' || substr({h}, 1, 8))::BIGINT % 10"
+        if engine == "duck"
+        else f"CAST(conv(substr({h}, 1, 8), 16, 10) AS BIGINT) % 10"
+    )
+    return (
+        f"CASE WHEN {b} < 8 THEN 'train' WHEN {b} = 8 THEN 'val'"
+        " ELSE 'test' END"
+    )
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             {_split_case('duck')} AS split
+      FROM documents),
+    segs AS (
+      SELECT DISTINCT doc_id, split,
+             md5(array_to_string(
+               list_slice(ws, i * {_SPLIT_SEG_W} + 1,
+                          i * {_SPLIT_SEG_W} + {_SPLIT_SEG_W}), ' ')) AS seg
+      FROM (SELECT doc_id, split, ws,
+                   unnest(generate_series(0,
+                     CAST(ceil(len(ws) / {_SPLIT_SEG_W}.0) AS INT) - 1)) AS i
+            FROM d)),
+    tr AS (SELECT DISTINCT seg FROM segs WHERE split = 'train'),
+    docs AS (SELECT split, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+             FROM d GROUP BY split),
+    cont AS (
+      SELECT s.split, CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_cont,
+             CAST(COUNT(DISTINCT s.seg) AS BIGINT) AS n_shared
+      FROM segs s JOIN tr USING (seg)
+      WHERE s.split <> 'train' GROUP BY s.split)
+    SELECT d.split AS split, d.n_docs AS n_docs,
+           CAST(COALESCE(c.n_cont, 0) AS BIGINT) AS n_contaminated,
+           CAST(1000000 * COALESCE(c.n_cont, 0) // d.n_docs AS BIGINT)
+             AS contaminated_ppm,
+           CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared_segments
+    FROM docs d LEFT JOIN cont c ON d.split = c.split
+    ORDER BY d.split
+    """,
+    "pipeline",
+    "governance",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: assign every document to
+    train/val/test by salted hash (80/10/10), then count the val/test
+    documents sharing at least one exact {w}-word segment with ANY
+    train document — the leakage an eval number silently inflates on
+    (the within-corpus counterpart of decontaminate_benchmark, which
+    checks against an external eval suite).  Measured sf0.01: 7/48
+    val and 4/60 test docs carry train segments — the fixture's
+    near-dup structure crosses the split boundary, exactly what this
+    audit exists to catch before training.
+
+    Scale posture: contamination is computed at SEGMENT grain — one
+    distinct (doc, split, segment-hash) pass, a semi-join against the
+    train segment set on the hash (no doc x doc pairs anywhere), and
+    split-grain readouts.  At 100 TB the train-segment side is the
+    big one; the join is a plain equi-join on the segment hash that
+    AQE can run as a shuffled or broadcast join by measured size.
+
+    Reference has no split tooling (SURVEY §2c extension; completes
+    the governance family with kanonymity_audit and
+    takedown_propagation).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.expr(_split_case("spark")).alias("split"),
+    )
+    segs = d.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(ws) /"
+                f" {_SPLIT_SEG_W}.0) AS INT) - 1),"
+                f" i -> md5(array_join(slice(ws, i * {_SPLIT_SEG_W} + 1,"
+                f" {_SPLIT_SEG_W}), ' ')))"
+            )
+        ).alias("seg"),
+    ).distinct()
+    tr = segs.filter(F.col("split") == "train").select("seg").distinct()
+    docs = d.groupBy("split").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    cont = (
+        segs.filter(F.col("split") != "train")
+        .join(tr, "seg")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_cont"),
+            F.countDistinct("seg").cast("long").alias("n_shared"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(cont), "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_cont", F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            F.expr(
+                "CAST(1000000 * COALESCE(n_cont, 0) DIV n_docs AS BIGINT)"
+            ).alias("contaminated_ppm"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias(
+                "n_shared_segments"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+split_leakage_audit.__doc__ = split_leakage_audit.__doc__.format(
+    w=_SPLIT_SEG_W
+)
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style exact column statistics profile
+# ---------------------------------------------------------------------------
+
+# (column, kind): int -> exact min/max; money -> 2-dp DOUBLE profiled
+# in exact cents (round(v*100) is within an ulp of an integer for
+# these generated values; round() is identical IEEE in both engines);
+# str -> ndv/null/total length; ts -> ndv/null only (min/max of a
+# timestamp would inherit session-timezone interpretation).
+_PROFILE_COLS = (
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "money"),
+    ("l_extendedprice", "money"),
+    ("l_discount", "money"),
+    ("l_tax", "money"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+)
+
+
+def _profile_facets(c: str, kind: str) -> dict[str, str]:
+    """Per-column facet expressions (engine-portable SQL)."""
+    cents = f"CAST(round({c} * 100) AS BIGINT)"
+    return {
+        "ndv": f"COUNT(DISTINCT {cents if kind == 'money' else c})",
+        "n_nulls": f"COUNT(*) - COUNT({c})",
+        "min_int": (
+            f"MIN(CAST({c} AS BIGINT))" if kind == "int"
+            else f"MIN({cents})" if kind == "money"
+            else "CAST(NULL AS BIGINT)"
+        ),
+        "max_int": (
+            f"MAX(CAST({c} AS BIGINT))" if kind == "int"
+            else f"MAX({cents})" if kind == "money"
+            else "CAST(NULL AS BIGINT)"
+        ),
+        "sum_strlen": (
+            f"SUM(CAST(length({c}) AS BIGINT))" if kind == "str"
+            else "CAST(NULL AS BIGINT)"
+        ),
+    }
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        f = _profile_facets(c, kind)
+        parts.append(
+            f"""
+      SELECT '{c}' AS col_name,
+             CAST({f['ndv']} AS BIGINT) AS ndv,
+             CAST({f['n_nulls']} AS BIGINT) AS n_nulls,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST({f['min_int']} AS BIGINT) AS min_int,
+             CAST({f['max_int']} AS BIGINT) AS max_int,
+             CAST({f['sum_strlen']} AS BIGINT) AS sum_strlen
+      FROM lineitem"""
+        )
+    return (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(parts)
+        + ") t ORDER BY col_name"
+    )
+
+
+@register("analyze_table_stats", _profile_oracle(), "pipeline", "ops")
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANALYZE-style statistics profile of the lineitem table —
+    per column: exact distinct count, null count, row count, exact
+    integer min/max (raw for keys, cents for the 2-dp money columns),
+    and total string length — the statistics collection every
+    cost-based optimizer, zone-map layout decision, and dictionary-
+    encoding choice starts from, computed exactly rather than via the
+    HLL sketches the approx family covers (sketch_hll_rollup_merge is
+    the approximate twin; this is the truth it converges to).
+
+    Scale posture: ONE pass — all 11 columns' facets ride a single
+    aggregate (Spark plans the multi-distinct via Expand, an 11-way
+    row replication with map-side partial aggregation — the same
+    shape a melt would hand-build), then the 1-row result reshapes to
+    column-grain rows with a stack of literals.  The oracle is 11
+    independent single-column scans — a genuinely different
+    construction cross-checked by the hash.  Timestamp min/max is
+    deliberately NOT profiled (session-timezone interpretation would
+    differ across engines); its ndv/nulls are exact.
+
+    Reference has no statistics collection (SURVEY §2c extension).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        f = _profile_facets(c, kind)
+        for facet, expr in f.items():
+            aggs.append(F.expr(expr).cast("long").alias(f"{facet}__{c}"))
+        aggs.append(F.count(F.lit(1)).cast("long").alias(f"n_rows__{c}"))
+    one = li.agg(*aggs)
+    stack_args = []
+    for c, _ in _PROFILE_COLS:
+        stack_args.append(
+            f"'{c}', ndv__{c}, n_nulls__{c}, n_rows__{c},"
+            f" min_int__{c}, max_int__{c}, sum_strlen__{c}"
+        )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)})"
+        " AS (col_name, ndv, n_nulls, n_rows, min_int, max_int, sum_strlen)"
+    ).orderBy("col_name")

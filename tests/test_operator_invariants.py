@@ -578,6 +578,56 @@ def test_hilbert_beats_zorder_off_alignment(spark, sf_dir):
     assert stats["hilbert"] == stats["zorder"] and len(stats["hilbert"]) > 0
 
 
+def test_split_leakage_partition_and_signal(spark, sf_dir):
+    """Splits partition the corpus (doc counts sum to the table),
+    train reports zero contamination by definition, ppm recomputes,
+    the 80/10/10 hash split is roughly honored, and the SIGNAL holds:
+    the fixture's near-dup structure crosses the boundary, so val and
+    test must each show nonzero contamination (an all-zero audit
+    would mean the segment grain is too coarse to ever fire)."""
+    from kbrowse_spark.sources.tables import load
+
+    rows = {r.split: r for r in _q(spark, sf_dir, "split_leakage_audit").collect()}
+    assert set(rows) == {"train", "val", "test"}
+    n = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n
+    assert rows["train"].n_contaminated == 0
+    assert rows["train"].n_shared_segments == 0
+    # hash split sanity: train is the large split
+    assert rows["train"].n_docs > rows["val"].n_docs + rows["test"].n_docs
+    for s in ("val", "test"):
+        r = rows[s]
+        assert 0 < r.n_contaminated <= r.n_docs
+        assert r.n_shared_segments >= r.n_contaminated
+        assert r.contaminated_ppm == 1_000_000 * r.n_contaminated // r.n_docs
+
+
+def test_analyze_stats_internal_consistency(spark, sf_dir):
+    """Facet sanity per column (ndv bounded by non-null rows, min <=
+    max where profiled, constant row count) plus independently-known
+    facts about the schema: line numbers are a tiny domain, the two
+    flag columns are 1-char codes (so total string length equals
+    their non-null count), and key ndv relates to the table's
+    structure (orderkey ndv = distinct orders <= rows)."""
+    rows = {r.col_name: r for r in _q(spark, sf_dir, "analyze_table_stats").collect()}
+    assert len(rows) == 11
+    n = {r.n_rows for r in rows.values()}
+    assert len(n) == 1
+    n = n.pop()
+    for r in rows.values():
+        assert 0 <= r.n_nulls <= n
+        assert 1 <= r.ndv <= n - r.n_nulls
+        if r.min_int is not None:
+            assert r.min_int <= r.max_int
+    assert rows["l_linenumber"].ndv <= 7
+    for flag in ("l_returnflag", "l_linestatus"):
+        r = rows[flag]
+        assert r.ndv <= 3
+        assert r.sum_strlen == n - r.n_nulls  # 1-char codes
+    assert rows["l_orderkey"].ndv <= n
+    assert rows["l_discount"].max_int <= 100  # <= $1.00 in cents
+
+
 def test_fuzzy_pigeonhole_rejects_malformed_keys(spark, tmp_path):
     """The blocking scheme pins the fixed 'Customer#ddddddddd' width
     into every key; a record outside that shape would be SILENTLY
