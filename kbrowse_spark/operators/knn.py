@@ -1834,3 +1834,136 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 rag_rrf_fusion.__doc__ = rag_rrf_fusion.__doc__.format(
     depth=_RRF_DEPTH, k=_RRF_K, top=_RRF_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation-quality audit (recall of truncated-dim ANN)
+# ---------------------------------------------------------------------------
+
+_TR_DIMS = 16  # truncated prefix dimensionality (of 64)
+_TR_K = 10  # list depth
+_TR_NQ = 10  # query rows (vec_id < _TR_NQ)
+
+
+def _tr_cos(e: str, q: str, dot) -> str:
+    return (
+        f"({dot(e, q)}) / (sqrt({dot(e, e)}) * sqrt({dot(q, q)}))"
+    )
+
+
+@register(
+    "embedding_truncation_recall",
+    f"""
+    WITH e AS (SELECT vec_id, embedding,
+                      list_slice(embedding, 1, {_TR_DIMS}) AS emb_t
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe,
+                 list_slice(embedding, 1, {_TR_DIMS}) AS qe_t
+          FROM e WHERE vec_id < {_TR_NQ}),
+    sc AS (
+      SELECT q.qid AS qid, e.vec_id AS vec_id,
+             {_tr_cos('e.embedding', 'q.qe', _sql_dot)} AS cf,
+             {_tr_cos('e.emb_t', 'q.qe_t', _sql_dot)} AS ct
+      FROM e JOIN q ON e.vec_id <> q.qid),
+    tf AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY cf DESC, vec_id) AS r FROM sc)
+           WHERE r <= {_TR_K}),
+    tt AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY ct DESC, vec_id) AS r FROM sc)
+           WHERE r <= {_TR_K})
+    SELECT tf.qid AS qid,
+           CAST(COUNT(tt.vec_id) AS BIGINT) AS n_overlap,
+           CAST(1000000 * COUNT(tt.vec_id) // {_TR_K} AS BIGINT)
+             AS recall_ppm
+    FROM tf LEFT JOIN tt ON tf.qid = tt.qid AND tf.vec_id = tt.vec_id
+    GROUP BY tf.qid
+    ORDER BY qid
+    """,
+    "knn",
+    "eval",
+)
+def embedding_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-truncation quality audit: exact cosine top-{k}
+    lists per query over the FULL {full}-dim embedding vs the
+    first-{t}-dims truncation, scored by list overlap (recall@{k}) —
+    the measurement behind every "serve the 1/4-size MRL prefix, is
+    the recall hit acceptable?" decision.  Both rankings use the
+    exact fixed-point dot (bit-identical in both engines, the
+    knn_bruteforce_cosine contract), so the audit is hash-exact
+    end-to-end.
+
+    Fixture honesty: these synthetic embeddings are RANDOM, so
+    quarter-dim prefixes are nearly uncorrelated with the full
+    vector and measured recall@{k} is 0-30% — the WORST case.  An
+    MRL-trained model front-loads information and scores far higher;
+    the operator measures, it does not assume.
+
+    Scale posture: the corpus side scans once against a broadcast
+    {nq}-row query block (the knn_batch_topk_join contract); both
+    rankings collapse via WindowGroupLimit per query before the
+    {k}-row-grain overlap join.
+
+    Reference has no embedding tooling (SURVEY §2c extension).
+    """
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.expr(f"slice(embedding, 1, {_TR_DIMS})").alias("emb_t"),
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _TR_NQ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("emb_t").alias("qe_t"),
+        )
+    )
+    sc = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_tr_cos("embedding", "qe", _spark_dot)).alias("cf"),
+            F.expr(_tr_cos("emb_t", "qe_t", _spark_dot)).alias("ct"),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("cf").desc(), "vec_id")
+    wt = W.partitionBy("qid").orderBy(F.col("ct").desc(), "vec_id")
+    tf = (
+        sc.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= _TR_K)
+        .select(F.col("qid").alias("fq"), "vec_id")
+    )
+    tt = (
+        sc.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= _TR_K)
+        .select(F.col("qid").alias("tq"), F.col("vec_id").alias("tv"))
+    )
+    return (
+        tf.join(
+            tt,
+            (F.col("fq") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+            "left",
+        )
+        .groupBy("fq")
+        .agg(F.count("tv").cast("long").alias("n_overlap"))
+        .select(
+            F.col("fq").alias("qid"),
+            "n_overlap",
+            F.expr(
+                f"CAST(1000000 * n_overlap DIV {_TR_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+embedding_truncation_recall.__doc__ = embedding_truncation_recall.__doc__.format(
+    k=_TR_K, full=64, t=_TR_DIMS, nq=_TR_NQ
+)

@@ -2469,3 +2469,129 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)})"
         " AS (col_name, ndv, n_nulls, n_rows, min_int, max_int, sum_strlen)"
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste audit: arrival-order vs length-sorted batching
+# ---------------------------------------------------------------------------
+
+_PW_B = 8  # batch size (sequences per batch)
+
+
+@register(
+    "padding_waste_audit",
+    f"""
+    WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS L
+               FROM documents),
+    a AS (
+      SELECT 'arrival' AS strategy, doc_id // {_PW_B} AS batch, L FROM d
+      UNION ALL
+      SELECT 'length_sorted',
+             (ROW_NUMBER() OVER (ORDER BY L, doc_id) - 1) // {_PW_B}, L
+      FROM d),
+    b AS (SELECT strategy, batch, COUNT(*) AS n, MAX(L) AS mx,
+                 SUM(L) AS tr
+          FROM a GROUP BY strategy, batch)
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(tr) AS BIGINT) AS tokens_real,
+           CAST(SUM(n * mx) AS BIGINT) AS tokens_padded,
+           CAST(1000000 * (SUM(n * mx) - SUM(tr)) // SUM(n * mx)
+                AS BIGINT) AS waste_ppm
+    FROM b GROUP BY strategy
+    ORDER BY strategy
+    """,
+    "pipeline",
+    "ops",
+)
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What length-sorted batching is worth, measured: pack documents
+    into {b}-sequence training batches under (a) ARRIVAL order
+    (batches are doc_id ranges — what a naive loader does) and (b)
+    LENGTH-SORTED order, and compare the padded-token bill (every
+    batch pads to its own max length).  sf0.01: 38.0% of padded
+    tokens are waste under arrival order vs 1.1% sorted — the ~1.6x
+    compute the sorted loader returns for free.  All exact integers.
+
+    The length-sorted GLOBAL rank is computed without a corpus-sized
+    window: a length-grain count table (bounded by the length DOMAIN)
+    carries cumulative offsets, and a per-length row_number adds the
+    within-group position — the two-level prefix-sum machinery of
+    eval_auc_rank / max_concurrency_sweep.  The oracle uses the
+    direct global ROW_NUMBER — two constructions, cross-checked.
+
+    Scale posture: one scan; windows over the length-grain table and
+    within length partitions only; batch-grain (corpus/{b}) and
+    strategy-grain aggregates after that.
+
+    Reference has no training-loader tooling (SURVEY §2c extension;
+    complements token_budget_packing, which packs by token budget —
+    this one audits the padding bill of fixed-size batches).
+    """
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("L")
+    )
+    arrival = d.select(
+        F.lit("arrival").alias("strategy"),
+        F.expr(f"doc_id DIV {_PW_B}").alias("batch"),
+        "L",
+    )
+    lg = (
+        d.groupBy("L")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("cnt").over(
+                    W.orderBy("L").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("L", "cum_before")
+    )
+    rn = F.row_number().over(W.partitionBy("L").orderBy("doc_id"))
+    sorted_ = (
+        d.join(F.broadcast(lg), "L")
+        .withColumn("rank", F.col("cum_before") + rn)
+        .select(
+            F.lit("length_sorted").alias("strategy"),
+            F.expr(f"(rank - 1) DIV {_PW_B}").alias("batch"),
+            "L",
+        )
+    )
+    b = (
+        arrival.unionByName(sorted_)
+        .groupBy("strategy", "batch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("L").alias("mx"),
+            F.sum("L").alias("tr"),
+        )
+    )
+    return (
+        b.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("tr").cast("long").alias("tokens_real"),
+            F.sum(F.col("n") * F.col("mx")).cast("long").alias(
+                "tokens_padded"
+            ),
+        )
+        .select(
+            "strategy",
+            "n_batches",
+            "tokens_real",
+            "tokens_padded",
+            F.expr(
+                "CAST(1000000 * (tokens_padded - tokens_real)"
+                " DIV tokens_padded AS BIGINT)"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("strategy")
+    )
+
+
+padding_waste_audit.__doc__ = padding_waste_audit.__doc__.format(b=_PW_B)

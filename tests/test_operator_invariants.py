@@ -700,6 +700,51 @@ def test_join_order_audit_commutativity_and_signal(spark, sf_dir):
         assert r.err_ppm < 500_000
 
 
+def test_truncation_recall_bounds_and_self_consistency(spark, sf_dir):
+    """recall_ppm recomputes from the overlap count, overlaps are
+    bounded by the list depth, every query row is present — and the
+    audit must actually measure LOSS on this fixture: random
+    embeddings make quarter-dim prefixes nearly uncorrelated, so at
+    least one query must score below perfect recall (a recall of 1.0
+    everywhere would mean the truncated ranking silently equals the
+    full one and the audit measures nothing)."""
+    from kbrowse_spark.operators.knn import _TR_K, _TR_NQ
+
+    rows = sorted(
+        _q(spark, sf_dir, "embedding_truncation_recall").collect(),
+        key=lambda r: r.qid,
+    )
+    assert [r.qid for r in rows] == list(range(_TR_NQ))
+    for r in rows:
+        assert 0 <= r.n_overlap <= _TR_K
+        assert r.recall_ppm == 1_000_000 * r.n_overlap // _TR_K
+    assert any(r.n_overlap < _TR_K for r in rows)
+
+
+def test_padding_waste_conservation_and_signal(spark, sf_dir):
+    """Both strategies batch the SAME corpus (equal tokens_real and
+    batch count), padding never shrinks a batch below its real
+    tokens, waste recomputes exactly, and the signal holds:
+    length-sorted batching wastes strictly less than arrival order
+    (equality would mean the corpus is length-constant and the audit
+    is vacuous on this fixture)."""
+    rows = {
+        r.strategy: r
+        for r in _q(spark, sf_dir, "padding_waste_audit").collect()
+    }
+    assert set(rows) == {"arrival", "length_sorted"}
+    a, s = rows["arrival"], rows["length_sorted"]
+    assert a.tokens_real == s.tokens_real > 0
+    assert a.n_batches == s.n_batches > 0
+    for r in (a, s):
+        assert r.tokens_padded >= r.tokens_real
+        assert r.waste_ppm == 1_000_000 * (
+            r.tokens_padded - r.tokens_real
+        ) // r.tokens_padded
+    assert s.tokens_padded < a.tokens_padded
+    assert s.waste_ppm < a.waste_ppm
+
+
 def test_fuzzy_pigeonhole_rejects_malformed_keys(spark, tmp_path):
     """The blocking scheme pins the fixed 'Customer#ddddddddd' width
     into every key; a record outside that shape would be SILENTLY

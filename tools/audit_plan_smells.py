@@ -100,6 +100,18 @@ ALLOW = {
         "1-row total attach over the key-grain frequency table "
         "(data_quality.py)"
     ),
+    # Truncation audit broadcasts the bounded 10-row query block
+    # (the knn_batch_topk_join design contract).
+    "embedding_truncation_recall": (
+        "broadcast bounded 10-row query block x corpus scan "
+        "(knn_batch_topk_join contract, knn.py)"
+    ),
+    # Padding audit: the cumulative window runs over the length-DOMAIN
+    # bounded length-grain count table, never the corpus.
+    "padding_waste_audit": (
+        "global cumulative window over the length-domain count table "
+        "(<= n distinct lengths rows, pipeline_ops.py)"
+    ),
     # Join-order audit: the readout chains seven 1-row scalar
     # aggregates (stat inputs + per-step actual counts) into one row.
     "join_order_cardinality_audit": (
