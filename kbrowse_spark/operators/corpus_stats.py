@@ -1828,3 +1828,121 @@ def f2_ams_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 f2_ams_sketch.__doc__ = f2_ams_sketch.__doc__.format(k=_AMS_K)
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) vocabulary selection per language
+# ---------------------------------------------------------------------------
+
+_NUC_P_NUM, _NUC_P_DEN = 9, 10  # p = 0.9, kept as an exact rational
+
+
+@register(
+    "vocab_nucleus_topp",
+    f"""
+    WITH d AS (SELECT lang, string_split(text, ' ') AS ws FROM documents),
+    bi AS (
+      SELECT lang, ws[i] || ' ' || ws[i + 1] AS w
+      FROM (SELECT lang, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM d)),
+    f AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM bi GROUP BY lang, w),
+    r AS (
+      SELECT lang, w, c,
+             SUM(c) OVER (PARTITION BY lang
+                          ORDER BY c DESC, w
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY lang) AS tot,
+             COUNT(*) OVER (PARTITION BY lang) AS vocab
+      FROM f)
+    SELECT lang,
+           CAST(ANY_VALUE(vocab) AS BIGINT) AS vocab_size,
+           CAST(ANY_VALUE(tot) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (cum - c < tot * {_NUC_P_NUM}
+                                 // {_NUC_P_DEN}) AS BIGINT)
+             AS nucleus_size,
+           CAST(1000000 * COUNT(*) FILTER (cum - c < tot * {_NUC_P_NUM}
+                                           // {_NUC_P_DEN})
+                // ANY_VALUE(vocab) AS BIGINT) AS nucleus_share_ppm
+    FROM r GROUP BY lang
+    ORDER BY lang
+    """,
+    "corpus_stats",
+)
+def vocab_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p, p={pn}/{pd}) vocabulary selection per language
+    over the bigram distribution: the SMALLEST high-frequency prefix
+    of the frequency-sorted vocabulary whose mass reaches p — the
+    exact set a top-p sampler, a truncated softmax vocab, or a
+    coverage-driven tokenizer prune would keep.  Membership uses the
+    exact integer rule `cum_before < tot * {pn} DIV {pd}` (the first
+    crossing item is IN — standard nucleus semantics), so both
+    engines agree bit-for-bit with no float thresholds.  sf0.01:
+    671-750 of ~890 bigrams per language carry 90% of the mass.
+
+    Scale posture: one corpus scan to (lang, bigram) grain
+    (map-side-combinable counts); the ranking windows run at VOCAB
+    grain partitioned by lang — bounded by vocabulary size, not
+    corpus rows (the seq_length_histogram domain-bounded-window
+    rule); the readout is language-grain.
+
+    Reference has no vocabulary tooling (SURVEY §2c extension;
+    complements bpe_train_merges and vocab_oov_rate).
+    """
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.split("text", " ").alias("ws")
+    )
+    bi = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN"
+                " transform(sequence(0, size(ws) - 2),"
+                " i -> concat(ws[i], ' ', ws[i + 1]))"
+                " ELSE array() END"
+            )
+        ).alias("w"),
+    )
+    f = bi.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_rank = (
+        W.partitionBy("lang")
+        .orderBy(F.col("c").desc(), "w")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = f.select(
+        "lang",
+        "c",
+        F.sum("c").over(w_rank).alias("cum"),
+        F.sum("c").over(W.partitionBy("lang")).alias("tot"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("vocab"),
+    )
+    in_nuc = F.expr(
+        f"CAST(cum - c < tot * {_NUC_P_NUM} DIV {_NUC_P_DEN} AS INT)"
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.first("vocab").cast("long").alias("vocab_size"),
+            F.first("tot").cast("long").alias("total_tokens"),
+            F.sum(in_nuc).cast("long").alias("nucleus_size"),
+        )
+        .select(
+            "lang",
+            "vocab_size",
+            "total_tokens",
+            "nucleus_size",
+            F.expr(
+                "CAST(1000000 * nucleus_size DIV vocab_size AS BIGINT)"
+            ).alias("nucleus_share_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+vocab_nucleus_topp.__doc__ = vocab_nucleus_topp.__doc__.format(
+    pn=_NUC_P_NUM, pd=_NUC_P_DEN
+)

@@ -2047,3 +2047,116 @@ def stream_spatial_epsilon_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 stream_spatial_epsilon_match.__doc__ = stream_spatial_epsilon_match.__doc__.format(
     eps=_EPS
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup against a static fingerprint store
+# ---------------------------------------------------------------------------
+
+from kbrowse_spark.operators.pipeline_ops import _SPLIT_SEG_W  # noqa: E402
+
+
+@register(
+    "stream_dedup_static_store",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+    segs AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(
+               list_slice(ws, i * {_SPLIT_SEG_W} + 1,
+                          i * {_SPLIT_SEG_W} + {_SPLIT_SEG_W}), ' ')) AS seg
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(0,
+                     CAST(ceil(len(ws) / {_SPLIT_SEG_W}.0) AS INT) - 1)) AS i
+            FROM d)),
+    store AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 2 = 0),
+    probe AS (
+      SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(COUNT(st.seg) AS BIGINT) AS n_store_hits
+      FROM segs s LEFT JOIN store st ON s.seg = st.seg
+      WHERE s.doc_id % 2 = 1
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_segments, n_store_hits,
+           CAST(CASE WHEN n_store_hits > 0 THEN 1 ELSE 0 END AS INT)
+             AS is_dup
+    FROM probe
+    ORDER BY doc_id
+    """,
+    "streaming",
+    "dedup",
+)
+def stream_dedup_static_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-dedup streaming arm: documents ARRIVE as a stream
+    (odd doc_ids) and probe a STATIC segment-fingerprint store (the
+    {w}-word segment hashes of the even-doc_id corpus) — the
+    ingest-time "have we already got this text?" gate every
+    incremental crawl runs before admitting a document.  Stateless
+    stream-static join per micro-batch (no state store, no
+    watermark): segment hashes of each arriving doc equi-join the
+    store; per-doc hit counts and the is_dup flag come out at
+    pair-then-doc grain.  Complements stream_spatial_epsilon_match
+    (geometric probe) and dedup_incremental_minhash (batch
+    incremental): this is the exact-segment streaming gate.
+
+    Scale posture: the store side is segment-hash-keyed; per batch
+    the probe explodes arriving docs into bounded segment counts and
+    the join is a plain equi-join on the hash — broadcastable while
+    the store is dimension-sized, shuffled once it is not (same plan
+    family either way).  The memory sink receives doc grain, not
+    segment grain.
+
+    Reference has no dedup operators (SURVEY §2c extension).
+    """
+    path = table_path(sf_dir, "documents")
+    static = spark.read.parquet(path)
+    # array_distinct INSIDE the row (a doc arrives as one row, so its
+    # segment dedup needs no cross-row streaming state — the operator
+    # stays genuinely stateless; a stream-level dropDuplicates would
+    # grow unbounded state).
+    seg_expr = (
+        f"explode(array_distinct(transform(sequence(0, CAST(ceil(size(ws) /"
+        f" {_SPLIT_SEG_W}.0) AS INT) - 1),"
+        f" i -> md5(array_join(slice(ws, i * {_SPLIT_SEG_W} + 1,"
+        f" {_SPLIT_SEG_W}), ' ')))))"
+    )
+    store = (
+        static.filter(F.expr("doc_id % 2 = 0"))
+        .select(F.split("text", " ").alias("ws"))
+        .select(F.expr(seg_expr).alias("seg"))
+        .distinct()
+    )
+    stream = spark.readStream.schema(static.schema).parquet(
+        _stage_stream_dir(path)
+    )
+    probe_segs = (
+        stream.filter(F.expr("doc_id % 2 = 1"))
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.expr(seg_expr).alias("seg"))
+    )
+    hits = probe_segs.join(
+        F.broadcast(store.withColumn("hit", F.lit(1))), "seg", "left"
+    ).select("doc_id", F.coalesce("hit", F.lit(0)).alias("hit"))
+    result = _run_to_memory(hits, "append")
+    return (
+        result.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("hit").cast("long").alias("n_store_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_store_hits",
+            F.expr(
+                "CAST(CASE WHEN n_store_hits > 0 THEN 1 ELSE 0 END AS INT)"
+            ).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+stream_dedup_static_store.__doc__ = stream_dedup_static_store.__doc__.format(
+    w=_SPLIT_SEG_W
+)

@@ -745,6 +745,97 @@ def test_padding_waste_conservation_and_signal(spark, sf_dir):
     assert s.waste_ppm < a.waste_ppm
 
 
+def test_nucleus_topp_minimality(spark, sf_dir):
+    """The nucleus must be the MINIMAL covering prefix: recomputed in
+    Python from an independent bigram count, the selected size k must
+    satisfy mass(top k) >= ceil-threshold AND mass(top k-1) < it
+    (one fewer item would not cover p), with vocab/total cross-checked
+    and the share recomputing exactly."""
+    from collections import Counter
+
+    import duckdb
+
+    from kbrowse_spark.operators.corpus_stats import _NUC_P_DEN, _NUC_P_NUM
+    from kbrowse_spark.sources.tables import table_path
+
+    rows = {r.lang: r for r in _q(spark, sf_dir, "vocab_nucleus_topp").collect()}
+    data = duckdb.sql(
+        f"SELECT lang, text FROM read_parquet('{table_path(sf_dir, 'documents')}')"
+    ).fetchall()
+    by_lang: dict = {}
+    for lang, text in data:
+        ws = text.split(" ")
+        cnt = by_lang.setdefault(lang, Counter())
+        for i in range(len(ws) - 1):
+            cnt[ws[i] + " " + ws[i + 1]] += 1
+    assert set(rows) == set(by_lang)
+    for lang, cnt in by_lang.items():
+        r = rows[lang]
+        tot = sum(cnt.values())
+        assert r.vocab_size == len(cnt) and r.total_tokens == tot
+        thresh = tot * _NUC_P_NUM // _NUC_P_DEN
+        freqs = sorted(cnt.values(), reverse=True)
+        # direct recompute of the operator's membership rule
+        # (cum_before < tot*p => item is in; first crossing included)
+        cum_before, k2 = 0, 0
+        for c in freqs:
+            if cum_before < thresh:
+                k2 += 1
+            cum_before += c
+        assert r.nucleus_size == k2
+        # minimality + coverage under the crossing rule
+        assert sum(freqs[:k2]) >= thresh
+        if k2 > 0:
+            assert sum(freqs[: k2 - 1]) < thresh
+        assert r.nucleus_share_ppm == 1_000_000 * k2 // len(cnt)
+
+
+def test_stream_dedup_store_matches_batch(spark, sf_dir):
+    """The streaming static-store gate must produce EXACTLY the
+    per-doc hit summary a pure batch formulation produces over the
+    same odd-probe/even-store split, and the signal must be present:
+    some arriving docs are dups (the fixture's near-dup structure)
+    and some are clean."""
+    from kbrowse_spark.operators.pipeline_ops import _SPLIT_SEG_W
+    from kbrowse_spark.sources.tables import load
+
+    seg = (
+        f"explode(array_distinct(transform(sequence(0, CAST(ceil(size(ws) /"
+        f" {_SPLIT_SEG_W}.0) AS INT) - 1),"
+        f" i -> md5(array_join(slice(ws, i * {_SPLIT_SEG_W} + 1,"
+        f" {_SPLIT_SEG_W}), ' ')))))"
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    segs = d.select("doc_id", F.expr(seg).alias("seg"))
+    store = (
+        segs.filter(F.expr("doc_id % 2 = 0")).select("seg").distinct()
+    )
+    want = {
+        (r.doc_id, r.n_segments, r.n_store_hits)
+        for r in (
+            segs.filter(F.expr("doc_id % 2 = 1"))
+            .join(store.withColumn("hit", F.lit(1)), "seg", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_segments"),
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("long")
+                .alias("n_store_hits"),
+            )
+            .collect()
+        )
+    }
+    got = {
+        (r.doc_id, r.n_segments, r.n_store_hits)
+        for r in _q(spark, sf_dir, "stream_dedup_static_store").collect()
+    }
+    assert got == want and len(got) > 0
+    dups = sum(1 for _, _, h in got if h > 0)
+    assert 0 < dups < len(got)
+
+
 def test_fuzzy_pigeonhole_rejects_malformed_keys(spark, tmp_path):
     """The blocking scheme pins the fixed 'Customer#ddddddddd' width
     into every key; a record outside that shape would be SILENTLY
