@@ -3853,3 +3853,178 @@ def join_order_cardinality_audit(
             " DIV GREATEST(actual_rows, 1) AS BIGINT)"
         ).alias("err_ppm"),
     ).orderBy("join_order", "step")
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (distributed resampling)
+# ---------------------------------------------------------------------------
+
+_PB_B = 100  # bootstrap replicates
+_PB_LO_RANK, _PB_HI_RANK = 3, 98  # ~2.5% / 97.5% order statistics of B=100
+
+
+def _pb_thresholds() -> list[int]:
+    """Poisson(1) CDF breakpoints on a 2^60 integer scale, evaluated
+    ONCE in Python and embedded as literals in both engines (the
+    eval_mrr_ndcg_at_k log-weight pattern) — no float RNG contract."""
+    import math
+
+    out, cdf = [], 0.0
+    for k in range(6):
+        cdf += math.exp(-1) / math.factorial(k)
+        out.append(int(cdf * (1 << 60)))
+    return out
+
+
+_PB_TH = _pb_thresholds()
+
+
+def _pb_m_case(u: str) -> str:
+    """Resample multiplicity m ~ Poisson(1) via inverse CDF over the
+    60-bit uniform hash `u` — identical expression text both engines
+    (capped at 6; P(X>6|lambda=1) ~ 8e-5, an explicitly-capped tail)."""
+    arms = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_PB_TH)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+@register(
+    "poisson_bootstrap_ci",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS grp, o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    rep AS (
+      SELECT grp, b, cents,
+             {_pb_m_case("('0x' || substr(md5(o_orderkey || '-' || b), 1, 15))::BIGINT")} AS m
+      FROM (SELECT grp, o_orderkey, cents,
+                   unnest(generate_series(1, {_PB_B})) AS b
+            FROM base)),
+    means AS (
+      SELECT grp, b,
+             CAST(SUM(m * cents) // GREATEST(SUM(m), 1) AS BIGINT) AS mb
+      FROM rep GROUP BY grp, b),
+    ranked AS (
+      SELECT grp, mb,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mb, b) AS rnk
+      FROM means),
+    pt AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) // COUNT(*) AS BIGINT) AS point_mean_cents
+      FROM base GROUP BY grp)
+    SELECT p.grp AS o_orderpriority, p.n_rows, p.point_mean_cents,
+           CAST(MAX(CASE WHEN r.rnk = {_PB_LO_RANK} THEN r.mb END)
+                AS BIGINT) AS boot_lo_cents,
+           CAST(MAX(CASE WHEN r.rnk = {_PB_HI_RANK} THEN r.mb END)
+                AS BIGINT) AS boot_hi_cents,
+           CAST({_PB_B} AS BIGINT) AS n_boot
+    FROM pt p JOIN ranked r ON p.grp = r.grp
+    GROUP BY p.grp, p.n_rows, p.point_mean_cents
+    ORDER BY o_orderpriority
+    """,
+    "analytics",
+    "stats",
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean order price per order
+    priority — THE distributed bootstrap: instead of drawing n rows
+    with replacement per replicate (which needs global coordination),
+    each row enters replicate b with multiplicity m ~ Poisson(1),
+    independent per (row, b), so every replicate is one combinable
+    aggregate over a single scan and replicates shard trivially
+    across executors.  Multiplicities are deterministic — a 60-bit
+    md5 hash of (orderkey, b) fed through the Poisson(1) inverse CDF
+    with Python-precomputed 2^60-scale integer breakpoints embedded
+    as literals in both engines — so the "random" resample is
+    bit-reproducible with no float or RNG contract.  Replicate means
+    are exact integer cents (SUM(m*cents) DIV SUM(m)); the CI is the
+    {lo}rd/{hi}th order statistics of the B={b} replicate means.
+
+    Scale posture: the explode is x{b} on the fact scan — the
+    bootstrap's intrinsic cost, embarrassingly parallel, no extra
+    shuffle beyond the (grp, b) hash aggregate (map-side combinable);
+    the ranking window runs at REPLICATE grain (G x {b} rows, bounded
+    by the group domain, not the corpus).  At 100 TB the same plan
+    holds: Poisson multiplicities need no global n, which is exactly
+    why this beats exact multinomial resampling on a cluster.
+
+    Reference has no resampling tooling (SURVEY §2c extension; joins
+    ab_test_welch / cuped_adjusted_metric in the experimentation
+    family).
+    """
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    # Spread the x100 fan-out: a small orders file arrives as ONE input
+    # split, which would serialize all n*B md5s onto a single task —
+    # and the session's input-sized shuffle tuning is equally wrong
+    # here because the explode multiplies volume x100 AFTER the scan.
+    # Partition the 3-column base explicitly for post-fanout size
+    # (core count), a tiny shuffle that buys full parallelism for the
+    # hash work (measured 12.8 s -> 1.7 s at sf0.1 on local[32]).
+    base = base.repartition(
+        spark.sparkContext.defaultParallelism, F.col("o_orderkey")
+    )
+    rep = base.select(
+        "grp",
+        "cents",
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(1), F.lit(_PB_B))).alias("b"),
+    ).select(
+        "grp",
+        "b",
+        "cents",
+        F.expr(
+            _pb_m_case(
+                "CAST(conv(substr(md5(concat(o_orderkey, '-', b)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            )
+        ).alias("m"),
+    )
+    means = rep.groupBy("grp", "b").agg(
+        F.expr(
+            "CAST(SUM(m * cents) DIV GREATEST(SUM(m), 1) AS BIGINT)"
+        ).alias("mb")
+    )
+    w = Window.partitionBy("grp").orderBy("mb", "b")
+    ranked = means.select("grp", "mb", F.row_number().over(w).alias("rnk"))
+    pt = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias(
+            "point_mean_cents"
+        ),
+    )
+    return (
+        pt.join(ranked, "grp")
+        .groupBy("grp", "n_rows", "point_mean_cents")
+        .agg(
+            F.max(
+                F.when(F.col("rnk") == _PB_LO_RANK, F.col("mb"))
+            )
+            .cast("long")
+            .alias("boot_lo_cents"),
+            F.max(
+                F.when(F.col("rnk") == _PB_HI_RANK, F.col("mb"))
+            )
+            .cast("long")
+            .alias("boot_hi_cents"),
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_rows",
+            "point_mean_cents",
+            "boot_lo_cents",
+            "boot_hi_cents",
+            F.lit(_PB_B).cast("long").alias("n_boot"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+poisson_bootstrap_ci.__doc__ = poisson_bootstrap_ci.__doc__.format(
+    lo=_PB_LO_RANK, hi=_PB_HI_RANK, b=_PB_B
+)

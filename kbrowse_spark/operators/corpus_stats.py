@@ -1946,3 +1946,157 @@ def vocab_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
 vocab_nucleus_topp.__doc__ = vocab_nucleus_topp.__doc__.format(
     pn=_NUC_P_NUM, pd=_NUC_P_DEN
 )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary-growth curve (first-seen bucket trick)
+# ---------------------------------------------------------------------------
+
+_HEAPS_K = 8  # corpus checkpoints (eighths of the doc_id range)
+
+
+@register(
+    "heaps_vocab_growth",
+    f"""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tok AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS w
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM d)),
+    docb AS (
+      SELECT CAST(doc_id * {_HEAPS_K} // (SELECT m FROM mx) AS BIGINT)
+               AS bucket,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_b,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens_b
+      FROM tok GROUP BY bucket),
+    firsts AS (
+      SELECT w, MIN(doc_id) AS first_seen FROM tok GROUP BY w),
+    vocb AS (
+      SELECT CAST(first_seen * {_HEAPS_K} // (SELECT m FROM mx) AS BIGINT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_vocab
+      FROM firsts GROUP BY bucket),
+    cum AS (
+      SELECT d.bucket,
+             SUM(d.n_docs_b) OVER (ORDER BY d.bucket) AS n_docs,
+             SUM(d.n_tokens_b) OVER (ORDER BY d.bucket) AS n_tokens,
+             SUM(COALESCE(v.new_vocab, 0)) OVER (ORDER BY d.bucket)
+               AS vocab_size,
+             COALESCE(v.new_vocab, 0) AS new_vocab
+      FROM docb d LEFT JOIN vocb v ON d.bucket = v.bucket)
+    SELECT CAST(bucket + 1 AS BIGINT) AS checkpoint,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab_size AS BIGINT) AS vocab_size,
+           CAST(new_vocab AS BIGINT) AS new_vocab,
+           CAST(1000000 * vocab_size // n_tokens AS BIGINT)
+             AS type_token_ppm
+    FROM cum ORDER BY checkpoint
+    """,
+    "corpus_stats",
+)
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-TYPE count at
+    {k} corpus-prefix checkpoints (eighths of the doc_id range), via
+    the FIRST-SEEN trick — instead of {k} distinct-count passes over
+    growing prefixes (or a distinct-over-prefix window), one hash
+    aggregate computes MIN(doc_id) per type, each type is binned to
+    the checkpoint bucket where it first appears, and vocabulary size
+    at checkpoint c is a prefix sum over the {k}-row bucket table.
+    A distinct count over every prefix became ONE count per type plus
+    a domain-bounded cumulative window — the formulation that
+    survives 100 TB (the sub-linear type/token curve this emits is
+    the standard sizing input for tokenizer vocab and dedup planning;
+    Heaps 1978).  Types are word TRIGRAMS: the fixture's unigram
+    vocabulary is a closed 31-word list that saturates at checkpoint
+    1 (measured non-discriminating and rejected, the
+    vocab_nucleus_topp unigram precedent); trigram types keep
+    arriving across the whole range (sf0.01: 3060 new types in the
+    first eighth decaying to 1117 in the last — a real Heaps decay).
+
+    Scale posture: two corpus-grain map-side-combinable hash
+    aggregates (per-bucket token counts, per-type MIN) are the only
+    data-sized passes; the cumulative window runs over {k} rows.
+    Exact integers end-to-end (bucket = doc_id*{k} DIV (max+1); the
+    1-row max attaches as a scalar subquery / broadcast).
+
+    Reference has no corpus-growth tooling (SURVEY §2c extension;
+    complements vocab_oov_rate and bpe_train_merges, and the
+    first-seen bucket trick mirrors dedup_exact's keep-first MIN).
+    """
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN"
+                    " transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                    " ELSE array() END"
+                )
+            ).alias("w"),
+        )
+    )
+    mx = load(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + 1).alias("m")
+    )
+    docb = (
+        tok.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"CAST(doc_id * {_HEAPS_K} DIV m AS BIGINT)").alias(
+                "bucket"
+            ),
+            "doc_id",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs_b"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens_b"),
+        )
+    )
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("first_seen"))
+    vocb = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(
+                f"CAST(first_seen * {_HEAPS_K} DIV m AS BIGINT)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        docb.join(vocb, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs_b",
+            "n_tokens_b",
+            F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+        )
+        .select(
+            "bucket",
+            F.sum("n_docs_b").over(w_cum).cast("long").alias("n_docs"),
+            F.sum("n_tokens_b").over(w_cum).cast("long").alias("n_tokens"),
+            F.sum("new_vocab").over(w_cum).cast("long").alias("vocab_size"),
+            F.col("new_vocab").cast("long"),
+        )
+    )
+    return cum.select(
+        (F.col("bucket") + 1).cast("long").alias("checkpoint"),
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        "new_vocab",
+        F.expr("CAST(1000000 * vocab_size DIV n_tokens AS BIGINT)").alias(
+            "type_token_ppm"
+        ),
+    ).orderBy("checkpoint")
+
+
+heaps_vocab_growth.__doc__ = heaps_vocab_growth.__doc__.format(k=_HEAPS_K)

@@ -958,3 +958,141 @@ def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
 skew_key_diagnosis.__doc__ = skew_key_diagnosis.__doc__.format(
     p=_SKEW_PARTS
 )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit over quasi-identifiers (sensitive-value diversity)
+# ---------------------------------------------------------------------------
+
+_LD_BAL_BUCKET = 2000  # same coarsening as kanonymity_audit
+_LD_CANDIDATES = (2, 3, 5)
+
+
+@register(
+    "ldiversity_audit",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(c_acctbal AS BIGINT) // {_LD_BAL_BUCKET} AS bal_b,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+             CAST(MAX(seg_c) AS BIGINT) AS top_seg_c
+      FROM (
+        SELECT c_nationkey, c_acctbal, c_mktsegment,
+               COUNT(*) OVER (PARTITION BY c_nationkey,
+                              CAST(c_acctbal AS BIGINT) // {_LD_BAL_BUCKET},
+                              c_mktsegment) AS seg_c
+        FROM customer)
+      GROUP BY c_nationkey, bal_b),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups FROM g)
+    SELECT CAST(l.l AS BIGINT) AS l,
+           CAST(ANY_VALUE(t.n_groups) AS BIGINT) AS n_groups_total,
+           CAST(SUM(CASE WHEN g.l_div < l.l THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below,
+           CAST(SUM(CASE WHEN g.l_div < l.l THEN g.c ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(1000000 * SUM(CASE WHEN g.l_div < l.l THEN g.c ELSE 0 END)
+                // ANY_VALUE(t.n) AS BIGINT) AS at_risk_ppm,
+           CAST(SUM(CASE WHEN 1000000 * g.top_seg_c // g.c > 900000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_skewed
+    FROM g CROSS JOIN tot t
+    CROSS JOIN (SELECT unnest([{", ".join(map(str, _LD_CANDIDATES))}]) AS l) l
+    GROUP BY l.l
+    ORDER BY l
+    """,
+    "data_quality",
+    "governance",
+)
+def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the customer table: k-anonymity
+    (kanonymity_audit) certifies GROUP SIZE, but a size-10 group
+    whose members all share one market segment still leaks the
+    sensitive attribute — l-diversity requires every quasi-identifier
+    group (nation, ${bal} balance bucket) to contain at least l
+    DISTINCT sensitive values (Machanavajjhala et al. 2007).  For
+    each candidate l in {cands}: groups below l, rows in those
+    groups, and (skew diagnostic) groups where one segment holds
+    >90% of members — the recursive-(c,l)-diversity smell that
+    distinct-count l-diversity alone misses.
+
+    Scale posture: one (QI, sensitive)-grain window for the top
+    segment share rides the same hash partitioning as the QI
+    aggregate; the candidate fan-out is a 3-row broadcast dim over
+    the GROUP-grain table (bounded by QI domain, not corpus rows).
+    Exact integers end-to-end.
+
+    Reference has no governance tooling (SURVEY §2c extension;
+    extends kanonymity_audit with the sensitive-attribute axis).
+    """
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.expr(f"CAST(c_acctbal AS BIGINT) DIV {_LD_BAL_BUCKET}").alias(
+            "bal_b"
+        ),
+        "c_mktsegment",
+    )
+    seg_w = W.partitionBy("c_nationkey", "bal_b", "c_mktsegment")
+    g = (
+        c.withColumn("seg_c", F.count(F.lit(1)).over(seg_w))
+        .groupBy("c_nationkey", "bal_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l_div"),
+            F.max("seg_c").cast("long").alias("top_seg_c"),
+        )
+    )
+    tot = g.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    ls = F.explode(
+        F.array(*[F.lit(v) for v in _LD_CANDIDATES])
+    ).alias("l")
+    lv = g.sparkSession.range(1).select(ls)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(lv))
+        .groupBy("l")
+        .agg(
+            F.first("n_groups").cast("long").alias("n_groups_total"),
+            F.sum(
+                F.when(F.col("l_div") < F.col("l"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_groups_below"),
+            F.sum(
+                F.when(F.col("l_div") < F.col("l"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN l_div < l THEN c ELSE 0 END)"
+                " DIV FIRST(n) AS BIGINT)"
+            ).alias("at_risk_ppm"),
+            F.sum(
+                F.when(
+                    F.expr("1000000 * top_seg_c DIV c > 900000"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_groups_skewed"),
+        )
+        .select(
+            F.col("l").cast("long"),
+            "n_groups_total",
+            "n_groups_below",
+            "n_rows_at_risk",
+            "at_risk_ppm",
+            "n_groups_skewed",
+        )
+        .orderBy("l")
+    )
+
+
+ldiversity_audit.__doc__ = ldiversity_audit.__doc__.format(
+    bal=_LD_BAL_BUCKET, cands=_LD_CANDIDATES
+)

@@ -697,3 +697,149 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 kcore_decomposition.__doc__ = kcore_decomposition.__doc__.format(
     k=_KCORE_K, r=_KCORE_ROUNDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop histogram (frontier expansion, min-hop exact)
+# ---------------------------------------------------------------------------
+
+_BFS_SEEDS = 3  # smallest interacting custkeys
+_BFS_H = 4  # hop bound
+
+
+@register(
+    "bfs_multisource_hops",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s, 'c' || c FROM pairs),
+    seeds AS (
+      SELECT c AS seed, 'c' || c AS node
+      FROM (SELECT DISTINCT c FROM pairs ORDER BY c LIMIT {_BFS_SEEDS})),
+    walk(seed, node, hop) AS (
+      SELECT seed, node, 0 FROM seeds
+      UNION
+      SELECT w.seed, e.dst, w.hop + 1
+      FROM walk w JOIN edges e ON w.node = e.src
+      WHERE w.hop < {_BFS_H}),
+    mh AS (SELECT seed, node, MIN(hop) AS hop FROM walk
+           GROUP BY seed, node)
+    SELECT CAST(seed AS BIGINT) AS seed_custkey,
+           CAST(hop AS BIGINT) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM mh GROUP BY seed, hop
+    ORDER BY seed_custkey, hop
+    """,
+    "graph",
+    "iterative",
+)
+def bfs_multisource_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the bipartite customer-supplier
+    interaction graph (the pagerank_interaction edge set): exact
+    minimum hop distance from each of the {seeds} smallest
+    interacting customers, reported as a (seed, hop) reachability
+    histogram up to {h} hops — the reachability profile a
+    graph-sampling or neighborhood-feature pipeline reads first.
+
+    The Spark plan is frontier expansion: per round, ONE edge-keyed
+    equi-join from the current frontier plus an anti-join against the
+    visited set — a node is labeled the first time it is reached, so
+    min-hop is exact by construction (no min-aggregate over repeated
+    reaches, no path enumeration).  The oracle is the independent
+    formulation: recursive-CTE path expansion with MIN(hop) per
+    (seed, node) — it enumerates reaches and aggregates, the Spark
+    side never materializes a reach more than once.
+
+    Scale posture: per round, the join volume is |frontier| x degree
+    (frontier-bounded, never corpus^2) and the visited set grows
+    monotonically to at most seeds x nodes.  Each round eagerly
+    localCheckpoints the visited set — without it the lazy plan
+    re-derives round h-1 from scratch on both the frontier and the
+    anti-join branch (2^rounds leaf scans).  Same fault-tolerance
+    delta as kcore_decomposition: executor-local checkpoint blocks
+    are not recoverable on a real cluster — a production deployment
+    uses reliable checkpoint() to the checkpoint dir (see the
+    kcore `reliable=` knob) at the cost of a dir write per round.
+    At cluster scale the visited set would be bucketed by node,
+    making the anti-join co-partitioned.
+
+    Reference has no graph operators (SURVEY §2c extension;
+    completes the graph family: PageRank/HITS/LPA/k-core/triangles +
+    traversal).
+    """
+    from kbrowse_spark.functions.cache_registry import cached
+
+    def build_edges():
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        pairs = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(
+                F.concat(
+                    F.lit("c"), F.col("o_custkey").cast("string")
+                ).alias("cnode"),
+                F.concat(
+                    F.lit("s"), F.col("l_suppkey").cast("string")
+                ).alias("snode"),
+            )
+            .distinct()
+        )
+        return pairs.select(
+            F.col("cnode").alias("src"), F.col("snode").alias("dst")
+        ).unionAll(
+            pairs.select(
+                F.col("snode").alias("src"), F.col("cnode").alias("dst")
+            )
+        )
+
+    edges = cached(spark, sf_dir, "lpa_edges", build_edges)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    seeds = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .select("o_custkey")
+        .distinct()
+        .orderBy("o_custkey")
+        .limit(_BFS_SEEDS)
+        .select(
+            F.col("o_custkey").alias("seed"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "node"
+            ),
+        )
+    )
+    visited = seeds.select(
+        "seed", "node", F.lit(0).cast("long").alias("hop")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, _BFS_H + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        visited.groupBy("seed", "hop")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(
+            F.col("seed").cast("long").alias("seed_custkey"),
+            "hop",
+            "n_nodes",
+        )
+        .orderBy("seed_custkey", "hop")
+    )
+
+
+bfs_multisource_hops.__doc__ = bfs_multisource_hops.__doc__.format(
+    seeds=_BFS_SEEDS, h=_BFS_H
+)

@@ -2525,3 +2525,231 @@ def test_eval_metrics_signal_and_monotonicity(spark, sf_dir):
     caps = [r.cum_capture_ppm for r in rows]
     assert caps == sorted(caps) and caps[-1] == 1_000_000
     assert rows[0].pos_rate_ppm >= rows[-1].pos_rate_ppm
+
+
+def test_poisson_bootstrap_breakpoints_and_coverage(spark, sf_dir):
+    """(a) Pure math: the embedded 2^60 breakpoints must reproduce the
+    Poisson(1) pmf to float accuracy and the capped distribution's
+    mean must be within 1e-3 of 1.  (b) In-engine: every group's CI
+    must bracket its point estimate, be properly ordered, and be
+    non-degenerate (lo < hi)."""
+    import math
+
+    from kbrowse_spark.operators.analytics import _PB_TH
+
+    prev, mean = 0, 0.0
+    for k, t in enumerate(_PB_TH):
+        pmf = (t - prev) / (1 << 60)
+        assert abs(pmf - math.exp(-1) / math.factorial(k)) < 1e-9
+        mean += k * pmf
+        prev = t
+    mean += 6 * (1 - prev / (1 << 60))  # capped tail mass at m=6
+    assert abs(mean - 1.0) < 1e-3
+
+    rows = _q(spark, sf_dir, "poisson_bootstrap_ci").collect()
+    assert rows
+    for r in rows:
+        assert r.boot_lo_cents < r.boot_hi_cents
+        assert r.boot_lo_cents <= r.point_mean_cents <= r.boot_hi_cents
+        # Replicate means of an n>=hundreds sample concentrate: the CI
+        # width stays a small fraction of the point estimate.
+        assert (
+            r.boot_hi_cents - r.boot_lo_cents
+        ) < 0.2 * r.point_mean_cents
+
+
+def test_heaps_vocab_growth_exactness_and_shape(spark, sf_dir):
+    """The bucketed first-seen construction must agree EXACTLY with
+    direct distinct counts: the final checkpoint equals the corpus
+    trigram-type count, every checkpoint is monotone in docs/tokens/
+    vocab, new_vocab decays (first eighth introduces the most types),
+    and the type/token ratio falls (Heaps sub-linearity)."""
+    rows = _q(spark, sf_dir, "heaps_vocab_growth").collect()
+    assert len(rows) > 1
+    from kbrowse_spark.sources.tables import load
+
+    tri = (
+        load(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                )
+            ).alias("w")
+        )
+        .agg(F.countDistinct("w").alias("v"))
+        .collect()[0]
+        .v
+    )
+    assert rows[-1].vocab_size == tri
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs > a.n_docs
+        assert b.n_tokens > a.n_tokens
+        assert b.vocab_size >= a.vocab_size
+        assert b.type_token_ppm <= a.type_token_ppm
+    assert rows[0].new_vocab == max(r.new_vocab for r in rows)
+    assert rows[-1].vocab_size == sum(r.new_vocab for r in rows)
+
+
+def test_ldiversity_monotone_and_recount(spark, sf_dir):
+    """n_groups_below / n_rows_at_risk are monotone in l; the l=2 row
+    is recounted directly (groups whose members all share one market
+    segment); diversity can never exceed group size, so every
+    singleton QI group must be below every l >= 2."""
+    rows = sorted(
+        _q(spark, sf_dir, "ldiversity_audit").collect(), key=lambda r: r.l
+    )
+    assert [r.l for r in rows] == [2, 3, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_groups_below <= b.n_groups_below
+        assert a.n_rows_at_risk <= b.n_rows_at_risk
+        assert a.n_groups_total == b.n_groups_total
+
+    from kbrowse_spark.operators.data_quality import _LD_BAL_BUCKET
+    from kbrowse_spark.sources.tables import load
+
+    g = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            F.expr(
+                f"CAST(c_acctbal AS BIGINT) DIV {_LD_BAL_BUCKET}"
+            ).alias("bal_b"),
+        )
+        .agg(
+            F.countDistinct("c_mktsegment").alias("ld"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    mono = g.filter(F.col("ld") < 2)
+    assert rows[0].n_groups_below == mono.count()
+    assert (
+        rows[0].n_rows_at_risk
+        == (mono.agg(F.sum("c")).collect()[0][0] or 0)
+    )
+    singles = g.filter(F.col("c") == 1).count()
+    for r in rows:
+        assert r.n_groups_below >= singles
+
+
+def _dbscan_python(pts, eps, minpts):
+    """Direct quadratic DBSCAN (union-find CC, min-id labels) — the
+    independent truth for test_dbscan_equals_quadratic_python."""
+    import collections
+
+    n = {p[0]: [] for p in pts}
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1 :]:
+            if (xa - xb) ** 2 + (ya - yb) ** 2 < eps * eps:
+                n[ia].append(ib)
+                n[ib].append(ia)
+    core = {i for i in n if len(n[i]) + 1 >= minpts}
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in core:
+        for b in n[a]:
+            if b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    clusters = collections.defaultdict(lambda: [0, 0])
+    for a in core:
+        clusters[find(a)][0] += 1
+    n_noise = 0
+    for p in n:
+        if p in core:
+            continue
+        cs = [find(b) for b in n[p] if b in core]
+        if cs:
+            clusters[min(cs)][1] += 1
+        else:
+            n_noise += 1
+    rows = [(cid, c[0], c[1], 0) for cid, c in clusters.items()]
+    rows.append((-1, 0, 0, n_noise))
+    return sorted(rows)
+
+
+def test_dbscan_equals_quadratic_python(spark, sf_dir):
+    """The grid-blocked + star-contracted DBSCAN must equal a direct
+    quadratic union-find DBSCAN computed in pure Python on the same
+    points — a third formulation independent of BOTH the Spark plan
+    and the DuckDB recursive-CTE oracle.  Also pins the accounting:
+    core + border + noise == n_points."""
+    from kbrowse_spark.operators.knn import _DB_EPS, _DB_MINPTS
+    from kbrowse_spark.sources.tables import load
+
+    pts = [
+        (r.vec_id, float(r.x), float(r.y))
+        for r in load(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id",
+            "CAST(embedding[0] AS DOUBLE) AS x",
+            "CAST(embedding[1] AS DOUBLE) AS y",
+        )
+        .collect()
+    ]
+    truth = _dbscan_python(pts, _DB_EPS, _DB_MINPTS)
+    got = [
+        (r.cluster_id, r.n_core, r.n_border, r.n_noise)
+        for r in _q(spark, sf_dir, "dbscan_grid_clusters").collect()
+    ]
+    assert got == truth
+    assert sum(a + b + c for _, a, b, c in got) == len(pts)
+    for cid, n_core, _, _ in got:
+        if cid >= 0:
+            assert n_core >= 1
+
+
+def test_bfs_equals_python_bfs(spark, sf_dir):
+    """The frontier-expansion BFS must equal a direct Python BFS over
+    the same edge set (third formulation vs the recursive-CTE
+    oracle); hop-0 rows are exactly one node per seed and every
+    hop's nodes were unreached at all earlier hops by construction."""
+    import collections
+
+    from kbrowse_spark.operators.graph import _BFS_H, _BFS_SEEDS
+    from kbrowse_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS ok", "o_custkey AS c"
+    )
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey AS ok", "l_suppkey AS s"
+    )
+    pairs = {
+        (r.c, r.s) for r in o.join(li, "ok").select("c", "s").collect()
+    }
+    adj = collections.defaultdict(set)
+    for c, s in pairs:
+        adj[f"c{c}"].add(f"s{s}")
+        adj[f"s{s}"].add(f"c{c}")
+    seeds = sorted({c for c, _ in pairs})[:_BFS_SEEDS]
+    truth = []
+    for seed in seeds:
+        dist = {f"c{seed}": 0}
+        frontier = [f"c{seed}"]
+        for h in range(1, _BFS_H + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        hist = collections.Counter(dist.values())
+        truth += [(seed, h, c) for h, c in sorted(hist.items())]
+    got = [
+        (r.seed_custkey, r.hop, r.n_nodes)
+        for r in _q(spark, sf_dir, "bfs_multisource_hops").collect()
+    ]
+    assert got == truth
+    assert all(c == 1 for _, h, c in got if h == 0)
+    assert len({s for s, _, _ in got}) == _BFS_SEEDS

@@ -96,6 +96,19 @@ ALLOW = {
         "1-row total attach + 3-row literal k-candidate attach over "
         "the QI-group-grain table (data_quality.py)"
     ),
+    "dbscan_grid_clusters": (
+        "noise-row assembly: two 1-row total attaches (core count, "
+        "border count) onto the 1-row point count"
+    ),
+    "ldiversity_audit": (
+        "1-row total attach + 3-row literal l-candidate attach over "
+        "the QI-group-grain table (the kanonymity_audit shape)"
+    ),
+    "heaps_vocab_growth": (
+        "1-row max-doc attach (bucket arithmetic needs max+1); the "
+        "single-partition sort/window is the cumulative sum over the "
+        "domain-bounded 8-row checkpoint table"
+    ),
     "skew_key_diagnosis": (
         "1-row total attach over the key-grain frequency table "
         "(data_quality.py)"
