@@ -145,6 +145,13 @@ HEADLINE = [
     # transform chain — two more plan families under bench watch.
     "rag_rrf_fusion",
     "layout_hilbert_skipping",
+    # round 10 third wave: the deterministic-resample fan-out family
+    # (x100 explode + hash multiplicities + replicate-grain order
+    # stats) and the frontier-expansion traversal (growing visited
+    # anti-join per round — distinct from kcore's shrinking peel) —
+    # two more plan families under bench watch.
+    "poisson_bootstrap_ci",
+    "bfs_multisource_hops",
 ]
 
 
@@ -255,7 +262,10 @@ def main() -> int:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        # Stdout carries 2-decimal (10 ms) per-query times: at 57
+        # headline queries the 3-decimal dict outgrew the driver's
+        # ~2 KB tail in the worst case; the sidecar keeps 3 decimals.
+        "queries": {n: round(t, 2) for n, t in times.items()},
         "n_queries": len(times),
         "contended": is_contended(n_contended, len(HEADLINE), loadavg_1m, cpus),
         "n_spread_gt2": n_contended,
@@ -272,7 +282,7 @@ def main() -> int:
         "SPARK_GRAFT_BENCH_DETAIL", os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "bench_detail.json")
     )
-    detail = dict(summary, spread=spreads)
+    detail = dict(summary, queries=times, spread=spreads)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail), file=sys.stderr)

@@ -875,3 +875,124 @@ def decision_stump_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 decision_stump_histogram.__doc__ = decision_stump_histogram.__doc__.format(
     bins=_STUMP_BINS
 )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset selection (farthest-point traversal)
+# ---------------------------------------------------------------------------
+
+_KC_K = 8  # coreset size
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        """
+    WITH p AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    c0 AS (SELECT vec_id, x, y FROM p
+           WHERE vec_id = (SELECT MIN(vec_id) FROM p)),
+    m1 AS (SELECT p.vec_id, p.x, p.y,
+                  (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y)
+                    AS mind
+           FROM p CROSS JOIN c0 c)"""
+    ]
+    for r in range(1, _KC_K):
+        parts.append(
+            f""",
+    c{r} AS (SELECT vec_id, x, y, mind FROM m{r}
+             ORDER BY mind DESC, vec_id LIMIT 1),
+    m{r + 1} AS (
+      SELECT m.vec_id, m.x, m.y,
+             LEAST(m.mind, (m.x - c.x) * (m.x - c.x)
+                           + (m.y - c.y) * (m.y - c.y)) AS mind
+      FROM m{r} m CROSS JOIN c{r} c)"""
+        )
+    sel = [
+        "SELECT CAST(0 AS BIGINT) AS round, vec_id,"
+        " CAST(0.0 AS DOUBLE) AS radius2 FROM c0"
+    ]
+    for r in range(1, _KC_K):
+        sel.append(f"SELECT CAST({r} AS BIGINT), vec_id, mind FROM c{r}")
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(sel))
+    parts.append("\n    ORDER BY round")
+    return "".join(parts)
+
+
+@register("coreset_kcenter_greedy", _kcenter_oracle(), "clustering")
+def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection (farthest-point traversal,
+    Gonzalez 1985; the CRAIG/coreset data-selection baseline): seed
+    with the minimum vec_id, then {k}-1 times pick the point FARTHEST
+    from the chosen set (max over points of min over centers, ties to
+    the smaller vec_id) over the embedding's first two dimensions.
+    Emits (round, vec_id, radius2): radius2 at selection is the
+    2-approximation bound on the optimal k-center radius, and its
+    non-increasing sequence is the coverage curve a training-data
+    selector reads to choose k.
+
+    Scale posture: the point table is scanned once per round with an
+    in-row LEAST update against the single new center (a 1-row
+    broadcast literal — no re-scan of all centers, the incremental
+    form), and the per-round argmax is one ORDER BY ... LIMIT 1 over
+    a combinable TopK (never a full sort at the executor); driver
+    state is the k-row center list (the kmeans_lloyd k-row-state
+    pattern).  Rounds are k-1 fixed.  Distances are identical IEEE
+    expressions in both engines — hash-safe doubles (the
+    spatial_grid_epsilon_join dist2 contract).
+
+    Reference has no data-selection tooling (SURVEY §2c extension;
+    joins mix_*/sample_* in the training-mix family and shares the
+    farthest-point geometry with the ANN/kmeans stack).
+    """
+    from kbrowse_spark.functions.cache_registry import cached
+
+    def build_pts():
+        return load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("CAST(embedding[0] AS DOUBLE)").alias("x"),
+            F.expr("CAST(embedding[1] AS DOUBLE)").alias("y"),
+        )
+
+    pts = cached(spark, sf_dir, "kcenter_pts", build_pts)
+    c0 = (
+        pts.orderBy("vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    centers = [(0, int(c0.vec_id), 0.0)]
+    cur = pts.select(
+        "vec_id",
+        "x",
+        "y",
+        F.expr(
+            f"(x - {c0.x!r}) * (x - {c0.x!r})"
+            f" + (y - {c0.y!r}) * (y - {c0.y!r})"
+        ).alias("mind"),
+    )
+    for r in range(1, _KC_K):
+        nxt = cur.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()[
+            0
+        ]
+        centers.append((r, int(nxt.vec_id), float(nxt.mind)))
+        cur = cur.select(
+            "vec_id",
+            "x",
+            "y",
+            F.least(
+                F.col("mind"),
+                F.expr(
+                    f"(x - {nxt.x!r}) * (x - {nxt.x!r})"
+                    f" + (y - {nxt.y!r}) * (y - {nxt.y!r})"
+                ),
+            ).alias("mind"),
+        )
+    return spark.createDataFrame(
+        centers, "round long, vec_id long, radius2 double"
+    ).orderBy("round")
+
+
+coreset_kcenter_greedy.__doc__ = coreset_kcenter_greedy.__doc__.format(
+    k=_KC_K
+)

@@ -155,19 +155,30 @@ def _sql_band_buckets() -> str:
     return "\n      UNION ALL\n      ".join(parts)
 
 
+def _minhash_sigs_of(sh: DataFrame) -> DataFrame:
+    """shingles -> (doc_id, m0..m{k}) signature rows: the k affine
+    minhashes as MIN aggregates over one shingle scan — factored out
+    of _band_buckets_of so the estimate-error audit reads the SAME
+    signature definition the LSH index bands (SQL mirror:
+    _sql_minhash_cols)."""
+    base = "CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(f"({a} * {base} + {b}) % {_MINHASH_P}")).alias(
+                f"m{i}"
+            )
+            for i, (a, b) in enumerate(_COEFFS)
+        ]
+    )
+
+
 def _band_buckets_of(sh: DataFrame) -> DataFrame:
     """shingles -> (doc_id, band, bucket): k affine minhashes as MIN
     aggregates over one shingle scan, grouped into NUM_BANDS md5 band
     buckets.  The ONE definition of the signature layout — batch,
     incremental, and streaming paths all call this (SQL mirror:
     _sql_minhash_cols + _sql_band_buckets)."""
-    base = "CAST(conv(substr(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
-    minh = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"({a} * {base} + {b}) % {_MINHASH_P}")).alias(f"m{i}")
-            for i, (a, b) in enumerate(_COEFFS)
-        ]
-    )
+    minh = _minhash_sigs_of(sh)
     band_rows = []
     for band in range(NUM_BANDS):
         cols = [
@@ -2098,4 +2109,209 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimate-vs-exact calibration audit
+# ---------------------------------------------------------------------------
+
+
+def _mee_oracle() -> str:
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    jac = "1000000 * e.n_common // (e.na + e.nb - e.n_common)"
+    return f"""
+    WITH {_SQL_MINHASH_BASE},
+    est AS (
+      SELECT v.doc_a, v.doc_b, v.n_common, sa.n AS na, sb.n AS nb,
+             ({matches}) AS est_matches
+      FROM verified v
+      JOIN minh a ON a.doc_id = v.doc_a
+      JOIN minh b ON b.doc_id = v.doc_b
+      JOIN sizes sa ON sa.doc_id = v.doc_a
+      JOIN sizes sb ON sb.doc_id = v.doc_b)
+    SELECT CAST(est_matches AS BIGINT) AS est_matches,
+           CAST(1000000 * est_matches // {NUM_HASHES} AS BIGINT)
+             AS est_jac_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM({jac}) // COUNT(*) AS BIGINT) AS avg_true_jac_ppm,
+           CAST(MIN({jac}) AS BIGINT) AS min_true_jac_ppm,
+           CAST(MAX({jac}) AS BIGINT) AS max_true_jac_ppm
+    FROM est e GROUP BY est_matches
+    ORDER BY est_matches
+    """
+
+
+@register("minhash_estimate_error_audit", _mee_oracle(), "dedup")
+def minhash_estimate_error_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash calibration audit: for every LSH-verified candidate
+    pair, the sketch's Jaccard ESTIMATE (matching minhashes / k,
+    k={k}) against the EXACT Jaccard from the shingle intersection,
+    grouped by estimate level — the calibration curve that tells a
+    dedup operator whether the k={k} sketch is trustworthy enough to
+    skip exact verification at a given threshold (E[matches/k] =
+    J exactly; this measures the realized spread at k={k}).
+
+    Reads the SAME definitions the dedup family indexes with: the
+    signature aggregate is _minhash_sigs_of (factored from the band
+    builder), pairs and exact intersections come from the cached
+    _verified_common table — no second formulation of the sketch on
+    the Spark side; the oracle recomputes everything from
+    _SQL_MINHASH_BASE.
+
+    Scale posture: signatures are one combinable MIN aggregate over
+    the cached shingle scan; the audit join runs at PAIR grain
+    (LSH-candidate-bounded, not corpus^2) against the doc-grain
+    signature table; readout is {k}+1-row grain.
+
+    Reference has no sketch tooling (SURVEY §2c extension; the
+    quality counterpart to dedup_minhash_lsh / kmv_jaccard_sketch).
+    """
+    sh = _shingles_df(spark, sf_dir)
+    sigs = _minhash_sigs_of(sh)
+    v = _verified_common(spark, sf_dir)
+    sizes = _shingle_sizes(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(NUM_HASHES)],
+    )
+    matches = " + ".join(
+        f"CASE WHEN am{i} = bm{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    est = (
+        v.join(a, "doc_a")
+        .join(b, "doc_b")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            F.expr(f"({matches})").alias("est_matches"),
+            F.expr(
+                "CAST(1000000 * n_common DIV (na + nb - n_common)"
+                " AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+    )
+    return (
+        est.groupBy("est_matches")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("CAST(SUM(jac_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "avg_true_jac_ppm"
+            ),
+            F.min("jac_ppm").cast("long").alias("min_true_jac_ppm"),
+            F.max("jac_ppm").cast("long").alias("max_true_jac_ppm"),
+        )
+        .select(
+            F.col("est_matches").cast("long"),
+            F.expr(
+                f"CAST(1000000 * est_matches DIV {NUM_HASHES} AS BIGINT)"
+            ).alias("est_jac_ppm"),
+            "n_pairs",
+            "avg_true_jac_ppm",
+            "min_true_jac_ppm",
+            "max_true_jac_ppm",
+        )
+        .orderBy("est_matches")
+    )
+
+
+minhash_estimate_error_audit.__doc__ = (
+    minhash_estimate_error_audit.__doc__.format(k=NUM_HASHES)
+)
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup: duplicate down-weighting instead of removal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "softdedup_weights",
+    f"""
+    WITH RECURSIVE {_SQL_CC_LABELS},
+    toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents),
+    lab AS (
+      SELECT t.doc_id, COALESCE(l.cluster_id, t.doc_id) AS cid, t.nt
+      FROM toks t LEFT JOIN labels l ON t.doc_id = l.doc_id),
+    cs AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(SUM(nt) AS BIGINT) AS ct
+      FROM lab GROUP BY cid)
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(ct) AS BIGINT) AS tokens_total,
+           CAST(SUM(ct * (1000000 // sz)) AS BIGINT) AS tokens_weighted_ppm
+    FROM cs GROUP BY sz ORDER BY cluster_size
+    """,
+    "dedup",
+    "iterative",
+)
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup: instead of DELETING near-duplicates, down-weight
+    them — every document in a near-dup cluster of size s gets
+    sampling weight 1/s (exact integer ppm), so each duplicated
+    content unit contributes one document-equivalent of training
+    mass regardless of how many copies crawled in.  Output is the
+    cluster-size histogram with raw vs weighted token mass — the
+    table a data-mixing stage reads to trade dedup against
+    repetition (keep-first dedup_exact is the weight={{1,0}} special
+    case; this is the smooth counterpart).
+
+    Clusters are the engine's own near-dup components
+    (dedup_minhash_lsh pairs -> _cc_star_labels star contraction);
+    docs in no pair are size-1 clusters via a left join + coalesce —
+    no separate singleton pass.  Weights are exact: 1000000 DIV s in
+    both engines.
+
+    Scale posture: adds to the cached pair/label chain one doc-grain
+    token count (combinable) + one cluster-grain aggregate + a
+    size-grain readout; the labels join is doc-grain on the dedup
+    family's cached subtrees — nothing new is corpus-quadratic.
+
+    Reference has no dedup tooling (SURVEY §2c extension; the
+    weighting counterpart to dedup_cc_star / dedup_keeper_quality).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = _cc_star_labels(pairs)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("nt"),
+    )
+    lab = toks.join(labels, "doc_id", "left").select(
+        F.coalesce("cluster_id", "doc_id").alias("cid"), "nt"
+    )
+    cs = lab.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.sum("nt").cast("long").alias("ct"),
+    )
+    return (
+        cs.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum("ct").cast("long").alias("tokens_total"),
+            F.expr(
+                "CAST(SUM(ct * (1000000 DIV sz)) AS BIGINT)"
+            ).alias("tokens_weighted_ppm"),
+        )
+        .orderBy("cluster_size")
     )

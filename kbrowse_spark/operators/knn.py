@@ -1146,6 +1146,50 @@ def _rag_topk(
     return scored.withColumn("rnk", rnk).filter(F.col("rnk") <= k)
 
 
+def _rag_bigram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, chunk_idx) relevance labels: a chunk is
+    relevant to a query iff it contains an exact adjacent query
+    bigram (same chunk, query word order) — a criterion the
+    order-blind hashed-bag-of-words retriever does NOT optimize.
+    Bigram adjacency is lead(w) within each doc (one shuffle by
+    doc_id) with a same-chunk guard, broadcast-joined to the 9-row
+    query-bigram dim.  Shared by eval_mrr_ndcg_at_k (scores the
+    ranking) and rag_hard_negatives (excludes relevants from the
+    negative pool)."""
+    from pyspark.sql import Window as W
+
+    wpos = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    seq = W.partitionBy("doc_id").orderBy("pos")
+    adj = wpos.select(
+        "doc_id",
+        (F.col("pos") / _RAG_CHUNK_W).cast("long").alias("chunk_idx"),
+        "w",
+        F.lead("w").over(seq).alias("next_w"),
+        (F.lead("pos").over(seq) / _RAG_CHUNK_W)
+        .cast("long")
+        .alias("next_chunk"),
+    ).filter(F.col("chunk_idx") == F.col("next_chunk"))
+    qbi_rows = [
+        (i, ws[j], ws[j + 1])
+        for i, t in _RAG_QUERIES
+        for ws in [t.split(" ")]
+        for j in range(len(ws) - 1)
+    ]
+    qbi = spark.createDataFrame(
+        qbi_rows, "query_id long, w1 string, w2 string"
+    )
+    return (
+        adj.join(
+            F.broadcast(qbi),
+            (adj["w"] == qbi["w1"]) & (adj["next_w"] == qbi["w2"]),
+        )
+        .select("query_id", "doc_id", "chunk_idx")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Retrieval-quality metrics: exact MRR / NDCG@k over the rag top-k
 # ---------------------------------------------------------------------------
@@ -1280,39 +1324,8 @@ def eval_mrr_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT is query-grain.  The retrieval side reuses _rag_topk
     (broadcast-scored, WindowGroupLimit top-k).
     """
-    from pyspark.sql import Window as W
-
     topk = _rag_topk(spark, sf_dir)
-    # Bigram relevance labels: lead(w) within each doc (one shuffle by
-    # doc_id), same-chunk guard, broadcast join to the 9-row bigram dim.
-    wpos = load(spark, sf_dir, "documents").select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    seq = W.partitionBy("doc_id").orderBy("pos")
-    adj = wpos.select(
-        "doc_id",
-        (F.col("pos") / _RAG_CHUNK_W).cast("long").alias("chunk_idx"),
-        "w",
-        F.lead("w").over(seq).alias("next_w"),
-        (F.lead("pos").over(seq) / _RAG_CHUNK_W)
-        .cast("long")
-        .alias("next_chunk"),
-    ).filter(F.col("chunk_idx") == F.col("next_chunk"))
-    qbi_rows = [
-        (i, ws[j], ws[j + 1])
-        for i, t in _RAG_QUERIES
-        for ws in [t.split(" ")]
-        for j in range(len(ws) - 1)
-    ]
-    qbi = spark.createDataFrame(qbi_rows, "query_id long, w1 string, w2 string")
-    hits = (
-        adj.join(
-            F.broadcast(qbi),
-            (adj["w"] == qbi["w1"]) & (adj["next_w"] == qbi["w2"]),
-        )
-        .select("query_id", "doc_id", "chunk_idx")
-        .distinct()
-    )
+    hits = _rag_bigram_hits(spark, sf_dir)
     rcorpus = hits.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_rel_corpus")
     )
@@ -2137,4 +2150,133 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dbscan_grid_clusters.__doc__ = dbscan_grid_clusters.__doc__.format(
     eps=_DB_EPS, minpts=_DB_MINPTS
+)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive retriever training
+# ---------------------------------------------------------------------------
+
+_HN_DEPTH = 20  # retrieval depth the negative pool is mined from
+_HN_K = 3  # hard negatives kept per query
+
+
+@register(
+    "rag_hard_negatives",
+    f"""
+    WITH wpos AS (
+      SELECT doc_id, (i - 1) // {_RAG_CHUNK_W} AS chunk_idx, i AS pos,
+             ws[i] AS w
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents))),
+    cfeat AS (
+      SELECT doc_id, chunk_idx,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {_RAG_BUCKETS} AS b,
+             COUNT(*) AS cnt
+      FROM wpos GROUP BY doc_id, chunk_idx, b),
+    qwords AS (
+      SELECT query_id,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % {_RAG_BUCKETS} AS b
+      FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS w
+            FROM (VALUES {_RAG_QUERY_VALUES}) AS q(query_id, qtext))),
+    qfeat AS (
+      SELECT query_id, b, COUNT(*) AS qcnt FROM qwords GROUP BY query_id, b),
+    scored AS (
+      SELECT q.query_id AS query_id, c.doc_id AS doc_id,
+             c.chunk_idx AS chunk_idx,
+             CAST(SUM(c.cnt * q.qcnt) AS BIGINT) AS dot
+      FROM cfeat c JOIN qfeat q ON c.b = q.b
+      GROUP BY q.query_id, c.doc_id, c.chunk_idx),
+    deep AS (
+      SELECT * FROM (
+        SELECT query_id, doc_id, chunk_idx, dot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, doc_id, chunk_idx) AS rnk
+        FROM scored) WHERE rnk <= {_HN_DEPTH}),
+    qbi AS (
+      SELECT query_id, qs[i] AS w1, qs[i + 1] AS w2
+      FROM (SELECT query_id, string_split(qtext, ' ') AS qs,
+                   unnest(generate_series(
+                     1, len(string_split(qtext, ' ')) - 1)) AS i
+            FROM (VALUES {_RAG_QUERY_VALUES}) AS q(query_id, qtext))),
+    hits AS (
+      SELECT DISTINCT b.query_id AS query_id, a.doc_id AS doc_id,
+             a.chunk_idx AS chunk_idx
+      FROM wpos a
+      JOIN wpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1
+                 AND a.chunk_idx = c.chunk_idx
+      JOIN qbi b ON a.w = b.w1 AND c.w = b.w2),
+    negs AS (
+      SELECT d.query_id, d.doc_id, d.chunk_idx, d.dot, d.rnk
+      FROM deep d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hits h
+        WHERE h.query_id = d.query_id AND h.doc_id = d.doc_id
+          AND h.chunk_idx = d.chunk_idx))
+    SELECT query_id, CAST(neg_rank AS INT) AS neg_rank, doc_id,
+           chunk_idx, dot, CAST(rnk AS INT) AS retrieval_rank
+    FROM (
+      SELECT query_id, doc_id, chunk_idx, dot, rnk,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, doc_id, chunk_idx)
+               AS neg_rank
+      FROM negs)
+    WHERE neg_rank <= {_HN_K}
+    ORDER BY query_id, neg_rank
+    """,
+    "knn",
+    "pipeline",
+)
+def rag_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training (DPR /
+    ANCE recipe): for each query, the {k} highest-scoring chunks in
+    the top-{depth} retrieval pool that are NOT relevant — the
+    near-miss passages whose gradients teach a dual encoder the most
+    (random negatives are trivially separable; these are not).
+    Relevance is the _rag_bigram_hits criterion the retriever does
+    not optimize (exact adjacent query bigram in-chunk), so negatives
+    are wrong-by-label, not wrong-by-score.  retrieval_rank is kept
+    so training can weight by original rank.
+
+    Scale posture: reuses the _rag_topk scoring plan at depth
+    {depth} (broadcast-scored, WindowGroupLimit) and the
+    _rag_bigram_hits labeling pass (one doc-keyed window + 9-row
+    broadcast); the negative filter is a left-anti join at
+    (query x depth) grain — everything after the retrieval windows
+    is query-grain.
+
+    Reference has no training-data tooling (SURVEY §2c extension;
+    completes the retrieval family: retrieve -> fuse -> evaluate ->
+    mine negatives).
+    """
+    from pyspark.sql import Window as W
+
+    deep = _rag_topk(spark, sf_dir, k=_HN_DEPTH)
+    hits = _rag_bigram_hits(spark, sf_dir)
+    negs = deep.join(
+        hits, ["query_id", "doc_id", "chunk_idx"], "left_anti"
+    )
+    neg_rank = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.col("dot").desc(), "doc_id", "chunk_idx"
+        )
+    )
+    return (
+        negs.withColumn("neg_rank", neg_rank)
+        .filter(F.col("neg_rank") <= _HN_K)
+        .select(
+            "query_id",
+            F.col("neg_rank").cast("int"),
+            "doc_id",
+            "chunk_idx",
+            "dot",
+            F.col("rnk").cast("int").alias("retrieval_rank"),
+        )
+        .orderBy("query_id", "neg_rank")
+    )
+
+
+rag_hard_negatives.__doc__ = rag_hard_negatives.__doc__.format(
+    k=_HN_K, depth=_HN_DEPTH
 )

@@ -2595,3 +2595,387 @@ def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 padding_waste_audit.__doc__ = padding_waste_audit.__doc__.format(b=_PW_B)
+
+
+# ---------------------------------------------------------------------------
+# Export manifest with order-invariant shard checksums
+# ---------------------------------------------------------------------------
+
+_MC_SHARDS = 8
+_MC_MOD = 1 << 40  # row-hash width; SUM carried in decimal, emitted mod 2^40
+
+
+@register(
+    "export_manifest_checksums",
+    f"""
+    WITH rows_h AS (
+      SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % {_MC_SHARDS} AS shard,
+             o_orderkey,
+             ('0x' || substr(md5(
+                CAST(o_orderkey AS VARCHAR) || '|' ||
+                CAST(o_custkey AS VARCHAR) || '|' ||
+                o_orderstatus || '|' ||
+                CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             ), 1, 10))::BIGINT AS h
+      FROM orders)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) % {_MC_MOD} AS BIGINT) AS checksum,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM rows_h GROUP BY shard
+    ORDER BY shard
+    """,
+    "pipeline_ops",
+    "export",
+)
+def export_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest for an {s}-shard orders extract: per shard, row
+    count, ORDER-INVARIANT content checksum (sum of 40-bit md5 row
+    hashes mod 2^40 — addition commutes, so the checksum is stable
+    under any partitioning, task order, or re-read order, which a
+    concatenation- or first/last-based digest is not), and the key
+    range.  This is the standard exactly-once verification artifact
+    for a distributed export: the consumer re-derives the same
+    manifest from what it received and compares — any dropped,
+    duplicated, or bit-flipped row moves the count or the checksum.
+    The row hash covers key, custkey, status, and exact integer
+    cents (doubles enter only via the floor(x*100) cents contract).
+
+    Scale posture: one scan, everything map-side-combinable (COUNT,
+    MIN, MAX, and a decimal SUM that tolerates any row order by
+    construction); shard assignment is in-row hash arithmetic — at
+    100 TB this is the cheapest possible full-table pass, and the
+    sum rides the same decimal-exact aggregation contract as
+    functions/determinism.dsum (int64 SUM would overflow past ~2^23
+    rows per shard at 2^40 bits/row; decimal(25,0) does not).
+
+    Reference has no export verification (SURVEY §2c extension;
+    completes the export family: sized/zoned writes -> skipping
+    audits -> content manifest).
+    """
+    rows_h = load(spark, sf_dir, "orders").select(
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % {_MC_SHARDS}"
+        ).alias("shard"),
+        "o_orderkey",
+        F.expr(
+            "CAST(conv(substr(md5(concat_ws('|',"
+            " CAST(o_orderkey AS STRING),"
+            " CAST(o_custkey AS STRING),"
+            " o_orderstatus,"
+            " CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING)"
+            ")), 1, 10), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    return (
+        rows_h.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.sum(F.col("h").cast("decimal(25,0)")) % _MC_MOD)
+            .cast("long")
+            .alias("checksum"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select(
+            F.col("shard").cast("long"),
+            "n_rows",
+            "checksum",
+            "min_key",
+            "max_key",
+        )
+        .orderBy("shard")
+    )
+
+
+export_manifest_checksums.__doc__ = export_manifest_checksums.__doc__.format(
+    s=_MC_SHARDS
+)
+
+
+# ---------------------------------------------------------------------------
+# Columnar encoding advisor (runs / cardinality in physical order)
+# ---------------------------------------------------------------------------
+
+_EA_BUCKET_W = 64  # orderkeys per shard of the two-level run count
+_EA_RLE_MIN_PPM = 3_000_000  # avg run >= 3 values -> RLE
+_EA_DICT_MAX_PPM = 20_000  # <= 2% distinct -> dictionary
+_EA_COLS = (
+    ("l_orderkey", "CAST(l_orderkey AS BIGINT)"),
+    ("l_quantity", "CAST(l_quantity AS BIGINT)"),
+    ("l_returnflag", "('0x' || substr(md5(l_returnflag), 1, 8))::BIGINT"),
+    ("l_extendedprice", "CAST(floor(l_extendedprice * 100) AS BIGINT)"),
+)
+_EA_COLS_SPARK = (
+    ("l_orderkey", "CAST(l_orderkey AS BIGINT)"),
+    ("l_quantity", "CAST(l_quantity AS BIGINT)"),
+    (
+        "l_returnflag",
+        "CAST(conv(substr(md5(l_returnflag), 1, 8), 16, 10) AS BIGINT)",
+    ),
+    ("l_extendedprice", "CAST(floor(l_extendedprice * 100) AS BIGINT)"),
+)
+
+
+def _ea_reco_case(avg: str, dist: str) -> str:
+    return (
+        f"CASE WHEN {avg} >= {_EA_RLE_MIN_PPM} THEN 'RLE' "
+        f"WHEN {dist} <= {_EA_DICT_MAX_PPM} THEN 'DICT' "
+        f"ELSE 'PLAIN' END"
+    )
+
+
+def _ea_oracle() -> str:
+    # Independent formulation: ONE monolithic lag window over the full
+    # physical order per column — no bucketing, no boundary stitching.
+    branches = []
+    for name, expr in _EA_COLS:
+        branches.append(
+            f"""
+    SELECT '{name}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(1 + SUM(tr) AS BIGINT) AS runs
+    FROM (SELECT v, CASE WHEN v != lag(v) OVER (ORDER BY rn)
+                         THEN 1 ELSE 0 END AS tr
+          FROM (SELECT {expr} AS v,
+                       row_number() OVER (ORDER BY l_orderkey,
+                                          l_linenumber) AS rn
+                FROM lineitem))"""
+        )
+    union = "\n    UNION ALL\n".join(branches)
+    return f"""
+    WITH per_col AS ({union})
+    SELECT column_name, n, n_distinct, runs,
+           CAST(1000000 * n // runs AS BIGINT) AS avg_run_len_ppm,
+           CAST(1000000 * n_distinct // n AS BIGINT) AS distinct_ppm,
+           {_ea_reco_case("1000000 * n // runs",
+                          "1000000 * n_distinct // n")} AS encoding
+    FROM per_col ORDER BY column_name
+    """
+
+
+@register("encoding_advisor_stats", _ea_oracle(), "pipeline_ops", "ops")
+def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar encoding advisor: for each audited lineitem column,
+    exact run count and distinct count in the table's PHYSICAL order
+    (l_orderkey, l_linenumber), and the encoding a Parquet writer
+    should pick — RLE when the average run covers >= 3 values, DICT
+    when <= 2% of values are distinct, else PLAIN.  sf0.01:
+    l_orderkey avg run 4.07 (RLE — lines cluster per order),
+    l_returnflag 3 distinct (DICT), l_quantity 50 distinct (DICT),
+    l_extendedprice ~unique (PLAIN) — all three recommendations
+    exercised.
+
+    Run counting never sorts the corpus: rows shard into
+    {w}-orderkey buckets, ONE within-bucket window (ordered by the
+    physical key, bounded by bucket occupancy) computes lags for all
+    four columns at once, and bucket-boundary transitions stitch via
+    a lag over the BUCKET-grain first/last table (the
+    max_concurrency_sweep sharded-prefix-sum pattern; at 100 TB the
+    bucket table re-shards the same way).  The oracle is the
+    independent monolithic formulation: one global lag window per
+    column, no bucketing, no stitching — a boundary bug cannot agree
+    with it by construction.  Strings compare via their 32-bit md5
+    (equality-faithful modulo md5 collisions; exact for this audit's
+    cardinalities), doubles via exact cents.
+
+    Reference has no storage tooling (SURVEY §2c extension; joins
+    analyze_table_stats / histogram_equidepth_audit in the
+    CBO/storage-ops family).
+    """
+    exprs = [F.expr(e).alias(f"v_{n}") for n, e in _EA_COLS_SPARK]
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", *exprs
+    )
+    li = li.withColumn(
+        "bucket", F.expr(f"CAST(l_orderkey DIV {_EA_BUCKET_W} AS BIGINT)")
+    )
+    w = W.partitionBy("bucket").orderBy("l_orderkey", "l_linenumber")
+    names = [n for n, _ in _EA_COLS_SPARK]
+    with_tr = li.select(
+        "bucket",
+        *[f"v_{n}" for n in names],
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("bucket")).alias("cnt"),
+        *[
+            F.when(
+                F.lag(f"v_{n}").over(w).isNotNull()
+                & (F.col(f"v_{n}") != F.lag(f"v_{n}").over(w)),
+                1,
+            )
+            .otherwise(0)
+            .alias(f"tr_{n}")
+            for n in names
+        ],
+    )
+    within = with_tr.groupBy("bucket").agg(
+        *[F.sum(f"tr_{n}").alias(f"tr_{n}") for n in names]
+    )
+    firsts = with_tr.filter(F.col("rn") == 1).select(
+        "bucket", *[F.col(f"v_{n}").alias(f"first_{n}") for n in names]
+    )
+    lasts = with_tr.filter(F.col("rn") == F.col("cnt")).select(
+        "bucket", *[F.col(f"v_{n}").alias(f"last_{n}") for n in names]
+    )
+    wb = W.orderBy("bucket")
+    bb = (
+        firsts.join(lasts, "bucket")
+        .select(
+            "bucket",
+            *[
+                F.when(
+                    F.lag(f"last_{n}").over(wb).isNotNull()
+                    & (F.col(f"first_{n}") != F.lag(f"last_{n}").over(wb)),
+                    1,
+                )
+                .otherwise(0)
+                .alias(f"bt_{n}")
+                for n in names
+            ],
+        )
+        .groupBy()
+        .agg(*[F.sum(f"bt_{n}").alias(f"bt_{n}") for n in names])
+    )
+    tot = within.groupBy().agg(
+        *[F.sum(f"tr_{n}").alias(f"tr_{n}") for n in names]
+    )
+    nd = li.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.countDistinct(f"v_{n}").cast("long").alias(f"nd_{n}")
+            for n in names
+        ],
+    )
+    stats = nd.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(bb))
+    stack_args = ", ".join(
+        f"'{n}', nd_{n}, CAST(1 + tr_{n} + bt_{n} AS BIGINT)"
+        for n in names
+    )
+    per_col = stats.selectExpr(
+        "n",
+        f"stack({len(names)}, {stack_args})"
+        " AS (column_name, n_distinct, runs)",
+    )
+    return per_col.select(
+        "column_name",
+        F.col("n").cast("long"),
+        F.col("n_distinct").cast("long"),
+        "runs",
+        F.expr("CAST(1000000 * n DIV runs AS BIGINT)").alias(
+            "avg_run_len_ppm"
+        ),
+        F.expr("CAST(1000000 * n_distinct DIV n AS BIGINT)").alias(
+            "distinct_ppm"
+        ),
+        F.expr(
+            _ea_reco_case(
+                "1000000 * n DIV runs", "1000000 * n_distinct DIV n"
+            )
+        ).alias("encoding"),
+    ).orderBy("column_name")
+
+
+encoding_advisor_stats.__doc__ = encoding_advisor_stats.__doc__.format(
+    w=_EA_BUCKET_W
+)
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: base-state + delta merge
+# ---------------------------------------------------------------------------
+
+_IVM_MOD = 10  # event_id % 10 == 0 rows arrive as the delta batch
+
+
+@register(
+    "ivm_delta_agg_merge",
+    # Independent formulation: the oracle aggregates ALL rows directly
+    # in one pass — it never splits, never merges; agreement proves
+    # the incremental state+delta merge reconstructs the full view.
+    f"""
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_total,
+           CAST(COUNT(*) FILTER (event_id % {_IVM_MOD} != 0) AS BIGINT)
+             AS n_from_base,
+           CAST(COUNT(*) FILTER (event_id % {_IVM_MOD} = 0) AS BIGINT)
+             AS n_from_delta
+    FROM events
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    "pipeline_ops",
+    "ops",
+)
+def ivm_delta_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a distributive aggregate:
+    the standing (event_type, day) count/sum view is maintained as
+    BASE STATE (event_id % {m} != 0, aggregated once) merged with a
+    DELTA batch (event_id % {m} == 0, aggregated separately) via a
+    full-outer coalescing sum — the state-plus-delta plan that never
+    re-touches base rows, which is the whole point of IVM at 100 TB
+    (re-aggregating the corpus per ingest batch is the anti-pattern
+    this operator replaces).  COUNT and SUM are distributive, so
+    merge = add; the oracle is the genuinely independent DIRECT
+    aggregation over all rows in one pass — agreement proves the
+    merge reconstructs the full view exactly, per group.
+
+    Scale posture: base and delta each aggregate map-side-combinably
+    to view grain; the merge is a view-grain full-outer join (both
+    sides already at group grain, co-partitioned by the same keys).
+    In production the base side is a maintained table and only the
+    delta aggregate + merge run per batch.
+
+    Reference has no materialized-view tooling (SURVEY §2c
+    extension; the batch counterpart to stream_foreachbatch_merge
+    and merge_upsert_events).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        # day as a STRING: DuckDB DATE materializes as a midnight
+        # datetime through the driver's pandas path and hash-mismatches
+        # Spark's date32 (the retention_cohorts strftime convention).
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+
+    base = agg_of(e.filter(F.col("event_id") % _IVM_MOD != 0)).select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_b"),
+        F.col("cents_sum").alias("c_b"),
+    )
+    delta = agg_of(e.filter(F.col("event_id") % _IVM_MOD == 0)).select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_d"),
+        F.col("cents_sum").alias("c_d"),
+    )
+    merged = base.join(delta, ["event_type", "day"], "full_outer").select(
+        "event_type",
+        "day",
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .cast("long")
+        .alias("n_total"),
+        (F.coalesce("c_b", F.lit(0)) + F.coalesce("c_d", F.lit(0)))
+        .cast("long")
+        .alias("cents_total"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_from_base"),
+        F.coalesce("n_d", F.lit(0)).cast("long").alias("n_from_delta"),
+    )
+    return merged.orderBy("event_type", "day")
+
+
+ivm_delta_agg_merge.__doc__ = ivm_delta_agg_merge.__doc__.format(m=_IVM_MOD)

