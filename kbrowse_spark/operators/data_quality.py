@@ -1096,3 +1096,112 @@ def ldiversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ldiversity_audit.__doc__ = ldiversity_audit.__doc__.format(
     bal=_LD_BAL_BUCKET, cands=_LD_CANDIDATES
 )
+
+
+# ---------------------------------------------------------------------------
+# Disparate-impact (80% rule) fairness audit
+# ---------------------------------------------------------------------------
+
+_DI_BAL_THRESHOLD = 8000  # "selected" = account balance above this
+_DI_RULE_PPM = 800_000  # the four-fifths rule
+
+
+@register(
+    "fairness_disparate_impact",
+    f"""
+    WITH g AS (
+      SELECT c_mktsegment AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN c_acctbal > {_DI_BAL_THRESHOLD}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+      FROM customer GROUP BY c_mktsegment),
+    ref AS (
+      SELECT n AS n_ref, n_sel AS sel_ref, grp AS ref_grp
+      FROM g ORDER BY CAST(1000000 AS HUGEINT) * n_sel // n DESC, grp
+      LIMIT 1)
+    SELECT g.grp AS segment, g.n, g.n_sel,
+           CAST(CAST(1000000 AS HUGEINT) * g.n_sel // g.n AS BIGINT)
+             AS rate_ppm,
+           r.ref_grp AS reference_segment,
+           CAST(CAST(1000000 AS HUGEINT) * g.n_sel * r.n_ref
+                // (CAST(g.n AS HUGEINT) * r.sel_ref) AS BIGINT)
+             AS di_ratio_ppm,
+           CAST(CAST(1000000 AS HUGEINT) * g.n_sel * r.n_ref
+                // (CAST(g.n AS HUGEINT) * r.sel_ref)
+                < {_DI_RULE_PPM} AS INT) AS below_four_fifths
+    FROM g CROSS JOIN ref r
+    ORDER BY segment
+    """,
+    "data_quality",
+    "governance",
+)
+def fairness_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparate-impact audit (the EEOC four-fifths rule): per market
+    segment, the selection rate of the acctbal > ${t} outcome and its
+    exact ratio to the HIGHEST-rate group — a group whose ratio falls
+    below 80% is adverse-impact flagged.  The ratio is computed
+    cross-multiplied (1e6 * sel_g * n_ref DIV (n_g * sel_ref)), never
+    as a ratio of rounded rates, so the flag is exact; the products
+    leave int64 around 30M rows/group and are therefore carried in
+    128-bit arithmetic (HUGEINT / the semdedup DECIMAL contract).
+    sf0.01: rates 16.9-21.8%, MACHINERY at 0.774 of AUTOMOBILE —
+    below the rule, so the flag genuinely fires on the fixture.
+
+    Scale posture: one combinable group aggregate; the reference
+    group is a 1-row broadcast attach (ties broken by segment name
+    for determinism).
+
+    Reference has no governance tooling (SURVEY §2c extension; joins
+    kanonymity_audit / ldiversity_audit — size, diversity, and now
+    outcome-rate equity).
+    """
+    g = load(spark, sf_dir, "customer").groupBy(
+        F.col("c_mktsegment").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("c_acctbal") > _DI_BAL_THRESHOLD, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_sel"),
+    )
+    ref = (
+        g.orderBy(
+            F.expr(
+                "CAST(1000000 AS DECIMAL(38,0)) * n_sel DIV n"
+            ).desc(),
+            "grp",
+        )
+        .limit(1)
+        .select(
+            F.col("n").alias("n_ref"),
+            F.col("n_sel").alias("sel_ref"),
+            F.col("grp").alias("ref_grp"),
+        )
+    )
+    di = (
+        "CAST(1000000 AS DECIMAL(38,0)) * n_sel * n_ref"
+        " DIV (CAST(n AS DECIMAL(38,0)) * sel_ref)"
+    )
+    return (
+        g.crossJoin(F.broadcast(ref))
+        .select(
+            F.col("grp").alias("segment"),
+            "n",
+            "n_sel",
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_sel DIV n"
+                " AS BIGINT)"
+            ).alias("rate_ppm"),
+            F.col("ref_grp").alias("reference_segment"),
+            F.expr(f"CAST({di} AS BIGINT)").alias("di_ratio_ppm"),
+            F.expr(f"CAST({di} < {_DI_RULE_PPM} AS INT)").alias(
+                "below_four_fifths"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+fairness_disparate_impact.__doc__ = fairness_disparate_impact.__doc__.format(
+    t=_DI_BAL_THRESHOLD
+)

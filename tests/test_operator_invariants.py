@@ -3102,3 +3102,87 @@ def test_ivm_merge_equals_direct_and_partitions(spark, sf_dir):
         assert (n, c) == direct[k]
         assert nb + nd == n
     assert sum(nd for _, _, _, nd in got.values()) > 0
+
+
+def test_modularity_python_recompute_and_lpa_bipartite_no_within_edges(
+    spark, sf_dir
+):
+    """(a) Exact Python recompute of Q from the collected labels and
+    edges; (b) the structural finding: synchronous self-init LPA on a
+    bipartite graph yields ZERO same-label edges (labels oscillate by
+    side), so within_directed must be exactly 0 and Q strictly
+    negative — the audit must keep exposing what the community size
+    histogram hides."""
+    from kbrowse_spark.operators.graph import _lpa_edges, _lpa_labels
+
+    row = _q(spark, sf_dir, "graph_modularity_lpa").collect()[0]
+    labels = {
+        r.id: r.label for r in _lpa_labels(spark, sf_dir).collect()
+    }
+    edges = [
+        (r.src, r.dst) for r in _lpa_edges(spark, sf_dir).collect()
+    ]
+    md = len(edges)
+    a = sum(1 for s, d in edges if labels[s] == labels[d])
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    dc = {}
+    for n, lb in labels.items():
+        dc[lb] = dc.get(lb, 0) + deg[n]
+    dd = sum(v * v for v in dc.values())
+    assert row.n_nodes == len(labels)
+    assert row.m_directed == md
+    assert row.within_directed == a
+    assert row.degree_sq_sum == dd
+    num = a * md - dd
+    q = (
+        1_000_000 * num // (md * md)
+        if num >= 0
+        else -((1_000_000 * -num) // (md * md))
+    )
+    assert row.q_ppm == q
+    # The bipartite-oscillation structure: no within edges, Q < 0.
+    assert a == 0
+    assert row.q_ppm < 0
+
+
+def test_disparate_impact_recount_and_flag(spark, sf_dir):
+    """Rates and ratios recounted from raw rows; the reference group
+    has di_ratio exactly 1e6 and is never flagged; every flag agrees
+    with the exact cross-multiplied comparison (not rounded rates)."""
+    from kbrowse_spark.operators.data_quality import (
+        _DI_BAL_THRESHOLD,
+        _DI_RULE_PPM,
+    )
+    from kbrowse_spark.sources.tables import load
+
+    rows = _q(spark, sf_dir, "fairness_disparate_impact").collect()
+    assert rows
+    raw = {}
+    for r in load(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    ).collect():
+        n, s = raw.get(r.c_mktsegment, (0, 0))
+        raw[r.c_mktsegment] = (
+            n + 1,
+            s + (1 if r.c_acctbal > _DI_BAL_THRESHOLD else 0),
+        )
+    ref = max(raw, key=lambda g: (10**6 * raw[g][1] // raw[g][0], g))
+    # max() keeps the FIRST maximal key; the operator breaks rate ties
+    # by the SMALLEST name, so re-derive with the same rule.
+    best = max(10**6 * s // n for n, s in raw.values())
+    ref = min(
+        g for g, (n, s) in raw.items() if 10**6 * s // n == best
+    )
+    n_ref, sel_ref = raw[ref]
+    for r in rows:
+        n, sel = raw[r.segment]
+        assert (r.n, r.n_sel) == (n, sel)
+        assert r.reference_segment == ref
+        di = 10**6 * sel * n_ref // (n * sel_ref)
+        assert r.di_ratio_ppm == di
+        assert r.below_four_fifths == int(di < _DI_RULE_PPM)
+        if r.segment == ref:
+            assert r.di_ratio_ppm == 10**6
+            assert r.below_four_fifths == 0

@@ -96,6 +96,15 @@ ALLOW = {
         "1-row total attach + 3-row literal k-candidate attach over "
         "the QI-group-grain table (data_quality.py)"
     ),
+    "graph_modularity_lpa": (
+        "1-row scalar assembly: four 1-row aggregates (node/community "
+        "counts, edge count, within count, degree-square sum) "
+        "cross-attached into the single Q row"
+    ),
+    "fairness_disparate_impact": (
+        "1-row reference-group attach (max-rate group) onto the "
+        "5-row segment-grain table"
+    ),
     "encoding_advisor_stats": (
         "readout assembly: two 1-row total attaches (transition sums, "
         "boundary sums) onto the 1-row distinct-count profile; the "
