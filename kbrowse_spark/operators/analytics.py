@@ -4036,11 +4036,11 @@ poisson_bootstrap_ci.__doc__ = poisson_bootstrap_ci.__doc__.format(
 
 _CP_A_NUM, _CP_A_DEN = 1, 10  # alpha = 0.1 as an exact rational
 
-
-@register(
-    "conformal_prediction_audit",
-    f"""
-    WITH e AS (
+# The calibration-side CTE chain (predictor, nonconformity scores,
+# value-grain rank crossing -> per-group qhat) — the ONE SQL
+# definition of the conformal model, shared by the batch audit and
+# the streaming gate's oracle.
+_CP_MODEL_SQL = f"""e AS (
       SELECT event_type, event_id,
              CAST(floor(value * 100) AS BIGINT) AS cents
       FROM events),
@@ -4064,7 +4064,64 @@ _CP_A_NUM, _CP_A_DEN = 1, 10  # alpha = 0.1 as an exact rational
              CAST(MIN(CASE WHEN cumc >= ((n_cal + 1)
                     * ({_CP_A_DEN} - {_CP_A_NUM}) + {_CP_A_DEN} - 1)
                     // {_CP_A_DEN} THEN s END) AS BIGINT) AS qhat_cents
-      FROM cum GROUP BY event_type),
+      FROM cum GROUP BY event_type)"""
+
+
+def _conformal_model(spark: SparkSession, sf_dir: str):
+    """(events-with-cents, 5-row predictor, 5-row qhat dim) — the ONE
+    Spark definition of the split-conformal model (predictor fit +
+    value-grain rank crossing), shared by the batch audit and the
+    streaming gate."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    pred = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("p")
+        )
+    )
+    cal = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .join(F.broadcast(pred), "event_type")
+        .select(
+            "event_type", F.abs(F.col("cents") - F.col("p")).alias("s")
+        )
+    )
+    sc = cal.groupBy("event_type", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sc.select(
+        "event_type",
+        "s",
+        F.sum("c").over(w_cum).alias("cumc"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n_cal"),
+    )
+    k_expr = (
+        f"((n_cal + 1) * ({_CP_A_DEN} - {_CP_A_NUM}) + {_CP_A_DEN} - 1)"
+        f" DIV {_CP_A_DEN}"
+    )
+    q = cum.groupBy("event_type").agg(
+        F.first("n_cal").cast("long").alias("n_cal"),
+        F.min(F.expr(f"CASE WHEN cumc >= {k_expr} THEN s END"))
+        .cast("long")
+        .alias("qhat_cents"),
+    )
+    return e, pred, q
+
+
+@register(
+    "conformal_prediction_audit",
+    f"""
+    WITH {_CP_MODEL_SQL},
     test AS (
       SELECT e.event_type,
              CAST(SUM(CASE WHEN abs(cents - p) <= qhat_cents
@@ -4109,49 +4166,7 @@ def conformal_prediction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     completes the eval family: AUC/gains -> calibration/ECE ->
     conformal coverage).
     """
-    e = load(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
-    )
-    pred = (
-        e.filter(F.col("event_id") % 2 == 0)
-        .groupBy("event_type")
-        .agg(
-            F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("p")
-        )
-    )
-    cal = (
-        e.filter(F.col("event_id") % 2 == 0)
-        .join(F.broadcast(pred), "event_type")
-        .select(
-            "event_type", F.abs(F.col("cents") - F.col("p")).alias("s")
-        )
-    )
-    sc = cal.groupBy("event_type", "s").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = sc.select(
-        "event_type",
-        "s",
-        F.sum("c").over(w_cum).alias("cumc"),
-        F.sum("c").over(Window.partitionBy("event_type")).alias("n_cal"),
-    )
-    k_expr = (
-        f"((n_cal + 1) * ({_CP_A_DEN} - {_CP_A_NUM}) + {_CP_A_DEN} - 1)"
-        f" DIV {_CP_A_DEN}"
-    )
-    q = cum.groupBy("event_type").agg(
-        F.first("n_cal").cast("long").alias("n_cal"),
-        F.min(F.expr(f"CASE WHEN cumc >= {k_expr} THEN s END"))
-        .cast("long")
-        .alias("qhat_cents"),
-    )
+    e, pred, q = _conformal_model(spark, sf_dir)
     test = (
         e.filter(F.col("event_id") % 2 == 1)
         .join(F.broadcast(pred), "event_type")

@@ -2160,3 +2160,102 @@ def stream_dedup_static_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 stream_dedup_static_store.__doc__ = stream_dedup_static_store.__doc__.format(
     w=_SPLIT_SEG_W
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming conformal out-of-interval gate
+# ---------------------------------------------------------------------------
+
+
+def _conformal_gate_oracle() -> str:
+    from kbrowse_spark.operators.analytics import _CP_MODEL_SQL
+
+    return f"""
+    WITH {_CP_MODEL_SQL}
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN abs(cents - p) > qhat_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(1000000 * SUM(CASE WHEN abs(cents - p) > qhat_cents
+                              THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+             AS flagged_ppm
+    FROM e JOIN pred USING (event_type) JOIN q USING (event_type)
+    WHERE event_id % 2 = 1
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """
+
+
+@register(
+    "stream_conformal_gate",
+    _conformal_gate_oracle(),
+    "streaming",
+)
+def stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conformal audit's streaming arm: events ARRIVE as a stream
+    (the odd-event_id test half) and each is gated against the STATIC
+    conformal model (per-type predictor + qhat from
+    analytics._conformal_model — the ONE definition the batch audit
+    scores); a row whose |value - prediction| exceeds its group's
+    conformal quantile is flagged out-of-interval — the
+    distribution-free anomaly gate a serving pipeline runs per
+    micro-batch, with the coverage guarantee inherited from the
+    calibration (expected flag rate ~= alpha).  Stateless
+    stream-static broadcast join: the model is a 5-row dim, no state
+    store, no watermark.
+
+    The flag rate is the exact complement of the batch audit's
+    coverage (flagged_ppm = 1e6 - coverage_ppm per group, pinned by
+    test_stream_conformal_matches_batch_complement), so the
+    streaming and batch paths cross-verify each other.
+
+    Scale posture: per micro-batch, one in-row |cents - p| compare
+    against broadcast literals; the only aggregate is the group-grain
+    count — the cheapest possible gate plan, unchanged at any rate.
+
+    Reference's follow mode streams rows but has no model gating
+    (SURVEY §2c extension; completes the conformal family's
+    batch + streaming pair like spatial eps-join's).
+    """
+    from kbrowse_spark.operators.analytics import _conformal_model
+
+    _, pred, q = _conformal_model(spark, sf_dir)
+    model = pred.join(q, "event_type").select(
+        "event_type", "p", "qhat_cents"
+    )
+    path = table_path(sf_dir, "events")
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(
+        _stage_stream_dir(path)
+    )
+    scored = (
+        stream.filter(F.expr("event_id % 2 = 1"))
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .join(F.broadcast(model), "event_type")
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(abs(cents - p) > qhat_cents AS INT)"
+            ).alias("flagged"),
+        )
+    )
+    result = _run_to_memory(scored, "append")
+    return (
+        result.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+        )
+        .select(
+            "event_type",
+            "n_scored",
+            "n_flagged",
+            F.expr(
+                "CAST(1000000 * n_flagged DIV n_scored AS BIGINT)"
+            ).alias("flagged_ppm"),
+        )
+        .orderBy("event_type")
+    )

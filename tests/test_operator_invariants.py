@@ -3186,3 +3186,29 @@ def test_disparate_impact_recount_and_flag(spark, sf_dir):
         if r.segment == ref:
             assert r.di_ratio_ppm == 10**6
             assert r.below_four_fifths == 0
+
+
+def test_stream_conformal_matches_batch_complement(spark, sf_dir):
+    """The streaming gate's flag counts must be the exact complement
+    of the batch audit's coverage per group (n_flagged = n_test -
+    covered), and the realized flag rate must sit near alpha."""
+    gate = {
+        r.event_type: (r.n_scored, r.n_flagged)
+        for r in _q(spark, sf_dir, "stream_conformal_gate").collect()
+    }
+    audit = {
+        r.event_type: (r.n_test, r.coverage_ppm)
+        for r in _q(spark, sf_dir, "conformal_prediction_audit").collect()
+    }
+    assert set(gate) == set(audit)
+    tot_scored = tot_flagged = 0
+    for t, (n_scored, n_flagged) in gate.items():
+        n_test, cov_ppm = audit[t]
+        assert n_scored == n_test
+        # coverage_ppm = 1e6 * covered DIV n  =>  covered recovers
+        # exactly because the gate and audit share the same rows.
+        covered = n_test - n_flagged
+        assert cov_ppm == 1_000_000 * covered // n_test
+        tot_scored += n_scored
+        tot_flagged += n_flagged
+    assert 0 < tot_flagged / tot_scored < 0.2  # near alpha=0.1
