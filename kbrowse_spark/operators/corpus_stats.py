@@ -2100,3 +2100,121 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 heaps_vocab_growth.__doc__ = heaps_vocab_growth.__doc__.format(k=_HEAPS_K)
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption plan (deterministic windowed masking)
+# ---------------------------------------------------------------------------
+
+_SC_W = 20  # window width in tokens; one span is masked per window
+_SC_LMIN, _SC_LMAX = 2, 4  # span length 2 + (h % 3)
+
+
+@register(
+    "span_corruption_plan",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    win AS (
+      SELECT doc_id, lang, len(ws) AS n_tok, w_idx,
+             LEAST(len(ws) - w_idx * {_SC_W}, {_SC_W}) AS wlen
+      FROM (SELECT doc_id, lang, ws,
+                   unnest(generate_series(
+                     0, CAST(ceil(len(ws) / {_SC_W}.0) AS BIGINT) - 1))
+                     AS w_idx
+            FROM d)),
+    spans AS (
+      SELECT doc_id, lang, n_tok, wlen,
+             {_SC_LMIN} + ('0x' || substr(md5(doc_id || '-' || w_idx || '-L'),
+               1, 8))::BIGINT % {_SC_LMAX - _SC_LMIN + 1} AS slen
+      FROM win WHERE wlen >= {_SC_LMAX}),
+    per_doc AS (
+      SELECT doc_id, lang, ANY_VALUE(n_tok) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(slen) AS BIGINT) AS n_masked
+      FROM spans GROUP BY doc_id, lang)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(n_masked) AS BIGINT) AS n_masked,
+           CAST(1000000 * SUM(n_masked) // SUM(n_tok) AS BIGINT)
+             AS mask_ratio_ppm
+    FROM per_doc GROUP BY lang
+    ORDER BY lang
+    """,
+    "corpus_stats",
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN: each {w}-token window of every
+    document masks one contiguous span of {lmin}-{lmax} tokens, span
+    length drawn deterministically from a 32-bit md5 of
+    (doc_id, window) — the masking schedule a denoising-objective
+    data loader needs, computed as a corpus pass instead of in the
+    loader's hot loop.  Windowed-one-span (instead of T5's sequential
+    Poisson walk) keeps the plan embarrassingly parallel AND
+    deterministic: a sequential greedy walk over each doc would need
+    an order-dependent scan per document in both engines; the
+    windowed rule is order-free and hits the same operating point
+    (expected mask ratio = E[len]/{w} = 3/{w} = 15%, exactly T5's).
+    Ragged tail windows shorter than {lmax} tokens are skipped (no
+    span can fit its maximum draw without clipping the distribution).
+
+    Scale posture: one scan, a bounded ceil(n/{w}) window fan-out per
+    doc, in-row hash arithmetic, two combinable aggregates (doc then
+    lang grain) — no shuffle beyond the aggregates.
+
+    Reference has no training-data tooling (SURVEY §2c extension;
+    joins doc_chunking / token_budget_packing in the loader-prep
+    family).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    )
+    win = d.select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(size(ws) AS BIGINT)").alias("n_tok"),
+        F.explode(
+            F.expr(
+                f"sequence(0, CAST(ceil(size(ws) / {_SC_W}.0) AS BIGINT)"
+                " - 1)"
+            )
+        ).alias("w_idx"),
+    ).withColumn(
+        "wlen",
+        F.expr(f"LEAST(n_tok - w_idx * {_SC_W}, {_SC_W})"),
+    )
+    spans = win.filter(F.col("wlen") >= _SC_LMAX).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.expr(
+            f"{_SC_LMIN} + CAST(conv(substr(md5(concat(doc_id, '-', w_idx,"
+            f" '-L')), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_SC_LMAX - _SC_LMIN + 1}"
+        ).alias("slen"),
+    )
+    per_doc = spans.groupBy("doc_id", "lang").agg(
+        F.first("n_tok").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("slen").cast("long").alias("n_masked"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.sum("n_masked").cast("long").alias("n_masked"),
+            F.expr(
+                "CAST(1000000 * SUM(n_masked) DIV SUM(n_tok) AS BIGINT)"
+            ).alias("mask_ratio_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+span_corruption_plan.__doc__ = span_corruption_plan.__doc__.format(
+    w=_SC_W, lmin=_SC_LMIN, lmax=_SC_LMAX
+)

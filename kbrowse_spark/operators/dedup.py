@@ -2315,3 +2315,98 @@ def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive-chaining risk audit of the near-dup clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_chain_risk_audit",
+    f"""
+    WITH RECURSIVE {_SQL_CC_LABELS},
+    cs AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM labels GROUP BY cluster_id),
+    pc AS (
+      SELECT l.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_direct
+      FROM pairs p JOIN labels l ON p.doc_a = l.doc_id
+      GROUP BY l.cluster_id)
+    SELECT cs.cluster_id, cs.n_docs,
+           COALESCE(pc.n_direct, 0) AS n_direct_pairs,
+           CAST(cs.n_docs * (cs.n_docs - 1) // 2 AS BIGINT)
+             AS pairs_possible,
+           CAST(1000000 * COALESCE(pc.n_direct, 0)
+                // (cs.n_docs * (cs.n_docs - 1) // 2) AS BIGINT)
+             AS direct_coverage_ppm,
+           CAST(COALESCE(pc.n_direct, 0)
+                < cs.n_docs * (cs.n_docs - 1) // 2 AS INT) AS chained
+    FROM cs LEFT JOIN pc ON cs.cluster_id = pc.cluster_id
+    WHERE cs.n_docs >= 2
+    ORDER BY cs.cluster_id
+    """,
+    "dedup",
+    "iterative",
+)
+def dedup_chain_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-chaining audit of the near-dup components: connected
+    components merge A-B and B-C into {{A,B,C}} even when A and C were
+    NEVER directly verified similar — harmless for true duplicate
+    groups (they are cliques), dangerous when borderline pairs chain
+    dissimilar documents into one keep-first cluster (real corpora:
+    boilerplate bridges).  Per cluster: direct verified-pair count vs
+    the clique bound C(n,2); coverage below 1e6 means at least one
+    member pair owes its merge to transitivity alone (`chained`).
+    sf0.01: every cluster is a size-2/3 clique — coverage 1e6,
+    chained=0 — so the flag is a guarantee here, not an alarm, and
+    the invariant test builds a synthetic 3-chain to prove the flag
+    fires when chaining IS present.
+
+    Scale posture: rides the cached pair/label chain; adds one
+    cluster-grain pair count (pairs are already cluster-pure, so the
+    count needs ONE endpoint's label — no second join) and a
+    cluster-grain readout.
+
+    Reference has no dedup tooling (SURVEY §2c extension; the QA
+    counterpart to dedup_cc_star, as minhash_estimate_error_audit is
+    to the sketch).
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = _cc_star_labels(pairs)
+    cs = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    pc = (
+        pairs.join(
+            labels.select(
+                F.col("doc_id").alias("doc_a"), "cluster_id"
+            ),
+            "doc_a",
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_direct"))
+    )
+    return (
+        cs.join(pc, "cluster_id", "left")
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.coalesce("n_direct", F.lit(0))
+            .cast("long")
+            .alias("n_direct_pairs"),
+            F.expr("CAST(n_docs * (n_docs - 1) DIV 2 AS BIGINT)").alias(
+                "pairs_possible"
+            ),
+            F.expr(
+                "CAST(1000000 * COALESCE(n_direct, 0)"
+                " DIV (n_docs * (n_docs - 1) DIV 2) AS BIGINT)"
+            ).alias("direct_coverage_ppm"),
+            F.expr(
+                "CAST(COALESCE(n_direct, 0)"
+                " < n_docs * (n_docs - 1) DIV 2 AS INT)"
+            ).alias("chained"),
+        )
+        .orderBy("cluster_id")
+    )

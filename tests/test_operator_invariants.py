@@ -3212,3 +3212,86 @@ def test_stream_conformal_matches_batch_complement(spark, sf_dir):
         tot_scored += n_scored
         tot_flagged += n_flagged
     assert 0 < tot_flagged / tot_scored < 0.2  # near alpha=0.1
+
+
+def test_span_corruption_python_replay_and_ratio(spark, sf_dir):
+    """Full Python replay of the windowed masking rule (md5 span
+    draws) over every document — totals must match per language —
+    and the realized mask ratio must sit in the T5 operating band
+    around 15%."""
+    import collections
+    import hashlib
+
+    from kbrowse_spark.operators.corpus_stats import (
+        _SC_LMAX,
+        _SC_LMIN,
+        _SC_W,
+    )
+    from kbrowse_spark.sources.tables import load
+
+    rows = {
+        r.lang: r for r in _q(spark, sf_dir, "span_corruption_plan").collect()
+    }
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for d in load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect():
+        n = len(d.text.split(" "))
+        n_spans = n_masked = 0
+        for w_idx in range(-(-n // _SC_W)):
+            wlen = min(n - w_idx * _SC_W, _SC_W)
+            if wlen < _SC_LMAX:
+                continue
+            h = int(
+                hashlib.md5(f"{d.doc_id}-{w_idx}-L".encode()).hexdigest()[
+                    :8
+                ],
+                16,
+            )
+            n_spans += 1
+            n_masked += _SC_LMIN + h % (_SC_LMAX - _SC_LMIN + 1)
+        if n_spans:
+            a = agg[d.lang]
+            a[0] += 1
+            a[1] += n
+            a[2] += n_spans
+            a[3] += n_masked
+    assert set(rows) == set(agg)
+    for lang, (nd, nt, ns, nm) in agg.items():
+        r = rows[lang]
+        assert (r.n_docs, r.n_tokens, r.n_spans, r.n_masked) == (
+            nd,
+            nt,
+            ns,
+            nm,
+        )
+        assert 100_000 <= r.mask_ratio_ppm <= 200_000
+
+
+def test_chain_risk_bounds_and_synthetic_chain(spark, sf_dir):
+    """Spanning-tree lower bound (a component of n nodes needs >= n-1
+    direct pairs), flag consistency, and a synthetic A-B-C chain
+    through the SAME star-contraction labeling must show coverage
+    2/3 and fire the chained flag (the fixture's clusters are all
+    cliques, so only the synthetic arm exercises the alarm)."""
+    from kbrowse_spark.operators.dedup import _cc_star_labels
+
+    rows = _q(spark, sf_dir, "dedup_chain_risk_audit").collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= 2
+        assert r.n_direct_pairs >= r.n_docs - 1
+        assert r.direct_coverage_ppm <= 1_000_000
+        assert r.chained == int(
+            r.n_direct_pairs < r.pairs_possible
+        )
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    labels, _ = _cc_star_labels(chain)
+    lab = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert lab == {1: 1, 2: 1, 3: 1}
+    n, direct = 3, 2
+    cov = 1_000_000 * direct // (n * (n - 1) // 2)
+    assert cov == 666_666 and direct < n * (n - 1) // 2
