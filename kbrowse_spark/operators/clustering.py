@@ -230,7 +230,10 @@ _NPROBE = 2
 _TOPK = 3
 
 
-def _ivf_oracle_sql() -> str:
+def _ivf_cte_chain() -> str:
+    """Lloyd training + IVF probe/re-rank CTEs through `ranked` — the
+    ONE SQL definition of the IVF retrieval, shared by the
+    ann_ivf_kmeans readout and the recall audit's oracle."""
     t = _ITERS
     return (
         _lloyd_cte_prefix()
@@ -260,7 +263,14 @@ def _ivf_oracle_sql() -> str:
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY qid
                                    ORDER BY sq_dist, vec_id) AS rn
-      FROM pair)
+      FROM pair)"""
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    return (
+        _ivf_cte_chain()
+        + f"""
     SELECT qid, CAST(rn AS INT) AS rn, vec_id,
            CAST(cid AS INT) AS cluster_id,
            CAST(sq_dist AS BIGINT) AS sq_dist
@@ -298,6 +308,20 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is the same shared cache kmeans_lloyd uses, so the two
     queries train once.
     """
+    return (
+        _ivf_topk(spark, sf_dir)
+        .select("qid", "rn", "vec_id", "cluster_id", "sq_dist")
+        .orderBy("qid", "rn")
+    )
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, rn, vec_id, cluster_id, sq_dist) IVF top-k rows — the ONE
+    Spark definition of the IVF retrieval (trained quantizer, nprobe
+    cell probe, exact re-rank), factored from ann_ivf_kmeans so the
+    recall audit scores exactly what the retrieval query returns."""
+    from pyspark.sql import Window as W
+
     pts, centroids = _lloyd_state(spark, sf_dir)
 
     qdf = pts.filter(F.col("vec_id") < _NQ).select(
@@ -326,14 +350,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", "cluster_id", pair_dist.alias("sq_dist"))
     )
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("qid").orderBy("sq_dist", "vec_id")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOPK)
-        .select("qid", "rn", "vec_id", "cluster_id", "sq_dist")
-        .orderBy("qid", "rn")
+    return cand.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _TOPK
     )
 
 
@@ -996,3 +1015,126 @@ def coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 coreset_kcenter_greedy.__doc__ = coreset_kcenter_greedy.__doc__.format(
     k=_KC_K
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall audit: ANN top-k vs exhaustive exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_oracle() -> str:
+    return (
+        _ivf_cte_chain()
+        + f""",
+    ivf AS (SELECT qid, vec_id, sq_dist FROM ranked
+            WHERE rn <= {_TOPK}),
+    expair AS (
+      SELECT q.qid, x.vec_id, SUM((q.v - x.v) * (q.v - x.v)) AS sq_dist
+      FROM qp q JOIN pts x ON x.dim = q.dim AND x.vec_id <> q.qid
+      GROUP BY q.qid, x.vec_id),
+    exact AS (
+      SELECT qid, vec_id, sq_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sq_dist, vec_id) AS rn
+        FROM expair) WHERE rn <= {_TOPK})
+    SELECT e.qid,
+           CAST({_TOPK} AS INT) AS k,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+           CAST(1000000 * COUNT(i.vec_id) // {_TOPK} AS BIGINT)
+             AS recall_ppm,
+           CAST(SUM(e.sq_dist) AS BIGINT) AS exact_dist_sum,
+           CAST((SELECT SUM(v.sq_dist) FROM ivf v WHERE v.qid = e.qid)
+                AS BIGINT) AS ivf_dist_sum
+    FROM exact e LEFT JOIN ivf i
+      ON e.qid = i.qid AND e.vec_id = i.vec_id
+    GROUP BY e.qid
+    ORDER BY e.qid
+    """
+    )
+
+
+@register("ann_ivf_recall_audit", _ivf_recall_oracle(), "clustering", "knn")
+def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the IVF retrieval against the exhaustive exact
+    top-{k} — THE acceptance metric for any ANN index (an index whose
+    recall is unmeasured is a bug generator, not an optimization).
+    Scores EXACTLY what ann_ivf_kmeans returns (shared _ivf_topk /
+    _ivf_cte_chain — one definition of the retrieval in each engine)
+    against a brute-force scan over all points for the same bounded
+    query block; reports per-query hit count, recall, and the
+    distance-sum gap (ivf_dist_sum >= exact_dist_sum ALWAYS — the
+    IVF result can only be farther; pinned by the invariant test,
+    with equality exactly when recall is 100%... and the converse
+    direction checked too: equal sums with tie-free distances imply
+    identical sets).
+
+    Scale posture: the exact side is one corpus scan with the
+    query block broadcast (the knn_bruteforce shape — the audit is
+    run on a SAMPLED query block by design, which is how production
+    ANN recall is measured); the IVF side reuses the retrieval's own
+    cached plan.  Everything integer-exact.
+
+    Reference has no vector tooling (SURVEY §2c extension; the QA
+    counterpart to ann_ivf_kmeans, as minhash_estimate_error_audit
+    is to the LSH sketch).
+    """
+    from pyspark.sql import Window as W
+
+    ivf = _ivf_topk(spark, sf_dir).select("qid", "vec_id", "sq_dist")
+    pts, _ = _lloyd_state(spark, sf_dir)
+    qdf = pts.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    pair_dist = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    expair = (
+        pts.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", pair_dist.alias("sq_dist"))
+    )
+    w = W.partitionBy("qid").orderBy("sq_dist", "vec_id")
+    exact = (
+        expair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("qid", "vec_id", "sq_dist")
+    )
+    iv = ivf.select(
+        F.col("qid").alias("iqid"),
+        F.col("vec_id").alias("ivid"),
+        F.col("sq_dist").alias("isd"),
+    )
+    ivf_sums = iv.groupBy("iqid").agg(
+        F.sum("isd").cast("long").alias("ivf_dist_sum")
+    )
+    return (
+        exact.join(
+            iv,
+            (exact["qid"] == iv["iqid"]) & (exact["vec_id"] == iv["ivid"]),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("ivid").cast("long").alias("n_hits"),
+            F.sum(exact["sq_dist"]).cast("long").alias("exact_dist_sum"),
+        )
+        .join(
+            ivf_sums, F.col("qid") == ivf_sums["iqid"]
+        )
+        .select(
+            "qid",
+            F.lit(_TOPK).cast("int").alias("k"),
+            "n_hits",
+            F.expr(
+                f"CAST(1000000 * n_hits DIV {_TOPK} AS BIGINT)"
+            ).alias("recall_ppm"),
+            "exact_dist_sum",
+            "ivf_dist_sum",
+        )
+        .orderBy("qid")
+    )
+
+
+ann_ivf_recall_audit.__doc__ = ann_ivf_recall_audit.__doc__.format(k=_TOPK)

@@ -2979,3 +2979,97 @@ def ivm_delta_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ivm_delta_agg_merge.__doc__ = ivm_delta_agg_merge.__doc__.format(m=_IVM_MOD)
+
+
+# ---------------------------------------------------------------------------
+# Incremental zone-map refresh (semilattice merge, append-only)
+# ---------------------------------------------------------------------------
+
+_IZ_ZONE_W = 1000  # orderkeys per zone
+_IZ_MOD = 10  # event of the delta batch: o_orderkey % 10 == 0
+
+
+@register(
+    "ivm_zonemap_refresh",
+    # Independent formulation: direct one-pass zone stats over all
+    # rows — never split, never merged.
+    f"""
+    SELECT CAST(o_orderkey // {_IZ_ZONE_W} AS BIGINT) AS zone,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(MAX(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(COUNT(*) FILTER (o_orderkey % {_IZ_MOD} != 0) AS BIGINT)
+             AS n_from_base,
+           CAST(COUNT(*) FILTER (o_orderkey % {_IZ_MOD} = 0) AS BIGINT)
+             AS n_from_delta
+    FROM orders
+    GROUP BY zone
+    ORDER BY zone
+    """,
+    "pipeline_ops",
+    "ops",
+)
+def ivm_zonemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental zone-map maintenance: the per-zone
+    (count, min, max) skipping index is maintained as BASE STATE
+    merged with a DELTA batch via a full-outer coalescing
+    LEAST/GREATEST/sum — min/max zone stats never re-touch base rows
+    on append.  The theory note that makes this operator more than
+    ivm_delta_agg_merge's twin: COUNT/SUM are abelian-GROUP
+    aggregates (invertible — retractions subtract), but MIN/MAX are
+    only SEMILATTICE (mergeable, NOT invertible) — a DELETE of the
+    current minimum forces a zone rescan, which is exactly why
+    production zone maps (Parquet footers, Delta/Iceberg manifests)
+    are maintained append-only and rewritten per-file on compaction,
+    never decremented.  The oracle is the independent direct one-pass
+    aggregation; agreement proves merge-reconstruction.
+
+    Scale posture: base and delta aggregate map-side-combinably at
+    zone grain; the merge joins two zone-grain tables co-partitioned
+    by zone.  In production only the delta aggregate + merge run per
+    ingest.
+
+    Reference has no storage tooling (SURVEY §2c extension; the
+    maintenance arm of export_zonemap_prune, and the semilattice
+    counterpart to ivm_delta_agg_merge's group aggregates).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.expr(f"CAST(o_orderkey DIV {_IZ_ZONE_W} AS BIGINT)").alias(
+            "zone"
+        ),
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def zstats(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("zone").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            F.min("cents").cast("long").alias(f"mn_{tag}"),
+            F.max("cents").cast("long").alias(f"mx_{tag}"),
+        )
+
+    base = zstats(o.filter(F.col("o_orderkey") % _IZ_MOD != 0), "b")
+    delta = zstats(o.filter(F.col("o_orderkey") % _IZ_MOD == 0), "d")
+    merged = base.join(delta, "zone", "full_outer").select(
+        "zone",
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .cast("long")
+        .alias("n_rows"),
+        F.least(
+            F.coalesce("mn_b", F.col("mn_d")),
+            F.coalesce("mn_d", F.col("mn_b")),
+        )
+        .cast("long")
+        .alias("min_cents"),
+        F.greatest(
+            F.coalesce("mx_b", F.col("mx_d")),
+            F.coalesce("mx_d", F.col("mx_b")),
+        )
+        .cast("long")
+        .alias("max_cents"),
+        F.coalesce("n_b", F.lit(0)).cast("long").alias("n_from_base"),
+        F.coalesce("n_d", F.lit(0)).cast("long").alias("n_from_delta"),
+    )
+    return merged.orderBy("zone")

@@ -3295,3 +3295,79 @@ def test_chain_risk_bounds_and_synthetic_chain(spark, sf_dir):
     n, direct = 3, 2
     cov = 1_000_000 * direct // (n * (n - 1) // 2)
     assert cov == 666_666 and direct < n * (n - 1) // 2
+
+
+def test_ivf_recall_bounds_and_dist_dominance(spark, sf_dir):
+    """recall in (0, 1]; ivf_dist_sum >= exact_dist_sum for EVERY
+    query (the IVF result can only be farther than the exhaustive
+    optimum); equality holds exactly when recall is 100% (distances
+    here are tie-free integer sums); and recall must equal the
+    recount from the two shared top-k helpers."""
+    from kbrowse_spark.operators.clustering import (
+        _NQ,
+        _TOPK,
+        _ivf_topk,
+        _lloyd_state,
+    )
+
+    rows = _q(spark, sf_dir, "ann_ivf_recall_audit").collect()
+    assert len(rows) == _NQ
+    ivf = {}
+    for r in _ivf_topk(spark, sf_dir).collect():
+        ivf.setdefault(r.qid, set()).add(r.vec_id)
+    pts, _ = _lloyd_state(spark, sf_dir)
+    data = {r.vec_id: list(r.q) for r in pts.collect()}
+    for r in rows:
+        assert 0 < r.n_hits <= _TOPK
+        assert r.recall_ppm == 1_000_000 * r.n_hits // _TOPK
+        assert r.ivf_dist_sum >= r.exact_dist_sum
+        assert (r.ivf_dist_sum == r.exact_dist_sum) == (
+            r.n_hits == _TOPK
+        )
+        qv = data[r.qid]
+        exact = sorted(
+            (
+                sum((a - b) ** 2 for a, b in zip(v, qv)),
+                vid,
+            )
+            for vid, v in data.items()
+            if vid != r.qid
+        )[:_TOPK]
+        assert r.n_hits == len(
+            {vid for _, vid in exact} & ivf[r.qid]
+        )
+        assert r.exact_dist_sum == sum(d for d, _ in exact)
+
+
+def test_ivm_zonemap_merge_equals_direct(spark, sf_dir):
+    """The semilattice merge must equal a direct Spark zone
+    aggregation (third formulation vs the oracle), counts must
+    partition, and every zone's min <= max."""
+    from kbrowse_spark.operators.pipeline_ops import _IZ_ZONE_W
+    from kbrowse_spark.sources.tables import load
+
+    got = {
+        r.zone: (r.n_rows, r.min_cents, r.max_cents, r.n_from_base,
+                 r.n_from_delta)
+        for r in _q(spark, sf_dir, "ivm_zonemap_refresh").collect()
+    }
+    direct = {
+        r.zone: (r.n, r.mn, r.mx)
+        for r in load(spark, sf_dir, "orders")
+        .selectExpr(
+            f"CAST(o_orderkey DIV {_IZ_ZONE_W} AS BIGINT) AS zone",
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("cents").cast("long").alias("mn"),
+            F.max("cents").cast("long").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(direct)
+    for z, (n, mn, mx, nb, nd) in got.items():
+        assert (n, mn, mx) == direct[z]
+        assert nb + nd == n
+        assert mn <= mx

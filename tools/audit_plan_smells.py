@@ -96,6 +96,11 @@ ALLOW = {
         "1-row total attach + 3-row literal k-candidate attach over "
         "the QI-group-grain table (data_quality.py)"
     ),
+    "ann_ivf_recall_audit": (
+        "exhaustive arm: the bounded 8-query block broadcast-crosses "
+        "the point table (the knn_bruteforce_cosine sampled-recall "
+        "shape — measuring recall exactly requires one exact scan)"
+    ),
     "graph_modularity_lpa": (
         "1-row scalar assembly: four 1-row aggregates (node/community "
         "counts, edge count, within count, degree-square sum) "
