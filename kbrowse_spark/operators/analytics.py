@@ -3904,21 +3904,22 @@ def _pb_m_case(u: str) -> str:
             FROM base)),
     means AS (
       SELECT grp, b,
-             CAST(SUM(m * cents) // GREATEST(SUM(m), 1) AS BIGINT) AS mb
-      FROM rep GROUP BY grp, b),
+             CAST(SUM(m * cents) // SUM(m) AS BIGINT) AS mb
+      FROM rep GROUP BY grp, b HAVING SUM(m) > 0),
     ranked AS (
       SELECT grp, mb,
-             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mb, b) AS rnk
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mb, b) AS rnk,
+             COUNT(*) OVER (PARTITION BY grp) AS cnt
       FROM means),
     pt AS (
       SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
              CAST(SUM(cents) // COUNT(*) AS BIGINT) AS point_mean_cents
       FROM base GROUP BY grp)
     SELECT p.grp AS o_orderpriority, p.n_rows, p.point_mean_cents,
-           CAST(MAX(CASE WHEN r.rnk = {_PB_LO_RANK} THEN r.mb END)
-                AS BIGINT) AS boot_lo_cents,
-           CAST(MAX(CASE WHEN r.rnk = {_PB_HI_RANK} THEN r.mb END)
-                AS BIGINT) AS boot_hi_cents,
+           CAST(MAX(CASE WHEN r.rnk = (25 * r.cnt + 999) // 1000
+                    THEN r.mb END) AS BIGINT) AS boot_lo_cents,
+           CAST(MAX(CASE WHEN r.rnk = (975 * r.cnt + 999) // 1000
+                    THEN r.mb END) AS BIGINT) AS boot_hi_cents,
            CAST({_PB_B} AS BIGINT) AS n_boot
     FROM pt p JOIN ranked r ON p.grp = r.grp
     GROUP BY p.grp, p.n_rows, p.point_mean_cents
@@ -3939,8 +3940,12 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     with Python-precomputed 2^60-scale integer breakpoints embedded
     as literals in both engines — so the "random" resample is
     bit-reproducible with no float or RNG contract.  Replicate means
-    are exact integer cents (SUM(m*cents) DIV SUM(m)); the CI is the
-    {lo}rd/{hi}th order statistics of the B={b} replicate means.
+    are exact integer cents (SUM(m*cents) DIV SUM(m)); a replicate
+    whose multiplicities are all zero (P = e^-n per group) is
+    EXCLUDED rather than mapped to a sentinel — the CI is the
+    ceil-2.5%/97.5% order statistics of the SURVIVING replicate
+    means (ranks {lo}/{hi} when all B={b} survive, the normal case
+    for any group with more than a handful of rows).
 
     Scale posture: the explode is x{b} on the fact scan — the
     bootstrap's intrinsic cost, embarrassingly parallel, no extra
@@ -3985,13 +3990,31 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m"),
     )
-    means = rep.groupBy("grp", "b").agg(
-        F.expr(
-            "CAST(SUM(m * cents) DIV GREATEST(SUM(m), 1) AS BIGINT)"
-        ).alias("mb")
+    # A replicate whose multiplicities are ALL zero (P = e^-n — only
+    # conceivable for tiny groups) has no resampled rows: it is
+    # EXCLUDED, not mapped to a sentinel mean of 0 that would enter
+    # the order statistics as an extreme low and deflate boot_lo.
+    # The CI ranks are then ceil(2.5% / 97.5% of the SURVIVING count)
+    # — identical to ranks {3, 98} whenever all B=100 survive.
+    means = (
+        rep.groupBy("grp", "b")
+        .agg(
+            F.sum(F.expr("m * cents")).alias("smc"),
+            F.sum("m").alias("sm"),
+        )
+        .filter(F.col("sm") > 0)
+        .select(
+            "grp", "b", F.expr("CAST(smc DIV sm AS BIGINT)").alias("mb")
+        )
     )
     w = Window.partitionBy("grp").orderBy("mb", "b")
-    ranked = means.select("grp", "mb", F.row_number().over(w).alias("rnk"))
+    cw = Window.partitionBy("grp")
+    ranked = means.select(
+        "grp",
+        "mb",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(cw).alias("cnt"),
+    )
     pt = base.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias(
@@ -4003,12 +4026,18 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "n_rows", "point_mean_cents")
         .agg(
             F.max(
-                F.when(F.col("rnk") == _PB_LO_RANK, F.col("mb"))
+                F.when(
+                    F.col("rnk") == F.expr("(25 * cnt + 999) DIV 1000"),
+                    F.col("mb"),
+                )
             )
             .cast("long")
             .alias("boot_lo_cents"),
             F.max(
-                F.when(F.col("rnk") == _PB_HI_RANK, F.col("mb"))
+                F.when(
+                    F.col("rnk") == F.expr("(975 * cnt + 999) DIV 1000"),
+                    F.col("mb"),
+                )
             )
             .cast("long")
             .alias("boot_hi_cents"),

@@ -1120,8 +1120,13 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("ivid").cast("long").alias("n_hits"),
             F.sum(exact["sq_dist"]).cast("long").alias("exact_dist_sum"),
         )
+        # LEFT join: a query whose nprobe cells held no candidate
+        # (recall 0 — the exact case the audit exists to expose) must
+        # still appear, with n_hits=0 and NULL ivf_dist_sum, exactly
+        # as the oracle's correlated scalar subquery reports it.  An
+        # inner join would silently drop it from one engine only.
         .join(
-            ivf_sums, F.col("qid") == ivf_sums["iqid"]
+            ivf_sums, F.col("qid") == ivf_sums["iqid"], "left"
         )
         .select(
             "qid",

@@ -571,19 +571,21 @@ hits_hubs_authorities.__doc__ = hits_hubs_authorities.__doc__.format(
 
 _KCORE_K = 8
 _KCORE_ROUNDS = 6
-# Lineage-truncation strategy per peel round.  False (default, right
-# for local[]/bench): EAGER localCheckpoint — blocks live on executor
-# local store, zero HDFS traffic.  True (right for a real cluster):
-# reliable .checkpoint() to the fault-tolerant checkpoint dir, so an
-# executor loss mid-peel recomputes from the checkpoint instead of
-# killing the query (localCheckpoint blocks are executor-local and
-# UNRECOVERABLE — truncated lineage means no recomputation path).
-_KCORE_RELIABLE_CHECKPOINT = False
+# Lineage-truncation strategy per iterative round (shared by EVERY
+# loop-built graph operator that cuts lineage: k-core peeling AND
+# multi-source BFS).  False (default, right for local[]/bench): EAGER
+# localCheckpoint — blocks live on executor local store, zero HDFS
+# traffic.  True (right for a real cluster): reliable .checkpoint()
+# to the fault-tolerant checkpoint dir, so an executor loss mid-round
+# recomputes from the checkpoint instead of killing the query
+# (localCheckpoint blocks are executor-local and UNRECOVERABLE —
+# truncated lineage means no recomputation path).
+_GRAPH_RELIABLE_CHECKPOINT = False
 
 
 def _truncate_lineage(df: DataFrame) -> DataFrame:
-    """One peel round's lineage cut, honoring the deployment knob."""
-    if _KCORE_RELIABLE_CHECKPOINT:
+    """One iterative round's lineage cut, honoring the deployment knob."""
+    if _GRAPH_RELIABLE_CHECKPOINT:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir("/tmp/kbrowse_spark_checkpoints")
@@ -652,7 +654,7 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     are EXECUTOR-LOCAL and unrecoverable — truncated lineage means an
     executor loss mid-peel has no recomputation path and kills the
     query.  Right for local[]/bench (zero distributed-FS traffic);
-    on a real cluster set _KCORE_RELIABLE_CHECKPOINT=True to use
+    on a real cluster set _GRAPH_RELIABLE_CHECKPOINT=True to use
     reliable .checkpoint() to the fault-tolerant checkpoint dir
     (or periodically write the shrinking edge list to parquet), the
     same deployment-delta pattern dedup_span_removal documents for
@@ -779,14 +781,16 @@ def bfs_multisource_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: per round, the join volume is |frontier| x degree
     (frontier-bounded, never corpus^2) and the visited set grows
-    monotonically to at most seeds x nodes.  Each round eagerly
-    localCheckpoints the visited set — without it the lazy plan
-    re-derives round h-1 from scratch on both the frontier and the
-    anti-join branch (2^rounds leaf scans).  Same fault-tolerance
-    delta as kcore_decomposition: executor-local checkpoint blocks
-    are not recoverable on a real cluster — a production deployment
-    uses reliable checkpoint() to the checkpoint dir (see the
-    kcore `reliable=` knob) at the cost of a dir write per round.
+    monotonically to at most seeds x nodes.  Each round cuts lineage
+    on the visited set via _truncate_lineage (eager checkpoint) and
+    then derives the NEXT frontier as ``visited.filter(hop == h)`` —
+    a read of the just-stored blocks, so round h+1 never re-executes
+    round h's join+distinct+anti plan (carrying the lazy ``nxt``
+    would cost O(H^2/2) frontier joins instead of O(H)).  Lineage
+    cuts honor the module knob _GRAPH_RELIABLE_CHECKPOINT (shared
+    with kcore_decomposition): localCheckpoint for local[]/bench,
+    reliable checkpoint() for a real cluster where executor-local
+    blocks are unrecoverable — at the cost of a dir write per round.
     At cluster scale the visited set would be bucketed by node,
     making the anti-join co-partitioned.
 
@@ -810,9 +814,9 @@ def bfs_multisource_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    visited = seeds.select(
-        "seed", "node", F.lit(0).cast("long").alias("hop")
-    ).localCheckpoint(eager=True)
+    visited = _truncate_lineage(
+        seeds.select("seed", "node", F.lit(0).cast("long").alias("hop"))
+    )
     frontier = visited
     for h in range(1, _BFS_H + 1):
         nxt = (
@@ -822,8 +826,13 @@ def bfs_multisource_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited, ["seed", "node"], "left_anti")
             .withColumn("hop", F.lit(h).cast("long"))
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        visited = _truncate_lineage(visited.unionByName(nxt))
+        # Round h's frontier is exactly the hop==h slice of the set
+        # just checkpointed — read those stored blocks instead of
+        # carrying `nxt`'s LAZY join+distinct+anti plan into round
+        # h+1 (which would re-execute every prior round's frontier
+        # join: O(H^2/2) joins instead of O(H)).
+        frontier = visited.filter(F.col("hop") == h)
     return (
         visited.groupBy("seed", "hop")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

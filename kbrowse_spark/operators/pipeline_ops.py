@@ -2773,9 +2773,11 @@ def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     {w}-orderkey buckets, ONE within-bucket window (ordered by the
     physical key, bounded by bucket occupancy) computes lags for all
     four columns at once, and bucket-boundary transitions stitch via
-    a lag over the BUCKET-grain first/last table (the
-    max_concurrency_sweep sharded-prefix-sum pattern; at 100 TB the
-    bucket table re-shards the same way).  The oracle is the
+    the BUCKET-grain first/last table — itself two-level sharded
+    (the max_concurrency_sweep sharded-prefix-sum pattern): buckets
+    lag within {w}-bucket superbuckets in parallel, and only the
+    superbucket-grain carry table (corpus/{w}^2 rows, broadcast)
+    crosses an unpartitioned window.  The oracle is the
     independent monolithic formulation: one global lag window per
     column, no bucketing, no stitching — a boundary bug cannot agree
     with it by construction.  Strings compare via their 32-bit md5
@@ -2820,15 +2822,48 @@ def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lasts = with_tr.filter(F.col("rn") == F.col("cnt")).select(
         "bucket", *[F.col(f"v_{n}").alias(f"last_{n}") for n in names]
     )
-    wb = W.orderBy("bucket")
-    bb = (
-        firsts.join(lasts, "bucket")
+    # Bucket-boundary stitch, itself two-level sharded: buckets group
+    # into superbuckets; the within-superbucket lag runs partitioned
+    # (parallel), and only the SUPERBUCKET-grain carry table — one row
+    # per superbucket, corpus/{W^2} — sees an unpartitioned window.
+    # The first bucket of each superbucket takes its predecessor from
+    # the previous superbucket's last bucket via that broadcast carry.
+    fl = firsts.join(lasts, "bucket").withColumn(
+        "sb", F.expr(f"CAST(bucket DIV {_EA_BUCKET_W} AS BIGINT)")
+    )
+    w1 = W.partitionBy("sb").orderBy("bucket")
+    w2 = W.orderBy("sb")
+    carry = F.broadcast(
+        fl.groupBy("sb")
+        .agg(
+            *[
+                F.max_by(f"last_{n}", "bucket").alias(f"slast_{n}")
+                for n in names
+            ]
+        )
         .select(
-            "bucket",
+            "sb",
+            *[
+                F.lag(f"slast_{n}").over(w2).alias(f"carry_{n}")
+                for n in names
+            ],
+        )
+    )
+    bb = (
+        fl.join(carry, "sb")
+        .select(
             *[
                 F.when(
-                    F.lag(f"last_{n}").over(wb).isNotNull()
-                    & (F.col(f"first_{n}") != F.lag(f"last_{n}").over(wb)),
+                    F.coalesce(
+                        F.lag(f"last_{n}").over(w1), F.col(f"carry_{n}")
+                    ).isNotNull()
+                    & (
+                        F.col(f"first_{n}")
+                        != F.coalesce(
+                            F.lag(f"last_{n}").over(w1),
+                            F.col(f"carry_{n}"),
+                        )
+                    ),
                     1,
                 )
                 .otherwise(0)

@@ -2411,7 +2411,7 @@ def test_kcore_reaches_true_fixpoint(spark, sf_dir):
 
 
 def test_kcore_reliable_checkpoint_knob(spark, sf_dir):
-    """_KCORE_RELIABLE_CHECKPOINT=True swaps the per-round lineage cut
+    """_GRAPH_RELIABLE_CHECKPOINT=True swaps the per-round lineage cut
     from executor-local localCheckpoint to reliable .checkpoint() (the
     cluster fault-tolerance posture the docstring names); results must
     be IDENTICAL — the knob changes recovery semantics, never values."""
@@ -2420,15 +2420,15 @@ def test_kcore_reliable_checkpoint_knob(spark, sf_dir):
     base = [
         tuple(r) for r in _q(spark, sf_dir, "kcore_decomposition").collect()
     ]
-    old = G._KCORE_RELIABLE_CHECKPOINT
-    G._KCORE_RELIABLE_CHECKPOINT = True
+    old = G._GRAPH_RELIABLE_CHECKPOINT
+    G._GRAPH_RELIABLE_CHECKPOINT = True
     try:
         reliable = [
             tuple(r)
             for r in _q(spark, sf_dir, "kcore_decomposition").collect()
         ]
     finally:
-        G._KCORE_RELIABLE_CHECKPOINT = old
+        G._GRAPH_RELIABLE_CHECKPOINT = old
     assert reliable == base
 
 
@@ -2545,6 +2545,15 @@ def test_poisson_bootstrap_breakpoints_and_coverage(spark, sf_dir):
         prev = t
     mean += 6 * (1 - prev / (1 << 60))  # capped tail mass at m=6
     assert abs(mean - 1.0) < 1e-3
+
+    # The surviving-count rank formula (all-zero replicates are
+    # EXCLUDED, not sentineled to mb=0) must degenerate to the
+    # classic 3rd/98th order statistics when all B=100 survive, and
+    # stay in-range for any surviving count >= 1.
+    for cnt in range(1, 101):
+        lo, hi = (25 * cnt + 999) // 1000, (975 * cnt + 999) // 1000
+        assert 1 <= lo <= hi <= cnt
+    assert ((25 * 100 + 999) // 1000, (975 * 100 + 999) // 1000) == (3, 98)
 
     rows = _q(spark, sf_dir, "poisson_bootstrap_ci").collect()
     assert rows
@@ -2753,6 +2762,28 @@ def test_bfs_equals_python_bfs(spark, sf_dir):
     assert got == truth
     assert all(c == 1 for _, h, c in got if h == 0)
     assert len({s for s, _, _ in got}) == _BFS_SEEDS
+
+
+def test_bfs_reliable_checkpoint_knob(spark, sf_dir):
+    """_GRAPH_RELIABLE_CHECKPOINT=True must reach BFS's per-round
+    lineage cuts too (they route through _truncate_lineage, the same
+    knob kcore honors) — flipping the knob changes recovery semantics
+    only, never values."""
+    from kbrowse_spark.operators import graph as G
+
+    base = [
+        tuple(r) for r in _q(spark, sf_dir, "bfs_multisource_hops").collect()
+    ]
+    old = G._GRAPH_RELIABLE_CHECKPOINT
+    G._GRAPH_RELIABLE_CHECKPOINT = True
+    try:
+        reliable = [
+            tuple(r)
+            for r in _q(spark, sf_dir, "bfs_multisource_hops").collect()
+        ]
+    finally:
+        G._GRAPH_RELIABLE_CHECKPOINT = old
+    assert reliable == base
 
 
 def test_hard_negatives_disjoint_and_exact(spark, sf_dir):

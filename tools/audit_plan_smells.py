@@ -113,9 +113,10 @@ ALLOW = {
     "encoding_advisor_stats": (
         "readout assembly: two 1-row total attaches (transition sums, "
         "boundary sums) onto the 1-row distinct-count profile; the "
-        "single-partition sort/window is the bucket-grain boundary "
-        "stitch (corpus/64 rows — the max_concurrency_sweep "
-        "sharded-prefix-sum pattern, re-sharded at 100 TB)"
+        "single-partition sort/window is the SUPERBUCKET-grain carry "
+        "stitch (corpus/64^2 rows, broadcast — the two-level "
+        "max_concurrency_sweep sharded-prefix-sum pattern; the "
+        "bucket-grain lag itself runs partitioned by superbucket)"
     ),
     "dbscan_grid_clusters": (
         "noise-row assembly: two 1-row total attaches (core count, "
