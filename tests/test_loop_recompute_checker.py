@@ -1,0 +1,133 @@
+"""Tests for tools/audit_loop_recompute.py — the r11 checker that
+makes the r10 defect class (a loop that checkpoints its accumulator
+every round while carrying a LAZY per-round delta, so round h's eager
+action re-executes all prior rounds' delta plans) mechanically
+detectable.  The main arm replays the ACTUAL r10-era
+bfs_multisource_hops loop and asserts the checker flags the carried
+lazy frontier; the fixed shape, the cache-per-round HITS shape, and
+the no-eager chained-plan pagerank shape must pass; the live tree
+must be clean."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from audit_loop_recompute import audit_source  # noqa: E402
+
+R10_ERA_BFS = textwrap.dedent(
+    """
+    def bfs_multisource_hops(spark, sf_dir):
+        edges = _lpa_edges(spark, sf_dir)
+        visited = seeds.select(
+            "seed", "node", F.lit(0).cast("long").alias("hop")
+        ).localCheckpoint(eager=True)
+        frontier = visited
+        for h in range(1, H + 1):
+            nxt = (
+                frontier.join(edges, frontier["node"] == edges["src"])
+                .select("seed", F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, ["seed", "node"], "left_anti")
+                .withColumn("hop", F.lit(h).cast("long"))
+            )
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited.groupBy("seed", "hop").agg(F.count(F.lit(1)))
+    """
+)
+
+FIXED_BFS = R10_ERA_BFS.replace(
+    "frontier = nxt", 'frontier = visited.filter(F.col("hop") == h)'
+).replace(
+    "visited = visited.unionByName(nxt).localCheckpoint(eager=True)",
+    "visited = _truncate_lineage(visited.unionByName(nxt))",
+)
+
+HITS_SHAPE = textwrap.dedent(
+    """
+    def hits(spark, sf_dir):
+        h = pairs.select("c").distinct()
+        for _ in range(ITERS):
+            ar = pairs.join(h, "c").groupBy("s").agg(F.sum("h")).cache()
+            m_a = ar.agg(F.max("a")).collect()[0][0]
+            h = ar.select("s", F.expr(f"a DIV {m_a}").alias("h"))
+        return h
+    """
+)
+
+PAGERANK_SHAPE = textwrap.dedent(
+    """
+    def pagerank(spark, sf_dir):
+        ranks = nodes.select("id", F.lit(1).alias("rank"))
+        for _ in range(ITERS):
+            ranks = (
+                edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("rank"))
+            )
+        return ranks.orderBy(F.col("rank").desc()).limit(20)
+    """
+)
+
+KMEANS_SHAPE = textwrap.dedent(
+    """
+    def kmeans(spark, sf_dir):
+        centroids = [(0, [0, 0])]
+        for _ in range(ITERS):
+            sums = (
+                _assign(pts, centroids)
+                .groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            centroids = sorted((int(r.cluster_id), [int(r.n)]) for r in sums)
+        return centroids
+    """
+)
+
+
+def test_checker_flags_the_r10_bfs_shape():
+    found = audit_source(R10_ERA_BFS, "m")
+    assert ("m.bfs_multisource_hops", "frontier") in found
+
+
+def test_checker_accepts_the_fixed_bfs():
+    assert audit_source(FIXED_BFS, "m") == []
+
+
+def test_checker_accepts_cache_per_round():
+    assert audit_source(HITS_SHAPE, "m") == []
+
+
+def test_checker_accepts_deferred_single_plan():
+    # No eager action in the loop: ONE plan, executed once at the end
+    # — carried laziness is the design, not a recompute.
+    assert audit_source(PAGERANK_SHAPE, "m") == []
+
+
+def test_checker_accepts_driver_side_carry():
+    # Loop-carried PYTHON data refreshed from collect() is driver
+    # state, not a deferred plan.
+    assert audit_source(KMEANS_SHAPE, "m") == []
+
+
+def test_live_tree_is_clean():
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "audit_loop_recompute.py",
+    )
+    res = subprocess.run(
+        [sys.executable, tool], capture_output=True, text=True
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
