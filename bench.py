@@ -152,6 +152,14 @@ HEADLINE = [
     # two more plan families under bench watch.
     "poisson_bootstrap_ci",
     "bfs_multisource_hops",
+    # round 11: the diagnose->treat skew pair's treatment arm (dual
+    # md5 placement over the occurrence stream), the sharded-rank
+    # compaction repack sizing, and the first streaming ANN probe
+    # (stream-static join against the shared IVF index) — three new
+    # plan families under bench watch.
+    "skew_salt_apply",
+    "compaction_plan_audit",
+    "stream_ann_ivf_probe",
 ]
 
 
@@ -286,12 +294,14 @@ def main() -> int:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps(detail), file=sys.stderr)
-    line = json.dumps(summary)
+    # Compact separators: at 60 headline queries the default ", "/": "
+    # rendering alone costs ~140 bytes of the driver's 2000-byte tail.
+    line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1900:
         # Catalog growth safety valve: never exceed the driver's tail
         # capture — drop the per-query dict (still in the sidecar).
         summary.pop("queries")
-        line = json.dumps(summary)
+        line = json.dumps(summary, separators=(",", ":"))
     print(line)
     return 0
 

@@ -961,6 +961,175 @@ skew_key_diagnosis.__doc__ = skew_key_diagnosis.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Skew-key salting APPLIED: before/after partition-balance measurement
+# ---------------------------------------------------------------------------
+
+# Both engines compute partition ids from the same 60-bit md5 prefix,
+# so the "shuffle" is replayed as plain arithmetic and the balance
+# tables hash-compare exactly.
+_SALT_H_SPARK = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_SALT_H_DUCK = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _salt_apply_oracle() -> str:
+    h = _SALT_H_DUCK.format
+    p = _SKEW_PARTS
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, i, ws[i] AS w
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents))),
+    f AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM f),
+    sf AS (
+      SELECT w, c, GREATEST((c * {p} + t - 1) // t, 1) AS sfac
+      FROM f CROSS JOIN tot),
+    placed AS (
+      SELECT o.w, s.sfac,
+             {h(x="o.w")} % {p} AS pid_u,
+             {h(x=("o.w || '#' || CAST(" + h(x="CAST(o.doc_id AS VARCHAR)"
+                   " || ':' || CAST(o.i AS VARCHAR)") + " % s.sfac"
+                   " AS VARCHAR)"))} % {p} AS pid_s
+      FROM occ o JOIN sf s USING (w)),
+    loads AS (
+      SELECT 'salted' AS variant, pid_s AS pid,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM placed GROUP BY pid_s
+      UNION ALL
+      SELECT 'unsalted', pid_u, CAST(COUNT(*) AS BIGINT)
+      FROM placed GROUP BY pid_u),
+    nsalt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k
+              FROM sf WHERE sfac > 1)
+    SELECT variant,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_used,
+           CAST(MAX(n) AS BIGINT) AS max_part_rows,
+           CAST(1000000 * MAX(n) * {p} // SUM(n) AS BIGINT)
+             AS max_load_ppm,
+           CAST(CASE WHEN variant = 'salted'
+                     THEN (SELECT k FROM nsalt) ELSE 0 END AS BIGINT)
+             AS n_keys_salted
+    FROM loads GROUP BY variant
+    ORDER BY variant
+    """
+
+
+@register(
+    "skew_salt_apply",
+    _salt_apply_oracle(),
+    "data_quality",
+    "ops",
+)
+def skew_salt_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew_key_diagnosis's TREATMENT arm, closing the diagnose→treat
+    loop: the per-key salt factor the diagnosis formula prescribes
+    (ceil(c x {p} / total), floor 1 — hot keys split, cold keys keep
+    factor 1 so no extra shuffle keys are minted for the long tail)
+    is APPLIED to the unigram token occurrence stream — the
+    vocabulary / inverted-index shuffle key, whose head words really
+    do exceed the 1/{p} hot-key bound at every SF (Zipf), unlike the
+    diagnosis's longer-tailed bigram grain — and the
+    before/after partition balance is measured on identical
+    deterministic placement arithmetic in both engines: unsalted
+    partition = H(key) mod {p}; salted partition =
+    H(key # H(row) mod salt_factor) mod {p} with H a 60-bit md5
+    prefix.  Output is the 2-row balance table — rows, partitions
+    actually used, hottest-partition rows, and max-load ppm
+    (1e6 x max x {p} / total; 1e6 = perfectly level) — plus how many
+    keys were salted.  The invariant the operator exists to show:
+    salted max_load_ppm <= unsalted max_load_ppm, with row counts
+    conserved (salting relocates, never drops).
+
+    Scale posture: the occurrence scan is one pass; the per-key count
+    table is vocabulary-bounded and broadcast onto the stream (the
+    production pattern: the salt-factor dim rides with the small side
+    of the skewed join, and the probe side salts by an in-row hash —
+    no extra shuffle beyond the one being fixed); balance readout
+    aggregates at partition grain ({p} rows).  This is the explicit
+    counterpart to AQE's runtime skew split: AQE rescues a skewed
+    SORT-merge join after the fact, while pre-salting fixes hash
+    aggregation and co-group shapes AQE cannot touch.
+
+    Reference has no ops-planning tooling (SURVEY §2c extension;
+    pairs with skew_key_diagnosis the way ivm_zonemap_refresh pairs
+    with export_zonemap_prune).
+    """
+    p = _SKEW_PARTS
+    h = _SALT_H_SPARK.format
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    occ = d.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(1, size(ws)),"
+            " i -> struct(i AS i, ws[i - 1] AS w)))"
+        ).alias("x"),
+    ).select("doc_id", F.col("x.i").alias("i"), F.col("x.w").alias("w"))
+    f = occ.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = F.broadcast(f.agg(F.sum("c").cast("long").alias("t")))
+    sf_dim = F.broadcast(
+        f.crossJoin(tot).select(
+            "w",
+            F.expr(
+                f"GREATEST((c * {p} + t - 1) DIV t, 1)"
+            ).alias("sfac"),
+        )
+    )
+    row_key = "concat(CAST(doc_id AS STRING), ':', CAST(i AS STRING))"
+    salt = f"{h(x=row_key)} % sfac"
+    salted_key = f"concat(w, '#', CAST({salt} AS STRING))"
+    placed = occ.join(sf_dim, "w").select(
+        "w",
+        "sfac",
+        F.expr(f"{h(x='w')} % {p}").alias("pid_u"),
+        F.expr(f"{h(x=salted_key)} % {p}").alias("pid_s"),
+    )
+    loads = (
+        placed.groupBy(F.col("pid_s").alias("pid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("variant", F.lit("salted"))
+        .unionByName(
+            placed.groupBy(F.col("pid_u").alias("pid"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("variant", F.lit("unsalted"))
+        )
+    )
+    nsalt = F.broadcast(
+        sf_dim.filter(F.col("sfac") > 1).agg(
+            F.count(F.lit(1)).cast("long").alias("k")
+        )
+    )
+    return (
+        loads.groupBy("variant")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_parts_used"),
+            F.max("n").cast("long").alias("max_part_rows"),
+        )
+        .crossJoin(nsalt)
+        .select(
+            "variant",
+            "n_rows",
+            "n_parts_used",
+            "max_part_rows",
+            F.expr(
+                f"CAST(1000000 * max_part_rows * {p} DIV n_rows AS BIGINT)"
+            ).alias("max_load_ppm"),
+            F.expr(
+                "CAST(CASE WHEN variant = 'salted' THEN k ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("n_keys_salted"),
+        )
+        .orderBy("variant")
+    )
+
+
+skew_salt_apply.__doc__ = skew_salt_apply.__doc__.format(p=_SKEW_PARTS)
+
+
+# ---------------------------------------------------------------------------
 # l-diversity audit over quasi-identifiers (sensitive-value diversity)
 # ---------------------------------------------------------------------------
 

@@ -3108,3 +3108,184 @@ def ivm_zonemap_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_d", F.lit(0)).cast("long").alias("n_from_delta"),
     )
     return merged.orderBy("zone")
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning: small-file merge + zone-map overlap gain
+# ---------------------------------------------------------------------------
+
+_CP_NFILES = 24  # simulated unclustered-ingest file count
+_CP_TARGET = 2048  # compaction target rows per output file
+_CP_RANK_W = 4096  # orderkeys per rank shard (prefix-sum sharding)
+
+
+def _compaction_oracle() -> str:
+    return f"""
+    WITH k AS (SELECT o_orderkey AS key FROM orders),
+    g0 AS (SELECT CAST(MIN(key) AS BIGINT) AS lo,
+               CAST(MAX(key) AS BIGINT) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n FROM k),
+    before_f AS (
+      SELECT ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT
+               % {_CP_NFILES} AS fid,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(key) AS BIGINT) AS mn,
+             CAST(MAX(key) AS BIGINT) AS mx
+      FROM k GROUP BY fid),
+    after_f AS (
+      SELECT (rnk - 1) // {_CP_TARGET} AS fid,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(key) AS BIGINT) AS mn,
+             CAST(MAX(key) AS BIGINT) AS mx
+      FROM (SELECT key, row_number() OVER (ORDER BY key) AS rnk FROM k)
+      GROUP BY fid),
+    both_f AS (
+      SELECT 'before' AS phase, * FROM before_f
+      UNION ALL
+      SELECT 'after', * FROM after_f)
+    SELECT phase,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_rows < {_CP_TARGET // 2} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_small_files,
+           CAST(MAX(n_rows) AS BIGINT) AS max_file_rows,
+           CAST(SUM(mx - mn + 1) AS BIGINT) AS sum_range_keys,
+           CAST(1000000 * SUM(mx - mn + 1)
+                // (ANY_VALUE(g.hi) - ANY_VALUE(g.lo) + 1) AS BIGINT)
+             AS scan_amp_ppm
+    FROM both_f CROSS JOIN g0 g
+    GROUP BY phase
+    ORDER BY phase
+    """
+
+
+@register(
+    "compaction_plan_audit",
+    _compaction_oracle(),
+    "pipeline_ops",
+    "ops",
+)
+def compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning over the file manifest, quantifying BOTH
+    things a table-maintenance job buys: the small-file merge (fewer,
+    target-sized files — task-scheduling and footer overhead) and the
+    zone-map overlap gain (sort-on-compact makes per-file key ranges
+    DISJOINT, so min/max skipping starts working).  `before` is an
+    unclustered ingest: {nf} hash-assigned files whose manifests
+    (n_rows, min_key, max_key — the export_manifest_checksums /
+    ivm_zonemap_refresh stats) each span nearly the whole key domain,
+    so a point lookup's zone map prunes nothing; `after` is the
+    sorted repack into {tgt}-row files with contiguous disjoint
+    ranges.  scan_amp_ppm is the zone-map quality metric: expected
+    files touched per uniform point lookup x 1e6 — Σ(file key range)
+    / key span — {nf}M ppm before (every file matches) vs ~1M after
+    (exactly one).  n_small_files counts merge INPUTS below half the
+    target — the files the plan folds in.
+
+    Scale posture: `before` is one manifest-grain aggregate off a
+    single scan; `after` needs the global sort RANK, computed with
+    the sharded prefix-sum pattern (token_budget_packing /
+    max_concurrency_sweep): per-{w}-key shards rank locally in
+    parallel and a broadcast shard-grain cumulative offset (the only
+    unpartitioned window, one row per shard) shifts them — no global
+    sort of the corpus is ever scheduled, which is exactly how a real
+    compaction planner sizes output files from manifest stats without
+    reading data.  The oracle is the independent monolithic
+    formulation (one global row_number, no sharding), so a shard
+    boundary bug cannot agree with it.
+
+    Reference has no storage maintenance (SURVEY §2c extension;
+    closes the export family loop: write sized/zoned -> audit
+    skipping -> verify manifests -> PLAN the rewrite).
+    """
+    k = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    glob = F.broadcast(
+        k.agg(
+            F.min("key").cast("long").alias("lo"),
+            F.max("key").cast("long").alias("hi"),
+        )
+    )
+    before_f = k.select(
+        F.expr(
+            f"CAST(conv(substr(md5(CAST(key AS STRING)), 1, 15), 16, 10)"
+            f" AS BIGINT) % {_CP_NFILES}"
+        ).alias("fid"),
+        "key",
+    ).groupBy("fid")
+    # Sharded global rank: local row_number per key shard + broadcast
+    # cumulative shard offsets (shard-grain, one row per shard).
+    sh = k.withColumn("shard", F.expr(f"key DIV {_CP_RANK_W}"))
+    off = F.broadcast(
+        sh.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "shard",
+            F.coalesce(
+                F.sum("cnt").over(
+                    W.orderBy("shard").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("offset"),
+        )
+    )
+    ranked = (
+        sh.withColumn(
+            "lrn",
+            F.row_number().over(W.partitionBy("shard").orderBy("key")),
+        )
+        .join(off, "shard")
+        .select("key", (F.col("offset") + F.col("lrn")).alias("rnk"))
+    )
+    after_f = ranked.select(
+        F.expr(f"(rnk - 1) DIV {_CP_TARGET}").alias("fid"), "key"
+    ).groupBy("fid")
+
+    def fstats(g, phase: str) -> DataFrame:
+        return g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("key").cast("long").alias("mn"),
+            F.max("key").cast("long").alias("mx"),
+        ).withColumn("phase", F.lit(phase))
+
+    both_f = fstats(before_f, "before").unionByName(fstats(after_f, "after"))
+    return (
+        both_f.crossJoin(glob)
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum(
+                (F.col("n_rows") < _CP_TARGET // 2).cast("long")
+            )
+            .cast("long")
+            .alias("n_small_files"),
+            F.max("n_rows").cast("long").alias("max_file_rows"),
+            F.sum(F.col("mx") - F.col("mn") + 1)
+            .cast("long")
+            .alias("sum_range_keys"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+        .select(
+            "phase",
+            "n_files",
+            "n_rows",
+            "n_small_files",
+            "max_file_rows",
+            "sum_range_keys",
+            F.expr(
+                "CAST(1000000 * sum_range_keys DIV (hi - lo + 1)"
+                " AS BIGINT)"
+            ).alias("scan_amp_ppm"),
+        )
+        .orderBy("phase")
+    )
+
+
+compaction_plan_audit.__doc__ = compaction_plan_audit.__doc__.format(
+    nf=_CP_NFILES, tgt=_CP_TARGET, w=_CP_RANK_W
+)

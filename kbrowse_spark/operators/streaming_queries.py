@@ -2259,3 +2259,117 @@ def stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVF probe: ANN retrieval over arriving query vectors
+# ---------------------------------------------------------------------------
+
+
+def _stream_ivf_oracle() -> str:
+    from kbrowse_spark.operators.clustering import _ivf_oracle_sql
+
+    return _ivf_oracle_sql()
+
+
+@register(
+    "stream_ann_ivf_probe",
+    _stream_ivf_oracle(),
+    "streaming",
+    "knn",
+)
+def stream_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF retrieval's streaming arm: query vectors ARRIVE as a
+    stream (the vec_id < nq block of the embeddings parquet) and each
+    micro-batch probes the STATIC trained index — the same Lloyd
+    quantizer and cell-assigned corpus ann_ivf_kmeans retrieves from
+    (one definition: clustering._lloyd_state / _assign /
+    _sq_dist_cols) — so the batch and streaming paths cross-verify,
+    completing the ANN family's batch + streaming pair the way
+    stream_conformal_gate does for the conformal family and
+    stream_spatial_gate for the spatial one.
+
+    Per micro-batch, stateless: the arriving vector quantizes against
+    the k x dim centroid literals folded into the plan (no join), its
+    nprobe nearest cells explode, and a stream-static join against
+    the cell-assigned corpus re-ranks exactly (integer fixed-point
+    distances).  The candidate stream lands append-mode (cell-bounded
+    per query by construction); the top-k cut is a batch window over
+    the landed candidates — in production the per-query k-smallest
+    runs IN the micro-batch (foreachBatch or a bounded
+    min_by-aggregate) so only k rows per query leave the stream; here
+    the landed-candidate table keeps the whole probe auditable.
+
+    Scale posture: the static side is the IVF index (cell-partitioned
+    corpus — at 100 TB, cell id is a partition column and each probe
+    prunes to ~nprobe/k of it); the stream side ships only the query
+    batch.  No state store, no watermark — pure stateless
+    stream-static inner join, the serving plan an online ANN endpoint
+    runs.
+
+    Reference's follow mode streams rows but has no vector tooling
+    (SURVEY §2c extension; oracle = the chained Lloyd+IVF CTE, shared
+    with ann_ivf_kmeans by design — agreement pins the streaming path
+    to the batch retrieval bit-for-bit).
+    """
+    from pyspark.sql import Window as W
+
+    from kbrowse_spark.operators.clustering import (
+        _NPROBE,
+        _NQ,
+        _SCALE,
+        _TOPK,
+        _assign,
+        _lloyd_state,
+        _sq_dist_cols,
+    )
+
+    pts, centroids = _lloyd_state(spark, sf_dir)
+    asg = _assign(pts, centroids).select(
+        "vec_id", F.col("q").alias("xq"), "cluster_id"
+    )
+    path = table_path(sf_dir, "embeddings")
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(
+        _stage_stream_dir(path)
+    )
+    qstream = stream.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.expr(
+            f"transform(embedding, x ->"
+            f" CAST(round(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT))"
+        ).alias("qq"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(d.alias("cdist"), F.lit(cid).alias("cid"))
+            for d, (cid, _) in zip(
+                _sq_dist_cols("qq", centroids), centroids
+            )
+        ]
+    )
+    probes = (
+        qstream.withColumn(
+            "pr", F.slice(F.array_sort(probe_structs), 1, _NPROBE)
+        )
+        .select("qid", "qq", F.explode("pr").alias("p"))
+        .select("qid", "qq", F.col("p.cid").alias("cell"))
+    )
+    pair_dist = F.aggregate(
+        F.zip_with(F.col("xq"), F.col("qq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    cand = (
+        probes.join(asg, probes["cell"] == asg["cluster_id"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "cluster_id", pair_dist.alias("sq_dist"))
+    )
+    landed = _run_to_memory(cand, "append")
+    w = W.partitionBy("qid").orderBy("sq_dist", "vec_id")
+    return (
+        landed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("qid", "rn", "vec_id", "cluster_id", "sq_dist")
+        .orderBy("qid", "rn")
+    )

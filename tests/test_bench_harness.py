@@ -67,7 +67,10 @@ def test_stdout_summary_line_fits_driver_tail_capture():
         "runs_per_query": 3,
         "sf": 0.1,
     }
-    assert len(json.dumps(summary)) < 1900
+    # Same compact separators bench.py prints with: at 60 queries the
+    # default ", "/": " rendering alone costs ~140 bytes of the
+    # driver's 2000-byte tail.
+    assert len(json.dumps(summary, separators=(",", ":"))) < 1900
 
 
 def test_input_size_aware_shuffle_partitions():

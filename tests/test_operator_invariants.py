@@ -3402,3 +3402,137 @@ def test_ivm_zonemap_merge_equals_direct(spark, sf_dir):
         assert (n, mn, mx) == direct[z]
         assert nb + nd == n
         assert mn <= mx
+
+
+def test_stream_ann_ivf_equals_batch_retrieval(spark, sf_dir):
+    """The streaming IVF probe must return EXACTLY the batch retrieval
+    (ann_ivf_kmeans) row set — same trained quantizer, same inverted
+    lists, same tie-breaks — the cross-verification that makes the
+    batch/stream pair a pair."""
+    batch = [
+        tuple(r)
+        for r in _q(spark, sf_dir, "ann_ivf_kmeans")
+        .select("qid", "rn", "vec_id", "cluster_id", "sq_dist")
+        .collect()
+    ]
+    stream = [
+        tuple(r)
+        for r in _q(spark, sf_dir, "stream_ann_ivf_probe").collect()
+    ]
+    assert stream == batch
+    assert len(stream) > 0
+
+
+def test_skew_salt_apply_improves_balance(spark, sf_dir):
+    """Salting must CONSERVE rows (relocate, never drop), actually
+    salt at least one hot key at this key grain, and strictly improve
+    the hottest-partition load; the diagnosis formula's per-key bound
+    (each salted piece targets <= total/P) caps how bad the salted
+    max can be modulo cross-key collisions."""
+    from kbrowse_spark.operators.data_quality import _SKEW_PARTS
+    from kbrowse_spark.sources.tables import load
+
+    rows = {
+        r.variant: r
+        for r in _q(spark, sf_dir, "skew_salt_apply").collect()
+    }
+    assert set(rows) == {"salted", "unsalted"}
+    n_occ = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .count()
+    )
+    for v in rows.values():
+        assert v.n_rows == n_occ
+        assert 1 <= v.n_parts_used <= _SKEW_PARTS
+        assert v.max_part_rows * v.n_parts_used >= v.n_rows
+    assert rows["unsalted"].n_keys_salted == 0
+    assert rows["salted"].n_keys_salted > 0
+    assert (
+        rows["salted"].max_load_ppm < rows["unsalted"].max_load_ppm
+    )
+
+
+def test_compaction_plan_audit_shape_and_gain(spark, sf_dir):
+    """Rows must be conserved across phases; the sorted repack must
+    produce ceil(n/target) files none above target with DISJOINT
+    contiguous ranges (scan_amp exactly 1M ppm — the zone-map gain
+    the plan exists to buy); the hash-ingest baseline must show the
+    full file count and a strictly worse amplification."""
+    from kbrowse_spark.operators.pipeline_ops import (
+        _CP_NFILES,
+        _CP_TARGET,
+    )
+
+    rows = {
+        r.phase: r
+        for r in _q(spark, sf_dir, "compaction_plan_audit").collect()
+    }
+    assert set(rows) == {"before", "after"}
+    b, a = rows["before"], rows["after"]
+    assert b.n_rows == a.n_rows > 0
+    assert b.n_files == _CP_NFILES
+    assert a.n_files == (a.n_rows + _CP_TARGET - 1) // _CP_TARGET
+    assert a.max_file_rows <= _CP_TARGET
+    # Disjoint post-sort ranges can never exceed the key span
+    # (amp <= 1M ppm); with this fixture's gap-free orderkeys they
+    # tile it exactly (== 1M).  The gain the plan buys: strictly
+    # better than the hash-ingest baseline.
+    assert a.scan_amp_ppm <= 1_000_000
+    from kbrowse_spark.sources.tables import load as _load
+
+    o = _load(spark, sf_dir, "orders").agg(
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if o.hi - o.lo + 1 == o.n:  # gap-free key domain
+        assert a.scan_amp_ppm == 1_000_000
+    assert b.scan_amp_ppm > a.scan_amp_ppm
+    assert a.n_small_files <= 1  # at most the tail file
+    assert b.n_small_files >= 0
+
+
+def test_compaction_plan_matches_executed_repack(spark, sf_dir, tmp_path):
+    """Plan -> EXECUTE -> verify: actually run the sorted repack the
+    audit sizes (sinks.export.write_sized_parquet, same target) and
+    check the written files against the plan's `after` row — file
+    count in [plan, 2x plan] (range sampling may split an oversized
+    shard via maxRecordsPerFile), rows conserved, per-file key ranges
+    DISJOINT, and on this gap-free key domain the executed layout's
+    scan amplification is exactly 1 — the zone-map gain the plan
+    promised, realized on disk."""
+    from kbrowse_spark.operators.pipeline_ops import _CP_TARGET
+    from kbrowse_spark.sinks.export import write_sized_parquet
+    from kbrowse_spark.sources.tables import load
+
+    plan = {
+        r.phase: r
+        for r in _q(spark, sf_dir, "compaction_plan_audit").collect()
+    }["after"]
+    out = str(tmp_path / "repacked")
+    keys = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key")
+    )
+    write_sized_parquet(
+        keys, out, sort_col="key", target_rows_per_file=_CP_TARGET
+    )
+    files = (
+        spark.read.parquet(out)
+        .select("key", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("key").alias("mn"),
+            F.max("key").alias("mx"),
+        )
+        .collect()
+    )
+    assert plan.n_files <= len(files) <= 2 * plan.n_files
+    assert sum(r.n for r in files) == plan.n_rows
+    spans = sorted((r.mn, r.mx) for r in files)
+    for (_, amx), (bmn, _) in zip(spans, spans[1:]):
+        assert amx < bmn  # disjoint, the property the repack buys
+    lo, hi = spans[0][0], spans[-1][1]
+    if hi - lo + 1 == plan.n_rows:  # gap-free domain
+        assert sum(mx - mn + 1 for mn, mx in spans) == hi - lo + 1

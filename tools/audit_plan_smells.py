@@ -122,6 +122,18 @@ ALLOW = {
         "noise-row assembly: two 1-row total attaches (core count, "
         "border count) onto the 1-row point count"
     ),
+    "skew_salt_apply": (
+        "readout assembly: 1-row salted-key-count attach onto the "
+        "2-row variant balance table"
+    ),
+    "compaction_plan_audit": (
+        "readout assembly: 1-row key-span attach onto the file-grain "
+        "manifest table (n_files rows); the single-partition "
+        "sort/window is the SHARD-grain rank-offset table "
+        "(corpus/4096 rows, broadcast — the token_budget_packing "
+        "sharded-prefix-sum pattern; row ranks themselves compute "
+        "partitioned by shard)"
+    ),
     "ldiversity_audit": (
         "1-row total attach + 3-row literal l-candidate attach over "
         "the QI-group-grain table (the kanonymity_audit shape)"

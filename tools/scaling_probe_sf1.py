@@ -344,6 +344,20 @@ NOTES = {
         "same score-grain machinery as eval_auc_rank; decile "
         "re-aggregation is 10-row-grain — linear scan, bounded tail"
     ),
+    "stream_ann_ivf_probe": (
+        "stateless stream-static probe: the bounded query batch "
+        "ships, the corpus side is the shared cached IVF index — "
+        "fixed micro-batch machinery dominates at these SFs"
+    ),
+    "skew_salt_apply": (
+        "one occurrence scan + vocabulary-bounded broadcast dim + "
+        "partition-grain readout — linear scan, bounded tail"
+    ),
+    "compaction_plan_audit": (
+        "manifest-grain aggregates + sharded rank (local row_number "
+        "per key shard, broadcast shard offsets) — no global sort "
+        "ever scheduled"
+    ),
 }
 
 
