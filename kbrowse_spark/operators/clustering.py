@@ -1143,3 +1143,102 @@ def ann_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_ivf_recall_audit.__doc__ = ann_ivf_recall_audit.__doc__.format(k=_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index add: delta batch under the frozen quantizer
+# ---------------------------------------------------------------------------
+
+_IA_MOD = 10  # delta batch: vec_id % 10 == 0 (the newly arriving 10%)
+
+
+def _ivf_add_oracle() -> str:
+    t = _ITERS + 1
+    return (
+        _lloyd_cte_prefix()
+        + f"""
+    SELECT CAST(cid AS INT) AS cluster_id,
+           CAST(COUNT(*) FILTER (vec_id % {_IA_MOD} != 0) AS BIGINT)
+             AS n_base,
+           CAST(COUNT(*) FILTER (vec_id % {_IA_MOD} = 0) AS BIGINT)
+             AS n_delta,
+           CAST(1000000 * COUNT(*) FILTER (vec_id % {_IA_MOD} = 0)
+                // COUNT(*) AS BIGINT) AS occ_delta_ppm,
+           CAST(COALESCE(SUM(dist) FILTER (vec_id % {_IA_MOD} != 0), 0)
+                // GREATEST(COUNT(*) FILTER (vec_id % {_IA_MOD} != 0), 1)
+                AS BIGINT) AS mean_dist_base,
+           CAST(COALESCE(SUM(dist) FILTER (vec_id % {_IA_MOD} = 0), 0)
+                // GREATEST(COUNT(*) FILTER (vec_id % {_IA_MOD} = 0), 1)
+                AS BIGINT) AS mean_dist_delta
+    FROM a{t}
+    GROUP BY cid
+    ORDER BY cluster_id
+    """
+    )
+
+
+@register(
+    "ann_ivf_incremental_add",
+    _ivf_add_oracle(),
+    "clustering",
+    "knn",
+)
+def ann_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the ANN counterpart of
+    dedup_incremental_minhash: a newly arriving delta batch (vec_id %
+    {m} == 0) is assigned POINTWISE under the FROZEN production
+    quantizer (the session's trained Lloyd centroids — broadcast
+    literals, no join, no retraining), and the inverted lists update
+    by pure append.  The audit is the cell-grain maintenance readout
+    an index owner watches: per cell, base vs delta occupancy (and
+    the delta share in ppm) plus mean quantization distortion of base
+    vs delta — a delta whose distortion or occupancy profile drifts
+    from the base is the RETRAIN trigger (the quantizer no longer
+    represents the arriving distribution); for stationary arrivals
+    the two profiles agree, which is what this fixture reads.
+
+    Scale posture: assignment is the kmeans_lloyd shape — centroid
+    literals fold into the distance expression, one map-side-combined
+    cell-grain aggregate; the only thing that ever runs per ingest in
+    production is the DELTA's scan + this k-row readout (base stats
+    are carried forward, exactly like ivm_zonemap_refresh's
+    append-only merge).  All arithmetic integer-exact.
+
+    Reference has no vector tooling (SURVEY §2c extension; completes
+    the IVF family's lifecycle: train -> retrieve -> recall-audit ->
+    stream-probe -> MAINTAIN).
+    """
+    pts, centroids = _lloyd_state(spark, sf_dir)
+    asg = _assign(pts, centroids).select("vec_id", "cluster_id", "sq_dist")
+    is_delta = (F.col("vec_id") % _IA_MOD == 0).cast("long")
+    return (
+        asg.groupBy("cluster_id")
+        .agg(
+            F.sum(1 - is_delta).cast("long").alias("n_base"),
+            F.sum(is_delta).cast("long").alias("n_delta"),
+            F.sum(F.col("sq_dist") * (1 - is_delta))
+            .cast("long")
+            .alias("ds_b"),
+            F.sum(F.col("sq_dist") * is_delta).cast("long").alias("ds_d"),
+        )
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "n_base",
+            "n_delta",
+            F.expr(
+                "CAST(1000000 * n_delta DIV (n_base + n_delta) AS BIGINT)"
+            ).alias("occ_delta_ppm"),
+            F.expr(
+                "CAST(ds_b DIV GREATEST(n_base, 1) AS BIGINT)"
+            ).alias("mean_dist_base"),
+            F.expr(
+                "CAST(ds_d DIV GREATEST(n_delta, 1) AS BIGINT)"
+            ).alias("mean_dist_delta"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ann_ivf_incremental_add.__doc__ = ann_ivf_incremental_add.__doc__.format(
+    m=_IA_MOD
+)

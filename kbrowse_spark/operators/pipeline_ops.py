@@ -3289,3 +3289,177 @@ def compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 compaction_plan_audit.__doc__ = compaction_plan_audit.__doc__.format(
     nf=_CP_NFILES, tgt=_CP_TARGET, w=_CP_RANK_W
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-epoch shuffle decorrelation (training-order quality audit)
+# ---------------------------------------------------------------------------
+
+_ES_EPOCHS = 3  # shuffled epochs 1..E; epoch 0 = natural doc_id order
+_ES_SHARD_W = 1 << 52  # 60-bit hash -> 256 rank shards per epoch
+_ES_NAT_W = 4096  # natural-order rank shard width (doc_id keyed)
+
+
+def _es_h_duck(e: int) -> str:
+    return (
+        f"('0x' || substr(md5('ep{e}:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15))::BIGINT"
+    )
+
+
+def _es_oracle() -> str:
+    es = list(range(_ES_EPOCHS + 1))
+    parts = ["    WITH d AS (SELECT doc_id FROM documents)"]
+    for e in es:
+        h = "doc_id" if e == 0 else _es_h_duck(e)
+        parts.append(
+            f""",
+    r{e} AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY {h}, doc_id) AS rnk
+      FROM d)"""
+        )
+    pairs = [(a, b) for a in es for b in es if a < b]
+    sel = []
+    for a, b in pairs:
+        sel.append(
+            f"""
+      SELECT {a} AS epoch_a, {b} AS epoch_b,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM((ra.rnk - rb.rnk) * (ra.rnk - rb.rnk)) AS BIGINT)
+               AS sum_d2
+      FROM r{a} ra JOIN r{b} rb USING (doc_id)"""
+        )
+    parts.append(
+        f""",
+    p AS ({" UNION ALL ".join(sel)})
+    SELECT CAST(epoch_a AS INT) AS epoch_a,
+           CAST(epoch_b AS INT) AS epoch_b,
+           n_docs, sum_d2,
+           CAST(1000000 - (CAST(6000000 AS HUGEINT) * CAST(sum_d2 AS HUGEINT))
+                // CAST(n_docs * (n_docs * n_docs - 1) AS HUGEINT)
+                AS BIGINT) AS rho_ppm
+    FROM p
+    ORDER BY epoch_a, epoch_b"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "epoch_shuffle_decorrelation",
+    _es_oracle(),
+    "pipeline_ops",
+    "ops",
+)
+def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle QUALITY audit: a multi-epoch run re-reads
+    the corpus in a fresh deterministic order per epoch (rank of a
+    60-bit md5 of (epoch, doc_id) — the standard seeded hash shuffle,
+    reproducible with no RNG state), and this operator measures how
+    DECORRELATED those orders actually are — exact Spearman rank
+    correlation, in ppm, for every pair among the natural order
+    (epoch 0) and {e} shuffled epochs.  A correct shuffle shows
+    |rho| ~ 1/sqrt(n) for every pair; rho near 1e6 against epoch 0
+    means the "shuffle" preserved ingest order (the classic curriculum
+    bug: loss spikes that track file boundaries), and rho near 1e6
+    between two epochs means the seed was not folded per-epoch.
+
+    Exactness: ranks are integers; sum_d2 is an exact BIGINT; the
+    Spearman closed form 1 - 6*sum_d2/(n(n^2-1)) is evaluated as a
+    single 128-bit floor division (Spark DECIMAL(38,0) DIV == DuckDB
+    HUGEINT //, verified operand-for-operand) — no float enters.
+
+    Scale posture: per epoch, ranks come from the sharded prefix-sum
+    pattern — rows shard by the hash's top bits ({s} shards, uniform
+    by construction since the hash is uniform), rank locally in
+    parallel, and only the per-(epoch, shard) offset table crosses a
+    window (partitioned BY EPOCH, ~256 rows each); the natural-order
+    arm shards by doc_id range.  The pairwise stage joins the
+    doc-grain rank table co-partitioned on doc_id and reduces to one
+    combinable SUM per pair.  The oracle is the independent monolithic
+    formulation (one global row_number per epoch, no sharding).
+
+    Reference has no training-order tooling (SURVEY §2c extension;
+    joins mix_* / sample_* / token_budget_packing in the
+    batch-construction family).
+    """
+    es = list(range(_ES_EPOCHS + 1))
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    long_rows = None
+    for e in es:
+        h = (
+            F.col("doc_id").cast("long")
+            if e == 0
+            else F.expr(
+                f"CAST(conv(substr(md5(concat('ep{e}:',"
+                f" CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            )
+        )
+        w = _ES_NAT_W if e == 0 else _ES_SHARD_W
+        part = d.select(
+            "doc_id",
+            F.lit(e).alias("epoch"),
+            h.alias("h"),
+            (h / F.lit(w)).cast("long").alias("shard"),
+        )
+        long_rows = part if long_rows is None else long_rows.unionByName(part)
+    lw = W.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    local = long_rows.select(
+        "doc_id", "epoch", "shard", F.row_number().over(lw).alias("lrn")
+    )
+    ow = (
+        W.partitionBy("epoch")
+        .orderBy("shard")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = F.broadcast(
+        long_rows.groupBy("epoch", "shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "epoch",
+            "shard",
+            F.coalesce(F.sum("cnt").over(ow), F.lit(0)).alias("off"),
+        )
+    )
+    ranks = local.join(offsets, ["epoch", "shard"]).select(
+        "doc_id", "epoch", (F.col("off") + F.col("lrn")).alias("rnk")
+    )
+    wide = ranks.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("epoch") == e, F.col("rnk"))).alias(f"r{e}")
+            for e in es
+        ]
+    )
+    pairs = [(a, b) for a in es for b in es if a < b]
+    stack_args = ", ".join(
+        f"{a}, {b}, CAST((r{a} - r{b}) * (r{a} - r{b}) AS BIGINT)"
+        for a, b in pairs
+    )
+    per_pair = wide.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (epoch_a, epoch_b, d2)"
+    )
+    return (
+        per_pair.groupBy("epoch_a", "epoch_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+        )
+        .select(
+            F.col("epoch_a").cast("int").alias("epoch_a"),
+            F.col("epoch_b").cast("int").alias("epoch_b"),
+            "n_docs",
+            "sum_d2",
+            F.expr(
+                "CAST(1000000 - (CAST(6000000 AS DECIMAL(38,0))"
+                " * CAST(sum_d2 AS DECIMAL(38,0)))"
+                " DIV CAST(n_docs * (n_docs * n_docs - 1)"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("rho_ppm"),
+        )
+        .orderBy("epoch_a", "epoch_b")
+    )
+
+
+epoch_shuffle_decorrelation.__doc__ = epoch_shuffle_decorrelation.__doc__.format(
+    e=_ES_EPOCHS, s=256
+)

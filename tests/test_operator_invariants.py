@@ -3536,3 +3536,94 @@ def test_compaction_plan_matches_executed_repack(spark, sf_dir, tmp_path):
     lo, hi = spans[0][0], spans[-1][1]
     if hi - lo + 1 == plan.n_rows:  # gap-free domain
         assert sum(mx - mn + 1 for mn, mx in spans) == hi - lo + 1
+
+
+def test_epoch_shuffle_decorrelation_exact_and_decorrelated(spark, sf_dir):
+    """Full independent Python reimplementation (hashlib md5 ranks +
+    exact integer Spearman) must agree EXACTLY with the sharded-rank
+    operator; every pair's |rho| must sit within 5 sigma of zero
+    (sigma = 1/sqrt(n-1) for independent rankings) — the decorrelation
+    the seeded per-epoch hash shuffle exists to provide."""
+    import hashlib
+
+    from kbrowse_spark.operators.pipeline_ops import _ES_EPOCHS
+    from kbrowse_spark.sources.tables import load
+
+    ids = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    n = len(ids)
+
+    def order(e):
+        if e == 0:
+            key = {i: (i, i) for i in ids}
+        else:
+            key = {
+                i: (
+                    int(
+                        hashlib.md5(f"ep{e}:{i}".encode()).hexdigest()[:15],
+                        16,
+                    ),
+                    i,
+                )
+                for i in ids
+            }
+        return {
+            i: r + 1
+            for r, i in enumerate(sorted(ids, key=lambda i: key[i]))
+        }
+
+    ranks = {e: order(e) for e in range(_ES_EPOCHS + 1)}
+    expect = []
+    for a in range(_ES_EPOCHS + 1):
+        for b in range(a + 1, _ES_EPOCHS + 1):
+            sd2 = sum((ranks[a][i] - ranks[b][i]) ** 2 for i in ids)
+            rho = 1_000_000 - (6_000_000 * sd2) // (n * (n * n - 1))
+            expect.append((a, b, n, sd2, rho))
+    got = [
+        tuple(r)
+        for r in _q(spark, sf_dir, "epoch_shuffle_decorrelation").collect()
+    ]
+    assert got == expect
+    sigma_ppm = 1_000_000 / (n - 1) ** 0.5
+    for _a, _b, _n, _sd2, rho in got:
+        assert abs(rho) < 5 * sigma_ppm
+
+
+def test_ann_ivf_incremental_add_matches_assignment(spark, sf_dir):
+    """The maintenance readout must be EXACTLY derivable from the
+    kmeans_lloyd assignment rows (same frozen quantizer): per-cell
+    base/delta counts, occupancy share, and floor-divided mean
+    distortions recomputed in Python must agree row-for-row."""
+    from collections import defaultdict
+
+    from kbrowse_spark.operators.clustering import _IA_MOD
+
+    asg = _q(spark, sf_dir, "kmeans_lloyd").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # nb, nd, db, dd
+    for r in asg:
+        a = agg[r.cluster_id]
+        if r.vec_id % _IA_MOD == 0:
+            a[1] += 1
+            a[3] += r.sq_dist
+        else:
+            a[0] += 1
+            a[2] += r.sq_dist
+    expect = [
+        (
+            cid,
+            nb,
+            nd,
+            1_000_000 * nd // (nb + nd),
+            db // max(nb, 1),
+            dd // max(nd, 1),
+        )
+        for cid, (nb, nd, db, dd) in sorted(agg.items())
+    ]
+    got = [
+        tuple(r)
+        for r in _q(spark, sf_dir, "ann_ivf_incremental_add").collect()
+    ]
+    assert got == expect
+    assert sum(nb + nd for _, nb, nd, _, _, _ in got) == len(asg)
