@@ -1374,3 +1374,123 @@ def fairness_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 fairness_disparate_impact.__doc__ = fairness_disparate_impact.__doc__.format(
     t=_DI_BAL_THRESHOLD
 )
+
+
+# ---------------------------------------------------------------------------
+# Deletion-propagation audit (right-to-erasure cascade verification)
+# ---------------------------------------------------------------------------
+
+_DEL_MOD = 97  # erasure cohort: c_custkey % 97 == 0
+
+
+@register(
+    "deletion_propagation_audit",
+    f"""
+    WITH vic AS (SELECT c_custkey FROM customer
+                 WHERE c_custkey % {_DEL_MOD} = 0),
+    vo AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM vic)),
+    vl AS (SELECT l_orderkey FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM vo)),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+    no_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vic),
+    nvo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vo),
+    nvl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vl)
+    SELECT * FROM (
+      SELECT 'cascade' AS strategy, 'customer' AS tbl,
+             (SELECT n FROM nc) AS n_before,
+             (SELECT n FROM nv) AS n_deleted,
+             (SELECT n FROM nc) - (SELECT n FROM nv) AS n_after,
+             CAST(0 AS BIGINT) AS n_dangling_refs
+      UNION ALL
+      SELECT 'cascade', 'orders', (SELECT n FROM no_),
+             (SELECT n FROM nvo),
+             (SELECT n FROM no_) - (SELECT n FROM nvo), 0
+      UNION ALL
+      SELECT 'cascade', 'lineitem', (SELECT n FROM nl),
+             (SELECT n FROM nvl),
+             (SELECT n FROM nl) - (SELECT n FROM nvl), 0
+      UNION ALL
+      SELECT 'direct_only', 'customer', (SELECT n FROM nc),
+             (SELECT n FROM nv),
+             (SELECT n FROM nc) - (SELECT n FROM nv), 0
+      UNION ALL
+      SELECT 'direct_only', 'orders', (SELECT n FROM no_), 0,
+             (SELECT n FROM no_), (SELECT n FROM nvo)
+      UNION ALL
+      SELECT 'direct_only', 'lineitem', (SELECT n FROM nl), 0,
+             (SELECT n FROM nl), 0)
+    ORDER BY strategy, tbl
+    """,
+    "data_quality",
+    "governance",
+)
+def deletion_propagation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-erasure cascade verification: for a deterministic
+    erasure cohort (c_custkey % {m} == 0), the per-table deletion
+    ledger under BOTH strategies a compliance review compares —
+    `direct_only` (delete the subject rows, leave derived tables) vs
+    `cascade` (propagate through the FK graph customer -> orders ->
+    lineitem).  n_dangling_refs is the audit's verdict column: rows
+    whose FK target no longer exists after the strategy runs —
+    direct_only leaves every victim order dangling (the subject's
+    data is still reconstructible from the fact tables: a compliance
+    FAILURE the ledger makes visible), cascade leaves zero at every
+    level.  lineitem never dangles under direct_only because its
+    parent orders survive — dangling is a one-hop property, which is
+    exactly why erasure must walk the FK graph transitively rather
+    than check references once.
+
+    Scale posture: the victim cohort broadcasts as a left-semi-join
+    probe down the FK chain (the decontaminate_benchmark shape);
+    every count is one map-side-combinable aggregate per table —
+    three fact scans total, no shuffle of any fact table.  In
+    production the same plan emits the deletion manifests
+    (export_manifest_checksums grain) instead of counts.
+
+    Reference has no governance tooling (SURVEY §2c extension; joins
+    kanonymity_audit / ldiversity_audit in the governance family).
+    """
+    vic = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % _DEL_MOD == 0)
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    vo = o.join(
+        F.broadcast(vic), o["o_custkey"] == vic["c_custkey"], "left_semi"
+    )
+    vl = li.join(
+        F.broadcast(vo.select("o_orderkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    nc = load(spark, sf_dir, "customer").count()
+    no = o.count()
+    nl = li.count()
+    nv = vic.count()
+    nvo = vo.count()
+    nvl = vl.count()
+    rows = [
+        ("cascade", "customer", nc, nv, nc - nv, 0),
+        ("cascade", "lineitem", nl, nvl, nl - nvl, 0),
+        ("cascade", "orders", no, nvo, no - nvo, 0),
+        ("direct_only", "customer", nc, nv, nc - nv, 0),
+        ("direct_only", "lineitem", nl, 0, nl, 0),
+        ("direct_only", "orders", no, 0, no, nvo),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "strategy string, tbl string, n_before long, n_deleted long,"
+        " n_after long, n_dangling_refs long",
+    ).orderBy("strategy", "tbl")
+
+
+deletion_propagation_audit.__doc__ = deletion_propagation_audit.__doc__.format(
+    m=_DEL_MOD
+)

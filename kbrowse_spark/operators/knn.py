@@ -2280,3 +2280,141 @@ def rag_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 rag_hard_negatives.__doc__ = rag_hard_negatives.__doc__.format(
     k=_HN_K, depth=_HN_DEPTH
 )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization-quality audit (recall of 8-bit-grid ANN)
+# ---------------------------------------------------------------------------
+
+_QZ_L = 127  # int8 grid: round(x * 127) in [-127, 127] for |x| <= 1
+_QZ_K = 10
+_QZ_NQ = 10
+
+_QZ_SPARK = (
+    f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_QZ_L})"
+    f" AS DOUBLE) / {_QZ_L})"
+)
+_QZ_DUCK = (
+    f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+    f" * {_QZ_L}) AS DOUBLE) / {_QZ_L})"
+)
+
+
+@register(
+    "embedding_quantization_recall",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_QZ_DUCK} AS emb_q
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, emb_q AS qe_q
+          FROM e WHERE vec_id < {_QZ_NQ}),
+    sc AS (
+      SELECT q.qid AS qid, e.vec_id AS vec_id,
+             {_tr_cos('e.embedding', 'q.qe', _sql_dot)} AS cf,
+             {_tr_cos('e.emb_q', 'q.qe_q', _sql_dot)} AS cq
+      FROM e JOIN q ON e.vec_id <> q.qid),
+    tf AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY cf DESC, vec_id) AS r FROM sc)
+           WHERE r <= {_QZ_K}),
+    tq AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY cq DESC, vec_id) AS r FROM sc)
+           WHERE r <= {_QZ_K})
+    SELECT tf.qid AS qid,
+           CAST(COUNT(tq.vec_id) AS BIGINT) AS n_overlap,
+           CAST(1000000 * COUNT(tq.vec_id) // {_QZ_K} AS BIGINT)
+             AS recall_ppm
+    FROM tf LEFT JOIN tq ON tf.qid = tq.qid AND tf.vec_id = tq.vec_id
+    GROUP BY tf.qid
+    ORDER BY qid
+    """,
+    "knn",
+    "eval",
+)
+def embedding_quantization_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """int8 quantization-quality audit — the PRECISION counterpart of
+    embedding_truncation_recall's dimensionality cut: exact cosine
+    top-{k} per query over the full-precision embedding vs its
+    symmetric 8-bit grid (round(x * {l}) / {l}, valid for the
+    unit-bounded fixture values; |grid point| <= {l} pinned in-test),
+    scored by list overlap — the measurement behind every "store the
+    index int8, is the recall hit acceptable?" decision, which
+    precedes the IVF/PQ choice in a serving stack.  Cosine is
+    scale-invariant, so scoring the dequantized grid IS scoring the
+    int8 codes.
+
+    Unlike the truncation audit (random fixture dims are
+    uncorrelated, recall reads 0-30%), 8-bit rounding perturbs each
+    coordinate by <= 1/{l} ~ 0.4% of the unit range, so recall here
+    reads HIGH — the two audits bracket the cheap-index design space
+    from the lossy and near-lossless ends.
+
+    Scale posture: one corpus scan against the broadcast {nq}-row
+    query block; both rankings collapse via WindowGroupLimit before
+    the k-row-grain overlap join (the embedding_truncation_recall
+    plan, unchanged).
+
+    Reference has no embedding tooling (SURVEY §2c extension).
+    """
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.expr(_QZ_SPARK).alias("emb_q"),
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _QZ_NQ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("emb_q").alias("qe_q"),
+        )
+    )
+    sc = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_tr_cos("embedding", "qe", _spark_dot)).alias("cf"),
+            F.expr(_tr_cos("emb_q", "qe_q", _spark_dot)).alias("cq"),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("cf").desc(), "vec_id")
+    wq = W.partitionBy("qid").orderBy(F.col("cq").desc(), "vec_id")
+    tf = (
+        sc.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= _QZ_K)
+        .select(F.col("qid").alias("fq"), "vec_id")
+    )
+    tq = (
+        sc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= _QZ_K)
+        .select(F.col("qid").alias("tq"), F.col("vec_id").alias("tv"))
+    )
+    return (
+        tf.join(
+            tq,
+            (F.col("fq") == F.col("tq")) & (F.col("vec_id") == F.col("tv")),
+            "left",
+        )
+        .groupBy("fq")
+        .agg(F.count("tv").cast("long").alias("n_overlap"))
+        .select(
+            F.col("fq").alias("qid"),
+            "n_overlap",
+            F.expr(
+                f"CAST(1000000 * n_overlap DIV {_QZ_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+embedding_quantization_recall.__doc__ = (
+    embedding_quantization_recall.__doc__.format(
+        k=_QZ_K, l=_QZ_L, nq=_QZ_NQ
+    )
+)

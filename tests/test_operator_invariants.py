@@ -3627,3 +3627,63 @@ def test_ann_ivf_incremental_add_matches_assignment(spark, sf_dir):
     ]
     assert got == expect
     assert sum(nb + nd for _, nb, nd, _, _, _ in got) == len(asg)
+
+
+def test_quantization_recall_brackets_truncation(spark, sf_dir):
+    """8-bit grid points must stay in int8 range for every fixture
+    value (the audit's validity precondition), per-query overlap is
+    bounded by K, and the near-lossless precision cut must beat the
+    lossy dimensionality cut on mean recall over the SAME query block
+    — the bracket the two audits exist to provide."""
+    from kbrowse_spark.operators.knn import _QZ_K, _QZ_L
+    from kbrowse_spark.sources.tables import load
+
+    mx = (
+        load(spark, sf_dir, "embeddings")
+        .select(F.explode("embedding").alias("x"))
+        .agg(
+            F.max(F.abs(F.round(F.col("x").cast("double") * _QZ_L)))
+        )
+        .collect()[0][0]
+    )
+    assert mx <= 127
+    qz = {
+        r.qid: r
+        for r in _q(spark, sf_dir, "embedding_quantization_recall").collect()
+    }
+    tr = {
+        r.qid: r
+        for r in _q(spark, sf_dir, "embedding_truncation_recall").collect()
+    }
+    assert set(qz) == set(tr)
+    for r in qz.values():
+        assert 0 <= r.n_overlap <= _QZ_K
+    mean_qz = sum(r.recall_ppm for r in qz.values()) / len(qz)
+    mean_tr = sum(r.recall_ppm for r in tr.values()) / len(tr)
+    assert mean_qz > mean_tr
+
+
+def test_deletion_propagation_ledger_identities(spark, sf_dir):
+    """Ledger identities: n_before = n_deleted + n_after on every row;
+    cascade leaves ZERO dangling refs at every level; direct_only
+    dangles exactly the victim orders (what cascade would have
+    deleted) and nothing at lineitem grain (one-hop property); the
+    erasure cohort is non-empty so the audit discriminates."""
+    rows = {
+        (r.strategy, r.tbl): r
+        for r in _q(spark, sf_dir, "deletion_propagation_audit").collect()
+    }
+    assert len(rows) == 6
+    for r in rows.values():
+        assert r.n_before == r.n_deleted + r.n_after
+        assert r.n_dangling_refs >= 0
+    for tbl in ("customer", "orders", "lineitem"):
+        assert rows[("cascade", tbl)].n_dangling_refs == 0
+    assert rows[("cascade", "customer")].n_deleted > 0
+    assert (
+        rows[("direct_only", "orders")].n_dangling_refs
+        == rows[("cascade", "orders")].n_deleted
+        > 0
+    )
+    assert rows[("direct_only", "lineitem")].n_dangling_refs == 0
+    assert rows[("direct_only", "lineitem")].n_deleted == 0

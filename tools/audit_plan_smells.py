@@ -153,6 +153,10 @@ ALLOW = {
         "broadcast bounded 10-row query block x corpus scan "
         "(knn_batch_topk_join contract, knn.py)"
     ),
+    "embedding_quantization_recall": (
+        "broadcast bounded 10-row query block x corpus scan "
+        "(the embedding_truncation_recall plan, unchanged)"
+    ),
     # Padding audit: the cumulative window runs over the length-DOMAIN
     # bounded length-grain count table, never the corpus.
     "padding_waste_audit": (
