@@ -3250,3 +3250,102 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 as-of snapshot (point-in-time dimension reconstruction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_asof_snapshot",
+    # Independent formulation: DIRECT replay — last event per user at
+    # or before the cutoff, no intervals anywhere.
+    """
+    WITH mid AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS m
+                 FROM events),
+    tcut AS (SELECT MAX(ts) AS t FROM events
+             WHERE event_id <= (SELECT m FROM mid)),
+    r AS (SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts <= (SELECT t FROM tcut))
+    SELECT user_id, event_type AS state
+    FROM r WHERE rn = 1
+    ORDER BY user_id
+    """,
+    "window",
+    "cdc",
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction — the READ side of the
+    SCD2 contract, closing the CDC loop scd2_user_state opens: the
+    state of every user AS OF a cutoff T, answered from the
+    effective-dated INTERVAL table (the row whose
+    [valid_from, valid_to) contains T), never from the raw events.
+    The oracle is the independent direct replay (last event per user
+    at or before T, no intervals anywhere) — agreement proves the
+    interval algebra: consecutive same-timestamp transitions produce
+    zero-length intervals that can never contain T, so exactly one
+    interval per user matches, including at tie timestamps.
+
+    The cutoff is derived, not wall-clock: T = MAX(ts) over the
+    event_id-lower-half — exact in both engines for ANY fixture
+    timestamp vintage (comparisons only, no timestamp arithmetic, and
+    no timestamp in the output).
+
+    Scale posture: the interval build is the scd2_user_state plan
+    (one user-keyed shuffle, two windows sharing it); the cutoff is a
+    1-row broadcast attach; the containment filter is in-row.  In
+    production the interval table is already materialized and the
+    as-of read touches ONLY it — history-sized, not event-sized;
+    that is the entire point of maintaining SCD2.
+
+    Reference has no CDC tooling (SURVEY §2c extension; pairs with
+    scd2_user_state the way compaction_plan_audit pairs with
+    write_sized_parquet).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    tcut = F.broadcast(
+        ev.crossJoin(
+            F.broadcast(
+                ev.agg(
+                    F.expr(
+                        "CAST((MIN(event_id) + MAX(event_id)) DIV 2"
+                        " AS BIGINT)"
+                    ).alias("mid")
+                )
+            )
+        )
+        .filter(F.col("event_id") <= F.col("mid"))
+        .agg(F.max("ts").alias("t"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    transitions = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(
+        (F.col("rn") == 1) | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    intervals = transitions.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("from_ts"),
+        F.lead("ts").over(w2).alias("to_ts"),
+    )
+    return (
+        intervals.crossJoin(tcut)
+        .filter(
+            (F.col("from_ts") <= F.col("t"))
+            & (F.col("to_ts").isNull() | (F.col("to_ts") > F.col("t")))
+        )
+        .select("user_id", "state")
+        .orderBy("user_id")
+    )

@@ -3687,3 +3687,42 @@ def test_deletion_propagation_ledger_identities(spark, sf_dir):
     )
     assert rows[("direct_only", "lineitem")].n_dangling_refs == 0
     assert rows[("direct_only", "lineitem")].n_deleted == 0
+
+
+def test_scd2_asof_snapshot_equals_direct_replay(spark, sf_dir):
+    """In-engine cross-formulation: the interval-containment read must
+    equal a direct replay over raw events (last event per user at or
+    before the same derived cutoff) computed independently in Spark —
+    and be exactly one row per user with any event at or before T."""
+    from kbrowse_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    mid = ev.agg(
+        F.expr("CAST((MIN(event_id) + MAX(event_id)) DIV 2 AS BIGINT)")
+    ).collect()[0][0]
+    t = (
+        ev.filter(F.col("event_id") <= mid)
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    replay = {
+        (r.user_id, r.event_type)
+        for r in ev.filter(F.col("ts") <= F.lit(t))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    got = [
+        (r.user_id, r.state)
+        for r in _q(spark, sf_dir, "scd2_asof_snapshot").collect()
+    ]
+    assert set(got) == replay
+    assert len(got) == len({u for u, _ in got})  # one row per user
+    assert len(got) > 0

@@ -126,6 +126,11 @@ ALLOW = {
         "readout assembly: 1-row salted-key-count attach onto the "
         "2-row variant balance table"
     ),
+    "scd2_asof_snapshot": (
+        "two 1-row broadcast attaches: the event_id midpoint onto the "
+        "event scan (cutoff derivation) and the 1-row cutoff onto the "
+        "history-sized interval table (containment filter)"
+    ),
     "compaction_plan_audit": (
         "readout assembly: 1-row key-span attach onto the file-grain "
         "manifest table (n_files rows); the single-partition "
