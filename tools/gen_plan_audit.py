@@ -125,6 +125,12 @@ AUDIT = [
     ("skyline_price_size", "price-grain maxima + bounded-bucket windows; no self-join (oracle keeps the quadratic truth)"),
     ("eval_auc_rank", "one combinable score-grain agg; rank math via two-level prefix sum, no corpus window"),
     ("eval_gains_deciles", "score-grain prefix sums; decile re-aggregation at 10-row grain"),
+    # round 11
+    ("bfs_multisource_hops", "per-round frontier join + anti-join; frontier re-read from checkpointed blocks (no recompute)"),
+    ("skew_salt_apply", "one occurrence pass; vocab-bounded salt dim broadcast; partition-grain readout"),
+    ("compaction_plan_audit", "manifest-grain aggs; sharded rank (shard-local row_number + broadcast offsets), no global sort"),
+    ("epoch_shuffle_decorrelation", "hash-sharded ranks per epoch; per-epoch offset windows; doc-keyed pair join"),
+    ("scd2_asof_snapshot", "one user-keyed shuffle (two windows share it); 1-row cutoff broadcast; in-row containment"),
 ]
 
 
