@@ -3463,3 +3463,140 @@ def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 epoch_shuffle_decorrelation.__doc__ = epoch_shuffle_decorrelation.__doc__.format(
     e=_ES_EPOCHS, s=256
 )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-capped language-balanced mixing (upsampling with epoch caps)
+# ---------------------------------------------------------------------------
+
+_MRC_T = 1000  # target sample size (forces upsampling of small langs)
+_MRC_R = 2  # repeat cap: no language may be sampled past R epochs
+_MRC_SCALE = 1_000_000  # sqrt fixed-point scale (the mix_temperature one)
+
+
+@register(
+    "mix_repeat_cap_audit",
+    f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_MRC_SCALE})
+                  AS BIGINT) AS weight_fp
+      FROM counts),
+    tot AS (SELECT SUM(weight_fp) AS s_total FROM w),
+    q0 AS (
+      SELECT lang, n_docs, weight_fp,
+             ({_MRC_T} * weight_fp) // s_total AS base,
+             ({_MRC_T} * weight_fp) % s_total AS rem
+      FROM w CROSS JOIN tot),
+    lo AS (SELECT {_MRC_T} - SUM(base) AS leftover FROM q0),
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk
+           FROM q0),
+    q AS (
+      SELECT lang, n_docs, weight_fp,
+             base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS quota
+      FROM rk CROSS JOIN lo)
+    SELECT lang, n_docs, weight_fp,
+           CAST(quota AS BIGINT) AS quota,
+           CAST(LEAST(quota, {_MRC_R} * n_docs) AS BIGINT)
+             AS capped_quota,
+           CAST(1000000 * LEAST(quota, {_MRC_R} * n_docs) // n_docs
+                AS BIGINT) AS repeat_ppm,
+           CAST(CASE WHEN quota > {_MRC_R} * n_docs THEN 1 ELSE 0 END
+                AS INT) AS hit_cap,
+           CAST(quota - LEAST(quota, {_MRC_R} * n_docs) AS BIGINT)
+             AS shortfall
+    FROM q
+    ORDER BY lang
+    """,
+    "pipeline_ops",
+    "pipeline",
+)
+def mix_repeat_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced mixing with REPEAT CAPS — the constraint the
+    plain temperature mix (mix_temperature_quota) omits: tau=0.5
+    weights upsample low-resource languages toward a {t}-sample
+    target, but no language may be repeated past {r} epochs of its
+    corpus (quota capped at {r} x n), because past a few epochs
+    repeated data stops adding signal and starts memorizing — the
+    standard data-recipe rule.  Quotas are exact largest-remainder
+    apportionment (Hamilton; sqrt is IEEE-correctly-rounded into a
+    fixed-point BIGINT, everything after is integer); the audit
+    reports, per language, the uncapped quota, the capped quota, the
+    realized repeat factor (ppm), whether the cap bound, and the
+    SHORTFALL the cap costs — the tokens the mix designer must either
+    reassign to uncapped languages or accept as a smaller total.  At
+    this fixture's skew (en is ~3.4x fr), every low-resource language
+    hits the cap (repeat exactly {r}.0, shortfall 29-38) while
+    English does not (repeat 1.40) — the discriminating case.
+
+    Scale posture: the apportionment runs on the |langs|-row
+    aggregate (its rank window is language-domain-bounded); the only
+    corpus-sized work is the one groupBy count.  In production the
+    capped quotas drive the same per-source rank-and-take
+    mix_temperature_quota executes.
+
+    Reference has no mixing tooling (SURVEY §2c extension; joins
+    mix_temperature_quota / mix_token_budget in the training-mix
+    family, adding the cap constraint both omit).
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = counts.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * _MRC_SCALE)
+        .cast("long")
+        .alias("weight_fp"),
+    )
+    tot = w.agg(F.sum("weight_fp").alias("s_total"))
+    q0 = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "weight_fp",
+        F.expr(f"({_MRC_T} * weight_fp) DIV s_total").alias("base"),
+        F.expr(f"({_MRC_T} * weight_fp) % s_total").alias("rem"),
+    )
+    lo = q0.agg((F.lit(_MRC_T) - F.sum("base")).alias("leftover"))
+    rk = q0.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("rem").desc(), "lang")),
+    )
+    q = rk.crossJoin(F.broadcast(lo)).select(
+        "lang",
+        "n_docs",
+        "weight_fp",
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    return q.select(
+        "lang",
+        "n_docs",
+        "weight_fp",
+        F.col("quota").cast("long").alias("quota"),
+        F.expr(f"CAST(LEAST(quota, {_MRC_R} * n_docs) AS BIGINT)").alias(
+            "capped_quota"
+        ),
+        F.expr(
+            f"CAST(1000000 * LEAST(quota, {_MRC_R} * n_docs)"
+            " DIV n_docs AS BIGINT)"
+        ).alias("repeat_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN quota > {_MRC_R} * n_docs THEN 1 ELSE 0 END"
+            " AS INT)"
+        ).alias("hit_cap"),
+        F.expr(
+            f"CAST(quota - LEAST(quota, {_MRC_R} * n_docs) AS BIGINT)"
+        ).alias("shortfall"),
+    ).orderBy("lang")
+
+
+mix_repeat_cap_audit.__doc__ = mix_repeat_cap_audit.__doc__.format(
+    t=_MRC_T, r=_MRC_R
+)

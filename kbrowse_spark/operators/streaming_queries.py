@@ -2373,3 +2373,131 @@ def stream_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rn", "vec_id", "cluster_id", "sq_dist")
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming hot-key monitor: live traffic vs the static skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+def _hotkey_oracle() -> str:
+    from kbrowse_spark.operators.data_quality import _SKEW_PARTS
+
+    p = _SKEW_PARTS
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    f AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM f),
+    hot AS (SELECT w, c FROM f CROSS JOIN tot
+            WHERE c * {p} > t),
+    arr AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS arrived
+      FROM occ WHERE doc_id % 2 = 1 GROUP BY w),
+    na AS (SELECT CAST(SUM(arrived) AS BIGINT) AS n_arr FROM arr)
+    SELECT h.w AS key,
+           h.c AS static_count,
+           CAST(1000000 * h.c // (SELECT t FROM tot) AS BIGINT)
+             AS static_share_ppm,
+           COALESCE(a.arrived, 0) AS arrived_count,
+           CAST(1000000 * COALESCE(a.arrived, 0)
+                // (SELECT n_arr FROM na) AS BIGINT) AS arrived_share_ppm,
+           CAST(ABS(1000000 * COALESCE(a.arrived, 0)
+                    // (SELECT n_arr FROM na)
+                    - 1000000 * h.c // (SELECT t FROM tot)) AS BIGINT)
+             AS drift_ppm
+    FROM hot h LEFT JOIN arr a USING (w)
+    ORDER BY key
+    """
+
+
+@register(
+    "stream_hotkey_gate",
+    _hotkey_oracle(),
+    "streaming",
+    "ops",
+)
+def stream_hotkey_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew family's STREAMING arm, completing its
+    diagnose -> treat -> MONITOR lifecycle (skew_key_diagnosis /
+    skew_salt_apply are the batch halves): live traffic (the odd-doc
+    half of the corpus, arriving as a stream) is gated against the
+    STATIC hot-key dim — the keys whose historical count exceeds the
+    1/{p} partition bound, i.e. exactly the keys the salt plan
+    splits — and each hot key's arriving share is compared to its
+    historical share.  drift_ppm is the staleness alarm: a key whose
+    live share runs ahead of the share its salt factor was sized for
+    means the static salt plan no longer bounds the hottest reducer,
+    BEFORE the straggler shows up in stage metrics.
+
+    Stateless stream-static broadcast join (the stream_conformal_gate
+    posture: the hot-key dim is vocabulary-head-sized — keys above
+    1/{p} of traffic, so at most {p} of them exist by pigeonhole);
+    per-occurrence flags land append-mode and aggregate at hot-key
+    grain after landing.  No state store, no watermark; at any rate
+    the per-batch cost is one in-row broadcast-hash probe.
+
+    Reference's follow mode streams rows but has no key-load tooling
+    (SURVEY §2c extension).
+    """
+    from kbrowse_spark.operators.data_quality import _SKEW_PARTS
+    from kbrowse_spark.sources.tables import load
+
+    p = _SKEW_PARTS
+    d = load(spark, sf_dir, "documents")
+    occ_static = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    f = occ_static.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = F.broadcast(f.agg(F.sum("c").cast("long").alias("t")))
+    hot = F.broadcast(
+        f.crossJoin(tot)
+        .filter(F.col("c") * p > F.col("t"))
+        .select("w", "c", "t")
+    )
+    path = table_path(sf_dir, "documents")
+    static_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(static_schema).parquet(
+        _stage_stream_dir(path)
+    )
+    arriving = (
+        stream.filter(F.expr("doc_id % 2 = 1"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .join(hot.select(F.col("w").alias("hw")), F.col("w") == F.col("hw"), "left")
+        .select(
+            "w",
+            F.col("hw").isNotNull().cast("int").alias("is_hot"),
+        )
+    )
+    landed = _run_to_memory(arriving, "append")
+    n_arr = F.broadcast(
+        landed.agg(F.count(F.lit(1)).cast("long").alias("n_arr"))
+    )
+    arr = landed.filter(F.col("is_hot") == 1).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("arrived")
+    )
+    return (
+        hot.join(arr, "w", "left")
+        .crossJoin(n_arr)
+        .select(
+            F.col("w").alias("key"),
+            F.col("c").alias("static_count"),
+            F.expr("CAST(1000000 * c DIV t AS BIGINT)").alias(
+                "static_share_ppm"
+            ),
+            F.coalesce("arrived", F.lit(0))
+            .cast("long")
+            .alias("arrived_count"),
+            F.expr(
+                "CAST(1000000 * COALESCE(arrived, 0) DIV n_arr AS BIGINT)"
+            ).alias("arrived_share_ppm"),
+            F.expr(
+                "CAST(ABS(1000000 * COALESCE(arrived, 0) DIV n_arr"
+                " - 1000000 * c DIV t) AS BIGINT)"
+            ).alias("drift_ppm"),
+        )
+        .orderBy("key")
+    )

@@ -3726,3 +3726,86 @@ def test_scd2_asof_snapshot_equals_direct_replay(spark, sf_dir):
     assert set(got) == replay
     assert len(got) == len({u for u, _ in got})  # one row per user
     assert len(got) > 0
+
+
+def test_stream_hotkey_gate_consistent_with_salt_plan(spark, sf_dir):
+    """Family consistency: the monitor's hot-key set is EXACTLY the
+    key set skew_salt_apply salts (c*P > t  <=>  ceil(c*P/t) > 1), so
+    the monitor watches precisely what the treatment treats; arriving
+    counts are bounded by static counts (the live half is a subset of
+    history), shares are well-formed, and on this stationary fixture
+    every hot key's drift stays small."""
+    rows = _q(spark, sf_dir, "stream_hotkey_gate").collect()
+    n_salted = {
+        r.variant: r.n_keys_salted
+        for r in _q(spark, sf_dir, "skew_salt_apply").collect()
+    }["salted"]
+    assert len(rows) == n_salted > 0
+    for r in rows:
+        assert 0 < r.arrived_count <= r.static_count
+        assert 0 < r.arrived_share_ppm <= 1_000_000
+        assert r.static_share_ppm * 32 > 1_000_000  # the hot-key bound
+        assert r.drift_ppm == abs(
+            r.arrived_share_ppm - r.static_share_ppm
+        )
+        assert r.drift_ppm < 10_000  # stationary halves track closely
+
+
+def test_mix_repeat_cap_exact_apportionment(spark, sf_dir):
+    """Full Python reimplementation of the capped mix (IEEE sqrt
+    fixed-point weights, Hamilton largest-remainder, cap + shortfall)
+    must agree EXACTLY; uncapped quotas sum to the target; every
+    capped row sits exactly at R*n with a positive shortfall."""
+    import math
+
+    from kbrowse_spark.operators.pipeline_ops import (
+        _MRC_R,
+        _MRC_SCALE,
+        _MRC_T,
+    )
+    from kbrowse_spark.sources.tables import load
+
+    counts = {
+        r.lang: r.n
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    w = {
+        lang: int(math.floor(math.sqrt(n) * _MRC_SCALE))
+        for lang, n in counts.items()
+    }
+    s = sum(w.values())
+    base = {la: (_MRC_T * wf) // s for la, wf in w.items()}
+    rem = {la: (_MRC_T * wf) % s for la, wf in w.items()}
+    leftover = _MRC_T - sum(base.values())
+    order = sorted(counts, key=lambda la: (-rem[la], la))
+    quota = {
+        la: base[la] + (1 if i < leftover else 0)
+        for i, la in enumerate(order)
+    }
+    expect = []
+    for la in sorted(counts):
+        n, qq = counts[la], quota[la]
+        cap = min(qq, _MRC_R * n)
+        expect.append(
+            (
+                la,
+                n,
+                w[la],
+                qq,
+                cap,
+                1_000_000 * cap // n,
+                1 if qq > _MRC_R * n else 0,
+                qq - cap,
+            )
+        )
+    got = [
+        tuple(r) for r in _q(spark, sf_dir, "mix_repeat_cap_audit").collect()
+    ]
+    assert got == expect
+    assert sum(q for _, _, _, q, _, _, _, _ in got) == _MRC_T
+    for _la, n, _w, _q2, cap, rp, hit, short in got:
+        assert cap <= _MRC_R * n and rp <= _MRC_R * 1_000_000
+        assert (hit == 1) == (short > 0)

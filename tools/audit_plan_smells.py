@@ -126,6 +126,12 @@ ALLOW = {
         "readout assembly: 1-row salted-key-count attach onto the "
         "2-row variant balance table"
     ),
+    "stream_hotkey_gate": (
+        "readout assembly: 1-row total attach (tot, n_arr) onto the "
+        "hot-key dim, which is <= P rows BY PIGEONHOLE (keys above "
+        "1/P of traffic); the single-partition stage is the "
+        "hot-key-grain (<=32-row) drift readout"
+    ),
     "scd2_asof_snapshot": (
         "two 1-row broadcast attaches: the event_id midpoint onto the "
         "event scan (cutoff derivation) and the 1-row cutoff onto the "
@@ -244,6 +250,11 @@ ALLOW = {
         "largest-remainder rank window over the per-source aggregate "
         "(<= |sources| rows by construction) + 1-row total/leftover "
         "attaches (pipeline_ops.py)"
+    ),
+    "mix_repeat_cap_audit": (
+        "largest-remainder rank window over the per-LANGUAGE aggregate "
+        "(<= |langs| rows by construction) + 1-row total/leftover "
+        "attaches (the mix_temperature_quota apportionment, capped)"
     ),
     # round 8 session 4
     "freq_itemsets_apriori": (
