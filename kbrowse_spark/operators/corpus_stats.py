@@ -2218,3 +2218,122 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 span_corruption_plan.__doc__ = span_corruption_plan.__doc__.format(
     w=_SC_W, lmin=_SC_LMIN, lmax=_SC_LMAX
 )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch mergeability audit: per-shard sketches merged == direct
+# ---------------------------------------------------------------------------
+
+_DDM_SHARDS = 4
+
+
+@register(
+    "ddsketch_merge_audit",
+    # Independent formulation: the DIRECT un-sharded sketch readout —
+    # no shard column anywhere.  Agreement proves union+sum merge is
+    # lossless.
+    f"""
+    WITH v AS (
+      SELECT lang, n_chars FROM documents WHERE n_chars >= 1),
+    sk AS (
+      SELECT lang, CAST({_DDQ_DUCK_BUCKET} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+    cum AS (
+      SELECT lang, bucket,
+             CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket)
+                  AS BIGINT) AS cum
+      FROM sk),
+    qs AS (SELECT CAST(unnest([{', '.join(map(str, _DDQ_QS))}]) AS INT) AS q),
+    sel AS (
+      SELECT c.lang, q.q, MIN(c.bucket) AS bucket
+      FROM cum c JOIN tot t USING (lang) CROSS JOIN qs q
+      WHERE c.cum >= (q.q * t.n + 99) // 100
+      GROUP BY 1, 2)
+    SELECT lang, q, CAST({_DDM_SHARDS} AS INT) AS n_shards_merged,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(((16 + bucket % 16) * (CAST(1 AS BIGINT) << (bucket // 16)))
+                // 16 AS BIGINT) AS est_lo,
+           CAST(((17 + bucket % 16) * (CAST(1 AS BIGINT) << (bucket // 16)))
+                // 16 AS BIGINT) AS est_hi
+    FROM sel ORDER BY lang, q
+    """,
+    "sketch",
+    "analytics",
+)
+def ddsketch_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability PROOF for the log-linear quantile sketch — the
+    claim quantile_ddsketch_chars makes ("merging day/shard sketches
+    is union + sum, no re-scan"), demonstrated rather than asserted:
+    the Spark side builds {s} INDEPENDENT per-shard sketches
+    (shard = doc_id % {s} — in production, a day or an ingest batch
+    each), merges them by summing bucket counts, and reads the
+    quantiles from the MERGED sketch; the oracle is the direct
+    un-sharded readout with no shard concept anywhere.  Hash equality
+    is the semilattice law for this sketch: bucket(v) depends only on
+    v, so per-shard histograms sum losslessly — the property that
+    lets a 100 TB deployment sketch each ingest batch once and fold
+    results forever (the ivm_zonemap_refresh append-only posture,
+    for quantiles).
+
+    Scale posture: identical to quantile_ddsketch_chars plus one
+    extra sketch-grain aggregate (the merge — bucket-count rows, not
+    corpus rows).  Per-shard sketches never co-reside: each is
+    ~|langs| x ~500 rows.
+
+    Reference has no sketch operators (SURVEY §2c extension;
+    completes the sketch family's merge story alongside
+    sketch_hll_rollup_merge).
+    """
+    v = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 1)
+    shard_sk = (
+        v.select(
+            "lang",
+            F.expr(_DDQ_SPARK_BUCKET).cast("long").alias("bucket"),
+            (F.col("doc_id") % _DDM_SHARDS).alias("shard"),
+        )
+        .groupBy("lang", "bucket", "shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    merged = shard_sk.groupBy("lang", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    tot = merged.groupBy("lang").agg(F.sum("cnt").cast("long").alias("n"))
+    cum = merged.select(
+        "lang",
+        "bucket",
+        F.sum("cnt")
+        .over(Window.partitionBy("lang").orderBy("bucket"))
+        .cast("long")
+        .alias("cum"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _DDQ_QS])).alias("q")
+    ).select(F.col("q").cast("int").alias("q"))
+    sel = (
+        cum.join(tot, "lang")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("lang", "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return sel.select(
+        "lang",
+        "q",
+        F.lit(_DDM_SHARDS).cast("int").alias("n_shards_merged"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr(
+            "CAST((16 + bucket % 16) * shiftleft(CAST(1 AS BIGINT),"
+            " CAST(bucket div 16 AS INT)) div 16 AS BIGINT)"
+        ).alias("est_lo"),
+        F.expr(
+            "CAST((17 + bucket % 16) * shiftleft(CAST(1 AS BIGINT),"
+            " CAST(bucket div 16 AS INT)) div 16 AS BIGINT)"
+        ).alias("est_hi"),
+    ).orderBy("lang", "q")
+
+
+ddsketch_merge_audit.__doc__ = ddsketch_merge_audit.__doc__.format(
+    s=_DDM_SHARDS
+)

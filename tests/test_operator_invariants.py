@@ -3809,3 +3809,19 @@ def test_mix_repeat_cap_exact_apportionment(spark, sf_dir):
     for _la, n, _w, _q2, cap, rp, hit, short in got:
         assert cap <= _MRC_R * n and rp <= _MRC_R * 1_000_000
         assert (hit == 1) == (short > 0)
+
+
+def test_ddsketch_merge_equals_direct(spark, sf_dir):
+    """The semilattice law, in-engine: quantiles read from the merged
+    per-shard sketches must equal the direct sketch's rows EXACTLY
+    (same bucket, same est_lo/est_hi per (lang, q))."""
+    direct = {
+        (r.lang, r.q): (r.bucket, r.est_lo, r.est_hi)
+        for r in _q(spark, sf_dir, "quantile_ddsketch_chars").collect()
+    }
+    merged = {
+        (r.lang, r.q): (r.bucket, r.est_lo, r.est_hi)
+        for r in _q(spark, sf_dir, "ddsketch_merge_audit").collect()
+    }
+    assert merged == direct
+    assert len(merged) > 0

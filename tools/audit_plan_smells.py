@@ -59,6 +59,7 @@ ALLOW = {
     # aggregate or a literal <=3-row probe table by construction.
     "neardup_lsh_pair_stats": "1-row corpus/gross/distinct aggregate attaches",
     "quantile_ddsketch_chars": "3-row literal quantile-probe attach",
+    "ddsketch_merge_audit": "3-row literal quantile-probe attach (the quantile_ddsketch_chars readout over the merged sketch)",
     "linkage_sorted_neighborhood": "4-row literal pass-id attach",
     "skyline_price_size": "carry window over the domain-bounded price-bucket table (~20 rows)",
     "eval_auc_rank": "carry window over the model-domain-bounded score-bucket table",
