@@ -2410,3 +2410,156 @@ def dedup_chain_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keeper-selection policy audit (which copy of a dup cluster to keep)
+# ---------------------------------------------------------------------------
+
+# Integer quality score in [0, 1_000_000]: the text_quality_score
+# formula (stopword ratio * 0.4 + distinct ratio * 0.4 + length prior
+# * 0.2) evaluated in exact fixed-point, so keeper argmax ties break
+# identically in both engines.
+_KP_Q_SPARK = (
+    "(400000 * n_stop) DIV n_words + (400000 * n_distinct) DIV n_words"
+    " + LEAST(n_words, 100) * 2000"
+)
+_KP_Q_DUCK = (
+    "(400000 * n_stop) // n_words + (400000 * n_distinct) // n_words"
+    " + LEAST(n_words, 100) * 2000"
+)
+
+
+def _keep_policy_oracle() -> str:
+    from kbrowse_spark.operators.text_analysis import _STOPWORDS, _sql_list
+
+    return f"""
+    WITH RECURSIVE {_SQL_CC_LABELS},
+    csize AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM labels GROUP BY cluster_id),
+    q AS (
+      SELECT doc_id,
+             CAST({_KP_Q_DUCK} AS BIGINT) AS q_fp
+      FROM (SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                                   w -> w IN {_sql_list(_STOPWORDS)}))
+                     AS n_stop,
+                   len(list_distinct(string_split(text, ' ')))
+                     AS n_distinct
+            FROM documents)),
+    memb AS (
+      SELECT l.doc_id, l.cluster_id, q.q_fp
+      FROM labels l JOIN csize s USING (cluster_id) JOIN q USING (doc_id)
+      WHERE s.sz >= 2),
+    kf AS (
+      SELECT cluster_id, doc_id, q_fp FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY doc_id) AS rn FROM memb)
+      WHERE rn = 1),
+    kb AS (
+      SELECT cluster_id, doc_id, q_fp FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY q_fp DESC, doc_id) AS rn
+        FROM memb)
+      WHERE rn = 1),
+    pol AS (
+      SELECT 'keep_best' AS policy, * FROM kb
+      UNION ALL
+      SELECT 'keep_first', * FROM kf)
+    SELECT policy,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(q_fp) AS BIGINT) AS kept_quality_sum,
+           CAST(SUM(q_fp) // COUNT(*) AS BIGINT) AS mean_kept_q_ppm,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+    FROM pol GROUP BY policy
+    ORDER BY policy
+    """
+
+
+@register(
+    "dedup_keep_policy_audit",
+    _keep_policy_oracle(),
+    "dedup",
+    "iterative",
+)
+def dedup_keep_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH copy of each duplicate cluster to keep — the curation
+    decision dedup_cluster_assign leaves implicit (it keeps the
+    min-id doc): `keep_first` (min doc_id — the cheap default, order-
+    dependent) vs `keep_best` (argmax of the exact fixed-point
+    text_quality_score, ties to min id) over every MinHash cluster of
+    size >= 2, reporting clusters, the kept-quality total/mean, and a
+    kept-id checksum.  The gap between the two means is what the
+    smarter policy buys: with near-dup clusters the copies differ
+    (whitespace, truncation, boilerplate), and keep_best retains the
+    cleanest copy instead of the earliest-ingested one.  By
+    construction mean(keep_best) >= mean(keep_first) — pinned, along
+    with equal cluster counts, by the invariant test.
+
+    Scale posture: composes the SESSION-CACHED cluster labels (the
+    dedup_cluster_assign iterative CC) with a doc-grain quality
+    projection; both policies are one WindowGroupLimit per cluster
+    over members-of-multidoc-clusters only (dup-cluster-bounded, a
+    tiny fraction of the corpus), then a 2-row policy readout.
+
+    Reference has no dedup tooling (SURVEY §2c extension; completes
+    the dedup lifecycle: pairs -> clusters -> transitive audit ->
+    KEEPER POLICY).
+    """
+    from pyspark.sql import Window as W
+
+    from kbrowse_spark.operators.text_analysis import _STOPWORDS
+
+    labels = dedup_cluster_assign(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    words = F.split(F.col("text"), " ")
+    q = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.expr(
+            "size(filter(split(text, ' '), w -> array_contains("
+            + "array("
+            + ", ".join(f"'{s}'" for s in _STOPWORDS)
+            + "), w)))"
+        ).alias("n_stop"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    memb = (
+        labels.filter(F.col("cluster_size") >= 2)
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.expr(_KP_Q_SPARK).cast("long").alias("q_fp"),
+        )
+    )
+    wf = W.partitionBy("cluster_id").orderBy("doc_id")
+    wb = W.partitionBy("cluster_id").orderBy(
+        F.col("q_fp").desc(), "doc_id"
+    )
+    kf = (
+        memb.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .withColumn("policy", F.lit("keep_first"))
+    )
+    kb = (
+        memb.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .withColumn("policy", F.lit("keep_best"))
+    )
+    return (
+        kb.unionByName(kf)
+        .groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("q_fp").cast("long").alias("kept_quality_sum"),
+            F.expr("CAST(SUM(q_fp) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_kept_q_ppm"
+            ),
+            F.sum("doc_id").cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("policy")
+    )

@@ -3825,3 +3825,60 @@ def test_ddsketch_merge_equals_direct(spark, sf_dir):
     }
     assert merged == direct
     assert len(merged) > 0
+
+
+def test_dedup_keep_policy_exact_and_dominant(spark, sf_dir):
+    """Python recomputation of both keeper policies from the cluster
+    assignment + the exact fixed-point quality formula must agree
+    row-for-row; keep_best's kept-quality mean dominates keep_first's
+    by construction (argmax >= first element, per cluster)."""
+    from collections import defaultdict
+
+    from kbrowse_spark.operators.text_analysis import _STOPWORDS
+    from kbrowse_spark.sources.tables import load
+
+    assign = _q(spark, sf_dir, "dedup_cluster_assign").collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    stop = set(_STOPWORDS)
+
+    def qfp(doc_id):
+        ws = docs[doc_id].split(" ")
+        n, ns, nd = len(ws), sum(w in stop for w in ws), len(set(ws))
+        return (400000 * ns) // n + (400000 * nd) // n + min(n, 100) * 2000
+
+    clusters = defaultdict(list)
+    for r in assign:
+        if r.cluster_size >= 2:
+            clusters[r.cluster_id].append(r.doc_id)
+    pol = {"keep_first": [], "keep_best": []}
+    for members in clusters.values():
+        pol["keep_first"].append(min(members))
+        pol["keep_best"].append(
+            max(members, key=lambda d: (qfp(d), -d))
+        )
+    expect = {
+        p: (
+            len(ks),
+            sum(qfp(d) for d in ks),
+            sum(qfp(d) for d in ks) // len(ks),
+            sum(ks),
+        )
+        for p, ks in pol.items()
+    }
+    got = {
+        r.policy: (
+            r.n_clusters,
+            r.kept_quality_sum,
+            r.mean_kept_q_ppm,
+            r.kept_id_sum,
+        )
+        for r in _q(spark, sf_dir, "dedup_keep_policy_audit").collect()
+    }
+    assert got == expect
+    assert got["keep_best"][1] >= got["keep_first"][1]
+    assert got["keep_best"][0] == got["keep_first"][0] > 0
