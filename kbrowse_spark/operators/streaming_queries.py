@@ -2501,3 +2501,103 @@ def stream_hotkey_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming erasure gate: tombstoned subjects dropped at ingest
+# ---------------------------------------------------------------------------
+
+
+def _erasure_gate_oracle() -> str:
+    from kbrowse_spark.operators.data_quality import _DEL_MOD
+
+    return f"""
+    WITH vic AS (SELECT c_custkey FROM customer
+                 WHERE c_custkey % {_DEL_MOD} = 0)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_arrived,
+           CAST(SUM(CASE WHEN user_id IN (SELECT c_custkey FROM vic)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+           CAST(SUM(CASE WHEN user_id IN (SELECT c_custkey FROM vic)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_admitted,
+           CAST(1000000 * SUM(CASE WHEN user_id IN
+                                        (SELECT c_custkey FROM vic)
+                                   THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS tombstoned_ppm
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@register(
+    "stream_erasure_gate",
+    _erasure_gate_oracle(),
+    "streaming",
+    "governance",
+)
+def stream_erasure_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion family's STREAMING arm — ingest-time enforcement
+    of the right to erasure: deletion_propagation_audit verifies the
+    BATCH cascade over data at rest, but an erased subject keeps
+    GENERATING events; without an ingest gate their data re-enters
+    downstream tables the moment the next micro-batch lands.  Here
+    every arriving event checks the tombstone dim (the same erasure
+    cohort the batch audit cascades, broadcast — subject-count-sized)
+    and is dropped on match; the readout is the per-event-type
+    admission ledger (arrived / tombstoned / admitted / tombstone
+    ppm) a compliance dashboard tails.
+
+    Stateless stream-static broadcast anti-probe (the
+    stream_conformal_gate posture): per micro-batch the cost is one
+    in-row hash-set lookup; no state store, no watermark.  At 100 TB
+    the tombstone dim is the erased-subject list — small by nature,
+    broadcast once per batch; a subject erased mid-stream shows up in
+    the NEXT batch's dim refresh, which is exactly the compliance
+    SLA boundary a deployment documents.
+
+    Reference's follow mode streams rows but has no governance gating
+    (SURVEY §2c extension; completes the erasure family's batch +
+    streaming pair like conformal's / spatial's / ANN's / skew's).
+    """
+    from kbrowse_spark.operators.data_quality import _DEL_MOD
+    from kbrowse_spark.sources.tables import load
+
+    vic = F.broadcast(
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % _DEL_MOD == 0)
+        .select(F.col("c_custkey").alias("vic_key"))
+    )
+    path = table_path(sf_dir, "events")
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(
+        _stage_stream_dir(path)
+    )
+    gated = (
+        stream.select("event_type", "user_id")
+        .join(vic, F.col("user_id") == F.col("vic_key"), "left")
+        .select(
+            "event_type",
+            F.col("vic_key").isNotNull().cast("int").alias("tombstoned"),
+        )
+    )
+    landed = _run_to_memory(gated, "append")
+    return (
+        landed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrived"),
+            F.sum("tombstoned").cast("long").alias("n_tombstoned"),
+        )
+        .select(
+            "event_type",
+            "n_arrived",
+            "n_tombstoned",
+            (F.col("n_arrived") - F.col("n_tombstoned"))
+            .cast("long")
+            .alias("n_admitted"),
+            F.expr(
+                "CAST(1000000 * n_tombstoned DIV n_arrived AS BIGINT)"
+            ).alias("tombstoned_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -3882,3 +3882,33 @@ def test_dedup_keep_policy_exact_and_dominant(spark, sf_dir):
     assert got == expect
     assert got["keep_best"][1] >= got["keep_first"][1]
     assert got["keep_best"][0] == got["keep_first"][0] > 0
+
+
+def test_stream_erasure_gate_consistent_with_batch_cohort(spark, sf_dir):
+    """Family consistency: the gate's tombstone hits across all event
+    types must equal a direct batch count of victim-subject events
+    (same cohort the batch deletion audit cascades); admission ledger
+    identities hold per type, and the gate actually discriminates
+    (some tombstoned, most admitted)."""
+    from kbrowse_spark.operators.data_quality import _DEL_MOD
+    from kbrowse_spark.sources.tables import load
+
+    rows = _q(spark, sf_dir, "stream_erasure_gate").collect()
+    assert len(rows) > 0
+    ev = load(spark, sf_dir, "events").select("user_id")
+    vic = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % _DEL_MOD == 0)
+        .select("c_custkey")
+    )
+    n_vic_events = ev.join(
+        vic, ev["user_id"] == vic["c_custkey"], "left_semi"
+    ).count()
+    assert sum(r.n_tombstoned for r in rows) == n_vic_events
+    for r in rows:
+        assert r.n_arrived == r.n_tombstoned + r.n_admitted
+        assert 0 <= r.tombstoned_ppm < 1_000_000
+    assert sum(r.n_tombstoned for r in rows) > 0
+    assert sum(r.n_admitted for r in rows) > sum(
+        r.n_tombstoned for r in rows
+    )
