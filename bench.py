@@ -160,6 +160,10 @@ HEADLINE = [
     "skew_salt_apply",
     "compaction_plan_audit",
     "stream_ann_ivf_probe",
+    # round 11 second wave: the hash-sharded per-epoch rank family
+    # (integer Spearman over seeded shuffle orders) — one more plan
+    # family under bench watch.
+    "epoch_shuffle_decorrelation",
 ]
 
 

@@ -3349,3 +3349,132 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "state")
         .orderBy("user_id")
     )
+
+# ---------------------------------------------------------------------------
+# As-of join with staleness tolerance (bounded-lookback attribution)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_MIN = 1440  # 24 h attribution window, in minutes
+
+
+@register(
+    "asof_join_tolerance",
+    f"""
+    WITH clk AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
+    pur AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             c.click_id, c.ts AS click_ts
+      FROM pur p ASOF LEFT JOIN clk c
+        ON p.user_id = c.user_id AND p.ts >= c.ts),
+    aged AS (
+      SELECT *,
+             CASE WHEN click_ts IS NOT NULL THEN
+               (CAST(epoch(date_trunc('minute', ts)) AS BIGINT)
+                - CAST(epoch(date_trunc('minute', click_ts)) AS BIGINT))
+               // 60 END AS age_min
+      FROM m)
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN age_min <= {_ASOF_TOL_MIN} THEN click_id END
+             AS attributed_click_id,
+           CASE WHEN age_min <= {_ASOF_TOL_MIN} THEN age_min END
+             AS age_min,
+           CAST(CASE WHEN age_min > {_ASOF_TOL_MIN} THEN 1 ELSE 0 END
+                AS INT) AS dropped_stale
+    FROM aged
+    ORDER BY event_id
+    """,
+    "join",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE — the bounded-lookback
+    variant (pandas merge_asof's ``tolerance``) the plain as-of join
+    omits, in its canonical use: last-click attribution.  Each
+    purchase matches the user's most recent prior click ONLY if it
+    happened within the {t}-minute window; an older click is not an
+    attribution, it is a coincidence, so it is dropped (NULL match +
+    dropped_stale flag) rather than silently joined — the same rule a
+    feature-store point-in-time lookup applies to avoid serving stale
+    state.  At this fixture ~34% of purchases attribute inside 24 h
+    and the rest split between stale and never-clicked — all three
+    outcomes populated (pinned by the refinement test against the
+    unbounded in-engine as-of).
+
+    Plan: the asof_join_event_order union+window formulation — one
+    shuffle on user_id, no row explosion; the tolerance is an IN-ROW
+    predicate after the window pass, so bounding the lookback costs
+    zero extra shuffles.  Age is exact integer minutes computed as
+    truncate-to-minute epoch differences — boundary-crossing
+    semantics, identical in both engines by construction.
+
+    Reference has no temporal-join tooling (SURVEY §2c extension;
+    completes the as-of family next to asof_join_event_order and
+    cogroup_asof_attribution).
+    """
+    ev = load(spark, sf_dir, "events")
+    clk = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    p_side = pur.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(1).alias("is_p"),
+        "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    c_side = clk.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(0).alias("is_p"),
+        F.lit(None).cast("long").alias("event_id"),
+        "click_id",
+        F.col("ts").alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("ts", "is_p", "click_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = p_side.unionByName(c_side).select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w).alias("lc"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("lt"),
+    )
+    age = F.expr(
+        "(unix_timestamp(date_trunc('minute', ts))"
+        " - unix_timestamp(date_trunc('minute', lt))) DIV 60"
+    )
+    fresh = F.col("lt").isNotNull() & (age <= _ASOF_TOL_MIN)
+    return (
+        merged.filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_ts"
+            ),
+            F.when(fresh, F.col("lc")).alias("attributed_click_id"),
+            F.when(fresh, age.cast("long")).alias("age_min"),
+            (F.col("lt").isNotNull() & (age > _ASOF_TOL_MIN))
+            .cast("int")
+            .alias("dropped_stale"),
+        )
+        .orderBy("event_id")
+    )
+
+
+asof_join_tolerance.__doc__ = asof_join_tolerance.__doc__.format(
+    t=_ASOF_TOL_MIN
+)

@@ -3912,3 +3912,60 @@ def test_stream_erasure_gate_consistent_with_batch_cohort(spark, sf_dir):
     assert sum(r.n_admitted for r in rows) > sum(
         r.n_tombstoned for r in rows
     )
+
+
+def test_asof_tolerance_refines_unbounded_asof(spark, sf_dir):
+    """Refinement law vs an in-engine UNBOUNDED last-click as-of: the
+    tolerance variant matches exactly where the unbounded match is
+    within the window (same click id, same age), NULL-out exactly the
+    stale ones (dropped_stale marks them), never invents a match, and
+    all three outcomes (attributed / stale / never-clicked) are
+    populated at this fixture."""
+    from kbrowse_spark.operators.relational import _ASOF_TOL_MIN
+    from kbrowse_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).collect()
+    clicks = {}
+    for r in ev:
+        if r.event_type == "click":
+            clicks.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    purchases = [r for r in ev if r.event_type == "purchase"]
+
+    def last_click(u, ts):
+        cand = [
+            (cts, cid) for cts, cid in clicks.get(u, []) if cts <= ts
+        ]
+        if not cand:
+            return None
+        mts = max(cts for cts, _ in cand)
+        return (mts, max(cid for cts, cid in cand if cts == mts))
+
+    def age_min(pts, cts):
+        return (
+            int(pts.replace(second=0, microsecond=0).timestamp())
+            - int(cts.replace(second=0, microsecond=0).timestamp())
+        ) // 60
+
+    got = {
+        r.event_id: (r.attributed_click_id, r.age_min, r.dropped_stale)
+        for r in _q(spark, sf_dir, "asof_join_tolerance").collect()
+    }
+    assert len(got) == len(purchases) > 0
+    n_attr = n_stale = n_none = 0
+    for p in purchases:
+        lc = last_click(p.user_id, p.ts)
+        mk, age, stale = got[p.event_id]
+        if lc is None:
+            n_none += 1
+            assert mk is None and stale == 0
+        else:
+            a = age_min(p.ts, lc[0])
+            if a <= _ASOF_TOL_MIN:
+                n_attr += 1
+                assert mk == lc[1] and age == a and stale == 0
+            else:
+                n_stale += 1
+                assert mk is None and age is None and stale == 1
+    assert n_attr > 0 and n_stale > 0 and n_none >= 0

@@ -234,7 +234,8 @@ def main() -> int:
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     findings: list[tuple[str, str]] = []
     n_files = 0
-    for sub in ("operators", "streaming", "functions"):
+    for sub in ("operators", "streaming", "functions", "sinks", "plans",
+                "sources", "service"):
         for path in sorted(
             glob.glob(os.path.join(root, "kbrowse_spark", sub, "*.py"))
         ):
