@@ -1200,3 +1200,165 @@ def multimodal_png_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_png_extract.__doc__ = multimodal_png_extract.__doc__.format(
     w=_IMG_W
 )
+
+
+# ---------------------------------------------------------------------------
+# Windowed PCM energy (the VAD / segmentation feature over audio bytes)
+# ---------------------------------------------------------------------------
+
+_AE_WIN = 128  # samples per energy window
+
+_ENERGY_SCHEMA = (
+    "doc_id long, n_samples long, n_windows long, peak_window long,"
+    " peak_energy long, total_energy long"
+)
+
+
+@register(
+    "multimodal_audio_energy",
+    # Oracle: arithmetic reconstruction straight from the text bytes —
+    # PCM16 LE samples are ord(byte pairs) (ASCII corpus: high byte
+    # < 128, so every sample is positive and no sign handling is
+    # needed; the ASCII guard below keeps that true by construction).
+    f"""
+    WITH b AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS d
+      FROM documents
+      WHERE octet_length(encode(text)) = length(text)),
+    s AS (
+      SELECT doc_id,
+             (i - 1) // {_AE_WIN} AS w,
+             CAST(ord(substring(text, 2 * i - 1, 1))
+                  + 256 * ord(substring(text, 2 * i, 1)) AS BIGINT) AS v
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, d // 2)) AS i
+            FROM b)),
+    we AS (
+      SELECT doc_id, w, CAST(SUM(v * v) AS BIGINT) AS e
+      FROM s GROUP BY doc_id, w),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(e) AS BIGINT) AS total_energy,
+             CAST(MAX(e) AS BIGINT) AS peak_energy
+      FROM we GROUP BY doc_id),
+    pk AS (
+      SELECT doc_id, CAST(MIN(w) AS BIGINT) AS peak_window
+      FROM we JOIN agg USING (doc_id) WHERE e = peak_energy
+      GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.d // 2 AS BIGINT) AS n_samples,
+           a.n_windows, p.peak_window, a.peak_energy, a.total_energy
+    FROM b JOIN agg a USING (doc_id) JOIN pk p USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    "multimodal",
+    "pandas-udf",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM energy over the audio payload — the feature a
+    voice-activity detector / audio segmenter computes first, and the
+    step the multimodal family was missing between container parsing
+    (multimodal_feature_extract stops at metadata + payload md5) and
+    a model: per {w}-sample window, the exact integer energy
+    sum(s_i^2), with the per-doc window count, peak window (ties to
+    the earliest), peak energy, and total energy.
+
+    The Spark side is the REAL audio plan: the same RIFF/WAVE packer
+    as multimodal_feature_extract wraps the bytes, a from-scratch
+    chunk walk recovers the PCM payload, and numpy computes the
+    windowed energies VECTORIZED over Arrow batches
+    (int16 -> int64 square -> per-window bincount sums) — swap the
+    synthetic payload for real audio and the plan is unchanged.  The
+    oracle never sees a container: it reconstructs the same samples
+    arithmetically from the text bytes (PCM16 LE = byte + 256*byte;
+    the ASCII guard keeps every sample positive so no sign handling
+    exists to diverge).
+
+    Scale posture: narrow scan -> Arrow exchange -> per-batch numpy ->
+    Arrow back; no shuffle, no Python-per-row — the
+    multimodal_feature_extract contract with real per-sample math on
+    top.
+
+    Reference has no media tooling (SURVEY §2c extension; completes
+    the audio arm: pack -> parse -> FEATURES).
+    """
+
+    def pack_and_energy(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def chunk(cid: bytes, payload: bytes) -> bytes:
+            pad = b"\x00" if len(payload) % 2 else b""
+            return cid + struct.pack("<I", len(payload)) + payload + pad
+
+        def pack_one(doc_id: int, data: bytes) -> bytes:
+            fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            body = (
+                b"WAVE"
+                + chunk(b"fmt ", fmt)
+                + chunk(b"meta", str(doc_id).encode())
+                + chunk(b"data", data)
+            )
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        def data_chunk(payload: bytes) -> bytes:
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE file")
+            off = 12
+            while off + 8 <= len(payload):
+                cid = payload[off : off + 4]
+                (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+                if cid == b"data":
+                    return payload[off + 8 : off + 8 + size]
+                off += 8 + size + (size % 2)
+            raise ValueError("no data chunk")
+
+        def energies(doc_id: int, data: bytes) -> dict:
+            n = len(data) // 2
+            s = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.int64)
+            win = np.arange(n) // _AE_WIN
+            e = np.bincount(win, weights=(s * s).astype(np.float64))
+            # float64 is exact here: each window holds <= 128 squares
+            # of |s| < 2^15, so the sum is < 2^37 << 2^53.
+            e = e.astype(np.int64)
+            pk = int(e.argmax())  # first max: the tie rule
+            return {
+                "doc_id": doc_id,
+                "n_samples": n,
+                "n_windows": int(e.size),
+                "peak_window": pk,
+                "peak_energy": int(e[pk]),
+                "total_energy": int(e.sum()),
+            }
+
+        for pdf in batches:
+            rows = [
+                energies(i, data_chunk(pack_one(i, bytes(p))))
+                for i, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows)
+
+    # The >= 2 bytes guard mirrors the oracle exactly: a doc too short
+    # for one PCM16 sample has no energy rows in either engine (the
+    # oracle's sample CTE is empty for it, so its joins drop the doc).
+    d = load(spark, sf_dir, "documents").filter(
+        F.expr(
+            "octet_length(encode(text, 'UTF-8')) = length(text)"
+            " AND octet_length(encode(text, 'UTF-8')) >= 2"
+        )
+    )
+    src = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return src.mapInPandas(
+        pack_and_energy, schema=_ENERGY_SCHEMA
+    ).orderBy("doc_id")
+
+
+multimodal_audio_energy.__doc__ = multimodal_audio_energy.__doc__.format(
+    w=_AE_WIN
+)

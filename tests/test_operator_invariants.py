@@ -3969,3 +3969,49 @@ def test_asof_tolerance_refines_unbounded_asof(spark, sf_dir):
                 n_stale += 1
                 assert mk is None and age is None and stale == 1
     assert n_attr > 0 and n_stale > 0 and n_none >= 0
+
+
+def test_audio_energy_python_reference(spark, sf_dir):
+    """Full independent Python recomputation (byte-pair PCM16 samples
+    straight off the text, windowed square sums, first-max peak) must
+    agree EXACTLY with the mapInPandas container path; window math
+    identities hold per doc."""
+    from kbrowse_spark.operators.multimodal import _AE_WIN
+    from kbrowse_spark.sources.tables import load
+
+    docs = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    expect = {}
+    for r in docs:
+        b = r.text.encode()
+        if len(b) != len(r.text) or len(b) < 2:
+            continue
+        n = len(b) // 2
+        s = [b[2 * i] + 256 * b[2 * i + 1] for i in range(n)]
+        wins = [
+            sum(v * v for v in s[i : i + _AE_WIN])
+            for i in range(0, n, _AE_WIN)
+        ]
+        pk = max(range(len(wins)), key=lambda i: (wins[i], -i))
+        expect[r.doc_id] = (
+            n,
+            len(wins),
+            pk,
+            wins[pk],
+            sum(wins),
+        )
+    got = {
+        r.doc_id: (
+            r.n_samples,
+            r.n_windows,
+            r.peak_window,
+            r.peak_energy,
+            r.total_energy,
+        )
+        for r in _q(spark, sf_dir, "multimodal_audio_energy").collect()
+    }
+    assert got == expect and len(got) > 0
+    for n, nw, pk, pe, te in got.values():
+        assert nw == (n + _AE_WIN - 1) // _AE_WIN
+        assert 0 <= pk < nw and pe <= te
