@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kbrowse_spark.catalog import register
+from kbrowse_spark.functions.cache_registry import cached
 from kbrowse_spark.sources.tables import load
 
 _ACCEPTED_STATUS = ("F", "O", "P")
@@ -1445,37 +1446,79 @@ def deletion_propagation_audit(
     exactly why erasure must walk the FK graph transitively rather
     than check references once.
 
-    Scale posture: the victim cohort broadcasts as a left-semi-join
-    probe down the FK chain (the decontaminate_benchmark shape);
-    every count is one map-side-combinable aggregate per table —
-    three fact scans total, no shuffle of any fact table.  In
-    production the same plan emits the deletion manifests
-    (export_manifest_checksums grain) instead of counts.
+    Scale posture: the victim cohort broadcasts as a join probe down
+    the FK chain (the decontaminate_benchmark shape), and each fact
+    table's (total, victims) pair comes from ONE conditional aggregate
+    over it — count(*) alongside a count of the broadcast-join
+    membership flag — so the audit is three 1-row driver actions, one
+    per fact table, each map-side combinable with no fact shuffle.
+    The two victim dims (cohort keys, victim order keys) are
+    registry-cached so each builds exactly once; in total customer and
+    orders are scanned twice each (ledger aggregate + dim build) and
+    lineitem once.  In production the same plan emits the deletion
+    manifests (export_manifest_checksums grain) instead of counts.
 
     Reference has no governance tooling (SURVEY §2c extension; joins
     kanonymity_audit / ldiversity_audit in the governance family).
     """
-    vic = (
-        load(spark, sf_dir, "customer")
+    vic = cached(
+        spark,
+        sf_dir,
+        "deletion_audit_vic",
+        lambda: load(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % _DEL_MOD == 0)
-        .select("c_custkey")
+        .select("c_custkey"),
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
-    vo = o.join(
-        F.broadcast(vic), o["o_custkey"] == vic["c_custkey"], "left_semi"
+    # One conditional aggregate per fact table: count(*) + victim
+    # membership in the same pass (r11 ADVICE — the earlier six
+    # .count() actions rescanned customer/orders and rebuilt the
+    # semi-join chains).  Victim flags come from a LEFT join against
+    # the broadcast dim (both dims are unique-keyed, so no fanout) and
+    # count(non-null) is the semi-join cardinality.
+    crow = (
+        load(spark, sf_dir, "customer")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("c_custkey") % _DEL_MOD == 0, 1))
+            .cast("long")
+            .alias("nv"),
+        )
+        .first()
     )
-    vl = li.join(
-        F.broadcast(vo.select("o_orderkey")),
-        li["l_orderkey"] == F.col("o_orderkey"),
-        "left_semi",
+    nc, nv = crow["n"], crow["nv"]
+    orow = (
+        o.join(F.broadcast(vic), o["o_custkey"] == vic["c_custkey"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("c_custkey").cast("long").alias("nv"),
+        )
+        .first()
     )
-    nc = load(spark, sf_dir, "customer").count()
-    no = o.count()
-    nl = li.count()
-    nv = vic.count()
-    nvo = vo.count()
-    nvl = vl.count()
+    no, nvo = orow["n"], orow["nv"]
+    vo_keys = cached(
+        spark,
+        sf_dir,
+        "deletion_audit_vo_keys",
+        lambda: o.join(
+            F.broadcast(vic), o["o_custkey"] == vic["c_custkey"], "left_semi"
+        ).select("o_orderkey"),
+    )
+    lrow = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .join(
+            F.broadcast(vo_keys),
+            F.col("l_orderkey") == vo_keys["o_orderkey"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("o_orderkey").cast("long").alias("nv"),
+        )
+        .first()
+    )
+    nl, nvl = lrow["n"], lrow["nv"]
     rows = [
         ("cascade", "customer", nc, nv, nc - nv, 0),
         ("cascade", "lineitem", nl, nvl, nl - nvl, 0),

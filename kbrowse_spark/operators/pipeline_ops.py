@@ -3322,12 +3322,17 @@ def _es_oracle() -> str:
     pairs = [(a, b) for a in es for b in es if a < b]
     sel = []
     for a, b in pairs:
+        # d2 squares and their SUM stay in HUGEINT (int128) end-to-end;
+        # only the output LEDGER column narrows to BIGINT (a DECIMAL
+        # output would reach the driver as float64 via duckdb .df() and
+        # hash-mismatch Spark's object Decimal — the emulator caught
+        # exactly that).  rho_ppm divides the HUGEINT sum directly.
         sel.append(
             f"""
       SELECT {a} AS epoch_a, {b} AS epoch_b,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM((ra.rnk - rb.rnk) * (ra.rnk - rb.rnk)) AS BIGINT)
-               AS sum_d2
+             SUM((CAST(ra.rnk AS HUGEINT) - rb.rnk)
+                 * (CAST(ra.rnk AS HUGEINT) - rb.rnk)) AS sum_d2_wide
       FROM r{a} ra JOIN r{b} rb USING (doc_id)"""
         )
     parts.append(
@@ -3335,9 +3340,11 @@ def _es_oracle() -> str:
     p AS ({" UNION ALL ".join(sel)})
     SELECT CAST(epoch_a AS INT) AS epoch_a,
            CAST(epoch_b AS INT) AS epoch_b,
-           n_docs, sum_d2,
-           CAST(1000000 - (CAST(6000000 AS HUGEINT) * CAST(sum_d2 AS HUGEINT))
-                // CAST(n_docs * (n_docs * n_docs - 1) AS HUGEINT)
+           n_docs,
+           CAST(sum_d2_wide AS BIGINT) AS sum_d2,
+           CAST(1000000 - (CAST(6000000 AS HUGEINT) * sum_d2_wide)
+                // (CAST(n_docs AS HUGEINT) * CAST(n_docs AS HUGEINT)
+                    * CAST(n_docs AS HUGEINT) - CAST(n_docs AS HUGEINT))
                 AS BIGINT) AS rho_ppm
     FROM p
     ORDER BY epoch_a, epoch_b"""
@@ -3364,10 +3371,21 @@ def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug: loss spikes that track file boundaries), and rho near 1e6
     between two epochs means the seed was not folded per-epoch.
 
-    Exactness: ranks are integers; sum_d2 is an exact BIGINT; the
-    Spearman closed form 1 - 6*sum_d2/(n(n^2-1)) is evaluated as a
-    single 128-bit floor division (Spark DECIMAL(38,0) DIV == DuckDB
-    HUGEINT //, verified operand-for-operand) — no float enters.
+    Exactness: ranks are integers; every derived quantity is 128-bit
+    from the first multiply — d2 squares in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB), sum_d2 accumulated wide, the cube n*(n^2-1)
+    expanded in DECIMAL(38,0) — and the Spearman closed form
+    1 - 6*sum_d2/(n(n^2-1)) is a single 128-bit floor division over
+    the WIDE accumulations (Spark DECIMAL(38,0) DIV == DuckDB
+    HUGEINT //, verified operand-for-operand).  No float enters the
+    metric and no intermediate fits only in int64: rho_ppm is exact
+    to ~5e10 docs per epoch (where 6e6 * n^3 crosses 1e38), far past
+    the int64 wrap points the earlier formulation hit at ~2.1M (sum)
+    and ~3B (square) docs.  Only the display LEDGER column sum_d2
+    narrows to BIGINT at output (the driver's pandas path cannot
+    round-trip a decimal column); past ~2.1M docs it would null-out
+    loudly rather than wrap, while rho_ppm stays exact.  Sharding is
+    integer floor division (`h DIV 2^52`), not double division.
 
     Scale posture: per epoch, ranks come from the sharded prefix-sum
     pattern — rows shard by the hash's top bits ({s} shards, uniform
@@ -3387,20 +3405,26 @@ def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id")
     long_rows = None
     for e in es:
-        h = (
-            F.col("doc_id").cast("long")
+        h_sql = (
+            "CAST(doc_id AS BIGINT)"
             if e == 0
-            else F.expr(
+            else (
                 f"CAST(conv(substr(md5(concat('ep{e}:',"
                 f" CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
             )
         )
         w = _ES_NAT_W if e == 0 else _ES_SHARD_W
+        # Shard by integer floor division (h is non-negative, so DIV is
+        # floor): the earlier double-division formulation rounds near
+        # 2^52 boundaries and could place a key in the adjacent shard —
+        # monotone, so ranks stayed right, but it deviated from the
+        # documented `h DIV 2^52` sharding.  DIV matches the oracle's
+        # integer semantics literally.
         part = d.select(
             "doc_id",
             F.lit(e).alias("epoch"),
-            h.alias("h"),
-            (h / F.lit(w)).cast("long").alias("shard"),
+            F.expr(h_sql).alias("h"),
+            F.expr(f"({h_sql}) DIV {w}").alias("shard"),
         )
         long_rows = part if long_rows is None else long_rows.unionByName(part)
     lw = W.partitionBy("epoch", "shard").orderBy("h", "doc_id")
@@ -3431,8 +3455,14 @@ def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     pairs = [(a, b) for a in es for b in es if a < b]
+    # d2 squares in DECIMAL(38,0) from the subtraction on: a BIGINT
+    # square wraps past ~3B docs and a BIGINT SUM past ~2.1M (n^3
+    # growth) — Spark wraps silently in non-ANSI mode, so the 128-bit
+    # exactness claim must hold from the first multiply, not only at
+    # the final division.  The oracle mirrors this with HUGEINT.
     stack_args = ", ".join(
-        f"{a}, {b}, CAST((r{a} - r{b}) * (r{a} - r{b}) AS BIGINT)"
+        f"{a}, {b}, (CAST(r{a} AS DECIMAL(38,0)) - r{b})"
+        f" * (CAST(r{a} AS DECIMAL(38,0)) - r{b})"
         for a, b in pairs
     )
     per_pair = wide.selectExpr(
@@ -3442,18 +3472,26 @@ def epoch_shuffle_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_pair.groupBy("epoch_a", "epoch_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("d2").cast("long").alias("sum_d2"),
+            # SUM of DECIMAL(38,0) stays DECIMAL(38,0): 128-bit exact.
+            F.sum("d2").alias("sum_d2_wide"),
         )
         .select(
             F.col("epoch_a").cast("int").alias("epoch_a"),
             F.col("epoch_b").cast("int").alias("epoch_b"),
             "n_docs",
-            "sum_d2",
+            # Output LEDGER column narrows to BIGINT (a DECIMAL output
+            # reaches the driver as duckdb-.df() float64 vs Spark's
+            # object Decimal and hash-mismatches); rho_ppm below is
+            # computed from the wide value, so the exactness claim is
+            # about the metric, not this display column.
+            F.col("sum_d2_wide").cast("long").alias("sum_d2"),
             F.expr(
                 "CAST(1000000 - (CAST(6000000 AS DECIMAL(38,0))"
-                " * CAST(sum_d2 AS DECIMAL(38,0)))"
-                " DIV CAST(n_docs * (n_docs * n_docs - 1)"
-                " AS DECIMAL(38,0)) AS BIGINT)"
+                " * sum_d2_wide)"
+                " DIV (CAST(n_docs AS DECIMAL(38,0))"
+                " * CAST(n_docs AS DECIMAL(38,0))"
+                " * CAST(n_docs AS DECIMAL(38,0))"
+                " - CAST(n_docs AS DECIMAL(38,0))) AS BIGINT)"
             ).alias("rho_ppm"),
         )
         .orderBy("epoch_a", "epoch_b")

@@ -103,6 +103,48 @@ def _record_stream_plan(q, label: str) -> None:
         pass
 
 
+# Machinery-vs-operator split per bounded run, for the bench notes
+# (VERDICT r11 #1): a bounded availableNow replay pays a fixed
+# micro-batch spin-up (query start/stop, offset log + WAL commits,
+# source listing, state-store commit files) that has nothing to do
+# with the operator under test.  recentProgress exposes the split:
+# ``addBatch`` durationMs is the actual plan execution (operator +
+# sink); wall minus the addBatch total is scaffolding.  Audit aid
+# only: small dicts, best-effort, never fails a query.
+_STREAM_RUN_STATS: dict[str, dict] = {}
+
+
+def _record_stream_stats(q, label: str, wall_s: float) -> None:
+    try:
+        import json as _json
+
+        progs = [
+            p if isinstance(p, dict) else _json.loads(p.json)
+            for p in (q.recentProgress or [])
+        ]
+        add_batch_ms = sum(
+            int(p.get("durationMs", {}).get("addBatch", 0)) for p in progs
+        )
+        trigger_ms = sum(
+            int(p.get("durationMs", {}).get("triggerExecution", 0))
+            for p in progs
+        )
+        _STREAM_RUN_STATS[label] = {
+            "wall_ms": round(wall_s * 1000, 1),
+            "operator_ms": add_batch_ms,
+            "machinery_ms": round(wall_s * 1000 - add_batch_ms, 1),
+            "trigger_ms": trigger_ms,
+            "n_triggers": len(progs),
+        }
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def stream_run_stats() -> dict[str, dict]:
+    """Snapshot of per-label bounded-run machinery/operator splits."""
+    return dict(_STREAM_RUN_STATS)
+
+
 def executed_stream_plans() -> dict[str, str]:
     """Snapshot of captured micro-batch plans (label -> plan)."""
     return dict(_EXECUTED_STREAM_PLANS)
@@ -124,6 +166,11 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     via KBROWSE_STREAM_STATE_PARTITIONS).
     """
     import os
+    import sys as _sys
+    import time as _time
+
+    # Builder function name, for the machinery/operator stats label.
+    caller = _sys._getframe(1).f_code.co_name
 
     spark = df.sparkSession
     name = f"stream_result_{next(_counter)}"
@@ -138,6 +185,7 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
         saved = spark.conf.get(key)
         try:
             spark.conf.set(key, n_state)
+            t0 = _time.perf_counter()
             q = (
                 df.writeStream.format("memory")
                 .queryName(name)
@@ -146,7 +194,9 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
+            wall = _time.perf_counter() - t0
             _record_stream_plan(q, name)
+            _record_stream_stats(q, caller, wall)
         finally:
             spark.conf.set(key, saved)
     return spark.table(name)
@@ -951,6 +1001,9 @@ def stream_foreachbatch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         # failure cannot double-count.
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     q = (
         ev.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", ckpt)
@@ -959,6 +1012,9 @@ def stream_foreachbatch_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     _record_stream_plan(q, "stream_foreachbatch_export")
+    _record_stream_stats(
+        q, "stream_foreachbatch_export", _time.perf_counter() - t0
+    )
     exported = spark.read.parquet(out_dir)
     result = (
         exported.groupBy("event_type")
@@ -1403,6 +1459,9 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merged.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     q = (
         ev.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", f"{base}/ckpt")
@@ -1411,6 +1470,9 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     _record_stream_plan(q, "stream_foreachbatch_merge")
+    _record_stream_stats(
+        q, "stream_foreachbatch_merge", _time.perf_counter() - t0
+    )
     versions = [
         int(d[1:])
         for d in os.listdir(base)
@@ -1596,6 +1658,9 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated invocations (oracle runs, tests, long sessions) cannot
     # accumulate staging dirs.
     try:
+        import time as _time
+
+        t0 = _time.perf_counter()
         q = (
             stream.writeStream.foreachBatch(probe_batch)
             .trigger(availableNow=True)
@@ -1606,6 +1671,9 @@ def stream_neardup_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         _record_stream_plan(q, "stream_neardup_alerts")
+        _record_stream_stats(
+            q, "stream_neardup_alerts", _time.perf_counter() - t0
+        )
         dirs = [
             f"{out_base}/{d}"
             for d in sorted(os.listdir(out_base))
@@ -1881,6 +1949,9 @@ def stream_bloom_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
             bloom[int(r.w)] |= int(r.bw)
 
     try:
+        import time as _time
+
+        t0 = _time.perf_counter()
         q = (
             stream.writeStream.foreachBatch(process)
             .trigger(availableNow=True)
@@ -1889,6 +1960,9 @@ def stream_bloom_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         _record_stream_plan(q, "stream_bloom_firstseen")
+        _record_stream_stats(
+            q, "stream_bloom_firstseen", _time.perf_counter() - t0
+        )
         dirs = [
             f"{out}/{d}" for d in sorted(os.listdir(out)) if d.startswith("b")
         ]

@@ -84,7 +84,12 @@ def _duck_type_family(type_str: str) -> str:
     if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST", "UNION")):
         return "UNHASHABLE"
     if t.startswith("DECIMAL"):
-        return "decimal"
+        # duckdb .df() materializes EVERY decimal as float64, while
+        # Spark toPandas keeps object Decimal — a decimal output
+        # column can never hash-match the driver (r12: the emulator
+        # caught exactly this on a DECIMAL(38,0) ledger column that
+        # this mapping used to declare compatible).
+        return "float"
     if t in ("HUGEINT", "UHUGEINT"):
         return "float"  # pandas has no int128: becomes float64 in the gate
     if t in _DUCK_INT_TYPES:

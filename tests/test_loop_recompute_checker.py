@@ -79,6 +79,36 @@ PAGERANK_SHAPE = textwrap.dedent(
     """
 )
 
+# r12: the cache-WITHOUT-force variant.  The carried accumulator is
+# cache()d every round but nothing in the body (the per-round eager
+# action counts an unrelated frame) ever executes it — the caches
+# never fill, so the "cut" is fictional: the carry is one ever-growing
+# lazy chain, and under eviction the r10 O(H^2) recompute returns.
+CACHED_UNFORCED_SHAPE = textwrap.dedent(
+    """
+    def bfs_cached_unforced(spark, sf_dir):
+        visited = seeds.localCheckpoint(eager=True)
+        frontier = visited
+        for h in range(1, H + 1):
+            nxt = (
+                frontier.join(edges, "node")
+                .distinct()
+                .join(visited, ["seed", "node"], "left_anti")
+            )
+            visited = visited.unionByName(nxt).cache()
+            frontier = visited.filter(F.col("hop") == h)
+            progress.append(aux_metrics.count())
+        return visited
+    """
+)
+
+# Same shape, but the per-round eager action counts a frame DERIVED
+# from the carried accumulator — executing it reaches (and fills) the
+# cache chain, so the cut is real and the loop is O(H).
+CACHED_FORCED_SHAPE = CACHED_UNFORCED_SHAPE.replace(
+    "def bfs_cached_unforced", "def bfs_cached_forced"
+).replace("progress.append(aux_metrics.count())", "progress.append(nxt.count())")
+
 KMEANS_SHAPE = textwrap.dedent(
     """
     def kmeans(spark, sf_dir):
@@ -113,6 +143,17 @@ def test_checker_accepts_deferred_single_plan():
     # No eager action in the loop: ONE plan, executed once at the end
     # — carried laziness is the design, not a recompute.
     assert audit_source(PAGERANK_SHAPE, "m") == []
+
+
+def test_checker_flags_cache_without_force():
+    found = audit_source(CACHED_UNFORCED_SHAPE, "m")
+    assert ("m.bfs_cached_unforced", "visited") in found
+
+
+def test_checker_accepts_cache_forced_transitively():
+    # nxt.count() executes the chain the carried cache sits in — the
+    # caches fill every round, so the cut is real.
+    assert audit_source(CACHED_FORCED_SHAPE, "m") == []
 
 
 def test_checker_accepts_driver_side_carry():

@@ -4015,3 +4015,66 @@ def test_audio_energy_python_reference(spark, sf_dir):
     for n, nw, pk, pe, te in got.values():
         assert nw == (n + _AE_WIN - 1) // _AE_WIN
         assert 0 <= pk < nw and pe <= te
+
+
+def test_image_histogram_python_reference(spark, sf_dir):
+    """Full independent Python recomputation (pixels = text bytes
+    zero-padded to 64-wide rows; quadrant sums by direct slicing —
+    NOT the integral image the operator uses; bucket counts by direct
+    tally) must agree EXACTLY with the pack->decode->features
+    container path; additivity and count identities hold per doc."""
+    from kbrowse_spark.operators.multimodal import _IH_BUCKETS, _IMG_W
+    from kbrowse_spark.sources.tables import load
+
+    docs = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    expect = {}
+    for r in docs:
+        b = r.text.encode()
+        if len(b) != len(r.text) or len(b) < 1:
+            continue
+        h = (len(b) + _IMG_W - 1) // _IMG_W
+        padded = b + b"\x00" * (h * _IMG_W - len(b))
+        rows = [padded[i * _IMG_W : (i + 1) * _IMG_W] for i in range(h)]
+        sr, sc = h // 2, _IMG_W // 2
+
+        def quad(r0, r1, c0, c1):
+            return sum(sum(row[c0:c1]) for row in rows[r0:r1])
+
+        hist = [0] * _IH_BUCKETS
+        for v in padded:
+            hist[v >> 4] += 1
+        mode = hist.index(max(hist))
+        expect[r.doc_id] = (
+            _IMG_W,
+            h,
+            h * _IMG_W,
+            sum(padded),
+            quad(0, sr, 0, sc),
+            quad(0, sr, sc, _IMG_W),
+            quad(sr, h, 0, sc),
+            quad(sr, h, sc, _IMG_W),
+            mode,
+            hist[mode],
+        )
+    got = {
+        r.doc_id: (
+            r.width,
+            r.height,
+            r.n_pixels,
+            r.total_sum,
+            r.q_tl,
+            r.q_tr,
+            r.q_bl,
+            r.q_br,
+            r.mode_bucket,
+            r.mode_count,
+        )
+        for r in _q(spark, sf_dir, "multimodal_image_histogram").collect()
+    }
+    assert got == expect and len(got) > 0
+    for w, h, npx, tot, tl, tr, bl, br, mb, mc in got.values():
+        # integral-image additivity: quadrants partition the image
+        assert tl + tr + bl + br == tot
+        assert npx == w * h and 0 <= mb < _IH_BUCKETS and mc <= npx

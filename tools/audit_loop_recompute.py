@@ -26,6 +26,21 @@ exactly the r10 shape.  Loops with no in-loop action build ONE plan
 executed once (the pagerank/BPE chained-attach pattern) and are safe
 regardless of carried laziness.
 
+r12 extension — the *cache-without-force* variant: ``cache()`` /
+``persist()`` only earn CUT status because every loop here
+materializes them with a same-round action, at which point later
+rounds read blocks.  A loop that caches its CARRIED frame but never
+executes anything that reaches it leaves every round's cache
+unfilled: the "cut" variable is really one ever-growing lazy plan
+(lineage depth H — the planning/stack blowup _truncate_lineage
+exists to prevent), and under executor memory pressure the unfilled/
+evicted caches reproduce the r10 O(H^2) recompute.  So a carried
+name whose assignment is an un-forced cache/persist is FLAGGED when
+the loop runs eager actions; "forced" means some eager statement (or
+an eager while-condition) transitively reads the name through the
+body's assignment graph — cross-iteration forcing counts, since it
+fills the previous round's cache before the chain grows.
+
 Allow-listed findings carry a stated bound, same contract as
 audit_plan_smells.ALLOW.  Exit 1 on any un-allowlisted flag.
 """
@@ -156,15 +171,46 @@ def _body_assigns(body: list[ast.stmt]):
                     yield t.id, node.value
 
 
+def _outermost_cache(expr: ast.AST) -> bool:
+    """True when the RHS's outermost call (under indexing/attribute
+    shells) is cache()/persist() — lazy on their own; CUT only if some
+    eager statement actually reaches them."""
+    core = expr
+    while isinstance(core, (ast.Subscript, ast.Attribute, ast.Starred)):
+        core = core.value
+    return _call_attr(core) in {"cache", "persist"}
+
+
+def _stmt_is_eager(stmt: ast.AST) -> bool:
+    return any(
+        _call_attr(n) in EAGER_METHODS or _call_name(n) in CUT_FUNCS
+        for n in ast.walk(stmt)
+        if isinstance(n, ast.Call)
+    )
+
+
+def _transitive_reads(root: ast.AST, deps: dict[str, set[str]]) -> set[str]:
+    """Names an eager statement's execution reaches: its direct leaf
+    names, expanded through the body's assignment graph (a count() on
+    ``nxt`` executes — and fills the caches inside — everything
+    ``nxt``'s plan was built from)."""
+    seen: set[str] = set()
+    frontier = set(_leaf_names(root))
+    while frontier:
+        n = frontier.pop()
+        if n in seen:
+            continue
+        seen.add(n)
+        frontier |= deps.get(n, set()) - seen
+    return seen
+
+
 def _audit_loop(loop: ast.For | ast.While) -> list[str]:
     """Names that end an iteration LAZY, are loop-carried, and share
     the body with an eager per-round action."""
     body = loop.body
     eager = any(
-        _call_attr(n) in EAGER_METHODS or _call_name(n) in CUT_FUNCS
-        for stmt in body
-        for n in ast.walk(stmt)
-        if isinstance(n, ast.Call)
+        _stmt_is_eager(stmt) for stmt in body
     )
     if not eager:
         return []
@@ -203,14 +249,31 @@ def _audit_loop(loop: ast.For | ast.While) -> list[str]:
     # Two passes: the second sees end-of-body statuses for the
     # cross-iteration reads (fixpoint approximation).
     statuses: dict[str, str] = {}
+    final_rhs: dict[str, ast.AST] = {}
     for _ in range(2):
         for name, rhs in _body_assigns(body):
             statuses[name] = _status_of(rhs, statuses)
-    return sorted(
+            final_rhs[name] = rhs
+    flagged = {n for n in carried if statuses.get(n) == "lazy"}
+    # Cache-without-force (r12): a carried cache()/persist() RHS is
+    # only a real cut if some eager statement's execution reaches the
+    # name — otherwise the caches never fill and the carry is an
+    # unbounded lazy chain (see module docstring).
+    cached_carried = {
         n
-        for n in carried
-        if statuses.get(n) == "lazy"
-    )
+        for n in carried - flagged
+        if n in final_rhs and _outermost_cache(final_rhs[n])
+    }
+    if cached_carried:
+        deps = {n: _leaf_names(r) for n, r in _body_assigns(body)}
+        forced: set[str] = set()
+        for stmt in body:
+            if _stmt_is_eager(stmt):
+                forced |= _transitive_reads(stmt, deps)
+        if isinstance(loop, ast.While) and _stmt_is_eager(loop.test):
+            forced |= _transitive_reads(loop.test, deps)
+        flagged |= cached_carried - forced
+    return sorted(flagged)
 
 
 def audit_source(src: str, modname: str) -> list[tuple[str, str]]:
