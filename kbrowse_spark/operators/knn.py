@@ -985,6 +985,355 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PQ recall gate (exact top-k vs ADC top-k — the IVF recall-audit
+# analog, closing the PQ lifecycle)
+# ---------------------------------------------------------------------------
+
+_PQR_NQ = 8  # audit queries (vec_id < _PQR_NQ)
+
+_PQR_ED_SPARK = (
+    "aggregate(zip_with(qv, qqv, (a, b) -> (a - b) * (a - b)),"
+    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+_PQR_AD_SPARK = (
+    "aggregate(zip_with(codes, qdt, (c, row) -> row[CAST(c AS INT)]),"
+    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+_PQD_RETRAINED = (0, 1)  # subspaces retrained in codebook v2; rest frozen
+
+
+def _pq_codebook_v2() -> list[list[list[int]]]:
+    cb = _pq_codebook()
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"pq2:{s}:{k}:{j}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 1025
+                - 512
+                for j in range(_PQ_SUBDIM)
+            ]
+            for k in range(_PQ_K)
+        ]
+        if s in _PQD_RETRAINED
+        else cb[s]
+        for s in range(_PQ_SUBS)
+    ]
+
+
+def _pq_lit_spark_v2() -> str:
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v}L" for v in row) + ")" for row in sk
+            )
+            + ")"
+            for sk in _pq_codebook_v2()
+        )
+        + ")"
+    )
+
+
+def _pq_cb_values() -> str:
+    """Both codebooks as one relational VALUES list
+    (ver, subspace, centroid, dim, component) — 2048 rows.  The
+    RELATIONAL oracle formulation exists because DuckDB evaluates
+    nested-lambda distance tables at ~250 ms/row (the codebook
+    literal is rebuilt per lambda call), while an explode+join+window
+    argmin over the same math runs in milliseconds — and it is a
+    genuinely independent derivation of the same codes."""
+    rows = []
+    for ver, cb in ((1, _pq_codebook()), (2, _pq_codebook_v2())):
+        for s in range(_PQ_SUBS):
+            for k in range(_PQ_K):
+                for j in range(_PQ_SUBDIM):
+                    rows.append(f"({ver},{s},{k},{j},{cb[s][k][j]})")
+    return ",".join(rows)
+
+
+def _pqr_oracle() -> str:
+    # Relational formulation (see _pq_cb_values): explode components,
+    # join the VALUES codebook, window-argmin the codes, and derive
+    # BOTH rankings from grouped sums — independent of the engine's
+    # lambda formulation and ~1000x faster than DuckDB nested lambdas.
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, (j - 1) // {_PQ_SUBDIM} AS s,
+             (j - 1) % {_PQ_SUBDIM} AS jj,
+             CAST(round(CAST(embedding[j] AS DOUBLE) * 1024) AS BIGINT)
+               AS v
+      FROM embeddings, unnest(generate_series(1, {DIM})) AS t(j)),
+    cbv(ver, s, k, jj, c) AS (VALUES {_pq_cb_values()}),
+    dist AS (
+      SELECT comp.vec_id, comp.s, cbv.k,
+             SUM((comp.v - cbv.c) * (comp.v - cbv.c)) AS dd
+      FROM comp JOIN cbv ON cbv.ver = 1 AND cbv.s = comp.s
+                        AND cbv.jj = comp.jj
+      GROUP BY comp.vec_id, comp.s, cbv.k),
+    codes AS (
+      SELECT vec_id, s, k FROM (
+        SELECT vec_id, s, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dd, k) AS r
+        FROM dist) WHERE r = 1),
+    exact AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS qid,
+             CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS ed
+      FROM comp a JOIN comp b ON a.s = b.s AND a.jj = b.jj
+       AND b.vec_id < {_PQR_NQ} AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    adc AS (
+      SELECT c.vec_id AS vec_id, qd.vec_id AS qid,
+             CAST(SUM(qd.dd) AS BIGINT) AS ad
+      FROM codes c JOIN dist qd ON qd.s = c.s AND qd.k = c.k
+       AND qd.vec_id < {_PQR_NQ} AND qd.vec_id <> c.vec_id
+      GROUP BY c.vec_id, qd.vec_id),
+    tf AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY ed, vec_id) AS r FROM exact)
+           WHERE r <= {TOP_K}),
+    ta AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY ad, vec_id) AS r FROM adc)
+           WHERE r <= {TOP_K})
+    SELECT tf.qid AS qid,
+           CAST(COUNT(ta.vec_id) AS BIGINT) AS n_overlap,
+           CAST(1000000 * COUNT(ta.vec_id) // {TOP_K} AS BIGINT)
+             AS recall_ppm
+    FROM tf LEFT JOIN ta ON tf.qid = ta.qid AND tf.vec_id = ta.vec_id
+    GROUP BY tf.qid
+    ORDER BY qid
+    """
+
+
+@register(
+    "ann_pq_recall_audit",
+    _pqr_oracle(),
+    "knn",
+    "eval",
+)
+def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall GATE — the measurement that closes the PQ lifecycle
+    the way ann_ivf_recall_audit closed IVF's: exact integer-L2
+    top-{k} per audit query (full {d}-dim distance on the quantized
+    grid, the ground truth an offline audit job computes) vs the ADC
+    top-{k} the serving path returns (8 table lookups per candidate,
+    ann_pq_adc's formulation), scored by list overlap in ppm.  This is
+    the accept/reject number behind every "ship the 8-byte codes or
+    keep full vectors?" decision; run per shard, it also catches
+    codebook DRIFT — a stale codebook degrades recall long before it
+    breaks anything visibly.
+
+    Same recall-bracket pattern as embedding_quantization_recall
+    (int8 grid ~ near-lossless) and embedding_truncation_recall
+    (dim cut ~ lossy): PQ with {s} subspaces x {kk} centroids sits
+    between them, and the deterministic-literal codebooks make the
+    audit exactly reproducible in both engines.
+
+    Scale posture: one corpus scan against the broadcast {nq}-row
+    query block (codes + distance tables are narrow projections that
+    fold into codegen; no join, no shuffle on the encode side); both
+    rankings collapse via WindowGroupLimit before the k-row-grain
+    overlap join — the embedding_truncation_recall plan, unchanged.
+
+    Reference has no embedding tooling (SURVEY §2c extension;
+    completes the PQ arm: encode -> retrieve -> RECALL GATE).
+    """
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
+        ).alias("qv"),
+    )
+    dt = _PQ_SPARK_DT.format(cb=_pq_lit_spark())
+    enc = base.select(
+        "vec_id",
+        "qv",
+        F.expr(
+            f"transform({dt}, ds -> array_position(ds, array_min(ds)) - 1)"
+        ).alias("codes"),
+    )
+    q = F.broadcast(
+        base.filter(F.col("vec_id") < _PQR_NQ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("qv").alias("qqv"),
+            F.expr(dt).alias("qdt"),
+        )
+    )
+    sc = (
+        enc.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_PQR_ED_SPARK).alias("ed"),
+            F.expr(_PQR_AD_SPARK).alias("ad"),
+        )
+    )
+    wf = W.partitionBy("qid").orderBy("ed", "vec_id")
+    wa = W.partitionBy("qid").orderBy("ad", "vec_id")
+    tf = (
+        sc.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= TOP_K)
+        .select(F.col("qid").alias("fq"), "vec_id")
+    )
+    ta = (
+        sc.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= TOP_K)
+        .select(F.col("qid").alias("aq"), F.col("vec_id").alias("av"))
+    )
+    return (
+        tf.join(
+            ta,
+            (F.col("fq") == F.col("aq")) & (F.col("vec_id") == F.col("av")),
+            "left",
+        )
+        .groupBy("fq")
+        .agg(F.count("av").cast("long").alias("n_overlap"))
+        .select(
+            F.col("fq").alias("qid"),
+            "n_overlap",
+            F.expr(
+                f"CAST(1000000 * n_overlap DIV {TOP_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+ann_pq_recall_audit.__doc__ = ann_pq_recall_audit.__doc__.format(
+    k=TOP_K, d=DIM, s=_PQ_SUBS, kk=_PQ_K, nq=_PQR_NQ
+)
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook-drift audit (the maintenance arm: how much of the stored
+# index must re-encode when subspace codebooks retrain)
+# ---------------------------------------------------------------------------
+
+def _pqd_oracle() -> str:
+    return f"""
+    WITH px AS (
+      SELECT vec_id, (j - 1) // {_PQ_SUBDIM} AS s,
+             (j - 1) % {_PQ_SUBDIM} AS jj,
+             CAST(round(CAST(embedding[j] AS DOUBLE) * 1024) AS BIGINT)
+               AS v
+      FROM embeddings, unnest(generate_series(1, {DIM})) AS t(j)),
+    cb(ver, s, k, jj, c) AS (VALUES {_pq_cb_values()}),
+    d AS (
+      SELECT px.vec_id, cb.ver, px.s, cb.k,
+             SUM((px.v - cb.c) * (px.v - cb.c)) AS dist
+      FROM px JOIN cb ON cb.s = px.s AND cb.jj = px.jj
+      GROUP BY px.vec_id, cb.ver, px.s, cb.k),
+    codes AS (
+      SELECT vec_id, ver, s, k FROM (
+        SELECT vec_id, ver, s, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, ver, s
+                                  ORDER BY dist, k) AS r
+        FROM d) WHERE r = 1)
+    SELECT CAST(c1.s AS INT) AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN c1.k = c2.k THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_changed,
+           CAST(1000000 * SUM(CASE WHEN c1.k = c2.k THEN 0 ELSE 1 END)
+                // COUNT(*) AS BIGINT) AS churn_ppm
+    FROM codes c1 JOIN codes c2
+      ON c1.vec_id = c2.vec_id AND c1.s = c2.s
+     AND c1.ver = 1 AND c2.ver = 2
+    GROUP BY c1.s
+    ORDER BY subspace
+    """
+
+
+@register(
+    "ann_pq_code_drift",
+    _pqd_oracle(),
+    "knn",
+    "ops",
+)
+def ann_pq_code_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook-drift MAINTENANCE audit — the PQ analog of
+    ann_ivf_incremental_add's frozen-quantizer delta assignment: when
+    subspaces {rt} retrain (codebook v2) while the rest stay frozen,
+    how much of the stored code index actually changes?  Re-encodes
+    the corpus under BOTH codebooks and ledgers per-subspace code
+    churn in ppm.  Frozen subspaces MUST read 0 (their argmin inputs
+    are bit-identical — the property that makes per-subspace
+    incremental retraining safe: only the retrained subspaces' code
+    bytes rewrite, 2 of 8 here, so the maintenance job touches 25% of
+    the code payload and none of the frozen bytes).  Retrained
+    subspaces read the real churn a re-encode would pay.
+
+    Scale posture: one corpus scan — both encodings are narrow
+    projections over codebook literals folded into codegen, the
+    per-subspace changed-flags collapse in ONE map-side-combinable
+    aggregate (8 conditional sums + count), and the 8-row readout is
+    a stack over that 1-row aggregate.  No join, no shuffle beyond
+    the final 1-row exchange.
+
+    Reference has no embedding tooling (SURVEY §2c extension;
+    completes the PQ arm: encode -> retrieve -> recall gate ->
+    MAINTENANCE).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
+        ).alias("qv"),
+    )
+    dt1 = _PQ_SPARK_DT.format(cb=_pq_lit_spark())
+    dt2 = _PQ_SPARK_DT.format(cb=_pq_lit_spark_v2())
+    enc = base.select(
+        F.expr(
+            f"transform({dt1}, ds -> array_position(ds, array_min(ds)) - 1)"
+        ).alias("c1"),
+        F.expr(
+            f"transform({dt2}, ds -> array_position(ds, array_min(ds)) - 1)"
+        ).alias("c2"),
+    )
+    agg = enc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        *[
+            F.sum(F.expr(f"IF(c1[{s}] = c2[{s}], 0, 1)"))
+            .cast("long")
+            .alias(f"chg{s}")
+            for s in range(_PQ_SUBS)
+        ],
+    )
+    stack_args = ", ".join(f"{s}, chg{s}" for s in range(_PQ_SUBS))
+    return (
+        agg.selectExpr(
+            "n_vectors",
+            f"stack({_PQ_SUBS}, {stack_args}) AS (subspace, n_changed)",
+        )
+        .select(
+            F.col("subspace").cast("int").alias("subspace"),
+            "n_vectors",
+            "n_changed",
+            F.expr(
+                "CAST(1000000 * n_changed DIV n_vectors AS BIGINT)"
+            ).alias("churn_ppm"),
+        )
+        .orderBy("subspace")
+    )
+
+
+ann_pq_code_drift.__doc__ = ann_pq_code_drift.__doc__.format(
+    rt=list(_PQD_RETRAINED)
+)
+
+
+# ---------------------------------------------------------------------------
 # RAG-style chunk retrieval (end-to-end)
 # ---------------------------------------------------------------------------
 

@@ -3478,3 +3478,145 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 asof_join_tolerance.__doc__ = asof_join_tolerance.__doc__.format(
     t=_ASOF_TOL_MIN
 )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor as-of join (pandas merge_asof direction='nearest')
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_nearest",
+    """
+    WITH clk AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts),
+    pur AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS cts,
+             ABS(CAST(epoch_us(p.ts) AS BIGINT)
+                 - CAST(epoch_us(c.ts) AS BIGINT)) AS adiff_us,
+             CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS after_flag
+      FROM pur p JOIN clk c USING (user_id)),
+    best AS (
+      SELECT event_id, click_id, cts, adiff_us, after_flag,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY adiff_us, after_flag) AS r
+      FROM cand)
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           b.click_id AS nearest_click_id,
+           b.adiff_us AS abs_delta_us,
+           CASE b.after_flag WHEN 0 THEN 'before' WHEN 1 THEN 'after'
+             END AS side
+    FROM pur p LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+      USING (event_id)
+    ORDER BY p.event_id
+    """,
+    "join",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    ``direction='nearest'``): each purchase matches the user's click
+    that is closest in time in EITHER direction — the variant behind
+    "which touchpoint does this conversion belong to?" when
+    instrumentation skew makes clicks land after their purchases.
+    Distance is exact integer MICROseconds (unix_micros == DuckDB
+    epoch_us — no truncation-grain or float-epoch divergence can
+    reorder a tie) and an exact-tie prefers the earlier click (the
+    backward side), pandas' own rule.
+
+    Plan: the asof_join_event_order union+window formulation extended
+    with a SECOND frame — ONE shuffle + ONE sort on (user_id, ts,
+    is_purchase), then last(click) over the preceding frame and
+    first(click) over the following frame are both computed on that
+    same sorted distribution (no second exchange: the window specs
+    share partitioning and ordering), and the nearest choice is an
+    in-row comparison of the two integer deltas.  No row explosion at
+    any corpus size.  The oracle is the independent all-pairs
+    formulation (per-user cross join + global argmin) — fine at
+    oracle SF, deliberately NOT the engine's plan.
+
+    Reference has no temporal-join tooling (SURVEY §2c extension;
+    completes the as-of family: backward / tolerance / NEAREST).
+    """
+    ev = load(spark, sf_dir, "events")
+    clk = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    p_side = pur.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(1).alias("is_p"),
+        "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    c_side = clk.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        F.lit(0).alias("is_p"),
+        F.lit(None).cast("long").alias("event_id"),
+        "click_id",
+        F.col("ts").alias("click_ts"),
+    )
+    order = [F.col("ts"), F.col("is_p"), F.col("click_id")]
+    wb = (
+        W.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    merged = p_side.unionByName(c_side).select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(wb).alias("pc"),
+        F.last("click_ts", ignorenulls=True).over(wb).alias("pt"),
+        F.first("click_id", ignorenulls=True).over(wf).alias("nc"),
+        F.first("click_ts", ignorenulls=True).over(wf).alias("nt"),
+    )
+    # The fixture's ts vintage varies (TIMESTAMP vs TIMESTAMP_NTZ);
+    # unix_micros requires TIMESTAMP, and the cast is wall-clock
+    # preserving — all uses are differences, so the tz offset cancels.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dp = ts_us - F.unix_micros(F.col("pt"))
+    dn = F.unix_micros(F.col("nt")) - ts_us
+    # Tie (dp == dn) prefers the earlier click: prev wins.
+    take_prev = F.col("pt").isNotNull() & (
+        F.col("nt").isNull() | (dp <= dn)
+    )
+    take_next = F.col("nt").isNotNull() & (
+        F.col("pt").isNull() | (dn < dp)
+    )
+    return (
+        merged.filter(F.col("is_p") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_ts"
+            ),
+            F.when(take_prev, F.col("pc"))
+            .when(take_next, F.col("nc"))
+            .alias("nearest_click_id"),
+            F.when(take_prev, dp)
+            .when(take_next, dn)
+            .cast("long")
+            .alias("abs_delta_us"),
+            F.when(take_prev, F.lit("before"))
+            .when(take_next, F.lit("after"))
+            .alias("side"),
+        )
+        .orderBy("event_id")
+    )

