@@ -1537,3 +1537,203 @@ def deletion_propagation_audit(
 deletion_propagation_audit.__doc__ = deletion_propagation_audit.__doc__.format(
     m=_DEL_MOD
 )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality ledger (per-rule pass rates)
+# ---------------------------------------------------------------------------
+
+# (rule_id, description) — the document-level heuristics of the Gopher
+# corpus-filtering recipe (Rae et al. 2021, table A1 shape), evaluated
+# as EXACT integer rational comparisons so both engines agree bit-for-
+# bit (no float threshold ever materializes):
+#   wc_bounds      50 <= n_words <= 100000
+#   mean_wordlen   3 <= sum_len/n_words <= 10   (3n <= sum <= 10n)
+#   symbol_ratio   (n_hash + n_ellipsis) / n_words <= 0.1
+#   bullet_lines   lines starting with -/* <= 90%  (kept docs: <= 90%)
+#   ellipsis_lines lines ending with ... <= 30%
+#   alpha_words    words containing a letter >= 80%
+#   stopwords      >= 2 distinct of the 8 Gopher stop words
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_RULES = (
+    "wc_bounds",
+    "mean_wordlen",
+    "symbol_ratio",
+    "bullet_lines",
+    "ellipsis_lines",
+    "alpha_words",
+    "stopwords",
+)
+
+
+def _gopher_oracle() -> str:
+    stop_hits = " + ".join(
+        f"CASE WHEN list_contains(words, '{s}') THEN 1 ELSE 0 END"
+        for s in _GOPHER_STOPS
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT '{r}' AS rule, n_docs, p{i} AS n_pass FROM agg"
+        for i, r in enumerate(_GOPHER_RULES)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         t -> t <> '') AS words,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3
+               AS n_ell
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             len(words) AS nw,
+             CAST(list_sum(list_transform(words, w -> length(w)))
+                  AS BIGINT) AS sumlen,
+             n_hash + n_ell AS nsym,
+             len(lines) AS nl,
+             len(list_filter(lines,
+                 l -> starts_with(l, '-') OR starts_with(l, '*')))
+               AS n_bullet,
+             len(list_filter(lines, l -> suffix(l, '...'))) AS n_ellend,
+             len(list_filter(words,
+                 w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+             {stop_hits} AS n_stops
+      FROM toks),
+    agg AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS p0,
+        CAST(SUM(CASE WHEN nw > 0 AND 3 * nw <= sumlen
+                       AND sumlen <= 10 * nw THEN 1 ELSE 0 END)
+             AS BIGINT) AS p1,
+        CAST(SUM(CASE WHEN nw > 0 AND 10 * nsym <= nw THEN 1 ELSE 0 END)
+             AS BIGINT) AS p2,
+        CAST(SUM(CASE WHEN 10 * n_bullet <= 9 * nl THEN 1 ELSE 0 END)
+             AS BIGINT) AS p3,
+        CAST(SUM(CASE WHEN 10 * n_ellend <= 3 * nl THEN 1 ELSE 0 END)
+             AS BIGINT) AS p4,
+        CAST(SUM(CASE WHEN nw > 0 AND 5 * n_alpha >= 4 * nw
+                      THEN 1 ELSE 0 END) AS BIGINT) AS p5,
+        CAST(SUM(CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS p6
+      FROM feat)
+    SELECT rule, n_docs, n_pass,
+           CAST(1000000 * n_pass // n_docs AS BIGINT) AS pass_ppm
+    FROM ({branches})
+    ORDER BY rule
+    """
+
+
+@register(
+    "quality_gopher_rules",
+    _gopher_oracle(),
+    "data_quality",
+    "quality",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality LEDGER: the seven document-level
+    heuristics of the public Gopher corpus-filtering recipe (word-count
+    bounds, mean word length, symbol-to-word ratio, bullet-line and
+    ellipsis-line shares, alphabetic-word share, stop-word presence),
+    each reported as a per-rule pass count + pass rate over the corpus
+    — the dashboard a data-curation run reads BEFORE picking thresholds
+    (text_quality_score composes signals per doc; this operator audits
+    the rule set itself, rule by rule).
+
+    Determinism across engines: every threshold is evaluated as an
+    EXACT integer rational comparison (3n <= sumlen <= 10n, 10*sym <=
+    words, 10*bullets <= 9*lines, 5*alpha >= 4*words) so no float
+    ratio ever materializes; words split on runs of whitespace with
+    empties dropped (identical regex class both engines), lines on
+    chr(10), ellipses counted by non-overlapping '...' replacement.
+
+    Scale posture: ONE corpus scan — all per-doc features are narrow
+    codegen projections (no explode: word stats come from aggregate/
+    filter over the split array in-row), all seven rule flags collapse
+    in one map-side-combinable aggregate, and the 7-row ledger is a
+    stack over that 1-row aggregate.  No join, no shuffle beyond the
+    final 1-row exchange.
+
+    Reference has no corpus-quality tooling (SURVEY §2c extension;
+    joins text_quality_score / quality_repetition_signals /
+    quality_classifier_logit in the quality family).
+    """
+    d = load(spark, sf_dir, "documents")
+    words = "filter(split(text, '\\\\s+'), t -> t != '')"
+    lines = "split(text, '\\n')"
+    stop_hits = " + ".join(
+        f"IF(array_contains(words, '{s}'), 1, 0)" for s in _GOPHER_STOPS
+    )
+    feat = d.select(
+        F.expr(words).alias("words"),
+        F.expr(lines).alias("lines"),
+        (
+            F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+        ).alias("n_hash"),
+        F.expr(
+            "CAST((length(text) - length(replace(text, '...', ''))) / 3"
+            " AS BIGINT)"
+        ).alias("n_ell"),
+    ).select(
+        F.expr("size(words)").cast("long").alias("nw"),
+        F.expr(
+            "aggregate(words, CAST(0 AS BIGINT),"
+            " (acc, w) -> acc + length(w))"
+        ).alias("sumlen"),
+        (F.col("n_hash") + F.col("n_ell")).cast("long").alias("nsym"),
+        F.expr("size(lines)").cast("long").alias("nl"),
+        F.expr(
+            "size(filter(lines, l -> startswith(l, '-')"
+            " OR startswith(l, '*')))"
+        )
+        .cast("long")
+        .alias("n_bullet"),
+        F.expr("size(filter(lines, l -> endswith(l, '...')))")
+        .cast("long")
+        .alias("n_ellend"),
+        F.expr("size(filter(words, w -> w rlike '[a-zA-Z]'))")
+        .cast("long")
+        .alias("n_alpha"),
+        F.expr(stop_hits).cast("long").alias("n_stops"),
+    )
+    agg = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr("IF(nw >= 50 AND nw <= 100000, 1, 0)"))
+        .cast("long")
+        .alias("p0"),
+        F.sum(F.expr("IF(nw > 0 AND 3 * nw <= sumlen AND sumlen <= 10 * nw, 1, 0)"))
+        .cast("long")
+        .alias("p1"),
+        F.sum(F.expr("IF(nw > 0 AND 10 * nsym <= nw, 1, 0)"))
+        .cast("long")
+        .alias("p2"),
+        F.sum(F.expr("IF(10 * n_bullet <= 9 * nl, 1, 0)"))
+        .cast("long")
+        .alias("p3"),
+        F.sum(F.expr("IF(10 * n_ellend <= 3 * nl, 1, 0)"))
+        .cast("long")
+        .alias("p4"),
+        F.sum(F.expr("IF(nw > 0 AND 5 * n_alpha >= 4 * nw, 1, 0)"))
+        .cast("long")
+        .alias("p5"),
+        F.sum(F.expr("IF(n_stops >= 2, 1, 0)")).cast("long").alias("p6"),
+    )
+    stack_args = ", ".join(
+        f"'{r}', p{i}" for i, r in enumerate(_GOPHER_RULES)
+    )
+    return (
+        agg.selectExpr(
+            "n_docs",
+            f"stack({len(_GOPHER_RULES)}, {stack_args}) AS (rule, n_pass)",
+        )
+        .select(
+            "rule",
+            "n_docs",
+            "n_pass",
+            F.expr("CAST(1000000 * n_pass DIV n_docs AS BIGINT)").alias(
+                "pass_ppm"
+            ),
+        )
+        .orderBy("rule")
+    )

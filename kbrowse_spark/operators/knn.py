@@ -1334,6 +1334,188 @@ ann_pq_code_drift.__doc__ = ann_pq_code_drift.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# IVF+PQ composed retrieval (coarse cell probe, ADC re-rank — the
+# serving-stack composition of the two ANN families)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 2
+_IVFPQ_K = 5
+
+
+def _ivfpq_oracle() -> str:
+    # Coarse arm: ann_ivf_label's fixed-point centroid probe, verbatim.
+    # Fine arm: the relational PQ formulation (_pq_cb_values), ver 1.
+    return f"""
+    WITH ce AS (
+      SELECT label, pos,
+             CAST(CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+                  / 1e6 / COUNT(*) AS DOUBLE) AS c
+      FROM (SELECT label, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos),
+    centroids AS (SELECT label, list(c ORDER BY pos) AS cvec
+                  FROM ce GROUP BY label),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cd AS (
+      SELECT c.label,
+             {_sql_dot('c.cvec', 'q.qe')}
+               / (sqrt({_sql_dot('c.cvec', 'c.cvec')})
+                  * sqrt({_sql_dot('q.qe', 'q.qe')})) AS csim
+      FROM centroids c CROSS JOIN q),
+    probe AS (SELECT label FROM cd
+              ORDER BY csim DESC, label LIMIT {_IVFPQ_NPROBE}),
+    comp AS (
+      SELECT vec_id, label, (j - 1) // {_PQ_SUBDIM} AS s,
+             (j - 1) % {_PQ_SUBDIM} AS jj,
+             CAST(round(CAST(embedding[j] AS DOUBLE) * 1024) AS BIGINT)
+               AS v
+      FROM embeddings, unnest(generate_series(1, {DIM})) AS t(j)),
+    cbv(ver, s, k, jj, c) AS (VALUES {_pq_cb_values()}),
+    dist AS (
+      SELECT comp.vec_id, comp.label, comp.s, cbv.k,
+             SUM((comp.v - cbv.c) * (comp.v - cbv.c)) AS dd
+      FROM comp JOIN cbv ON cbv.ver = 1 AND cbv.s = comp.s
+                        AND cbv.jj = comp.jj
+      GROUP BY comp.vec_id, comp.label, comp.s, cbv.k),
+    codes AS (
+      SELECT vec_id, label, s, k FROM (
+        SELECT vec_id, label, s, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dd, k) AS r
+        FROM dist) WHERE r = 1)
+    SELECT c.vec_id AS vec_id, c.label AS label,
+           CAST(SUM(qd.dd) AS BIGINT) AS adc_dist
+    FROM codes c
+    JOIN probe p ON c.label = p.label
+    JOIN dist qd ON qd.vec_id = 0 AND qd.s = c.s AND qd.k = c.k
+    WHERE c.vec_id <> 0
+    GROUP BY c.vec_id, c.label
+    ORDER BY adc_dist, c.vec_id
+    LIMIT {_IVFPQ_K}
+    """
+
+
+@register(
+    "ivfpq_retrieval",
+    _ivfpq_oracle(),
+    "knn",
+    "approx",
+)
+def ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed retrieval — the composition every large-scale
+    vector-serving stack actually runs (FAISS IndexIVFPQ shape): the
+    COARSE quantizer prunes to the {np} nearest inverted lists
+    (ann_ivf_label's cell probe, fixed-point centroid means), and
+    inside the surviving cells candidates are ranked by PQ ASYMMETRIC
+    distance (ann_pq_adc's 8-lookup ADC over the query's precomputed
+    distance table), top-{k} out.  Neither family alone has the
+    serving shape: IVF-exact re-reads full vectors per candidate
+    (256 B each), PQ-alone scans every code in the corpus; composed,
+    the probe reads ~nprobe/k of the corpus and each candidate costs
+    8 byte-lookups.
+
+    Scale posture: cell id is a partition column at 100 TB, so the
+    probe is PARTITION PRUNING, not a filter scan; the codes inside a
+    cell are 8 B/vector; the query's distance table and the probe
+    list are 1-row/{np}-row broadcasts.  Everything else (encode,
+    ADC) is codegen-folded narrow projection — no shuffle anywhere in
+    the serve path.
+
+    The oracle composes the two arms' independent formulations: the
+    fixed-point centroid probe verbatim from ann_ivf_label, the
+    relational explode+join+argmin codes from the PQ family.
+
+    Reference has no embedding tooling (SURVEY §2c extension; the
+    ANN family's capstone: brute / LSH / IVF / PQ / IVF+PQ).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.expr("CAST(floor(CAST(e AS DOUBLE) * 1e6) AS BIGINT)")
+                ).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("c")
+        )
+    )
+    centroids = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x["c"],
+        ).alias("cvec")
+    )
+    q_raw = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qe")
+        )
+    )
+    csim = F.expr(_spark_dot("cvec", "qe")) / (
+        F.sqrt(F.expr(_spark_dot("cvec", "cvec")))
+        * F.sqrt(F.expr(_spark_dot("qe", "qe")))
+    )
+    probe = F.broadcast(
+        centroids.crossJoin(q_raw)
+        .select("label", csim.alias("csim"))
+        .orderBy(F.col("csim").desc(), "label")
+        .limit(_IVFPQ_NPROBE)
+        .select("label")
+    )
+    dt = _PQ_SPARK_DT.format(cb=_pq_lit_spark())
+    qdt = F.broadcast(
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
+            ).alias("qv")
+        )
+        .select(F.expr(dt).alias("qdt"))
+    )
+    cand = (
+        emb.join(probe, "label")
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
+            ).alias("qv"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                f"transform({dt},"
+                " ds -> array_position(ds, array_min(ds)) - 1)"
+            ).alias("codes"),
+        )
+        .crossJoin(qdt)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.expr(_PQR_AD_SPARK).alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(_IVFPQ_K)
+    )
+
+
+ivfpq_retrieval.__doc__ = ivfpq_retrieval.__doc__.format(
+    np=_IVFPQ_NPROBE, k=_IVFPQ_K
+)
+
+
+# ---------------------------------------------------------------------------
 # RAG-style chunk retrieval (end-to-end)
 # ---------------------------------------------------------------------------
 

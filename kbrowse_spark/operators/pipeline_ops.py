@@ -3638,3 +3638,296 @@ def mix_repeat_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 mix_repeat_cap_audit.__doc__ = mix_repeat_cap_audit.__doc__.format(
     t=_MRC_T, r=_MRC_R
 )
+
+
+# ---------------------------------------------------------------------------
+# Bloom runtime-filter audit (the join optimization that matters at
+# 100 TB: measure what the injected filter would actually prune)
+# ---------------------------------------------------------------------------
+
+_BLF_K = 3  # bloom hash count
+_BLF_BITS_PER_KEY = 16  # m = next power of 2 >= 16 * n_build
+
+
+def _blf_hash_duck(i: int, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5('b{i}:' || CAST({key} AS VARCHAR)),"
+        f" 1, 15))::BIGINT)"
+    )
+
+
+def _blf_hash_spark(i: int, key: str) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat('b{i}:', CAST({key} AS STRING))),"
+        f" 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _blf_oracle() -> str:
+    probes = ", ".join(
+        f"{_blf_hash_duck(i, 'l_orderkey')} % m.m AS h{i}"
+        for i in range(_BLF_K)
+    )
+    builds = " UNION ALL ".join(
+        f"SELECT o_orderkey AS key, {_blf_hash_duck(i, 'o_orderkey')}"
+        " % m.m AS bit FROM build CROSS JOIN m"
+        for i in range(_BLF_K)
+    )
+    hits = " AND ".join(
+        f"((w{i}.word >> CAST(h{i} % 64 AS INT)) & 1) = 1"
+        for i in range(_BLF_K)
+    )
+    wjoins = " ".join(
+        f"JOIN words w{i} ON w{i}.widx = p.h{i} // 64"
+        for i in range(_BLF_K)
+    )
+    return f"""
+    WITH build AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    m AS MATERIALIZED (
+      SELECT (CAST(1 AS BIGINT) << length(bin(
+                {_BLF_BITS_PER_KEY} * COUNT(*) - 1))) AS m
+      FROM build),
+    bits AS ({builds}),
+    words AS MATERIALIZED (
+      SELECT bit // 64 AS widx,
+             bit_or(CAST(1 AS UBIGINT) << CAST(bit % 64 AS INT)) AS word
+      FROM bits GROUP BY widx),
+    p AS MATERIALIZED (
+      SELECT l.l_orderkey,
+             CASE WHEN b.o_orderkey IS NOT NULL THEN 1 ELSE 0 END
+               AS is_member,
+             {probes}
+      FROM lineitem l
+      CROSS JOIN m
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM build) b
+        ON l.l_orderkey = b.o_orderkey),
+    scored AS (
+      SELECT p.is_member,
+             CASE WHEN {hits} THEN 1 ELSE 0 END AS bloom_pass
+      FROM p {wjoins})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+           (SELECT CAST(m AS BIGINT) FROM m) AS m_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(bloom_pass) AS BIGINT) AS n_pass_bloom,
+           CAST(SUM(is_member) AS BIGINT) AS n_true_match,
+           CAST(1000000 * (SUM(bloom_pass) - SUM(is_member))
+                // (COUNT(*) - SUM(is_member)) AS BIGINT)
+             AS false_positive_ppm
+    FROM scored
+    """
+
+
+@register(
+    "join_bloom_runtime_filter",
+    _blf_oracle(),
+    "pipeline_ops",
+    "ops",
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom RUNTIME-FILTER audit — the join optimization that decides
+    100 TB plans (Spark injects these via
+    spark.sql.optimizer.runtime.bloomFilter.enabled; this operator
+    builds the same filter EXPLICITLY so its pruning power is a
+    measured, hash-verified number): the build side is the selective
+    dimension (URGENT orders), sized integer-exactly to the next power
+    of two >= {bpk} bits/key (m = 1 << bit_length({bpk}n - 1) — no
+    float log anywhere), {k} deterministic md5 hashes set bits, and
+    every lineitem probe row is scored member/pass.  The ledger is
+    the decision surface: n_pass_bloom vs n_true_match gives the
+    measured FALSE-POSITIVE ppm — the fraction of probe I/O the
+    filter fails to prune beyond the true semi-join.
+
+    Scale shape (the point of the audit): the Spark side is the REAL
+    runtime-filter plan — the bloom collapses to m/64 longs via one
+    map-side-combinable bit_or aggregate, is pulled to the driver as
+    ONE model-grain array (the collect is the broadcast a real
+    runtime filter does), and the probe is a PURE PROJECTION over the
+    array literal folded into codegen: the fact table is scanned
+    once, no join, no shuffle.  The oracle deliberately uses the
+    opposite formulation (relational word joins) — independent
+    derivation of the same bits.
+
+    Reference has no join tooling (SURVEY §2c extension; joins
+    join_size_estimate_sample / shuffle_skew_planner in the
+    plan-economics family).
+    """
+    build = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    n_build = build.count()
+    m_bits = 1 << (_BLF_BITS_PER_KEY * n_build - 1).bit_length()
+    n_words = m_bits // 64
+    bits = None
+    for i in range(_BLF_K):
+        part = build.select(
+            (
+                F.expr(_blf_hash_spark(i, "o_orderkey")) % F.lit(m_bits)
+            ).alias("bit")
+        )
+        bits = part if bits is None else bits.unionByName(part)
+    words_rows = (
+        bits.select(
+            F.expr("bit DIV 64").alias("widx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in words_rows:
+        words[int(r.widx)] = int(r.word)
+    warr = F.lit(words)  # ONE array literal: the broadcast filter
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    member_keys = F.broadcast(build.distinct())
+    probe = li.join(
+        member_keys, li["l_orderkey"] == build["o_orderkey"], "left"
+    ).select(
+        "l_orderkey",
+        F.when(F.col("o_orderkey").isNotNull(), 1)
+        .otherwise(0)
+        .alias("is_member"),
+    )
+    hit = None
+    for i in range(_BLF_K):
+        h = f"({_blf_hash_spark(i, 'l_orderkey')} % {m_bits})"
+        # & 1, not % 2: Spark's >> is an ARITHMETIC shift, so a
+        # word with bit 63 set shifts to a negative value whose % 2 is
+        # 0 or -1; the AND reads the low bit regardless of sign.
+        bit_set = F.expr(
+            f"((element_at(W, CAST({h} DIV 64 AS INT) + 1)"
+            f" >> CAST({h} % 64 AS INT)) & 1) = 1"
+        )
+        hit = bit_set if hit is None else (hit & bit_set)
+    scored = probe.withColumn("W", warr).select(
+        "is_member", F.when(hit, 1).otherwise(0).alias("bloom_pass")
+    )
+    return scored.agg(
+        F.lit(n_build).cast("long").alias("n_build"),
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum("bloom_pass").cast("long").alias("n_pass_bloom"),
+        F.sum("is_member").cast("long").alias("n_true_match"),
+        F.expr(
+            "CAST(1000000 * (SUM(bloom_pass) - SUM(is_member))"
+            " DIV (COUNT(*) - SUM(is_member)) AS BIGINT)"
+        ).alias("false_positive_ppm"),
+    )
+
+
+join_bloom_runtime_filter.__doc__ = join_bloom_runtime_filter.__doc__.format(
+    bpk=_BLF_BITS_PER_KEY, k=_BLF_K
+)
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution audit (mergeSchema scan over mixed-generation files)
+# ---------------------------------------------------------------------------
+
+_SE_COLS = ("o_channel", "o_custkey", "o_orderkey", "o_price_cents")
+
+
+@register(
+    "schema_evolution_audit",
+    """
+    WITH b AS (
+      SELECT o_orderkey FROM orders),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_odd
+          FROM b)
+    SELECT column_name, n AS n_rows, n_present,
+           CAST(1000000 * n_present // n AS BIGINT) AS present_ppm
+    FROM (
+      SELECT 'o_channel' AS column_name, n, n_odd AS n_present FROM t
+      UNION ALL SELECT 'o_custkey', n, n FROM t
+      UNION ALL SELECT 'o_orderkey', n, n FROM t
+      UNION ALL SELECT 'o_price_cents', n, n FROM t)
+    ORDER BY column_name
+    """,
+    "pipeline_ops",
+    "ops",
+)
+def schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-EVOLUTION audit: a dataset whose files span two schema
+    generations (gen-1 lacks the later `o_channel` column; gen-2
+    carries it) is scanned with ``mergeSchema`` — the real mixed-
+    vintage lake read — and the ledger reports, per merged column,
+    how many rows actually carry a value vs. inherit NULL from
+    pre-evolution files.  This is the number a backfill decision
+    reads: present_ppm == 1e6 means the column is safe to make
+    required; anything less is the backfill debt.
+
+    The Spark side REALLY exercises the surface: both generations are
+    staged as parquet (content-addressed /tmp dir, re-staged per run),
+    read back in ONE `mergeSchema` directory scan, and the per-column
+    presence collapses in one aggregate (count + count(col) are both
+    map-side combinable).  The oracle never touches the staged files:
+    generations are derived deterministically from `orders`
+    (even keys -> gen-1, odd -> gen-2), so the expected ledger is
+    reconstructed arithmetically from the base table — file layout
+    cannot leak into the truth.
+
+    Scale posture: one directory scan, schema union at the footer
+    level (mergeSchema pays one extra footer pass — the documented
+    cost), one 4-column aggregate, 4-row stack readout; no join, no
+    shuffle beyond the 1-row exchange.
+
+    Reference has no lake-schema tooling (SURVEY §2c extension; joins
+    corpus_snapshot_diff / export_manifest_checksums in the
+    snapshot-ops family).
+    """
+    import hashlib
+    import shutil
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)"
+        ).alias("o_price_cents"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"/tmp/kbrowse_schema_evo/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    g1 = base.filter(F.col("o_orderkey") % 2 == 0)
+    g2 = base.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_channel",
+        F.expr("IF(o_orderkey % 4 = 1, 'web', 'store')"),
+    )
+    g1.write.mode("overwrite").parquet(f"{root}/gen=1")
+    g2.write.mode("overwrite").parquet(f"{root}/gen=2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{root}/gen=1", f"{root}/gen=2")
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.count(c).cast("long").alias(f"p_{c}")
+            for c in _SE_COLS
+        ],
+    )
+    stack_args = ", ".join(f"'{c}', p_{c}" for c in _SE_COLS)
+    return (
+        agg.selectExpr(
+            "n_rows",
+            f"stack({len(_SE_COLS)}, {stack_args})"
+            " AS (column_name, n_present)",
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "n_present",
+            F.expr(
+                "CAST(1000000 * n_present DIV n_rows AS BIGINT)"
+            ).alias("present_ppm"),
+        )
+        .orderBy("column_name")
+    )

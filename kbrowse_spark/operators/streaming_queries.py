@@ -2675,3 +2675,130 @@ def stream_erasure_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming small-file / compaction-trigger monitor (the MONITOR arm of
+# the compaction lifecycle: plan -> execute -> verify -> monitor)
+# ---------------------------------------------------------------------------
+
+# Ingest files land per (event-day, adaptive prefix-split shard): the
+# shard id is the BIT LENGTH of a 16-bit key hash — the extendible-
+# hashing layout where a shard holding half the key space sits next to
+# ever-smaller prefix splits, so file sizes are GEOMETRIC (each shard
+# ~half the previous) and the small-file tail is populated at every
+# corpus size.  A file is "small" when its row count is under half the
+# mean file volume (2 * n_rows * n_files < total_rows — exact integer
+# rational, no float ratio), and the monitor raises the repack trigger
+# when at least a quarter of the files are small (4*n_small >=
+# n_files).
+
+_SCT_SHARD_DUCK = (
+    "length(bin((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))"
+    "::BIGINT)))"
+)
+_SCT_SHARD_SPARK = (
+    "length(conv(CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4),"
+    " 16, 10) AS BIGINT), 10, 2))"
+)
+
+
+@register(
+    "stream_compaction_trigger",
+    f"""
+    WITH byf AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS ingest_day,
+             CAST({_SCT_SHARD_DUCK} AS INT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY ingest_day, shard),
+    tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_files
+      FROM byf),
+    flagged AS (
+      SELECT b.ingest_day, b.shard, b.n_rows,
+             CAST(CASE WHEN 2 * b.n_rows * t.n_files < t.total_rows
+                       THEN 1 ELSE 0 END AS INT) AS is_small
+      FROM byf b CROSS JOIN tot t)
+    SELECT f.ingest_day, f.shard, f.n_rows, f.is_small,
+           CAST(CASE WHEN 4 * s.n_small >= t.n_files THEN 1 ELSE 0 END
+                AS INT) AS repack_trigger
+    FROM flagged f
+    CROSS JOIN (SELECT CAST(SUM(is_small) AS BIGINT) AS n_small
+                FROM flagged) s
+    CROSS JOIN tot t
+    ORDER BY f.ingest_day, f.shard
+    """,
+    "streaming",
+    "ops",
+)
+def stream_compaction_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming small-file MONITOR — the arm that closes the
+    compaction lifecycle (compaction_plan_audit plans the repack,
+    test_compaction_plan_matches_executed_repack executes + verifies
+    it; this watches the ingest feed and decides WHEN to fire): a
+    stateful streaming count per ingest file — (event-day, adaptive
+    prefix-split shard), the extendible-hashing layout whose file
+    sizes are GEOMETRIC, so the small-file tail this monitor exists
+    for is populated at every corpus size — then a batch readout over
+    the final state flags each file under HALF the mean file volume
+    and raises the repack trigger when at least a quarter of the
+    files are small.  Both thresholds are exact integer rationals
+    (2*n*files < total, 4*small >= files): no float ratio ever
+    materializes.
+
+    On the bounded availableNow replay the final per-file counts
+    equal the batch GROUP BY — the oracle.  The trigger/flag readout
+    runs BATCH over the state snapshot (streaming forbids the second
+    aggregation in-plan; a production monitor does exactly this: the
+    state store is the ledger, the verdict query reads it per
+    trigger-interval).
+
+    Scale posture: state is two longs per (day, shard) — bounded by
+    calendar x 17 prefix widths, not by corpus; the readout is
+    file-grain with two 1-row broadcast attaches (both CROSS JOINs
+    bounded).  At 100 TB the same monitor keys on (table, partition,
+    shard) and stays layout-bounded.
+
+    Reference has no storage-layout tooling (SURVEY §2c extension;
+    completes the compaction family's lifecycle).
+    """
+    ev = _events_stream(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("ingest_day"),
+        F.expr(f"CAST({_SCT_SHARD_SPARK} AS INT)").alias("shard"),
+    )
+    counts = ev.groupBy("ingest_day", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    snap = _run_to_memory(counts, "complete")
+    tot = F.broadcast(
+        snap.agg(
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+        )
+    )
+    flagged = snap.crossJoin(tot).select(
+        "ingest_day",
+        "shard",
+        "n_rows",
+        F.expr(
+            "CAST(IF(2 * n_rows * n_files < total_rows, 1, 0) AS INT)"
+        ).alias("is_small"),
+        "n_files",
+    )
+    small = F.broadcast(
+        flagged.agg(F.sum("is_small").cast("long").alias("n_small"))
+    )
+    return (
+        flagged.crossJoin(small)
+        .select(
+            "ingest_day",
+            "shard",
+            "n_rows",
+            "is_small",
+            F.expr(
+                "CAST(IF(4 * n_small >= n_files, 1, 0) AS INT)"
+            ).alias("repack_trigger"),
+        )
+        .orderBy("ingest_day", "shard")
+    )

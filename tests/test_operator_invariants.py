@@ -4186,3 +4186,245 @@ def test_asof_nearest_python_reference(spark, sf_dir):
         assert (cid is None) == (d_us is None) == (side is None)
         if d_us is not None:
             assert d_us >= 0
+
+
+def test_ivfpq_retrieval_python_reference(spark, sf_dir):
+    """Full independent Python recomputation of the IVF+PQ composition
+    — fixed-point centroid probe, half-away-from-zero quantization,
+    first-min argmin codes, 8-lookup ADC, top-k by (adc, vec_id) —
+    must agree row-for-row; every returned label lies in the probed
+    cells."""
+    import math
+
+    from kbrowse_spark.operators.knn import (
+        _IVFPQ_K,
+        _IVFPQ_NPROBE,
+        _PQ_SUBDIM,
+        _PQ_SUBS,
+        _PQ_K,
+        _pq_codebook,
+    )
+    from kbrowse_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+
+    def q1024(x: float) -> int:  # SQL round(): half away from zero
+        return int(math.copysign(math.floor(abs(x * 1024.0) + 0.5), x * 1024.0))
+
+    qv = {r.vec_id: [q1024(float(x)) for x in r.embedding] for r in emb}
+    lab = {r.vec_id: r.label for r in emb}
+    # fixed-point centroids + cosine probe (ann_ivf_label arithmetic)
+    bylab = {}
+    for r in emb:
+        bylab.setdefault(r.label, []).append(
+            [math.floor(float(x) * 1e6) for x in r.embedding]
+        )
+    qe = [float(x) for x in next(r.embedding for r in emb if r.vec_id == 0)]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    probes = []
+    for label, vecs in bylab.items():
+        cvec = [sum(col) / 1e6 / len(vecs) for col in zip(*vecs)]
+        csim = dot(cvec, qe) / (math.sqrt(dot(cvec, cvec)) * math.sqrt(dot(qe, qe)))
+        probes.append((-csim, label))
+    probe = {label for _, label in sorted(probes)[:_IVFPQ_NPROBE]}
+    cb = _pq_codebook()
+
+    def dt_of(v):
+        return [
+            [
+                sum(
+                    (v[s * _PQ_SUBDIM + j] - cb[s][k][j]) ** 2
+                    for j in range(_PQ_SUBDIM)
+                )
+                for k in range(_PQ_K)
+            ]
+            for s in range(_PQ_SUBS)
+        ]
+
+    qdt = dt_of(qv[0])
+    scored = []
+    for vid, v in qv.items():
+        if vid == 0 or lab[vid] not in probe:
+            continue
+        dt = dt_of(v)
+        codes = [dt[s].index(min(dt[s])) for s in range(_PQ_SUBS)]
+        adc = sum(qdt[s][codes[s]] for s in range(_PQ_SUBS))
+        scored.append((adc, vid))
+    expect = [
+        (vid, lab[vid], adc) for adc, vid in sorted(scored)[:_IVFPQ_K]
+    ]
+    got = [
+        (r.vec_id, r.label, r.adc_dist)
+        for r in _q(spark, sf_dir, "ivfpq_retrieval").collect()
+    ]
+    assert got == expect and len(got) == _IVFPQ_K
+    assert {label for _, label, _ in got} <= probe
+
+
+def test_gopher_rules_python_reference(spark, sf_dir):
+    """Independent pure-Python recomputation of all seven Gopher rule
+    ledgers (whitespace-run split, newline lines, non-overlapping
+    ellipsis count, integer rational thresholds) must match exactly;
+    the ledger discriminates (not every rule reads 0 or 1e6)."""
+    import re
+
+    from kbrowse_spark.operators.data_quality import (
+        _GOPHER_RULES,
+        _GOPHER_STOPS,
+    )
+    from kbrowse_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    n_docs = len(docs)
+    passes = {r: 0 for r in _GOPHER_RULES}
+    for (t,) in docs:
+        words = [w for w in re.split(r"\s+", t) if w != ""]
+        lines = t.split("\n")
+        nw, nl = len(words), len(lines)
+        sumlen = sum(len(w) for w in words)
+        nsym = t.count("#") + t.count("...")
+        n_bullet = sum(
+            1 for line in lines if line.startswith(("-", "*"))
+        )
+        n_ellend = sum(1 for line in lines if line.endswith("..."))
+        n_alpha = sum(1 for w in words if re.search("[a-zA-Z]", w))
+        n_stops = sum(1 for s in _GOPHER_STOPS if s in words)
+        ok = {
+            "wc_bounds": 50 <= nw <= 100000,
+            "mean_wordlen": nw > 0 and 3 * nw <= sumlen <= 10 * nw,
+            "symbol_ratio": nw > 0 and 10 * nsym <= nw,
+            "bullet_lines": 10 * n_bullet <= 9 * nl,
+            "ellipsis_lines": 10 * n_ellend <= 3 * nl,
+            "alpha_words": nw > 0 and 5 * n_alpha >= 4 * nw,
+            "stopwords": n_stops >= 2,
+        }
+        for r, v in ok.items():
+            passes[r] += int(v)
+    expect = {
+        r: (n_docs, passes[r], 1_000_000 * passes[r] // n_docs)
+        for r in _GOPHER_RULES
+    }
+    got = {
+        r.rule: (r.n_docs, r.n_pass, r.pass_ppm)
+        for r in _q(spark, sf_dir, "quality_gopher_rules").collect()
+    }
+    assert got == expect
+    rates = {v[2] for v in got.values()}
+    assert any(0 < x < 1_000_000 for x in rates)  # discriminating
+
+
+def test_stream_compaction_trigger_invariants(spark, sf_dir):
+    """The monitor's flags must be the exact integer rationals over
+    the final state (2*n*files < total; 4*small >= files), the
+    per-file counts must partition the corpus, the geometric layout
+    must populate BOTH sides of the small-file threshold, and the
+    trigger must be one consistent global verdict."""
+    from kbrowse_spark.sources.tables import load
+
+    rows = _q(spark, sf_dir, "stream_compaction_trigger").collect()
+    n_events = load(spark, sf_dir, "events").count()
+    total = sum(r.n_rows for r in rows)
+    assert total == n_events
+    n_files = len(rows)
+    n_small = sum(r.is_small for r in rows)
+    assert 0 < n_small < n_files  # both sides populated
+    for r in rows:
+        assert r.is_small == int(2 * r.n_rows * n_files < total)
+        assert r.repack_trigger == int(4 * n_small >= n_files)
+    # geometric layout: widest prefix shard outweighs a 4-bit narrower
+    by_shard = {}
+    for r in rows:
+        by_shard[r.shard] = by_shard.get(r.shard, 0) + r.n_rows
+    top = max(by_shard)
+    assert by_shard[top] > by_shard.get(top - 4, 0)
+
+
+def test_bloom_runtime_filter_python_reference(spark, sf_dir):
+    """Independent Python bloom (same md5 hashes, same integer power-
+    of-two sizing) must reproduce the ledger exactly; the bloom
+    property holds (every true member passes — no false negatives by
+    construction, verified per-row here); measured FP stays within 4x
+    the analytic (1 - e^-kn/m)^k bound."""
+    import hashlib
+    import math
+
+    from kbrowse_spark.operators.pipeline_ops import (
+        _BLF_BITS_PER_KEY,
+        _BLF_K,
+    )
+    from kbrowse_spark.sources.tables import load
+
+    build = {
+        r.o_orderkey
+        for r in load(spark, sf_dir, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+        .collect()
+    }
+    m = 1 << (_BLF_BITS_PER_KEY * len(build) - 1).bit_length()
+
+    def bits_of(key: int):
+        return [
+            int(hashlib.md5(f"b{i}:{key}".encode()).hexdigest()[:15], 16) % m
+            for i in range(_BLF_K)
+        ]
+
+    bloom = 0
+    for k in build:
+        for b in bits_of(k):
+            bloom |= 1 << b
+    n_probe = n_pass = n_true = 0
+    for r in load(spark, sf_dir, "lineitem").select("l_orderkey").collect():
+        n_probe += 1
+        member = r.l_orderkey in build
+        passed = all((bloom >> b) & 1 for b in bits_of(r.l_orderkey))
+        assert passed or not member  # no false negative, per row
+        n_pass += int(passed)
+        n_true += int(member)
+    row = _q(spark, sf_dir, "join_bloom_runtime_filter").collect()[0]
+    fp_ppm = 1_000_000 * (n_pass - n_true) // (n_probe - n_true)
+    assert (
+        row.n_build,
+        row.m_bits,
+        row.n_probe,
+        row.n_pass_bloom,
+        row.n_true_match,
+        row.false_positive_ppm,
+    ) == (len(build), m, n_probe, n_pass, n_true, fp_ppm)
+    analytic = (1 - math.exp(-_BLF_K * len(build) / m)) ** _BLF_K
+    assert row.false_positive_ppm <= 4 * analytic * 1_000_000 + 100
+
+
+def test_schema_evolution_audit_invariants(spark, sf_dir):
+    """The mergeSchema scan's ledger must match the deterministic
+    generation split (evolved column present exactly on odd keys,
+    pre-evolution columns everywhere), discriminate (0 < o_channel
+    present_ppm < 1e6), and the staged directory must really hold two
+    schema generations (gen-1's footer has no o_channel)."""
+    import hashlib
+
+    from kbrowse_spark.sources.tables import load
+
+    rows = {
+        r.column_name: r
+        for r in _q(spark, sf_dir, "schema_evolution_audit").collect()
+    }
+    n = load(spark, sf_dir, "orders").count()
+    n_odd = (
+        load(spark, sf_dir, "orders")
+        .filter("o_orderkey % 2 = 1")
+        .count()
+    )
+    assert rows["o_channel"].n_present == n_odd
+    assert 0 < rows["o_channel"].present_ppm < 1_000_000
+    for c in ("o_custkey", "o_orderkey", "o_price_cents"):
+        assert rows[c].n_present == n and rows[c].present_ppm == 1_000_000
+    # the staged gen-1 files really lack the evolved column
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    g1 = spark.read.parquet(f"/tmp/kbrowse_schema_evo/{tag}/gen=1")
+    assert "o_channel" not in g1.columns

@@ -169,6 +169,18 @@ ALLOW = {
         "broadcast bounded 10-row query block x corpus scan "
         "(the embedding_truncation_recall plan, unchanged)"
     ),
+    "ann_pq_recall_audit": (
+        "broadcast bounded 8-row query block x corpus scan "
+        "(the embedding_truncation_recall plan, unchanged)"
+    ),
+    "ivfpq_retrieval": (
+        "1-row query distance-table attach onto the cell-pruned "
+        "candidate scan (nprobe/k of the corpus)"
+    ),
+    "stream_compaction_trigger": (
+        "two 1-row total/small-count attaches onto the file-grain "
+        "state-snapshot readout (calendar x 17 shards rows)"
+    ),
     # Padding audit: the cumulative window runs over the length-DOMAIN
     # bounded length-grain count table, never the corpus.
     "padding_waste_audit": (
