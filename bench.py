@@ -164,6 +164,17 @@ HEADLINE = [
     # (integer Spearman over seeded shuffle orders) — one more plan
     # family under bench watch.
     "epoch_shuffle_decorrelation",
+    # round 12: the composed IVF+PQ serve path (cell-prune join + ADC
+    # projection), the scan-shaped bloom runtime-filter audit (bit_or
+    # collapse + array-literal probe), the Arrow-numpy image feature
+    # step (PNG pack/decode/integral-image), the array-lambda-heavy
+    # Gopher rule scan, and the stateful small-file monitor — five new
+    # plan families under bench watch.
+    "ivfpq_retrieval",
+    "join_bloom_runtime_filter",
+    "multimodal_image_histogram",
+    "quality_gopher_rules",
+    "stream_compaction_trigger",
 ]
 
 

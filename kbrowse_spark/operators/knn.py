@@ -848,22 +848,6 @@ def _pq_codebook() -> list[list[list[int]]]:
     ]
 
 
-def _pq_lit_spark() -> str:
-    cb = _pq_codebook()
-    return (
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{v}L" for v in row) + ")" for row in sk
-            )
-            + ")"
-            for sk in cb
-        )
-        + ")"
-    )
-
-
 def _pq_lit_duck() -> str:
     cb = _pq_codebook()
     return (
@@ -881,13 +865,53 @@ def _pq_lit_duck() -> str:
 # Per-vector distance table to every centroid of every subspace, then
 # 0-based argmin codes.  All exact int64: |qv| <= 1024x|x|, |diff| <=
 # ~2.5k, diff^2 * 8 dims < 2^26 — no overflow anywhere near.
-_PQ_SPARK_DT = (
-    f"transform(sequence(0, {_PQ_SUBS - 1}), s ->"
-    f" transform(sequence(0, {_PQ_K - 1}), k ->"
-    f" aggregate(transform(sequence(0, {_PQ_SUBDIM - 1}),"
-    f" j -> qv[s * {_PQ_SUBDIM} + j] - {{cb}}[s][k][j]),"
-    " CAST(0 AS BIGINT), (acc, d) -> acc + d * d)))"
-)
+#
+# Formulation history (r12): the original nested transform/aggregate
+# lambda runs INTERPRETED in Spark (higher-order functions are
+# outside whole-stage codegen) with ~1000 array allocations per row —
+# measured ~20 ms/row; a fully unrolled arithmetic tree (128 cells x
+# 8 squared-diff terms, ~10k expression nodes) also stays interpreted
+# (~1.75 ms/row: the generated method blows the JIT/codegen size
+# limits) and costs ~0.5-2 s of PLANNING per run.  Both the
+# corpus-side ENCODE and the query-side distance table are therefore
+# Arrow-batched numpy kernels over the SQL-quantized qv (the
+# quantization itself stays in SQL so round() semantics never move
+# engines): (n,8,1,8) - (8,16,8) broadcast, square, sum, argmin —
+# first-min ties exactly like array_position(array_min).
+def _pq_codes_udf(cb: list[list[list[int]]]):
+    """array<bigint> qv -> array<int> PQ codes, vectorized numpy."""
+    import numpy as np
+    import pandas as pd
+
+    cbarr = np.asarray(cb, dtype=np.int64)  # (SUBS, K, SUBDIM)
+
+    def enc(qv):
+        m = np.array(qv.tolist(), dtype=np.int64)
+        sub = m.reshape(m.shape[0], _PQ_SUBS, 1, _PQ_SUBDIM)
+        d = ((sub - cbarr[None]) ** 2).sum(-1)  # (n, SUBS, K)
+        codes = d.argmin(-1).astype(np.int32)  # first min == lowest k
+        return pd.Series(list(codes))
+
+    return F.pandas_udf(enc, "array<int>")
+
+
+def _pq_dt_udf(cb: list[list[list[int]]]):
+    """array<bigint> qv -> array<array<bigint>> full distance table
+    (the query-side companion of _pq_codes_udf; 1-row inputs, but as a
+    udf the ~10k-node unrolled SQL tree never enters the plan, which
+    was costing ~0.5-2 s of per-run planning)."""
+    import numpy as np
+    import pandas as pd
+
+    cbarr = np.asarray(cb, dtype=np.int64)
+
+    def dt(qv):
+        m = np.array(qv.tolist(), dtype=np.int64)
+        sub = m.reshape(m.shape[0], _PQ_SUBS, 1, _PQ_SUBDIM)
+        d = ((sub - cbarr[None]) ** 2).sum(-1)  # (n, SUBS, K)
+        return pd.Series([row.tolist() for row in d])
+
+    return F.pandas_udf(dt, "array<array<bigint>>")
 _PQ_DUCK_DT = (
     f"list_transform(generate_series(0, {_PQ_SUBS - 1}), s ->"
     f" list_transform(generate_series(0, {_PQ_K - 1}), k ->"
@@ -898,31 +922,93 @@ _PQ_DUCK_DT = (
 )
 
 
+_PQD_RETRAINED = (0, 1)  # subspaces retrained in codebook v2; rest frozen
+
+
+def _pq_codebook_v2() -> list[list[list[int]]]:
+    cb = _pq_codebook()
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"pq2:{s}:{k}:{j}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % 1025
+                - 512
+                for j in range(_PQ_SUBDIM)
+            ]
+            for k in range(_PQ_K)
+        ]
+        if s in _PQD_RETRAINED
+        else cb[s]
+        for s in range(_PQ_SUBS)
+    ]
+
+
+def _pq_cb_values() -> str:
+    """Both codebooks as one relational VALUES list
+    (ver, subspace, centroid, dim, component) — 2048 rows.  The
+    RELATIONAL oracle formulation exists because DuckDB evaluates
+    nested-lambda distance tables at ~250 ms/row (the codebook
+    literal is rebuilt per lambda call), while an explode+join+window
+    argmin over the same math runs in milliseconds — and it is a
+    genuinely independent derivation of the same codes."""
+    rows = []
+    for ver, cb in ((1, _pq_codebook()), (2, _pq_codebook_v2())):
+        for s in range(_PQ_SUBS):
+            for k in range(_PQ_K):
+                for j in range(_PQ_SUBDIM):
+                    rows.append(f"({ver},{s},{k},{j},{cb[s][k][j]})")
+    return ",".join(rows)
+
+
+def _pq_adc_oracle() -> str:
+    # Relational formulation (see _pq_cb_values): the original
+    # nested-lambda oracle evaluated the per-row distance table at
+    # ~250 ms/row in DuckDB; this runs in seconds and derives the
+    # codes independently of the engine's arithmetic form.
+    return f"""
+    WITH comp AS (
+      SELECT vec_id, (j - 1) // {_PQ_SUBDIM} AS s,
+             (j - 1) % {_PQ_SUBDIM} AS jj,
+             CAST(round(CAST(embedding[j] AS DOUBLE) * 1024) AS BIGINT)
+               AS v
+      FROM embeddings, unnest(generate_series(1, {DIM})) AS t(j)),
+    cbv(ver, s, k, jj, c) AS (VALUES {_pq_cb_values()}),
+    dist AS (
+      SELECT comp.vec_id, comp.s, cbv.k,
+             SUM((comp.v - cbv.c) * (comp.v - cbv.c)) AS dd
+      FROM comp JOIN cbv ON cbv.ver = 1 AND cbv.s = comp.s
+                        AND cbv.jj = comp.jj
+      GROUP BY comp.vec_id, comp.s, cbv.k),
+    codes AS (
+      SELECT vec_id, s, k FROM (
+        SELECT vec_id, s, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dd, k) AS r
+        FROM dist) WHERE r = 1),
+    codestr AS (
+      SELECT vec_id,
+             string_agg(CAST(k AS VARCHAR), '-' ORDER BY s) AS code
+      FROM codes GROUP BY vec_id),
+    adc AS (
+      SELECT c.vec_id AS vec_id, CAST(SUM(qd.dd) AS BIGINT) AS adc_dist
+      FROM codes c JOIN dist qd
+        ON qd.vec_id = 0 AND qd.s = c.s AND qd.k = c.k
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id)
+    SELECT a.vec_id, e.label, cs.code, a.adc_dist
+    FROM adc a JOIN codestr cs USING (vec_id)
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    ORDER BY a.adc_dist, a.vec_id
+    LIMIT {TOP_K}
+    """
+
+
 @register(
     "ann_pq_adc",
-    f"""
-    WITH base AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
-      FROM embeddings),
-    enc AS (
-      SELECT vec_id, label,
-             list_transform({_PQ_DUCK_DT.format(cb=_pq_lit_duck())},
-               ds -> list_position(ds, list_min(ds)) - 1) AS codes
-      FROM base),
-    q AS (
-      SELECT {_PQ_DUCK_DT.format(cb=_pq_lit_duck())} AS qdt
-      FROM base WHERE vec_id = 0)
-    SELECT e.vec_id, e.label,
-           array_to_string(e.codes, '-') AS code,
-           CAST(list_sum(list_transform(generate_series(1, {_PQ_SUBS}),
-                  s -> q.qdt[s][e.codes[s] + 1])) AS BIGINT) AS adc_dist
-    FROM enc e CROSS JOIN q
-    WHERE e.vec_id <> 0
-    ORDER BY adc_dist, vec_id
-    LIMIT {TOP_K}
-    """,
+    _pq_adc_oracle(),
     "knn",
     "approx",
 )
@@ -952,16 +1038,15 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
         ).alias("qv"),
     )
-    dt = _PQ_SPARK_DT.format(cb=_pq_lit_spark())
     enc = base.select(
         "vec_id",
         "label",
-        F.expr(
-            f"transform({dt}, ds -> array_position(ds, array_min(ds)) - 1)"
-        ).alias("codes"),
+        _pq_codes_udf(_pq_codebook())(F.col("qv")).alias("codes"),
     )
     q = F.broadcast(
-        base.filter(F.col("vec_id") == 0).select(F.expr(dt).alias("qdt"))
+        base.filter(F.col("vec_id") == 0).select(
+            _pq_dt_udf(_pq_codebook())(F.col("qv")).alias("qdt")
+        )
     )
     adc = (
         "aggregate(zip_with(codes, qdt,"
@@ -999,62 +1084,6 @@ _PQR_AD_SPARK = (
     "aggregate(zip_with(codes, qdt, (c, row) -> row[CAST(c AS INT)]),"
     " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 )
-
-_PQD_RETRAINED = (0, 1)  # subspaces retrained in codebook v2; rest frozen
-
-
-def _pq_codebook_v2() -> list[list[list[int]]]:
-    cb = _pq_codebook()
-    return [
-        [
-            [
-                int(
-                    hashlib.md5(f"pq2:{s}:{k}:{j}".encode()).hexdigest()[:8],
-                    16,
-                )
-                % 1025
-                - 512
-                for j in range(_PQ_SUBDIM)
-            ]
-            for k in range(_PQ_K)
-        ]
-        if s in _PQD_RETRAINED
-        else cb[s]
-        for s in range(_PQ_SUBS)
-    ]
-
-
-def _pq_lit_spark_v2() -> str:
-    return (
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{v}L" for v in row) + ")" for row in sk
-            )
-            + ")"
-            for sk in _pq_codebook_v2()
-        )
-        + ")"
-    )
-
-
-def _pq_cb_values() -> str:
-    """Both codebooks as one relational VALUES list
-    (ver, subspace, centroid, dim, component) — 2048 rows.  The
-    RELATIONAL oracle formulation exists because DuckDB evaluates
-    nested-lambda distance tables at ~250 ms/row (the codebook
-    literal is rebuilt per lambda call), while an explode+join+window
-    argmin over the same math runs in milliseconds — and it is a
-    genuinely independent derivation of the same codes."""
-    rows = []
-    for ver, cb in ((1, _pq_codebook()), (2, _pq_codebook_v2())):
-        for s in range(_PQ_SUBS):
-            for k in range(_PQ_K):
-                for j in range(_PQ_SUBDIM):
-                    rows.append(f"({ver},{s},{k},{j},{cb[s][k][j]})")
-    return ",".join(rows)
-
 
 def _pqr_oracle() -> str:
     # Relational formulation (see _pq_cb_values): explode components,
@@ -1154,19 +1183,16 @@ def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
         ).alias("qv"),
     )
-    dt = _PQ_SPARK_DT.format(cb=_pq_lit_spark())
     enc = base.select(
         "vec_id",
         "qv",
-        F.expr(
-            f"transform({dt}, ds -> array_position(ds, array_min(ds)) - 1)"
-        ).alias("codes"),
+        _pq_codes_udf(_pq_codebook())(F.col("qv")).alias("codes"),
     )
     q = F.broadcast(
         base.filter(F.col("vec_id") < _PQR_NQ).select(
             F.col("vec_id").alias("qid"),
             F.col("qv").alias("qqv"),
-            F.expr(dt).alias("qdt"),
+            _pq_dt_udf(_pq_codebook())(F.col("qv")).alias("qdt"),
         )
     )
     sc = (
@@ -1291,15 +1317,9 @@ def ann_pq_code_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
         ).alias("qv"),
     )
-    dt1 = _PQ_SPARK_DT.format(cb=_pq_lit_spark())
-    dt2 = _PQ_SPARK_DT.format(cb=_pq_lit_spark_v2())
     enc = base.select(
-        F.expr(
-            f"transform({dt1}, ds -> array_position(ds, array_min(ds)) - 1)"
-        ).alias("c1"),
-        F.expr(
-            f"transform({dt2}, ds -> array_position(ds, array_min(ds)) - 1)"
-        ).alias("c2"),
+        _pq_codes_udf(_pq_codebook())(F.col("qv")).alias("c1"),
+        _pq_codes_udf(_pq_codebook_v2())(F.col("qv")).alias("c2"),
     )
     agg = enc.agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
@@ -1467,7 +1487,6 @@ def ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVFPQ_NPROBE)
         .select("label")
     )
-    dt = _PQ_SPARK_DT.format(cb=_pq_lit_spark())
     qdt = F.broadcast(
         emb.filter(F.col("vec_id") == 0)
         .select(
@@ -1476,7 +1495,7 @@ def ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
             ).alias("qv")
         )
-        .select(F.expr(dt).alias("qdt"))
+        .select(_pq_dt_udf(_pq_codebook())(F.col("qv")).alias("qdt"))
     )
     cand = (
         emb.join(probe, "label")
@@ -1492,10 +1511,7 @@ def ivfpq_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.expr(
-                f"transform({dt},"
-                " ds -> array_position(ds, array_min(ds)) - 1)"
-            ).alias("codes"),
+            _pq_codes_udf(_pq_codebook())(F.col("qv")).alias("codes"),
         )
         .crossJoin(qdt)
     )

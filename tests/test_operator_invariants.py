@@ -4369,8 +4369,9 @@ def test_bloom_runtime_filter_python_reference(spark, sf_dir):
     m = 1 << (_BLF_BITS_PER_KEY * len(build) - 1).bit_length()
 
     def bits_of(key: int):
+        digest = hashlib.md5(str(key).encode()).hexdigest()
         return [
-            int(hashlib.md5(f"b{i}:{key}".encode()).hexdigest()[:15], 16) % m
+            int(digest[10 * i : 10 * i + 10], 16) % m
             for i in range(_BLF_K)
         ]
 

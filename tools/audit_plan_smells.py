@@ -177,6 +177,10 @@ ALLOW = {
         "1-row query distance-table attach onto the cell-pruned "
         "candidate scan (nprobe/k of the corpus)"
     ),
+    "join_bloom_runtime_filter": (
+        "1-row bloom-words Arrow frame attach onto the probe scan "
+        "(the runtime-filter broadcast itself)"
+    ),
     "stream_compaction_trigger": (
         "two 1-row total/small-count attaches onto the file-grain "
         "state-snapshot readout (calendar x 17 shards rows)"
