@@ -2802,3 +2802,167 @@ def stream_compaction_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ingest_day", "shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate (the Gopher-rule gate at ingest — batch/stream
+# symmetry for the quality family)
+# ---------------------------------------------------------------------------
+
+_SGG_MIN_RULES = 6  # admit when >= 6 of the 7 Gopher rules pass
+
+
+@register(
+    "stream_gopher_gate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         t -> t <> '') AS words,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) // 3
+               AS n_ell
+      FROM documents),
+    feat AS (
+      SELECT doc_id, len(words) AS nw,
+             CAST(list_sum(list_transform(words, w -> length(w)))
+                  AS BIGINT) AS sumlen,
+             n_hash + n_ell AS nsym, len(lines) AS nl,
+             len(list_filter(lines,
+                 l -> starts_with(l, '-') OR starts_with(l, '*')))
+               AS n_bullet,
+             len(list_filter(lines, l -> suffix(l, '...'))) AS n_ellend,
+             len(list_filter(words,
+                 w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+             (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END)
+               AS n_stops
+      FROM toks),
+    scored AS (
+      SELECT (CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END
+            + CASE WHEN nw > 0 AND 3 * nw <= sumlen
+                    AND sumlen <= 10 * nw THEN 1 ELSE 0 END
+            + CASE WHEN nw > 0 AND 10 * nsym <= nw THEN 1 ELSE 0 END
+            + CASE WHEN 10 * n_bullet <= 9 * nl THEN 1 ELSE 0 END
+            + CASE WHEN 10 * n_ellend <= 3 * nl THEN 1 ELSE 0 END
+            + CASE WHEN nw > 0 AND 5 * n_alpha >= 4 * nw
+                   THEN 1 ELSE 0 END
+            + CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END)
+               AS n_rules_passed
+      FROM feat)
+    SELECT CAST(n_rules_passed AS INT) AS n_rules_passed,
+           CAST(CASE WHEN n_rules_passed >= {_SGG_MIN_RULES}
+                THEN 1 ELSE 0 END AS INT) AS admitted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored
+    GROUP BY n_rules_passed
+    ORDER BY n_rules_passed
+    """,
+    "streaming",
+    "quality",
+)
+def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming QUALITY gate — the Gopher rule set applied at ingest,
+    completing the gate trio's fourth arm (erasure = compliance,
+    hotkey = skew, conformal = model, THIS = content rules): each
+    arriving document is scored in-stream against all seven
+    quality_gopher_rules heuristics (the identical integer-rational
+    thresholds — the gate and the batch audit can never disagree on a
+    doc), and admission requires >= {m} of 7 rules (set where this corpus actually splits: the stopword rule fails corpus-wide, so scores top out at 6 and the word-count rule is the discriminator).  The emitted
+    ledger is the admission histogram per score — what an ingest
+    operator watches to see quality drift at the gate (a score-mass
+    shift toward the threshold predicts an admission-rate cliff).
+
+    The scoring is a STATELESS in-stream projection (per-doc flags
+    need no cross-row state); only the score histogram is stateful
+    (complete-mode counts over <= 8 keys).  On the bounded
+    availableNow replay the histogram equals the batch GROUP BY — the
+    oracle.
+
+    Scale posture: per-doc rule math is in-row array aggregation (no
+    explode); state is bounded by the 8-value score domain, not the
+    corpus.
+
+    Reference has no corpus-quality tooling (SURVEY §2c extension).
+    """
+    path = table_path(sf_dir, "documents")
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(
+        _stage_stream_dir(path)
+    )
+    words = "filter(split(text, '\\\\s+'), t -> t != '')"
+    lines = "split(text, '\\n')"
+    stops = " + ".join(
+        f"IF(array_contains(words, '{s}'), 1, 0)"
+        for s in (
+            "the", "be", "to", "of", "and", "that", "have", "with",
+        )
+    )
+    feat = stream.select(
+        F.expr(words).alias("words"),
+        F.expr(lines).alias("lines"),
+        (
+            F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+        ).alias("n_hash"),
+        F.expr(
+            "CAST((length(text) - length(replace(text, '...', ''))) / 3"
+            " AS BIGINT)"
+        ).alias("n_ell"),
+    ).select(
+        F.expr("size(words)").cast("long").alias("nw"),
+        F.expr(
+            "aggregate(words, CAST(0 AS BIGINT),"
+            " (acc, w) -> acc + length(w))"
+        ).alias("sumlen"),
+        (F.col("n_hash") + F.col("n_ell")).cast("long").alias("nsym"),
+        F.expr("size(lines)").cast("long").alias("nl"),
+        F.expr(
+            "size(filter(lines, l -> startswith(l, '-')"
+            " OR startswith(l, '*')))"
+        )
+        .cast("long")
+        .alias("n_bullet"),
+        F.expr("size(filter(lines, l -> endswith(l, '...')))")
+        .cast("long")
+        .alias("n_ellend"),
+        F.expr("size(filter(words, w -> w rlike '[a-zA-Z]'))")
+        .cast("long")
+        .alias("n_alpha"),
+        F.expr(stops).cast("long").alias("n_stops"),
+    )
+    score = feat.select(
+        F.expr(
+            "IF(nw >= 50 AND nw <= 100000, 1, 0)"
+            " + IF(nw > 0 AND 3 * nw <= sumlen AND sumlen <= 10 * nw, 1, 0)"
+            " + IF(nw > 0 AND 10 * nsym <= nw, 1, 0)"
+            " + IF(10 * n_bullet <= 9 * nl, 1, 0)"
+            " + IF(10 * n_ellend <= 3 * nl, 1, 0)"
+            " + IF(nw > 0 AND 5 * n_alpha >= 4 * nw, 1, 0)"
+            " + IF(n_stops >= 2, 1, 0)"
+        )
+        .cast("int")
+        .alias("n_rules_passed")
+    )
+    counts = score.groupBy("n_rules_passed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    snap = _run_to_memory(counts, "complete")
+    return snap.select(
+        "n_rules_passed",
+        F.expr(
+            f"CAST(IF(n_rules_passed >= {_SGG_MIN_RULES}, 1, 0) AS INT)"
+        ).alias("admitted"),
+        "n_docs",
+    ).orderBy("n_rules_passed")
+
+
+stream_gopher_gate.__doc__ = stream_gopher_gate.__doc__.format(
+    m=_SGG_MIN_RULES
+)

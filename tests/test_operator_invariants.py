@@ -4429,3 +4429,28 @@ def test_schema_evolution_audit_invariants(spark, sf_dir):
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     g1 = spark.read.parquet(f"/tmp/kbrowse_schema_evo/{tag}/gen=1")
     assert "o_channel" not in g1.columns
+
+
+def test_stream_gopher_gate_invariants(spark, sf_dir):
+    """The gate's score histogram must partition the corpus, admission
+    must be the exact threshold readout, BOTH sides of the gate must
+    populate, and the gate must agree with the batch rule audit: on
+    this corpus stopwords fail everywhere and wc_bounds is the only
+    variable rule, so admitted == quality_gopher_rules' wc_bounds
+    n_pass (the two operators share one rule arithmetic)."""
+    from kbrowse_spark.operators.streaming_queries import _SGG_MIN_RULES
+    from kbrowse_spark.sources.tables import load
+
+    rows = _q(spark, sf_dir, "stream_gopher_gate").collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.admitted == int(r.n_rules_passed >= _SGG_MIN_RULES)
+    admitted = sum(r.n_docs for r in rows if r.admitted)
+    rejected = sum(r.n_docs for r in rows if not r.admitted)
+    assert admitted > 0 and rejected > 0  # the gate discriminates
+    audit = {
+        r.rule: r.n_pass
+        for r in _q(spark, sf_dir, "quality_gopher_rules").collect()
+    }
+    assert audit["stopwords"] == 0 and admitted == audit["wc_bounds"]
