@@ -211,6 +211,35 @@ def is_contended(
     return n_spread_gt2 > n_queries / 4 or loadavg_1m > cpus / 8
 
 
+# The driver's tail capture is 2000 bytes and the stdout JSON line
+# must sit entirely inside it (line + newline <= 2000).  Budget the
+# per-query dict to this cap with headroom for the metadata keys and
+# catalog growth.
+_STDOUT_QUERIES_BUDGET = 1650
+
+
+def stdout_queries(times: dict[str, float]) -> dict:
+    """Per-query dict for the stdout line: slowest queries first,
+    individually, until the serialized budget is spent; the remainder
+    folds into one deterministic ``__others__`` rollup (count +
+    total).  Regressions live in the slow tail, which always stays
+    per-query; the sidecar keeps the full dict."""
+    out: dict = {}
+    spent = 0
+    rest_n, rest_total = 0, 0.0
+    for name, t in sorted(times.items(), key=lambda kv: (-kv[1], kv[0])):
+        cost = len(name) + len(f"{round(t, 2)}") + 6  # quotes, colon, comma
+        if spent + cost <= _STDOUT_QUERIES_BUDGET:
+            out[name] = round(t, 2)
+            spent += cost
+        else:
+            rest_n += 1
+            rest_total += t
+    if rest_n:
+        out["__others__"] = {"n": rest_n, "total": round(rest_total, 2)}
+    return out
+
+
 def main() -> int:
     # Sample load BEFORE any Spark work: by the end of a run the
     # 1-minute average reflects the bench's OWN 32-thread activity
@@ -285,10 +314,14 @@ def main() -> int:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        # Stdout carries 2-decimal (10 ms) per-query times: at 57
-        # headline queries the 3-decimal dict outgrew the driver's
-        # ~2 KB tail in the worst case; the sidecar keeps 3 decimals.
-        "queries": {n: round(t, 2) for n, t in times.items()},
+        # Stdout carries 2-decimal (10 ms) per-query times for the
+        # SLOWEST queries and folds the fastest into one "others"
+        # rollup (stdout_queries below): at 66 headline queries the
+        # full dict outgrew the driver's 2000-byte stdout tail (r12:
+        # 2003 bytes -> parsed:null), and the slow queries are where
+        # regressions live; the sidecar keeps every query at 3
+        # decimals.
+        "queries": {},
         "n_queries": len(times),
         "contended": is_contended(n_contended, len(HEADLINE), loadavg_1m, cpus),
         "n_spread_gt2": n_contended,
@@ -296,6 +329,7 @@ def main() -> int:
         "runs_per_query": n_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    summary["queries"] = stdout_queries(times)
     # Full per-query detail (incl. the spread column) goes to a sidecar
     # file + stderr; the driver's record keeps only a ~2 KB tail of
     # stdout, and r1-r8 every BENCH_r*.json had "parsed": null because

@@ -2563,3 +2563,134 @@ def dedup_keep_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("policy")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band tuning: the (bands x rows) design ledger over one signature
+# ---------------------------------------------------------------------------
+
+# Every factorization of the 12-hash signature.  s50_ppm — the
+# similarity at which a pair's collision probability crosses 1/2,
+# s* = (1/b)^(1/r) — is computed HERE in Python and inlined as a
+# literal in both engines, so no float root is ever evaluated in
+# either engine (the measured columns are exact integers from data).
+_LBT_CONFIGS = [
+    (b, NUM_HASHES // b, round(1_000_000 * (1.0 / b) ** (b / NUM_HASHES)))
+    for b in (1, 2, 3, 4, 6, 12)
+]
+
+
+def _lbt_oracle() -> str:
+    per_cfg = []
+    for b, r, s50 in _LBT_CONFIGS:
+        bands = []
+        for band in range(b):
+            cols = [
+                f"CAST(m{band * r + j} AS VARCHAR)" for j in range(r)
+            ]
+            sep = " || ',' || "
+            bands.append(
+                f"SELECT doc_id, {band} AS band,"
+                f" md5({sep.join(cols)}) AS bucket FROM minh"
+            )
+        union = "\n          UNION ALL\n          ".join(bands)
+        per_cfg.append(
+            f"""
+      SELECT {b} AS bands, {r} AS rows_per_band,
+             CAST({s50} AS BIGINT) AS s50_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(MAX(n) AS BIGINT) AS max_bucket,
+             CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_cand_pairs
+      FROM (SELECT band, bucket, COUNT(*) AS n
+            FROM ({union})
+            GROUP BY band, bucket)"""
+        )
+    body = " UNION ALL ".join(per_cfg)
+    return f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    minh AS (
+      SELECT doc_id,
+      {_sql_minhash_cols()}
+      FROM sh GROUP BY doc_id)
+    SELECT CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           s50_ppm, n_buckets, max_bucket, n_cand_pairs
+    FROM ({body})
+    ORDER BY bands
+    """
+
+
+@register(
+    "dedup_lsh_band_tuning",
+    _lbt_oracle(),
+    "dedup",
+    "ops",
+)
+def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH INDEX-TUNING ledger: every (bands x rows) factorization of
+    the {h}-hash MinHash signature, measured on the real corpus — the
+    table an index operator reads before picking the banding (the
+    dedup_minhash_lsh production config is one of these rows).  Per
+    config: the 50%-collision similarity s* = (1/b)^(1/r) (the
+    S-curve's midpoint, computed once in Python and inlined as a
+    literal ppm so neither engine evaluates a float root), and the
+    MEASURED consequences on this corpus — bucket count, worst bucket
+    occupancy, and candidate-pair volume Σ C(n,2), i.e. the verify
+    stage's exact bill.  Wide bands (b={h}, r=1) recall everything and
+    pay a quadratic candidate bill; tall bands (b=1, r={h}) match
+    near-exact duplicates only — the ledger shows the whole tradeoff
+    curve at once.
+
+    Scale posture: ONE signature pass (the cached shingle table +
+    {h} MIN aggregates, shared with the whole MinHash family), then
+    per config a doc x b-row band explode aggregated at bucket grain;
+    all six configs union into one chained plan, no driver action.
+    Candidate pairs are COUNTED from bucket occupancies (n*(n-1)/2
+    per bucket) — the all-pairs join itself is never built.
+
+    Reference has no dedup tooling (SURVEY §2c extension; the
+    index-ops arm of the MinHash family next to
+    minhash_estimate_error_audit).
+    """
+    from kbrowse_spark.functions.cache_registry import cached
+
+    sh = _shingles_df(spark, sf_dir)
+    sigs = cached(
+        spark,
+        sf_dir,
+        "lbt_minhash_sigs",
+        lambda: _minhash_sigs_of(sh),
+    )
+    out = None
+    for b, r, s50 in _LBT_CONFIGS:
+        bands = None
+        for band in range(b):
+            cols = ", ".join(
+                f"CAST(m{band * r + j} AS STRING)" for j in range(r)
+            )
+            part = sigs.select(
+                F.lit(band).alias("band"),
+                F.expr(f"md5(concat_ws(',', {cols}))").alias("bucket"),
+            )
+            bands = part if bands is None else bands.unionByName(part)
+        agg = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(s50).cast("long").alias("s50_ppm"),
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.max("n").cast("long").alias("max_bucket"),
+                F.sum(F.expr("n * (n - 1) DIV 2"))
+                .cast("long")
+                .alias("n_cand_pairs"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("bands")
+
+
+dedup_lsh_band_tuning.__doc__ = dedup_lsh_band_tuning.__doc__.format(
+    h=NUM_HASHES
+)

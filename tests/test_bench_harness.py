@@ -45,21 +45,22 @@ def test_contended_flag_sees_between_run_load():
 
 
 def test_stdout_summary_line_fits_driver_tail_capture():
-    """The driver records a ~2 KB stdout tail; r1-r8 every
-    BENCH_r*.json had parsed:null because the line outgrew it.  The
-    summary with the CURRENT headline set (worst-case 9.999s values)
-    must serialize under 1900 bytes — and the safety valve drops the
-    per-query dict rather than ever exceeding it."""
+    """The driver records a 2000-byte stdout tail and parses the LAST
+    line; r1-r8 every BENCH_r*.json had parsed:null because the line
+    outgrew it, and at 66 headline queries the full per-query dict
+    did again (r12: 2003 bytes).  stdout_queries() keeps the slowest
+    queries individually inside a byte budget and folds the rest into
+    one __others__ rollup, so the line fits at ANY catalog size —
+    asserted with worst-case 9.999 s values."""
     import json
 
     times = {n: 9.999 for n in bench.HEADLINE}
+    q = bench.stdout_queries(times)
     summary = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        # Mirrors bench.py's stdout shape: per-query times rounded to
-        # 2 decimals (the sidecar keeps 3).
-        "queries": {n: round(t, 2) for n, t in times.items()},
+        "queries": q,
         "n_queries": len(times),
         "contended": False,
         "n_spread_gt2": 0,
@@ -67,10 +68,35 @@ def test_stdout_summary_line_fits_driver_tail_capture():
         "runs_per_query": 3,
         "sf": 0.1,
     }
-    # Same compact separators bench.py prints with: at 60 queries the
-    # default ", "/": " rendering alone costs ~140 bytes of the
-    # driver's 2000-byte tail.
+    # Same compact separators bench.py prints with.
     assert len(json.dumps(summary, separators=(",", ":"))) < 1900
+    # The rollup conserves the total and keeps the slow tail
+    # per-query: every individually-listed time >= every folded one.
+    folded = q.get("__others__", {"n": 0, "total": 0.0})
+    listed = {k: v for k, v in q.items() if k != "__others__"}
+    assert len(listed) + folded["n"] == len(times)
+    assert abs(
+        sum(listed.values()) + folded["total"] - sum(times.values())
+    ) < 0.05 * len(times)
+    # With 500 single-char-named queries the budget still holds.
+    wide = {f"q{i}": 9.999 for i in range(500)}
+    line = json.dumps(
+        dict(summary, queries=bench.stdout_queries(wide)),
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900
+
+
+def test_stdout_queries_keeps_slowest_per_query():
+    times = {f"query_name_number_{i:03d}": i / 10 for i in range(100)}
+    q = bench.stdout_queries(times)
+    listed = {k for k in q if k != "__others__"}
+    assert "query_name_number_099" in listed  # slowest present
+    if "__others__" in q:
+        slowest_folded = max(
+            v for k, v in times.items() if k not in listed
+        )
+        assert min(q[k] for k in listed) >= round(slowest_folded, 2)
 
 
 def test_input_size_aware_shuffle_partitions():

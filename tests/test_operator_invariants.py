@@ -4454,3 +4454,32 @@ def test_stream_gopher_gate_invariants(spark, sf_dir):
         for r in _q(spark, sf_dir, "quality_gopher_rules").collect()
     }
     assert audit["stopwords"] == 0 and admitted == audit["wc_bounds"]
+
+
+def test_lsh_band_tuning_invariants(spark, sf_dir):
+    """The tuning ledger must cover every factorization of the 12-hash
+    signature, carry the exact inlined s* literals, and obey the LSH
+    tradeoff laws on real data: s50 strictly decreases as bands widen
+    while the candidate-pair bill (and bucket count) grows; the
+    single-band config recalls the most pairs."""
+    from kbrowse_spark.operators.dedup import NUM_HASHES
+    from kbrowse_spark.sources.tables import load
+
+    rows = sorted(
+        _q(spark, sf_dir, "dedup_lsh_band_tuning").collect(),
+        key=lambda r: r.bands,
+    )
+    assert [r.bands for r in rows] == [1, 2, 3, 4, 6, 12]
+    n_docs = load(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r.bands * r.rows_per_band == NUM_HASHES
+        assert r.s50_ppm == round(
+            1_000_000 * (1.0 / r.bands) ** (1.0 / r.rows_per_band)
+        )
+        assert 0 < r.n_buckets <= r.bands * n_docs
+        assert r.max_bucket >= 1 and r.n_cand_pairs >= 0
+    for a, b in zip(rows, rows[1:]):
+        assert a.s50_ppm > b.s50_ppm  # stricter as bands narrow
+        assert a.n_cand_pairs <= b.n_cand_pairs
+        assert a.n_buckets <= b.n_buckets
+    assert rows[-1].n_cand_pairs > rows[0].n_cand_pairs  # curve is real

@@ -131,6 +131,18 @@ AUDIT = [
     ("compaction_plan_audit", "manifest-grain aggs; sharded rank (shard-local row_number + broadcast offsets), no global sort"),
     ("epoch_shuffle_decorrelation", "hash-sharded ranks per epoch; per-epoch offset windows; doc-keyed pair join"),
     ("scd2_asof_snapshot", "one user-keyed shuffle (two windows share it); 1-row cutoff broadcast; in-row containment"),
+    # round 12
+    ("multimodal_image_histogram", "narrow scan -> Arrow numpy (pack/decode/integral image) -> Arrow back; the single exchange is the deterministic doc_id readout sort"),
+    ("ann_pq_recall_audit", "Arrow numpy encode; 8-row query-block broadcast; two WindowGroupLimit rankings; k-grain overlap join"),
+    ("ann_pq_code_drift", "two Arrow numpy encodes in one scan; one combinable aggregate; 8-row stack readout"),
+    ("asof_join_nearest", "ONE user-keyed shuffle+sort; backward+forward frames share the sorted distribution; in-row integer choice"),
+    ("ivfpq_retrieval", "cell-probe broadcast prunes the scan; Arrow numpy encode; 1-row distance-table attach; TakeOrdered top-k"),
+    ("quality_gopher_rules", "one corpus scan; in-row array aggregation (no explode); one combinable aggregate; 7-row stack"),
+    ("join_bloom_runtime_filter", "bit_or collapse to m/64 words; 1-row Arrow broadcast attach; probe is the fact scan, no shuffle"),
+    ("schema_evolution_audit", "one mergeSchema directory scan; one 4-column combinable aggregate; 4-row stack readout"),
+    ("stream_compaction_trigger", "stateless day/shard projection in-stream; bounded state; file-grain readout with two 1-row attaches"),
+    ("stream_gopher_gate", "stateless in-row rule scoring in-stream; 8-key score-histogram state; threshold readout"),
+    ("dedup_lsh_band_tuning", "one cached signature pass; six band explodes aggregated at bucket grain; pairs counted from occupancies, never joined"),
 ]
 
 
