@@ -129,3 +129,62 @@ def test_live_tree_is_clean():
     """Every independence/quadratic claim in the shipped catalog agrees
     with its registered oracle SQL."""
     assert audit() == 0
+
+
+def test_hof_hotpath_checker_flags_the_r12_pq_shape():
+    """tools/audit_hof_hotpath.py red-green: the r12 PQ distance-table
+    shape (3+ nested HOFs in an expr string) must flag; the accepted
+    dot-product idiom (aggregate over zip_with, depth 2) and plain
+    projections must pass; the live tree is clean modulo the stated
+    allow."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from audit_hof_hotpath import audit_source, hof_depth
+
+    PQ_SHAPE = textwrap.dedent(
+        '''
+        def ann_pq(spark, sf_dir):
+            dt = (
+                "transform(sequence(0, 7), s ->"
+                " transform(sequence(0, 15), k ->"
+                " aggregate(transform(sequence(0, 7),"
+                " j -> qv[s * 8 + j] - cb[s][k][j]),"
+                " CAST(0 AS BIGINT), (acc, d) -> acc + d * d)))"
+            )
+            return base.select(F.expr(dt).alias("dt"))
+        '''
+    )
+    found = audit_source(PQ_SHAPE, "m")
+    assert found and found[0][2] >= 3
+
+    DOT_SHAPE = textwrap.dedent(
+        '''
+        def dot(spark, sf_dir):
+            return df.select(F.expr(
+                "aggregate(zip_with(a, b, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("d"))
+        '''
+    )
+    assert audit_source(DOT_SHAPE, "m") == []
+    assert hof_depth("transform(a, x -> x + 1)") == 1
+
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "audit_hof_hotpath.py",
+    )
+    res = subprocess.run(
+        [sys.executable, tool], capture_output=True, text=True
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
