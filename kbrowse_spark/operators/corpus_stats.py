@@ -2337,3 +2337,144 @@ def ddsketch_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ddsketch_merge_audit.__doc__ = ddsketch_merge_audit.__doc__.format(
     s=_DDM_SHARDS
 )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep: confusion ledger for the quality classifier
+# ---------------------------------------------------------------------------
+
+_ECT_THRESHOLDS = (-30_000, -15_000, 0, 15_000)
+_ECT_LOGIT_DUCK = (
+    f"{_CLF_BIAS} + {_CLF_W_TOKENS} * len(string_split(text, ' '))"
+    f" + {_CLF_W_STOP} * len(list_filter(string_split(text, ' '),"
+    " w -> w IN ('the','a','and','of','to','in')))"
+    f" + {_CLF_W_DISTINCT} * len(list_distinct(string_split(text, ' ')))"
+)
+
+
+def _ect_oracle() -> str:
+    sums = []
+    for i, t in enumerate(_ECT_THRESHOLDS):
+        for cell, pred, lab in (
+            ("tp", 1, 1), ("fp", 1, 0), ("fn", 0, 1), ("tn", 0, 0),
+        ):
+            pc = f"logit >= {t}" if pred else f"logit < {t}"
+            lc = "lbl = 1" if lab else "lbl = 0"
+            sums.append(
+                f"CAST(SUM(CASE WHEN {pc} AND {lc} THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS {cell}{i}"
+            )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS threshold,"
+        f" tp{i} AS tp, fp{i} AS fp, fn{i} AS fn, tn{i} AS tn FROM agg"
+        for i, t in enumerate(_ECT_THRESHOLDS)
+    )
+    return f"""
+    WITH g AS (
+      SELECT {_ECT_LOGIT_DUCK} AS logit,
+             CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),
+                          x -> x <> '')) BETWEEN 50 AND 100000
+                  THEN 1 ELSE 0 END AS lbl
+      FROM documents),
+    agg AS MATERIALIZED (SELECT {', '.join(sums)} FROM g)
+    SELECT threshold, tp, fp, fn, tn,
+           CAST(CASE WHEN tp + fp > 0
+                THEN 1000000 * tp // (tp + fp) ELSE 0 END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN tp + fn > 0
+                THEN 1000000 * tp // (tp + fn) ELSE 0 END AS BIGINT)
+             AS recall_ppm
+    FROM ({rows})
+    ORDER BY threshold
+    """
+
+
+@register(
+    "eval_confusion_thresholds",
+    _ect_oracle(),
+    "corpus_stats",
+    "eval",
+)
+def eval_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the quality classifier: the full
+    confusion ledger (tp/fp/fn/tn + precision/recall in ppm) of
+    quality_classifier_logit's integer score at {k} literal
+    thresholds, labeled by the Gopher word-count rule — the table a
+    curation run reads to PICK the keep threshold (the
+    precision/recall tradeoff made explicit, the step between scoring
+    and gating).  Scores and labels are both exact integers (the
+    classifier's fixed-point logit; the rule's integer bounds), so
+    every cell is engine-exact; ratios are integer-DIV ppm with
+    zero-denominator guards.
+
+    Scale posture: ONE corpus scan — logit and label are narrow
+    projections, all {k}x4 confusion cells collapse in one map-side-
+    combinable aggregate, and the ledger is a stack over that 1-row
+    aggregate.  No join, no shuffle beyond the 1-row exchange.
+
+    Reference has no eval tooling (SURVEY §2c extension; joins
+    eval_auc_rank / eval_calibration_bins / eval_mrr_ndcg_at_k in the
+    eval family — this is the thresholded-decision counterpart of the
+    rank-based metrics).
+    """
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = ", ".join(f"'{w}'" for w in _CLF_STOPWORDS)
+    n_stop = F.size(
+        F.expr(f"filter(split(text, ' '), w -> w IN ({stop_arr}))")
+    )
+    logit = (
+        F.lit(_CLF_BIAS)
+        + F.lit(_CLF_W_TOKENS) * F.size(words)
+        + F.lit(_CLF_W_STOP) * n_stop
+        + F.lit(_CLF_W_DISTINCT) * F.size(F.array_distinct(words))
+    ).cast("long")
+    lbl = F.expr(
+        "IF(size(filter(split(text, '\\\\s+'), x -> x != ''))"
+        " BETWEEN 50 AND 100000, 1, 0)"
+    )
+    g = d.select(logit.alias("logit"), lbl.alias("lbl"))
+    aggs = []
+    for i, t in enumerate(_ECT_THRESHOLDS):
+        for cell, pred, lab in (
+            ("tp", 1, 1), ("fp", 1, 0), ("fn", 0, 1), ("tn", 0, 0),
+        ):
+            pc = f"logit >= {t}" if pred else f"logit < {t}"
+            lc = f"lbl = {lab}"
+            aggs.append(
+                F.sum(F.expr(f"IF({pc} AND {lc}, 1, 0)"))
+                .cast("long")
+                .alias(f"{cell}{i}")
+            )
+    agg = g.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), tp{i}, fp{i}, fn{i}, tn{i}"
+        for i, t in enumerate(_ECT_THRESHOLDS)
+    )
+    return (
+        agg.selectExpr(
+            f"stack({len(_ECT_THRESHOLDS)}, {stack_args})"
+            " AS (threshold, tp, fp, fn, tn)"
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.expr(
+                "CAST(IF(tp + fp > 0, 1000000 * tp DIV (tp + fp), 0)"
+                " AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(IF(tp + fn > 0, 1000000 * tp DIV (tp + fn), 0)"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("threshold")
+    )
+
+
+eval_confusion_thresholds.__doc__ = eval_confusion_thresholds.__doc__.format(
+    k=len(_ECT_THRESHOLDS)
+)

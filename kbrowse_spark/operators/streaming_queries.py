@@ -2966,3 +2966,242 @@ def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 stream_gopher_gate.__doc__ = stream_gopher_gate.__doc__.format(
     m=_SGG_MIN_RULES
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ streaming probe (the serve path's streaming arm — the ANN
+# capstone's batch/stream symmetry)
+# ---------------------------------------------------------------------------
+
+_SIP_NQ = 4  # query vectors arriving on the stream (vec_id < _SIP_NQ)
+_SIP_NPROBE = 2
+_SIP_K = 5
+
+
+def _sip_oracle() -> str:
+    from kbrowse_spark.operators.knn import (
+        DIM,
+        _PQ_SUBDIM,
+        _pq_cb_values,
+        _sql_dot,
+    )
+
+    return f"""
+    WITH ce AS (
+      SELECT label, pos,
+             CAST(CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+                  / 1e6 / COUNT(*) AS DOUBLE) AS c
+      FROM (SELECT label, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY label, pos),
+    centroids AS (SELECT label, list(c ORDER BY pos) AS cvec
+                  FROM ce GROUP BY label),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+          WHERE vec_id < {_SIP_NQ}),
+    cd AS (
+      SELECT q.qid AS qid, c.label,
+             {_sql_dot('c.cvec', 'q.qe')}
+               / (sqrt({_sql_dot('c.cvec', 'c.cvec')})
+                  * sqrt({_sql_dot('q.qe', 'q.qe')})) AS csim
+      FROM centroids c CROSS JOIN q),
+    probe AS (SELECT qid, label FROM (
+                SELECT qid, label, ROW_NUMBER() OVER (
+                  PARTITION BY qid ORDER BY csim DESC, label) AS r
+                FROM cd) WHERE r <= {_SIP_NPROBE}),
+    comp AS (
+      SELECT vec_id, label, (j - 1) // {_PQ_SUBDIM} AS s,
+             (j - 1) % {_PQ_SUBDIM} AS jj,
+             CAST(round(CAST(embedding[j] AS DOUBLE) * 1024) AS BIGINT)
+               AS v
+      FROM embeddings, unnest(generate_series(1, {DIM})) AS t(j)),
+    cbv(ver, s, k, jj, c) AS (VALUES {_pq_cb_values()}),
+    dist AS (
+      SELECT comp.vec_id, comp.label, comp.s, cbv.k,
+             SUM((comp.v - cbv.c) * (comp.v - cbv.c)) AS dd
+      FROM comp JOIN cbv ON cbv.ver = 1 AND cbv.s = comp.s
+                        AND cbv.jj = comp.jj
+      GROUP BY comp.vec_id, comp.label, comp.s, cbv.k),
+    codes AS (
+      SELECT vec_id, label, s, k FROM (
+        SELECT vec_id, label, s, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dd, k) AS r
+        FROM dist) WHERE r = 1),
+    cand AS (
+      SELECT p.qid AS qid, c.vec_id AS vec_id, c.label AS label,
+             CAST(SUM(qd.dd) AS BIGINT) AS adc_dist
+      FROM codes c
+      JOIN probe p ON c.label = p.label
+      JOIN dist qd ON qd.vec_id = p.qid AND qd.s = c.s AND qd.k = c.k
+      WHERE c.vec_id <> p.qid
+      GROUP BY p.qid, c.vec_id, c.label)
+    SELECT qid, vec_id, label, adc_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY adc_dist, vec_id) AS r
+      FROM cand) WHERE r <= {_SIP_K}
+    ORDER BY qid, adc_dist, vec_id
+    """
+
+
+def _sip_probe_udf(cent_rows, nprobe: int):
+    """embedding array<float> -> the nprobe nearest cell labels, by
+    the SAME fixed-point cosine the batch coarse probe computes:
+    products floored to 1e-15 units and summed as ints (exact and
+    order-independent), int->double, then IEEE division/sqrt — so
+    the Python replication is bit-identical to both engines' SQL."""
+    import math
+
+    import pandas as pd
+
+    cents = sorted(
+        (int(r.label), [float(x) for x in r.cvec]) for r in cent_rows
+    )
+
+    def fixdot(a, b):
+        return float(
+            sum(
+                int(math.floor(x * y * 1e15))
+                for x, y in zip(a, b)
+            )
+        ) / 1e15
+
+    def probe(emb):
+        out = []
+        for e in emb:
+            qe = [float(x) for x in e]
+            qq = math.sqrt(fixdot(qe, qe))
+            scored = sorted(
+                (
+                    -(fixdot(cv, qe) / (math.sqrt(fixdot(cv, cv)) * qq)),
+                    label,
+                )
+                for label, cv in cents
+            )
+            out.append([label for _, label in scored[:nprobe]])
+        return pd.Series(out)
+
+    return F.pandas_udf(probe, "array<int>")
+
+
+@register(
+    "stream_ivfpq_probe",
+    _sip_oracle(),
+    "streaming",
+    "ann",
+)
+def stream_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF+PQ serve path's STREAMING arm — the ANN capstone's
+    batch/stream pair (ivfpq_retrieval is the batch side, the way
+    stream_ann_ivf_probe pairs with ann_ivf_kmeans): query vectors
+    ARRIVE as a stream and each micro-batch, STATELESSLY, (1) probes
+    its {np} nearest cells in-stream — the fixed-point centroid
+    cosine evaluated in an Arrow-batched kernel over the collected
+    centroid table (a model-grain pull: the centroids ARE the coarse
+    quantizer), bit-identical to the batch probe because the
+    fixed-point dot is order-independent — (2) computes its own ADC
+    distance table in-stream (the r12 numpy kernel), and (3)
+    stream-static joins the cell-pruned STATIC code index (8 B/vector
+    codes, the thing a serving tier actually holds in memory).  The
+    landed candidates are cell-bounded per query by construction; the
+    top-{k} cut runs as a batch window over the landed table (in
+    production the per-query k-smallest runs in the micro-batch so
+    only k rows leave the stream; landing keeps the probe auditable).
+
+    Scale posture: no state store, no watermark — a pure stateless
+    stream-static join against a partition-pruned index; the stream
+    ships queries, the static side ships ~nprobe/k of the code
+    payload.
+
+    Reference's follow mode streams rows but has no vector tooling
+    (SURVEY §2c extension; oracle = the composed coarse-probe + PQ
+    relational CTE, the ivfpq_retrieval oracle generalized to the
+    {nq}-query block).
+    """
+    from pyspark.sql import Window as W
+
+    from kbrowse_spark.operators.knn import (
+        _PQR_AD_SPARK,
+        _pq_codebook,
+        _pq_codes_udf,
+        _pq_dt_udf,
+    )
+
+    path = table_path(sf_dir, "embeddings")
+    static = spark.read.parquet(path)
+    quant = (
+        "transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
+    )
+    enc = static.select(
+        "vec_id",
+        "label",
+        F.expr(quant).alias("qv"),
+    ).select(
+        "vec_id",
+        "label",
+        _pq_codes_udf(_pq_codebook())(F.col("qv")).alias("codes"),
+    )
+    per_dim = (
+        static.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.expr("CAST(floor(CAST(e AS DOUBLE) * 1e6) AS BIGINT)")
+                ).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("c")
+        )
+    )
+    cent_rows = (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("cvec")
+        )
+        .collect()
+    )
+    stream = spark.readStream.schema(static.schema).parquet(
+        _stage_stream_dir(path)
+    )
+    qstream = stream.filter(F.col("vec_id") < _SIP_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.expr(quant).alias("qqv"),
+        "embedding",
+    )
+    probed = qstream.select(
+        "qid",
+        _pq_dt_udf(_pq_codebook())(F.col("qqv")).alias("qdt"),
+        F.explode(
+            _sip_probe_udf(cent_rows, _SIP_NPROBE)(F.col("embedding"))
+        ).alias("cell"),
+    )
+    cand = (
+        probed.join(enc, probed["cell"] == enc["label"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.expr(_PQR_AD_SPARK).alias("adc_dist"),
+        )
+    )
+    landed = _run_to_memory(cand, "append")
+    w = W.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        landed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _SIP_K)
+        .select("qid", "vec_id", "label", "adc_dist")
+        .orderBy("qid", "adc_dist", "vec_id")
+    )
+
+
+stream_ivfpq_probe.__doc__ = stream_ivfpq_probe.__doc__.format(
+    np=_SIP_NPROBE, k=_SIP_K, nq=_SIP_NQ
+)

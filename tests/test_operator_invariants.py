@@ -4483,3 +4483,62 @@ def test_lsh_band_tuning_invariants(spark, sf_dir):
         assert a.n_cand_pairs <= b.n_cand_pairs
         assert a.n_buckets <= b.n_buckets
     assert rows[-1].n_cand_pairs > rows[0].n_cand_pairs  # curve is real
+
+
+def test_confusion_thresholds_invariants(spark, sf_dir):
+    """Confusion-ledger laws across the threshold sweep: cells
+    partition the corpus at every threshold; positives (tp+fn) and
+    negatives (fp+tn) are threshold-invariant; tp and fp are
+    non-increasing in the threshold (so recall is too); the sweep
+    discriminates (recall and precision both move)."""
+    from kbrowse_spark.sources.tables import load
+
+    rows = sorted(
+        _q(spark, sf_dir, "eval_confusion_thresholds").collect(),
+        key=lambda r: r.threshold,
+    )
+    n = load(spark, sf_dir, "documents").count()
+    pos = rows[0].tp + rows[0].fn
+    neg = rows[0].fp + rows[0].tn
+    for r in rows:
+        assert r.tp + r.fp + r.fn + r.tn == n
+        assert r.tp + r.fn == pos and r.fp + r.tn == neg
+        denom_p = r.tp + r.fp
+        assert r.precision_ppm == (
+            1_000_000 * r.tp // denom_p if denom_p else 0
+        )
+        assert r.recall_ppm == 1_000_000 * r.tp // pos
+    for a, b in zip(rows, rows[1:]):
+        assert a.tp >= b.tp and a.fp >= b.fp
+        assert a.recall_ppm >= b.recall_ppm
+    assert len({r.recall_ppm for r in rows}) >= 2
+    assert len({r.precision_ppm for r in rows}) >= 2
+
+
+def test_stream_ivfpq_equals_batch_retrieval(spark, sf_dir):
+    """The streaming IVF+PQ probe must reproduce the batch
+    composition ROW-FOR-ROW for the shared query (qid 0 ==
+    ivfpq_retrieval's query, same nprobe/k): same candidates, same
+    ADC distances, same order — the batch/stream symmetry law.  Each
+    query's results stay inside its probed cells (<= nprobe distinct
+    labels) and inside the k budget."""
+    from kbrowse_spark.operators.streaming_queries import (
+        _SIP_K,
+        _SIP_NPROBE,
+        _SIP_NQ,
+    )
+
+    rows = _q(spark, sf_dir, "stream_ivfpq_probe").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.label, r.adc_dist))
+    assert set(by_q) <= set(range(_SIP_NQ)) and 0 in by_q
+    for qid, lst in by_q.items():
+        assert len(lst) <= _SIP_K
+        assert len({label for _, label, _ in lst}) <= _SIP_NPROBE
+        assert lst == sorted(lst, key=lambda x: (x[2], x[0]))
+    batch = [
+        (r.vec_id, r.label, r.adc_dist)
+        for r in _q(spark, sf_dir, "ivfpq_retrieval").collect()
+    ]
+    assert by_q[0] == batch
