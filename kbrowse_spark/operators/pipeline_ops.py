@@ -3944,3 +3944,180 @@ def schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal stratified allocation (the sampling-design ledger)
+# ---------------------------------------------------------------------------
+
+_NEY_T = 100  # total sample budget to allocate
+
+# Exact integer sqrt: floor(sqrt(x)) from the double estimate plus a
+# +-1 correction (the double sqrt of a BIGINT is correctly rounded, so
+# its floor is off by at most one; the correction compares exact
+# integer squares).  Identical text in both engines.
+_NEY_ISQRT_SPARK = (
+    "(CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    " + IF((CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+    "      * (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+    "      <= {x}, 1, 0)"
+    " - IF(CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    "      * CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    "      > {x}, 1, 0))"
+)
+_NEY_ISQRT_DUCK = (
+    "(CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    " + CASE WHEN (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+    "      * (CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT) + 1)"
+    "      <= {x} THEN 1 ELSE 0 END"
+    " - CASE WHEN CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    "      * CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    "      > {x} THEN 1 ELSE 0 END)"
+)
+
+
+def _ney_oracle() -> str:
+    w = _NEY_ISQRT_DUCK.format(x="sse")
+    return f"""
+    WITH s AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(length(text) AS BIGINT)
+                      * CAST(length(text) AS BIGINT)) AS BIGINT) AS sx2
+      FROM documents GROUP BY lang),
+    wtab AS (
+      SELECT lang, n_pop, n_pop * sx2 - sx * sx AS sse FROM s),
+    wt AS (
+      SELECT lang, n_pop, {w} AS w FROM wtab),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum,
+                   CAST(SUM(n_pop) AS BIGINT) AS nsum FROM wt),
+    ham AS (
+      SELECT lang, n_pop, w,
+             {_NEY_T} * w // t.wsum AS base_n,
+             {_NEY_T} * w % t.wsum AS rem_n,
+             {_NEY_T} * n_pop // t.nsum AS base_p,
+             {_NEY_T} * n_pop % t.nsum AS rem_p
+      FROM wt CROSS JOIN tot t),
+    fix AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem_n DESC, lang) AS rk_n,
+             ROW_NUMBER() OVER (ORDER BY rem_p DESC, lang) AS rk_p,
+             (SELECT {_NEY_T} - SUM(base_n) FROM ham) AS short_n,
+             (SELECT {_NEY_T} - SUM(base_p) FROM ham) AS short_p
+      FROM ham)
+    SELECT lang, n_pop, w AS neyman_weight,
+           CAST(base_n + CASE WHEN rk_n <= short_n THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_neyman,
+           CAST(base_p + CASE WHEN rk_p <= short_p THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_proportional
+    FROM fix
+    ORDER BY lang
+    """
+
+
+@register(
+    "sample_neyman_allocation",
+    _ney_oracle(),
+    "pipeline_ops",
+    "sampling",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman OPTIMAL stratified allocation — the sampling-DESIGN step
+    the stratified samplers (sample_stratified /
+    sample_reservoir_per_stratum) take as given: split a {t}-row
+    budget across strata proportionally to N_h * sigma_h (minimum-
+    variance allocation for a stratified mean), next to the
+    proportional allocation (by N_h alone) so the ledger shows where
+    variance, not volume, earns sample slots.
+
+    Exactness: N_h * sigma_h = sqrt(N_h * sum(x^2) - sum(x)^2) is an
+    integer square root — the double sqrt estimate plus a +-1 exact-
+    square correction, identical in both engines (valid over the full
+    BIGINT range: a correctly-rounded double sqrt floors within one);
+    both allocations apportion by the exact largest-remainder
+    (Hamilton) rule with remainder ties broken by stratum key.
+    Nothing float ever compares.  Exact while N_h * sum(x^2) < 2^63
+    (~2e7 docs/stratum at these lengths); past that the SSE moves to
+    DECIMAL(38,0) like epoch_shuffle_decorrelation's widening.
+
+    Scale posture: ONE corpus scan (three combinable aggregates per
+    stratum), then everything runs at STRATUM grain (5 rows here;
+    bounded by the stratum vocabulary at any corpus size) — the
+    1-row totals attach and the remainder ranks are stratum-grain
+    windows.
+
+    Reference has no sampling tooling (SURVEY §2c extension; the
+    design-side companion of the sample_* family).
+    """
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pop"),
+            F.sum(F.expr("CAST(length(text) AS BIGINT)"))
+            .cast("long")
+            .alias("sx"),
+            F.sum(
+                F.expr(
+                    "CAST(length(text) AS BIGINT)"
+                    " * CAST(length(text) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("sx2"),
+        )
+        .select(
+            "lang",
+            "n_pop",
+            F.expr("n_pop * sx2 - sx * sx").alias("sse"),
+        )
+        .select(
+            "lang",
+            "n_pop",
+            F.expr(_NEY_ISQRT_SPARK.format(x="sse")).alias("w"),
+        )
+    )
+    tot = F.broadcast(
+        s.agg(
+            F.sum("w").cast("long").alias("wsum"),
+            F.sum("n_pop").cast("long").alias("nsum"),
+        )
+    )
+    ham = s.crossJoin(tot).select(
+        "lang",
+        "n_pop",
+        "w",
+        F.expr(f"{_NEY_T} * w DIV wsum").alias("base_n"),
+        F.expr(f"{_NEY_T} * w % wsum").alias("rem_n"),
+        F.expr(f"{_NEY_T} * n_pop DIV nsum").alias("base_p"),
+        F.expr(f"{_NEY_T} * n_pop % nsum").alias("rem_p"),
+    )
+    short = F.broadcast(
+        ham.agg(
+            F.expr(f"{_NEY_T} - SUM(base_n)").alias("short_n"),
+            F.expr(f"{_NEY_T} - SUM(base_p)").alias("short_p"),
+        )
+    )
+    wn = W.orderBy(F.col("rem_n").desc(), "lang")
+    wp = W.orderBy(F.col("rem_p").desc(), "lang")
+    return (
+        ham.withColumn("rk_n", F.row_number().over(wn))
+        .withColumn("rk_p", F.row_number().over(wp))
+        .crossJoin(short)
+        .select(
+            "lang",
+            "n_pop",
+            F.col("w").alias("neyman_weight"),
+            F.expr("CAST(base_n + IF(rk_n <= short_n, 1, 0) AS BIGINT)")
+            .alias("alloc_neyman"),
+            F.expr("CAST(base_p + IF(rk_p <= short_p, 1, 0) AS BIGINT)")
+            .alias("alloc_proportional"),
+        )
+        .orderBy("lang")
+    )
+
+
+sample_neyman_allocation.__doc__ = sample_neyman_allocation.__doc__.format(
+    t=_NEY_T
+)

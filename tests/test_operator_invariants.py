@@ -4542,3 +4542,33 @@ def test_stream_ivfpq_equals_batch_retrieval(spark, sf_dir):
         for r in _q(spark, sf_dir, "ivfpq_retrieval").collect()
     ]
     assert by_q[0] == batch
+
+
+def test_neyman_allocation_invariants(spark, sf_dir):
+    """Both allocations must sum exactly to the budget (Hamilton
+    conserves); the Neyman weight must equal the exact integer sqrt of
+    N*sum(x^2)-sum(x)^2 recomputed in Python (isqrt law: w^2 <= sse <
+    (w+1)^2); and on this corpus the two allocations must actually
+    DIFFER somewhere (variance earns slots volume does not)."""
+    import math
+
+    from kbrowse_spark.operators.pipeline_ops import _NEY_T
+    from kbrowse_spark.sources.tables import load
+
+    rows = _q(spark, sf_dir, "sample_neyman_allocation").collect()
+    assert sum(r.alloc_neyman for r in rows) == _NEY_T
+    assert sum(r.alloc_proportional for r in rows) == _NEY_T
+    stats = {}
+    for d in load(spark, sf_dir, "documents").select("lang", "text").collect():
+        n, sx, sx2 = stats.get(d.lang, (0, 0, 0))
+        ln = len(d.text)
+        stats[d.lang] = (n + 1, sx + ln, sx2 + ln * ln)
+    for r in rows:
+        n, sx, sx2 = stats[r.lang]
+        sse = n * sx2 - sx * sx
+        w = math.isqrt(sse)
+        assert r.n_pop == n and r.neyman_weight == w
+        assert w * w <= sse < (w + 1) * (w + 1)
+    assert any(
+        r.alloc_neyman != r.alloc_proportional for r in rows
+    )  # the design ledger discriminates

@@ -177,6 +177,11 @@ ALLOW = {
         "1-row query distance-table attach onto the cell-pruned "
         "candidate scan (nprobe/k of the corpus)"
     ),
+    "sample_neyman_allocation": (
+        "two 1-row total/shortfall attaches onto the STRATUM-grain "
+        "table (5 langs; bounded by the stratum vocabulary), whose "
+        "remainder-rank windows are likewise stratum-grain"
+    ),
     "join_bloom_runtime_filter": (
         "1-row bloom-words Arrow frame attach onto the probe scan "
         "(the runtime-filter broadcast itself)"
