@@ -143,6 +143,9 @@ AUDIT = [
     ("stream_compaction_trigger", "stateless day/shard projection in-stream; bounded state; file-grain readout with two 1-row attaches"),
     ("stream_gopher_gate", "stateless in-row rule scoring in-stream; 8-key score-histogram state; threshold readout"),
     ("dedup_lsh_band_tuning", "one cached signature pass; six band explodes aggregated at bucket grain; pairs counted from occupancies, never joined"),
+    ("eval_confusion_thresholds", "one corpus scan; 16 confusion cells in one combinable aggregate; 4-row stack readout"),
+    ("stream_ivfpq_probe", "stateless in-stream probe+ADC-table kernels; stream-static join of the cell-pruned code index; k-cut over landed candidates"),
+    ("sample_neyman_allocation", "one scan, three combinable aggregates; everything after runs at stratum grain (bounded vocabulary)"),
 ]
 
 
