@@ -4230,3 +4230,165 @@ def conformal_prediction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 conformal_prediction_audit.__doc__ = conformal_prediction_audit.__doc__.format(
     an=_CP_A_NUM, ad=_CP_A_DEN
 )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outlier ledger (median absolute deviation, exact integers)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3  # the classic 3-MAD fence
+
+
+@register(
+    "mad_robust_outliers",
+    f"""
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r1 AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    med AS (
+      SELECT event_type, MAX(n) AS n,
+             CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+                  AS BIGINT) AS median_cents
+      FROM r1 GROUP BY event_type),
+    d AS (
+      SELECT v.event_id, v.event_type, v.cents,
+             abs(v.cents - m.median_cents) AS dev,
+             m.n, m.median_cents
+      FROM v JOIN med m USING (event_type)),
+    r2 AS (
+      SELECT event_type, dev, n, median_cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn
+      FROM d),
+    mad AS (
+      SELECT event_type, MAX(n) AS n, MAX(median_cents) AS median_cents,
+             CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END)
+                  AS BIGINT) AS mad_cents
+      FROM r2 GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(MAX(m.n) AS BIGINT) AS n,
+           MAX(m.median_cents) AS median_cents,
+           MAX(m.mad_cents) AS mad_cents,
+           CAST(SUM(CASE WHEN d.dev > {_MAD_K} * m.mad_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(1000000 * SUM(CASE WHEN d.dev > {_MAD_K} * m.mad_cents
+                              THEN 1 ELSE 0 END) // MAX(m.n) AS BIGINT)
+             AS outlier_ppm
+    FROM d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    "analytics",
+    "stats",
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier ledger — median absolute deviation with the
+    classic {k}-MAD fence, per event type: the outlier detector that
+    does not move when the outliers themselves do (mean/stddev fences
+    are dragged by the very points they are meant to flag; the
+    winsorize_value_clip op trims by quantile, THIS one attests how
+    much of the stream sits beyond a robust dispersion fence).  Both
+    medians are EXACT lower-median rank selections over integer cents
+    (the quantiles_disc_orders formulation — no interpolation, no
+    float: rank selection cannot differ across engines), so the fence
+    and every verdict are engine-exact integers.
+
+    On this fixture's exponential-ish values the fence flags ~7-10%
+    per type — the heavy tail the robust fence exists to expose
+    (a normal distribution would flag ~0.27%).
+
+    Scale posture: two rank-selection window passes partitioned by
+    event_type plus one conditional aggregate — the accepted
+    exact-order-stat shape (quantiles_disc_orders); the dimension
+    tables it joins back are TYPE-grain (5 rows, broadcast).  Where
+    the per-type sort is too hot, the DDSketch family gives the
+    approximate answer; this operator is the exact attestation arm.
+
+    Reference has no stats tooling (SURVEY §2c extension; joins
+    stats_moments_events / winsorize_value_clip / quantile sketches
+    in the dispersion family).
+    """
+    v = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    r1 = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = F.broadcast(
+        r1.groupBy("event_type").agg(
+            F.max("n").alias("n"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cents"))
+            )
+            .cast("long")
+            .alias("median_cents"),
+        )
+    )
+    d = v.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        F.expr("abs(cents - median_cents)").alias("dev"),
+        "n",
+        "median_cents",
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    r2 = d.select(
+        "event_type",
+        "dev",
+        "n",
+        "median_cents",
+        F.row_number().over(w2).alias("rn"),
+    )
+    mad = F.broadcast(
+        r2.groupBy("event_type").agg(
+            F.max("n").alias("n2"),
+            F.max("median_cents").alias("med2"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("dev"))
+            )
+            .cast("long")
+            .alias("mad_cents"),
+        )
+    )
+    return (
+        d.select("event_type", "dev")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n2").cast("long").alias("n"),
+            F.max("med2").alias("median_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.expr(f"IF(dev > {_MAD_K} * mad_cents, 1, 0)")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "median_cents",
+            "mad_cents",
+            "n_outliers",
+            F.expr(
+                "CAST(1000000 * n_outliers DIV n AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+mad_robust_outliers.__doc__ = mad_robust_outliers.__doc__.format(k=_MAD_K)

@@ -4572,3 +4572,44 @@ def test_neyman_allocation_invariants(spark, sf_dir):
     assert any(
         r.alloc_neyman != r.alloc_proportional for r in rows
     )  # the design ledger discriminates
+
+
+def test_mad_outliers_python_reference(spark, sf_dir):
+    """Independent Python recomputation (lower-median rank selection
+    over integer cents, MAD over absolute deviations, 3-MAD fence)
+    must agree exactly per event type; the fence fires on this
+    heavy-tailed fixture but never swallows the distribution."""
+    import math
+
+    from kbrowse_spark.operators.analytics import _MAD_K
+    from kbrowse_spark.sources.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            (int(math.floor(r.value * 100)), r.event_id)
+        )
+    expect = {}
+    for et, vals in by_type.items():
+        n = len(vals)
+        cents_sorted = sorted(vals)
+        med = cents_sorted[(n + 1) // 2 - 1][0]
+        devs = sorted(
+            (abs(c - med), eid) for c, eid in vals
+        )
+        mad = devs[(n + 1) // 2 - 1][0]
+        n_out = sum(1 for dv, _ in devs if dv > _MAD_K * mad)
+        expect[et] = (n, med, mad, n_out, 1_000_000 * n_out // n)
+    got = {
+        r.event_type: (
+            r.n, r.median_cents, r.mad_cents, r.n_outliers, r.outlier_ppm
+        )
+        for r in _q(spark, sf_dir, "mad_robust_outliers").collect()
+    }
+    assert got == expect and len(got) > 0
+    for n, med, mad, n_out, ppm in got.values():
+        assert 0 < n_out < n  # fence fires, never swallows
+        assert mad > 0

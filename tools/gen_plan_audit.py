@@ -146,6 +146,7 @@ AUDIT = [
     ("eval_confusion_thresholds", "one corpus scan; 16 confusion cells in one combinable aggregate; 4-row stack readout"),
     ("stream_ivfpq_probe", "stateless in-stream probe+ADC-table kernels; stream-static join of the cell-pruned code index; k-cut over landed candidates"),
     ("sample_neyman_allocation", "one scan, three combinable aggregates; everything after runs at stratum grain (bounded vocabulary)"),
+    ("mad_robust_outliers", "two type-partitioned rank-selection windows + one conditional aggregate; type-grain dims broadcast back"),
 ]
 
 
