@@ -1603,25 +1603,13 @@ _DDQ_SUB_BITS = 4
 _DDQ_QS = (50, 90, 99)
 
 
-def _ddq_bucket_sql(v: str, shift: str) -> str:
-    """Portable bucket id: e*16 + sub, as dialect-parametrized text.
+# The bucket helper moved to functions/sketches.py in r13 so the
+# approx-percentile arm of the sketch family (relational.py) can reuse
+# it on order prices; semantics unchanged.
+from kbrowse_spark.functions.sketches import ddq_duck_bucket, ddq_spark_bucket
 
-    ``shift`` is the 1<<e expression: ``shiftleft(CAST(1 AS BIGINT), {e})``
-    for Spark, ``(CAST(1 AS BIGINT) << ({e}))`` for DuckDB; integer
-    division is spelled ``div``/``//`` by the caller via {d}.
-    """
-    e = f"(length(bin({v})) - 1)"
-    return (
-        f"(({e}) * 16 + (({v} * 16) {{d}} {shift.format(e=e)}) - 16)"
-    )
-
-
-_DDQ_SPARK_BUCKET = _ddq_bucket_sql(
-    "n_chars", "shiftleft(CAST(1 AS BIGINT), {e})"
-).format(d="div")
-_DDQ_DUCK_BUCKET = _ddq_bucket_sql(
-    "n_chars", "(CAST(1 AS BIGINT) << ({e}))"
-).format(d="//")
+_DDQ_SPARK_BUCKET = ddq_spark_bucket("n_chars")
+_DDQ_DUCK_BUCKET = ddq_duck_bucket("n_chars")
 
 
 @register(

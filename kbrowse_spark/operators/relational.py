@@ -32,6 +32,15 @@ from kbrowse_spark.functions.determinism import (
     sql_davg,
     sql_dsum,
 )
+from kbrowse_spark.functions.sketches import (
+    HLL_M,
+    ddq_duck_bucket,
+    ddq_spark_bucket,
+    hll_bucket_sql,
+    hll_estimate_sql,
+    hll_rho_sql,
+    hll_sum_terms_sql,
+)
 from kbrowse_spark.sources.tables import load
 
 _DEC = "decimal(25,6)"
@@ -1569,41 +1578,218 @@ def explode_outer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile_prices", None, "agg", "approx")
+# --- approx sketch family: cross-engine-exact formulations (r13) ----------
+#
+# Until round 12 these two rode the engine-native sketches
+# (percentile_approx / approx_count_distinct), whose values are
+# algorithm-specific — the driver ledger could only ever record
+# `err: "no_oracle"` for them.  r13 reformulates both over the
+# deterministic machinery in functions/sketches.py (md5-derived HLL
+# registers; DDSketch-style integer log-linear buckets), so the SAME
+# sketch is computable in DuckDB SQL and the driver hash-compares real
+# values.  The native functions remain exercised (accuracy-pinned) in
+# tests/test_sketch_exact.py.
+
+_APX_QS = (50, 95, 99)
+_APX_CENTS = "CAST(floor(o_totalprice * 100) AS BIGINT)"
+
+
+@register(
+    "approx_percentile_prices",
+    f"""
+    WITH v AS (
+      SELECT o_orderpriority, {_APX_CENTS} AS cents FROM orders),
+    sk AS (
+      SELECT o_orderpriority,
+             CAST({ddq_duck_bucket('cents')} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2),
+    tot AS (
+      SELECT o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM sk GROUP BY 1),
+    cum AS (
+      SELECT o_orderpriority, bucket,
+             CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY bucket) AS BIGINT) AS cum
+      FROM sk),
+    qs AS (SELECT CAST(unnest([{', '.join(map(str, _APX_QS))}]) AS INT) AS q),
+    sel AS (
+      SELECT c.o_orderpriority, q.q, MIN(c.bucket) AS bucket
+      FROM cum c JOIN tot t USING (o_orderpriority) CROSS JOIN qs q
+      WHERE c.cum >= (q.q * t.n + 99) // 100
+      GROUP BY 1, 2)
+    SELECT s.o_orderpriority, s.q, CAST(s.bucket AS BIGINT) AS bucket,
+           CAST(((16 + s.bucket % 16)
+                 * (CAST(1 AS BIGINT) << (s.bucket // 16)))
+                // 16 AS BIGINT) AS est_lo_cents,
+           CAST(((17 + s.bucket % 16)
+                 * (CAST(1 AS BIGINT) << (s.bucket // 16)))
+                // 16 AS BIGINT) AS est_hi_cents,
+           t.n
+    FROM sel s JOIN tot t USING (o_orderpriority)
+    ORDER BY o_orderpriority, q
+    """,
+    "agg",
+    "approx",
+    "sketch",
+)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest family): constant-memory quantile
-    sketch for extreme cardinality — algorithm-specific values, so
-    rows-only (exact quantiles are covered by quantiles_disc_orders).
-    The three quantiles come back as scalar columns (the gate's
-    canonicalizer rejects array outputs)."""
+    """Constant-memory quantile sketch of order prices (p50/p95/p99 per
+    priority), r13-reformulated over the DDSketch-style INTEGER
+    log-linear buckets (functions/sketches.py) so the sketch — and so
+    the readout — is bit-identical in DuckDB and hash-verifiable
+    (previously engine-native percentile_approx, rows-only forever).
+
+    Prices become integer cents (floor(price*100): one IEEE multiply of
+    the same parquet double by a power-of-ten literal — deterministic
+    in both engines); the bucket id is pure integer text arithmetic
+    (no libm), giving est_lo <= true quantile < est_hi with relative
+    width <= 1/16 (invariant-tested against exact order statistics).
+
+    Scale shape: one narrow scan -> integer bucket expr (JVM codegen)
+    -> (priority, bucket) map-side-combined hash aggregate; the
+    readout (cumulative window + 3-quantile probe) runs at SKETCH
+    grain (<= ~500 buckets x 5 priorities).  At 100 TB the sketch is
+    the only corpus-sized pass, and per-shard sketches merge by
+    union + sum on the same key.  Exact quantiles are covered by
+    quantiles_disc_orders; the native percentile_approx stays
+    accuracy-pinned in tests/test_sketch_exact.py.
+    """
     o = load(spark, sf_dir, "orders")
-    q = F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000)
+    v = o.select("o_orderpriority", F.expr(_APX_CENTS).alias("cents"))
+    sk = (
+        v.select(
+            "o_orderpriority",
+            F.expr(ddq_spark_bucket("cents")).cast("long").alias("bucket"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = sk.groupBy("o_orderpriority").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    cum = sk.select(
+        "o_orderpriority",
+        "bucket",
+        F.sum("cnt")
+        .over(W.partitionBy("o_orderpriority").orderBy("bucket"))
+        .cast("long")
+        .alias("cum"),
+    )
+    qs = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(q) for q in _APX_QS])).alias("q"))
+        .select(F.col("q").cast("int").alias("q"))
+    )
+    sel = (
+        cum.join(tot, "o_orderpriority")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("o_orderpriority", "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
     return (
-        o.groupBy("o_orderpriority")
-        .agg(q.alias("aq"), F.count(F.lit(1)).alias("n"))
+        sel.join(tot, "o_orderpriority")
         .select(
             "o_orderpriority",
-            F.col("aq")[0].alias("p50"),
-            F.col("aq")[1].alias("p95"),
-            F.col("aq")[2].alias("p99"),
+            "q",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.expr(
+                "CAST((16 + bucket % 16) * shiftleft(CAST(1 AS BIGINT),"
+                " CAST(bucket div 16 AS INT)) div 16 AS BIGINT)"
+            ).alias("est_lo_cents"),
+            F.expr(
+                "CAST((17 + bucket % 16) * shiftleft(CAST(1 AS BIGINT),"
+                " CAST(bucket div 16 AS INT)) div 16 AS BIGINT)"
+            ).alias("est_hi_cents"),
             "n",
         )
-        .orderBy("o_orderpriority")
+        .orderBy("o_orderpriority", "q")
     )
 
 
-@register("approx_distinct_parts", None, "agg", "approx")
+_HLL_PARTKEY = "CAST(l_partkey AS STRING)"
+_HLL_PARTKEY_DUCK = "CAST(l_partkey AS VARCHAR)"
+
+
+@register(
+    "approx_distinct_parts",
+    f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             {hll_bucket_sql('duck', _HLL_PARTKEY_DUCK)} AS bucket,
+             {hll_rho_sql('duck', _HLL_PARTKEY_DUCK)} AS rho
+      FROM lineitem),
+    reg AS (
+      SELECT l_returnflag, bucket, MAX(rho) AS reg
+      FROM h GROUP BY 1, 2),
+    grp AS (
+      SELECT l_returnflag,
+             {hll_sum_terms_sql('duck', 'reg', 'COUNT(*)')} AS sum_int,
+             CAST({HLL_M} - COUNT(*) AS INT) AS v0
+      FROM reg GROUP BY 1),
+    est AS (
+      SELECT l_returnflag,
+             {hll_estimate_sql('duck', 'sum_int', 'v0')} AS approx_parts
+      FROM grp),
+    exact AS (
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      FROM lineitem GROUP BY 1)
+    SELECT e.l_returnflag, e.approx_parts, x.exact_parts
+    FROM est e JOIN exact x USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+    "agg",
+    "approx",
+    "sketch",
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approximate distinct — algorithm-specific, so no SQL
-    oracle (rows-only check); exactness is covered by
-    agg_distinct_priority."""
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
+    """HyperLogLog approximate distinct parts per returnflag,
+    r13-reformulated over explicit md5-derived registers
+    (functions/sketches.py: bucket = first 2 md5 hex digits, rho from
+    the 24-bit suffix, fixed-point integer estimate + integer-table
+    linear counting) so DuckDB computes the IDENTICAL sketch and the
+    driver gate hash-verifies the values (previously engine-native
+    approx_count_distinct, rows-only forever).
+
+    Plan: one narrow scan -> md5/bin integer exprs (JVM codegen, no
+    Python) -> (flag, bucket) MAX-register aggregate (map-side
+    combined; <= 3 x 256 rows shuffle) -> per-flag estimate at
+    register grain.  At 100 TB the register table IS the rollup
+    artifact (mergeable by MAX); the exact countDistinct alongside is
+    the test-SF audit column (exactness surface: agg_distinct_priority).
+    Accuracy: standard HLL sigma = 1.04/sqrt(256) = 6.5%, LC branch
+    below 640; register saturation only past ~4e9 distinct/group
+    (24-bit suffix).  Pinned vs exact in tests/test_sketch_exact.py,
+    where the native approx_count_distinct also stays exercised.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    reg = (
+        li.select(
+            "l_returnflag",
+            F.expr(hll_bucket_sql("spark", _HLL_PARTKEY)).alias("bucket"),
+            F.expr(hll_rho_sql("spark", _HLL_PARTKEY)).alias("rho"),
         )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    grp = reg.groupBy("l_returnflag").agg(
+        F.expr(hll_sum_terms_sql("spark", "reg", "COUNT(*)")).alias("sum_int"),
+        F.expr(f"CAST({HLL_M} - COUNT(*) AS INT)").alias("v0"),
+    )
+    est = grp.select(
+        "l_returnflag",
+        F.expr(hll_estimate_sql("spark", "sum_int", "v0")).alias(
+            "approx_parts"
+        ),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select("l_returnflag", "approx_parts", "exact_parts")
         .orderBy("l_returnflag")
     )
 
