@@ -54,21 +54,37 @@ from __future__ import annotations
 import math
 
 HLL_P = 8
-HLL_M = 1 << HLL_P              # 256 registers
+HLL_M = 1 << HLL_P              # 256 registers (the default precision)
 HLL_RHO_MAX = 25                # 24-bit suffix -> rho in [1, 25]
 _HLL_SCALE_BITS = 25            # fixed-point scale for 2^-reg terms
-HLL_ALPHA_NUM = 718273          # round(1e6 * 0.7213 / (1 + 1.079/256))
 HLL_ALPHA_DEN = 10**6
+_LC_SCALE_BITS = 20
+
+
+def _hll_alpha_num(m: int) -> int:
+    """Standard HLL bias constant, frozen as an integer rational
+    (num / 10^6): the published small-m values, else the asymptotic
+    0.7213/(1 + 1.079/m) formula (Flajolet et al. 2007, fig. 3)."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    return round(alpha * HLL_ALPHA_DEN)
+
+
+def hll_lc_table(m: int) -> list[int]:
+    """ln(m/V) * 2^20, rounded, for V = 1..m-1 — identical literals are
+    inlined into both dialects, so linear counting is integer-exact."""
+    return [
+        round(math.log(m / v) * (1 << _LC_SCALE_BITS)) for v in range(1, m)
+    ]
+
+
+HLL_ALPHA_NUM = _hll_alpha_num(HLL_M)
 # alpha * m^2 at fixed-point scale 2^25 — the integer numerator of the
-# raw estimate; fits comfortably in int64 (~1.58e18 < 2^63).
+# raw estimate; fits comfortably in int64 (~1.58e18 < 2^63 at m=256).
 HLL_EST_NUM = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << _HLL_SCALE_BITS)
 HLL_LC_THRESHOLD = (5 * HLL_M) // 2   # 640: use linear counting below
-_LC_SCALE_BITS = 20
-# ln(256/V) * 2^20, rounded, for V = 1..255 — identical literals are
-# inlined into both dialects, so the correction is integer-exact.
-HLL_LC_TABLE = [
-    round(math.log(HLL_M / v) * (1 << _LC_SCALE_BITS)) for v in range(1, HLL_M)
-]
+HLL_LC_TABLE = hll_lc_table(HLL_M)
 
 
 def hll_bucket_sql(dialect: str, key: str) -> str:
@@ -93,7 +109,9 @@ def hll_rho_sql(dialect: str, key: str) -> str:
     )
 
 
-def hll_sum_terms_sql(dialect: str, reg: str, n_present: str) -> str:
+def hll_sum_terms_sql(
+    dialect: str, reg: str, n_present: str, m: int = HLL_M
+) -> str:
     """Scaled denominator sum(2^-reg) * 2^25 over ALL m registers.
 
     ``reg`` names the per-present-bucket register column inside an
@@ -106,39 +124,85 @@ def hll_sum_terms_sql(dialect: str, reg: str, n_present: str) -> str:
         term = f"shiftleft({one}, {_HLL_SCALE_BITS} - CAST({reg} AS INT))"
     else:
         term = f"({one} << ({_HLL_SCALE_BITS} - {reg}))"
-    empty = f"(CAST({HLL_M} AS BIGINT) - {n_present}) * ({one} << {_HLL_SCALE_BITS})" \
+    empty = f"(CAST({m} AS BIGINT) - {n_present}) * ({one} << {_HLL_SCALE_BITS})" \
         if dialect != "spark" else (
-            f"(CAST({HLL_M} AS BIGINT) - {n_present})"
+            f"(CAST({m} AS BIGINT) - {n_present})"
             f" * shiftleft({one}, {_HLL_SCALE_BITS})"
         )
     return f"(SUM({term}) + {empty})"
 
 
-def hll_estimate_sql(dialect: str, sum_int: str, v0: str) -> str:
+def hll_estimate_sql(
+    dialect: str, sum_int: str, v0: str, m: int = HLL_M
+) -> str:
     """Cardinality estimate from the scaled register sum + empty count.
 
-    raw  = alpha*m^2*2^25 // (10^6 * sum_int)           (integer)
+    raw  = alpha_m*m^2*2^25 // (10^6 * sum_int)         (integer)
     est  = linear counting (m * ln(m/V) via the frozen integer table)
            when raw <= 5m/2 and V > 0, else raw          (integer)
     """
-    table = ", ".join(str(x) for x in HLL_LC_TABLE)
+    est_num = _hll_alpha_num(m) * m * m * (1 << _HLL_SCALE_BITS)
+    lc_threshold = (5 * m) // 2
+    table = ", ".join(str(x) for x in hll_lc_table(m))
     if dialect == "spark":
-        raw = f"CAST({HLL_EST_NUM} AS BIGINT) div ({HLL_ALPHA_DEN} * {sum_int})"
+        raw = f"CAST({est_num} AS BIGINT) div ({HLL_ALPHA_DEN} * {sum_int})"
         lookup = f"element_at(array({table}), greatest(CAST({v0} AS INT), 1))"
         lc = (
-            f"CAST({HLL_M} AS BIGINT) * CAST({lookup} AS BIGINT)"
+            f"CAST({m} AS BIGINT) * CAST({lookup} AS BIGINT)"
             f" div {1 << _LC_SCALE_BITS}"
         )
     else:
-        raw = f"CAST({HLL_EST_NUM} AS BIGINT) // ({HLL_ALPHA_DEN} * {sum_int})"
+        raw = f"CAST({est_num} AS BIGINT) // ({HLL_ALPHA_DEN} * {sum_int})"
         lookup = f"([{table}])[greatest({v0}, 1)]"
         lc = (
-            f"CAST({HLL_M} AS BIGINT) * CAST({lookup} AS BIGINT)"
+            f"CAST({m} AS BIGINT) * CAST({lookup} AS BIGINT)"
             f" // {1 << _LC_SCALE_BITS}"
         )
     return (
-        f"CAST(CASE WHEN ({raw}) <= {HLL_LC_THRESHOLD} AND {v0} > 0"
+        f"CAST(CASE WHEN ({raw}) <= {lc_threshold} AND {v0} > 0"
         f" THEN {lc} ELSE {raw} END AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point log2 (r13): the libm-free logarithm the entropy family
+# runs on.  log2(x) = (bitlen(x)-1) + log2(mantissa), with the
+# fractional part read from a 256-entry Q20 table over the top 8
+# mantissa bits — T[j] = round(log2(1 + j/256) * 2^20), precomputed in
+# Python and inlined as identical literals into both SQL dialects, so
+# the value is integer-exact cross-engine.  Max error ~2^-9 relative
+# (half a table step), far below the ppm grain the consumers report.
+
+LOG2_SCALE_BITS = 20
+LOG2_TABLE = [
+    round(math.log2(1 + j / 256) * (1 << LOG2_SCALE_BITS))
+    for j in range(256)
+]
+
+
+def log2_fp_sql(dialect: str, x: str) -> str:
+    """Q20 fixed-point log2 of a BIGINT expression >= 1.
+
+    e = length(bin(x)) - 1;   m8 = (x * 256) >> e - 256  in [0, 256)
+    log2_fp = e * 2^20 + T[m8]
+
+    ``x`` must be < 2^55 (the *256 headroom); every consumer here is a
+    token count, far below that.
+    """
+    e = f"(length(bin({x})) - 1)"
+    table = ", ".join(str(t) for t in LOG2_TABLE)
+    if dialect == "spark":
+        m8 = f"(({x}) * 256 div shiftleft(CAST(1 AS BIGINT), {e}) - 256)"
+        lookup = f"element_at(array({table}), CAST({m8} AS INT) + 1)"
+        return (
+            f"(CAST({e} AS BIGINT) * {1 << LOG2_SCALE_BITS}"
+            f" + CAST({lookup} AS BIGINT))"
+        )
+    m8 = f"(({x}) * 256 // (CAST(1 AS BIGINT) << ({e})) - 256)"
+    lookup = f"([{table}])[CAST({m8} AS INT) + 1]"
+    return (
+        f"(CAST({e} AS BIGINT) * {1 << LOG2_SCALE_BITS}"
+        f" + CAST({lookup} AS BIGINT))"
     )
 
 

@@ -2466,3 +2466,115 @@ def eval_confusion_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
 eval_confusion_thresholds.__doc__ = eval_confusion_thresholds.__doc__.format(
     k=len(_ECT_THRESHOLDS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token-distribution entropy via fixed-point log2 (r13)
+# ---------------------------------------------------------------------------
+
+
+def _vef_oracle() -> str:
+    from kbrowse_spark.functions.sketches import LOG2_SCALE_BITS, log2_fp_sql
+
+    lg = lambda x: log2_fp_sql("duck", x)  # noqa: E731
+    return f"""
+    WITH raw AS (
+      SELECT lang, lower(unnest(string_split(text, ' '))) AS word
+      FROM documents),
+    freq AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM raw WHERE word != '' GROUP BY 1, 2),
+    agg AS (
+      SELECT lang,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(c * {lg('c')}) AS BIGINT) AS s_clogc
+      FROM freq GROUP BY 1),
+    h AS (
+      SELECT lang, n_tokens, vocab,
+             {lg('n_tokens')} - s_clogc // n_tokens AS h_fp
+      FROM agg)
+    SELECT lang, n_tokens, vocab,
+           CAST(h_fp * 1000000 // {1 << LOG2_SCALE_BITS} AS BIGINT)
+             AS entropy_microbits,
+           CAST(CASE WHEN vocab > 1
+                     THEN h_fp * 1000000 // {lg('vocab')}
+                     ELSE 0 END AS BIGINT) AS efficiency_ppm
+    FROM h ORDER BY lang
+    """
+
+
+@register(
+    "vocab_entropy_fixedpoint",
+    _vef_oracle(),
+    "text",
+    "corpus_stats",
+    "sketch",
+)
+def vocab_entropy_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-distribution SHANNON ENTROPY — the corpus
+    diversity metric (low entropy = templated/repetitive text; the
+    ratio to log2(vocab) is distribution efficiency, 1.0 = uniform) —
+    computed ENTIRELY in integer arithmetic: log2 comes from the Q20
+    fixed-point mantissa table in functions/sketches.py (bitlen
+    exponent + 256-entry fraction table, max ~0.05% relative error,
+    NO libm), so H = log2(N) - sum(c*log2(c))/N is bit-identical in
+    DuckDB and the gate hash-verifies the metric (the same move that
+    made linear counting exact for the HLL family).
+
+    Accuracy vs float math is pinned by an invariant test (within
+    0.2%); int64 bound: sum(c * log2_fp(c)) stays exact to ~2x10^11
+    tokens per language — beyond that the accumulator moves to
+    DECIMAL(38,0) with the identical plan (the
+    epoch_shuffle_decorrelation precedent).
+
+    Plan: one token explode -> (lang, word) combinable count -> one
+    per-lang 3-column combinable aggregate (the c*log2_fp(c) product
+    is JVM codegen on the frequency table, which is vocabulary-grain,
+    not corpus-grain) -> vocab-grain readout.  At 100 TB the only
+    corpus-sized pass is the token count the tokenizer family already
+    shares.
+
+    Reference has no corpus statistics (SURVEY §2c extension; joins
+    heaps_vocab_growth / quality_lm_surprisal in the
+    distribution-stats family).
+    """
+    from kbrowse_spark.functions.sketches import (
+        LOG2_SCALE_BITS,
+        log2_fp_sql,
+    )
+
+    lg = lambda x: log2_fp_sql("spark", x)  # noqa: E731
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = freq.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.expr(f"c * {lg('c')}")).cast("long").alias("s_clogc"),
+    )
+    h = agg.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        F.expr(f"{lg('n_tokens')} - s_clogc div n_tokens").alias("h_fp"),
+    )
+    return h.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        F.expr(
+            f"CAST(h_fp * 1000000 div {1 << LOG2_SCALE_BITS} AS BIGINT)"
+        ).alias("entropy_microbits"),
+        F.expr(
+            f"CAST(IF(vocab > 1, h_fp * 1000000 div {lg('vocab')}, 0)"
+            " AS BIGINT)"
+        ).alias("efficiency_ppm"),
+    ).orderBy("lang")

@@ -2237,6 +2237,155 @@ minhash_estimate_error_audit.__doc__ = (
 
 
 # ---------------------------------------------------------------------------
+# b-bit minwise hashing (r13): 1-bit sketch compression audit
+# ---------------------------------------------------------------------------
+
+
+def _bbit_oracle() -> str:
+    bitm = " + ".join(
+        f"CASE WHEN a.m{i} % 2 = b.m{i} % 2 THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    fullm = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    jac = "1000000 * e.n_common // (e.na + e.nb - e.n_common)"
+    return f"""
+    WITH {_SQL_MINHASH_BASE},
+    est AS (
+      SELECT v.doc_a, v.doc_b, v.n_common, sa.n AS na, sb.n AS nb,
+             ({bitm}) AS bit_matches,
+             ({fullm}) AS full_matches
+      FROM verified v
+      JOIN minh a ON a.doc_id = v.doc_a
+      JOIN minh b ON b.doc_id = v.doc_b
+      JOIN sizes sa ON sa.doc_id = v.doc_a
+      JOIN sizes sb ON sb.doc_id = v.doc_b)
+    SELECT CAST(bit_matches AS BIGINT) AS bit_matches,
+           -- 2E-1 in ppm, kept as non-negative-dividend arithmetic
+           -- (bm*2e6/k - 1e6): Spark's `div` truncates toward zero
+           -- while DuckDB's `//` floors, so a negative dividend would
+           -- diverge by 1 ulp between engines for bit_matches < k/2.
+           CAST(bit_matches * 2000000 // {NUM_HASHES}
+                - 1000000 AS BIGINT) AS est_1bit_jac_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(1000000 * full_matches // {NUM_HASHES})
+                // COUNT(*) AS BIGINT) AS avg_full_est_ppm,
+           CAST(SUM({jac}) // COUNT(*) AS BIGINT) AS avg_true_jac_ppm,
+           CAST(MIN({jac}) AS BIGINT) AS min_true_jac_ppm,
+           CAST(MAX({jac}) AS BIGINT) AS max_true_jac_ppm
+    FROM est e GROUP BY bit_matches
+    ORDER BY bit_matches
+    """
+
+
+@register("bbit_minhash_jaccard", _bbit_oracle(), "dedup", "sketch")
+def bbit_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing audit (Li & Koenig, WWW 2010, b=1): keep
+    only the LOWEST BIT of each of the k={k} minhashes — a 64x sketch
+    compression (k bits instead of k 64-bit values per doc), the
+    storage move that makes doc-level similarity sketches feasible to
+    keep hot for a 100 TB corpus — and calibrate its estimator
+    J ~= 2E - 1 (E = fraction of matching bits; the b=1 collision
+    baseline for a large hash universe is 1/2) against both the
+    full-signature estimate and the exact shingle Jaccard, grouped by
+    matching-bit count.
+
+    Reads the SAME sketch definitions as the dedup family
+    (_minhash_sigs_of signatures, _verified_common LSH-candidate
+    pairs); the 1-bit view is parity on the existing signature — no
+    second sketch formulation.  All estimator arithmetic is integer
+    ppm, so the DuckDB oracle reproduces it bit-for-bit (negative ppm
+    for bit_matches < k/2 is the estimator's honest below-baseline
+    reading on non-duplicate pairs).
+
+    Scale posture: signatures are one combinable MIN aggregate over
+    the cached shingle scan; the audit join runs at PAIR grain
+    (LSH-candidate-bounded, not corpus^2); readout is <= k+1 rows.
+    """
+    sh = _shingles_df(spark, sf_dir)
+    sigs = _minhash_sigs_of(sh)
+    v = _verified_common(spark, sf_dir)
+    sizes = _shingle_sizes(spark, sf_dir)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(NUM_HASHES)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(NUM_HASHES)],
+    )
+    bitm = " + ".join(
+        f"CASE WHEN am{i} % 2 = bm{i} % 2 THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    fullm = " + ".join(
+        f"CASE WHEN am{i} = bm{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    est = (
+        v.join(a, "doc_a")
+        .join(b, "doc_b")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.expr(f"({bitm})").alias("bit_matches"),
+            F.expr(f"({fullm})").alias("full_matches"),
+            F.expr(
+                "CAST(1000000 * n_common DIV (na + nb - n_common)"
+                " AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+    )
+    return (
+        est.groupBy("bit_matches")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr(
+                f"CAST(SUM(1000000 * full_matches DIV {NUM_HASHES})"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("avg_full_est_ppm"),
+            F.expr("CAST(SUM(jac_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "avg_true_jac_ppm"
+            ),
+            F.min("jac_ppm").cast("long").alias("min_true_jac_ppm"),
+            F.max("jac_ppm").cast("long").alias("max_true_jac_ppm"),
+        )
+        .select(
+            F.col("bit_matches").cast("long").alias("bit_matches"),
+            # Non-negative dividend (see oracle comment: div vs //
+            # disagree on negative dividends by 1).
+            F.expr(
+                f"CAST(bit_matches * 2000000 DIV {NUM_HASHES}"
+                " - 1000000 AS BIGINT)"
+            ).alias("est_1bit_jac_ppm"),
+            "n_pairs",
+            "avg_full_est_ppm",
+            "avg_true_jac_ppm",
+            "min_true_jac_ppm",
+            "max_true_jac_ppm",
+        )
+        .orderBy("bit_matches")
+    )
+
+
+bbit_minhash_jaccard.__doc__ = bbit_minhash_jaccard.__doc__.format(
+    k=NUM_HASHES
+)
+
+
+# ---------------------------------------------------------------------------
 # SoftDeDup: duplicate down-weighting instead of removal
 # ---------------------------------------------------------------------------
 

@@ -3676,12 +3676,18 @@ def _blf_oracle() -> str:
         " % m.m AS bit FROM build CROSS JOIN m"
         for i in range(_BLF_K)
     )
+    # LEFT JOIN + COALESCE(word, 0), not INNER: a probe row whose
+    # hashed word has no set bits must SCORE as a miss, not vanish
+    # from the ledger (an inner join would shrink n_probe and the
+    # false-positive denominator; empty words appear with probability
+    # ~e^-(bits/word), near-certain at sf1+ scale — ADVICE r12).  The
+    # Spark side already scores such rows 0 via the zero-filled array.
     hits = " AND ".join(
-        f"((w{i}.word >> CAST(h{i} % 64 AS INT)) & 1) = 1"
+        f"((COALESCE(w{i}.word, 0) >> CAST(h{i} % 64 AS INT)) & 1) = 1"
         for i in range(_BLF_K)
     )
     wjoins = " ".join(
-        f"JOIN words w{i} ON w{i}.widx = p.h{i} // 64"
+        f"LEFT JOIN words w{i} ON w{i}.widx = p.h{i} // 64"
         for i in range(_BLF_K)
     )
     return f"""
@@ -4120,4 +4126,95 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sample_neyman_allocation.__doc__ = sample_neyman_allocation.__doc__.format(
     t=_NEY_T
+)
+
+
+# ---------------------------------------------------------------------------
+# Partition-pruning audit (r13): the Hive-style partitioned layout +
+# pruned-scan contract, measured on a REALLY staged directory tree
+# ---------------------------------------------------------------------------
+
+_PPA_SALTS = 4  # sub-partition fan per event_type (salt = event_id % 4)
+
+
+@register(
+    "partition_pruning_audit",
+    f"""
+    WITH base AS (
+      SELECT event_type, event_id % {_PPA_SALTS} AS salt,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(DISTINCT salt) AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM base GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "pipeline_ops",
+    "ops",
+)
+def partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-PRUNING layout audit — the 100 TB table layout every
+    lake query depends on: events are REALLY written as a two-level
+    Hive-partitioned tree (event_type / salt, salt = event_id % {s} —
+    hash-repartitioned on both keys first, so the dynamic-partition
+    writer emits EXACTLY one file per leaf directory), then read back
+    and manifest-audited per event_type: file count (distinct
+    input_file_name), row count, and content checksum (cents sum).
+
+    The oracle never sees the staged tree: the expected manifest is
+    derived arithmetically from the base table — n_files per type ==
+    COUNT(DISTINCT event_id % {s}) because one-file-per-leaf is the
+    writer contract under per-key repartitioning; a writer that
+    splits or merges leaves breaks the hash match.
+
+    The PRUNING half of the contract (a scan filtered to one
+    event_type lists only that type's leaf dirs — `PartitionFilters`
+    in the scan node, file-listing cost O(selected partitions) at
+    100 TB) is asserted on the executed plan by
+    tests/test_operator_invariants.py::test_partition_pruning_plan —
+    plan shape is not a row value, so it lives in the test, not the
+    ledger.
+
+    Scale posture: one repartition exchange (the write), one read-back
+    scan with a 3-column map-side-combinable aggregate at
+    (type, file) grain; the manifest is partition-grain.  Reference
+    has no storage layout at all (SURVEY §2c extension; joins the
+    layout_* / compaction family).
+    """
+    import hashlib
+    import shutil
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"event_id % {_PPA_SALTS}").alias("salt"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"/tmp/kbrowse_part_prune/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    (
+        ev.repartition("event_type", "salt")
+        .write.mode("overwrite")
+        .partitionBy("event_type", "salt")
+        .parquet(root)
+    )
+    back = spark.read.parquet(root)
+    return (
+        back.select(
+            "event_type", "cents", F.input_file_name().alias("f")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("f").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+partition_pruning_audit.__doc__ = partition_pruning_audit.__doc__.format(
+    s=_PPA_SALTS
 )

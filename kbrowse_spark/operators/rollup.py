@@ -215,6 +215,315 @@ def sketch_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HLL set algebra: audience-overlap estimates from register MAX-merge +
+# inclusion-exclusion (r13; builds on the same md5 registers as
+# sketch_hll_rollup_merge).
+
+_HLL_CUSTKEY = "CAST(o_custkey AS STRING)"
+_HLL_CUSTKEY_DUCK = "CAST(o_custkey AS VARCHAR)"
+
+
+@register(
+    "hll_set_algebra_pairs",
+    f"""
+    WITH h AS (
+      SELECT o_orderpriority AS grp,
+             {hll_bucket_sql('duck', _HLL_CUSTKEY_DUCK)} AS bucket,
+             {hll_rho_sql('duck', _HLL_CUSTKEY_DUCK)} AS rho
+      FROM orders),
+    regs AS (
+      SELECT grp, bucket, MAX(rho) AS reg
+      FROM h GROUP BY 1, 2),
+    est1 AS (
+      SELECT grp,
+             {hll_estimate_sql('duck', 'sum_int', 'v0')} AS approx
+      FROM (
+        SELECT grp,
+               {hll_sum_terms_sql('duck', 'reg', 'COUNT(*)')} AS sum_int,
+               CAST({HLL_M} - COUNT(*) AS INT) AS v0
+        FROM regs GROUP BY 1)),
+    pairs AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b
+      FROM (SELECT DISTINCT grp FROM regs) a
+      JOIN (SELECT DISTINCT grp FROM regs) b ON a.grp < b.grp),
+    uregs AS (
+      SELECT p.grp_a, p.grp_b, r.bucket, MAX(r.reg) AS reg
+      FROM pairs p JOIN regs r ON r.grp IN (p.grp_a, p.grp_b)
+      GROUP BY 1, 2, 3),
+    estu AS (
+      SELECT grp_a, grp_b,
+             {hll_estimate_sql('duck', 'sum_int', 'v0')} AS approx_union
+      FROM (
+        SELECT grp_a, grp_b,
+               {hll_sum_terms_sql('duck', 'reg', 'COUNT(*)')} AS sum_int,
+               CAST({HLL_M} - COUNT(*) AS INT) AS v0
+        FROM uregs GROUP BY 1, 2)),
+    exact AS (
+      SELECT a.grp AS grp_a, b.grp AS grp_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_intersection
+      FROM (SELECT DISTINCT o_orderpriority AS grp, o_custkey FROM orders) a
+      JOIN (SELECT DISTINCT o_orderpriority AS grp, o_custkey FROM orders) b
+        ON a.o_custkey = b.o_custkey AND a.grp < b.grp
+      GROUP BY 1, 2)
+    SELECT u.grp_a, u.grp_b,
+           ea.approx AS approx_a, eb.approx AS approx_b,
+           u.approx_union,
+           ea.approx + eb.approx - u.approx_union AS approx_intersection,
+           x.exact_intersection
+    FROM estu u
+    JOIN est1 ea ON ea.grp = u.grp_a
+    JOIN est1 eb ON eb.grp = u.grp_b
+    JOIN exact x ON x.grp_a = u.grp_a AND x.grp_b = u.grp_b
+    ORDER BY u.grp_a, u.grp_b
+    """,
+    "agg",
+    "approx",
+    "rollup",
+    "sketch",
+)
+def hll_set_algebra_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA over the md5-register sketches: customer-audience
+    overlap between every pair of order priorities — |A∪B| by register
+    MAX-merge (the only set op HLL supports natively) and |A∩B| by
+    inclusion-exclusion, next to the exact intersection for audit.
+    This is the classic sketch-warehouse query (audience overlap /
+    cross-segment reach): at 100 TB the per-segment register tables are
+    maintained incrementally and any pairwise overlap matrix is
+    computed at SKETCH grain — no re-scan, no pairwise distinct joins
+    over raw data.
+
+    Everything is the integer-exact machinery of functions/sketches.py,
+    so DuckDB computes identical estimates and the driver gate
+    hash-verifies them (inclusion-exclusion error vs exact is pinned
+    separately in tests/test_sketch_exact.py).
+
+    Plan: one narrow scan -> (priority, bucket) MAX-register aggregate
+    (<= 5 x 256 rows); pair fan-out and union-merge run entirely at
+    register grain (10 pairs x 256 buckets, broadcast); the exact
+    intersection join is the test-SF audit column only.
+    """
+    o = load(spark, sf_dir, "orders")
+    regs = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.expr(hll_bucket_sql("spark", _HLL_CUSTKEY)).alias("bucket"),
+            F.expr(hll_rho_sql("spark", _HLL_CUSTKEY)).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    est1 = (
+        regs.groupBy("grp")
+        .agg(
+            F.expr(hll_sum_terms_sql("spark", "reg", "COUNT(*)")).alias(
+                "sum_int"
+            ),
+            F.expr(f"CAST({HLL_M} - COUNT(*) AS INT)").alias("v0"),
+        )
+        .select(
+            "grp",
+            F.expr(hll_estimate_sql("spark", "sum_int", "v0")).alias(
+                "approx"
+            ),
+        )
+    )
+    grps = regs.select("grp").distinct()
+    pairs = (
+        grps.alias("a")
+        .crossJoin(grps.alias("b"))
+        .filter(F.expr("a.grp < b.grp"))
+        .select(
+            F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b")
+        )
+    )
+    uregs = (
+        F.broadcast(pairs)
+        .join(
+            regs,
+            (regs["grp"] == F.col("grp_a")) | (regs["grp"] == F.col("grp_b")),
+        )
+        .groupBy("grp_a", "grp_b", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    estu = (
+        uregs.groupBy("grp_a", "grp_b")
+        .agg(
+            F.expr(hll_sum_terms_sql("spark", "reg", "COUNT(*)")).alias(
+                "sum_int"
+            ),
+            F.expr(f"CAST({HLL_M} - COUNT(*) AS INT)").alias("v0"),
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            F.expr(hll_estimate_sql("spark", "sum_int", "v0")).alias(
+                "approx_union"
+            ),
+        )
+    )
+    gc = o.select(F.col("o_orderpriority").alias("grp"), "o_custkey").distinct()
+    exact = (
+        gc.alias("a")
+        .join(
+            gc.alias("b"),
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    ea = est1.select(
+        F.col("grp").alias("grp_a"), F.col("approx").alias("approx_a")
+    )
+    eb = est1.select(
+        F.col("grp").alias("grp_b"), F.col("approx").alias("approx_b")
+    )
+    return (
+        estu.join(F.broadcast(ea), "grp_a")
+        .join(F.broadcast(eb), "grp_b")
+        .join(exact, ["grp_a", "grp_b"])
+        .select(
+            "grp_a",
+            "grp_b",
+            "approx_a",
+            "approx_b",
+            "approx_union",
+            (
+                F.col("approx_a") + F.col("approx_b") - F.col("approx_union")
+            ).alias("approx_intersection"),
+            "exact_intersection",
+        )
+        .orderBy("grp_a", "grp_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL precision ladder (r13): register-count sizing by sketch FOLDING —
+# the design step that prices accuracy vs sketch bytes before anyone
+# commits a rollup-table schema (the HLL twin of dedup_lsh_band_tuning,
+# which prices LSH band factorizations the same way).
+
+_HPL_MS = (64, 128, 256)
+_HPL_KEY = "CAST(l_partkey AS STRING)"
+_HPL_KEY_DUCK = "CAST(l_partkey AS VARCHAR)"
+
+
+def _hpl_oracle() -> str:
+    arms = []
+    for m in _HPL_MS:
+        arms.append(f"""
+    SELECT CAST({m} AS BIGINT) AS m_registers,
+           {hll_estimate_sql('duck', 'sum_int', 'v0', m=m)} AS approx_parts
+    FROM (
+      SELECT {hll_sum_terms_sql('duck', 'reg', 'COUNT(*)', m=m)} AS sum_int,
+             CAST({m} - COUNT(*) AS INT) AS v0
+      FROM (SELECT bucket % {m} AS fbucket, MAX(reg) AS reg
+            FROM regs GROUP BY 1) f)""")
+    union = " UNION ALL ".join(arms)
+    return f"""
+    WITH h AS (
+      SELECT {hll_bucket_sql('duck', _HPL_KEY_DUCK)} AS bucket,
+             {hll_rho_sql('duck', _HPL_KEY_DUCK)} AS rho
+      FROM lineitem),
+    regs AS (SELECT bucket, MAX(rho) AS reg FROM h GROUP BY 1),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      FROM lineitem),
+    ladder AS ({union})
+    SELECT l.m_registers, l.approx_parts, x.exact_parts,
+           CAST(1000000 * abs(l.approx_parts - x.exact_parts)
+                // x.exact_parts AS BIGINT) AS abs_err_ppm,
+           CAST(l.m_registers * 5 AS BIGINT) AS sketch_bits
+    FROM ladder l CROSS JOIN exact x
+    ORDER BY m_registers
+    """
+
+
+@register(
+    "hll_fold_precision_ladder",
+    _hpl_oracle(),
+    "agg",
+    "approx",
+    "rollup",
+    "sketch",
+)
+def hll_fold_precision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register-count SIZING ladder: one 256-register sketch of the
+    distinct parts is FOLDED down to m' = 128 and 64 (fold = MAX over
+    bucket % m' — the standard HLL precision-downgrade, valid because
+    our bucket is uniform md5 bits), and each rung reports its estimate,
+    the exact count, the realized error ppm, and the sketch size in
+    bits (5-bit registers suffice for rho <= 25).  This is the DESIGN
+    step a 100 TB rollup runs once before freezing the register count
+    in its table schema: the error column prices what each halving of
+    sketch bytes costs — measured on the real corpus, not the
+    1.04/sqrt(m) asymptotic (which the invariant test pins it against).
+
+    Folding also proves the maintenance story: a lake can keep
+    256-register day sketches and serve coarser queries by folding at
+    read time — no re-scan, no second sketch pipeline.
+
+    Everything is the integer-exact machinery of functions/sketches.py
+    (per-m frozen alpha rationals + ln tables), so DuckDB reproduces
+    every rung bit-for-bit.
+
+    Plan: ONE corpus scan builds the 256-register table; every rung is
+    a <= 256-row fold + 1-row estimate — the ladder costs one scan no
+    matter how many rungs.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    regs = (
+        li.select(
+            F.expr(hll_bucket_sql("spark", _HPL_KEY)).alias("bucket"),
+            F.expr(hll_rho_sql("spark", _HPL_KEY)).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    arms = []
+    for m in _HPL_MS:
+        folded = (
+            regs.groupBy((F.col("bucket") % m).alias("fbucket"))
+            .agg(F.max("reg").alias("reg"))
+            .agg(
+                F.expr(
+                    hll_sum_terms_sql("spark", "reg", "COUNT(*)", m=m)
+                ).alias("sum_int"),
+                F.expr(f"CAST({m} - COUNT(*) AS INT)").alias("v0"),
+            )
+            .select(
+                F.lit(m).cast("long").alias("m_registers"),
+                F.expr(
+                    hll_estimate_sql("spark", "sum_int", "v0", m=m)
+                ).alias("approx_parts"),
+            )
+        )
+        arms.append(folded)
+    ladder = arms[0]
+    for extra in arms[1:]:
+        ladder = ladder.unionByName(extra)
+    exact = F.broadcast(
+        li.agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    )
+    return (
+        ladder.crossJoin(exact)
+        .select(
+            "m_registers",
+            "approx_parts",
+            "exact_parts",
+            F.expr(
+                "CAST(1000000 * abs(approx_parts - exact_parts)"
+                " DIV exact_parts AS BIGINT)"
+            ).alias("abs_err_ppm"),
+            F.expr("CAST(m_registers * 5 AS BIGINT)").alias("sketch_bits"),
+        )
+        .orderBy("m_registers")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Haar wavelet synopsis (hierarchical dyadic transform, top-B selection)
 
 # The classic time-series synopsis (Matias/Vitter/Wang SIGMOD'98): one

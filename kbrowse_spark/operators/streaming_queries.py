@@ -21,7 +21,7 @@ from __future__ import annotations
 import itertools
 import threading
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kbrowse_spark.catalog import register
@@ -129,7 +129,15 @@ def _record_stream_stats(q, label: str, wall_s: float) -> None:
             int(p.get("durationMs", {}).get("triggerExecution", 0))
             for p in progs
         )
-        _STREAM_RUN_STATS[label] = {
+        # Keys are UNIQUE per run: a builder that runs two bounded
+        # queries (or one that's re-run) gets label, label#2, … — so
+        # the profiler's before/after diff sums real entries instead
+        # of one overwritten record (ADVICE r12).
+        key, i = label, 1
+        while key in _STREAM_RUN_STATS:
+            i += 1
+            key = f"{label}#{i}"
+        _STREAM_RUN_STATS[key] = {
             "wall_ms": round(wall_s * 1000, 1),
             "operator_ms": add_batch_ms,
             "machinery_ms": round(wall_s * 1000 - add_batch_ms, 1),
@@ -150,7 +158,7 @@ def executed_stream_plans() -> dict[str, str]:
     return dict(_EXECUTED_STREAM_PLANS)
 
 
-def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(df: DataFrame, mode: str, label: str | None = None) -> DataFrame:
     """Run a bounded stream (availableNow) into a memory sink and return
     the materialized result as a batch DataFrame.
 
@@ -169,8 +177,10 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     import sys as _sys
     import time as _time
 
-    # Builder function name, for the machinery/operator stats label.
-    caller = _sys._getframe(1).f_code.co_name
+    # Stats label: explicit when given; else the builder function name.
+    # A wrapper between a builder and this helper should pass ``label``
+    # — the frame heuristic only sees the immediate caller (ADVICE r12).
+    caller = label or _sys._getframe(1).f_code.co_name
 
     spark = df.sparkSession
     name = f"stream_result_{next(_counter)}"
@@ -2527,7 +2537,11 @@ def stream_hotkey_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("c")
     )
     tot = F.broadcast(f.agg(F.sum("c").cast("long").alias("t")))
-    hot = F.broadcast(
+    # No blanket broadcast hint on `hot`: it sits as the LEFT side of
+    # the final left-outer join, where a build-left hint is invalid and
+    # Spark would drop it with a logged warning (VERDICT r12 #4).  The
+    # hint is applied per-join below, on the side that can be built.
+    hot = (
         f.crossJoin(tot)
         .filter(F.col("c") * p > F.col("t"))
         .select("w", "c", "t")
@@ -2540,7 +2554,11 @@ def stream_hotkey_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving = (
         stream.filter(F.expr("doc_id % 2 = 1"))
         .select(F.explode(F.split("text", " ")).alias("w"))
-        .join(hot.select(F.col("w").alias("hw")), F.col("w") == F.col("hw"), "left")
+        .join(
+            F.broadcast(hot.select(F.col("w").alias("hw"))),
+            F.col("w") == F.col("hw"),
+            "left",
+        )
         .select(
             "w",
             F.col("hw").isNotNull().cast("int").alias("is_hot"),
@@ -2554,7 +2572,7 @@ def stream_hotkey_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("arrived")
     )
     return (
-        hot.join(arr, "w", "left")
+        hot.join(F.broadcast(arr), "w", "left")
         .crossJoin(n_arr)
         .select(
             F.col("w").alias("key"),
@@ -2755,7 +2773,8 @@ def stream_compaction_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger-interval).
 
     Scale posture: state is two longs per (day, shard) — bounded by
-    calendar x 17 prefix widths, not by corpus; the readout is
+    calendar x 16 prefix widths (bit_length of a 16-bit hash is 1..16;
+    hash 0 folds into width 1), not by corpus; the readout is
     file-grain with two 1-row broadcast attaches (both CROSS JOINs
     bounded).  At 100 TB the same monitor keys on (table, partition,
     shard) and stays layout-bounded.
@@ -2801,6 +2820,243 @@ def stream_compaction_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repack_trigger"),
         )
         .orderBy("ingest_day", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL register maintenance (the production form of the
+# sketch_hll_rollup_merge rollup table — r13)
+# ---------------------------------------------------------------------------
+
+_SHR_USERKEY = "CAST(user_id AS STRING)"
+_SHR_USERKEY_DUCK = "CAST(user_id AS VARCHAR)"
+
+
+def _shr_oracle() -> str:
+    from kbrowse_spark.functions.sketches import (
+        HLL_M,
+        hll_bucket_sql,
+        hll_estimate_sql,
+        hll_rho_sql,
+        hll_sum_terms_sql,
+    )
+
+    return f"""
+    WITH h AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             {hll_bucket_sql('duck', _SHR_USERKEY_DUCK)} AS bucket,
+             {hll_rho_sql('duck', _SHR_USERKEY_DUCK)} AS rho
+      FROM events),
+    regs AS (
+      SELECT event_type, day, bucket, MAX(rho) AS reg
+      FROM h GROUP BY 1, 2, 3),
+    grp AS (
+      SELECT event_type, day,
+             {hll_sum_terms_sql('duck', 'reg', 'COUNT(*)')} AS sum_int,
+             CAST({HLL_M} - COUNT(*) AS INT) AS v0,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM regs GROUP BY 1, 2)
+    SELECT event_type, day,
+           {hll_estimate_sql('duck', 'sum_int', 'v0')} AS approx_users_day,
+           n_buckets
+    FROM grp ORDER BY event_type, day
+    """
+
+
+@register(
+    "stream_hll_register_rollup",
+    _shr_oracle(),
+    "streaming",
+    "approx",
+    "rollup",
+    "sketch",
+)
+def stream_hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the HLL register rollup — the
+    PRODUCTION form of sketch_hll_rollup_merge's per-day sketch table
+    (that module's docstring promises "a streaming job maintains the
+    rollup incrementally"; this is that job): each micro-batch folds
+    arriving events into the (event_type, day, bucket) -> MAX(rho)
+    state — HLL insert IS register max, so the streaming MAX aggregate
+    is the sketch update — and the batch readout estimates distinct
+    users per day from the final state snapshot.
+
+    On the bounded availableNow replay the final registers equal the
+    batch registers (merge-invariance, pinned by
+    tests/test_sketch_exact.py::test_hll_merge_equals_direct), so the
+    day-grain estimates hash-match the DuckDB oracle computing the
+    identical integer recipe (functions/sketches.py).
+
+    Scale posture: state is <= calendar x |event_type| x 256 integer
+    registers — corpus-independent; the readout runs at register grain.
+    At 100 TB this stream never re-scans history: any date-range
+    distinct query MAX-merges the day rows it needs.
+    """
+    from kbrowse_spark.functions.sketches import (
+        HLL_M,
+        hll_bucket_sql,
+        hll_estimate_sql,
+        hll_rho_sql,
+        hll_sum_terms_sql,
+    )
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr(hll_bucket_sql("spark", _SHR_USERKEY)).alias("bucket"),
+        F.expr(hll_rho_sql("spark", _SHR_USERKEY)).alias("rho"),
+    )
+    regs = ev.groupBy("event_type", "day", "bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    snap = _run_to_memory(regs, "complete")
+    grp = snap.groupBy("event_type", "day").agg(
+        F.expr(hll_sum_terms_sql("spark", "reg", "COUNT(*)")).alias(
+            "sum_int"
+        ),
+        F.expr(f"CAST({HLL_M} - COUNT(*) AS INT)").alias("v0"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    return grp.select(
+        "event_type",
+        "day",
+        F.expr(hll_estimate_sql("spark", "sum_int", "v0")).alias(
+            "approx_users_day"
+        ),
+        "n_buckets",
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Streaming DDSketch quantile monitor (r13): the percentile family's
+# production ingest arm, symmetric to stream_hll_register_rollup
+# ---------------------------------------------------------------------------
+
+_SDQ_QS = (50, 95, 99)
+_SDQ_CENTS = "CAST(floor(value * 100) AS BIGINT)"
+
+
+def _sdq_oracle() -> str:
+    from kbrowse_spark.functions.sketches import ddq_duck_bucket
+
+    return f"""
+    WITH v AS (
+      SELECT event_type, {_SDQ_CENTS} AS cents FROM events),
+    sk AS (
+      SELECT event_type,
+             CAST({ddq_duck_bucket('cents')} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+    cum AS (
+      SELECT event_type, bucket,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                 ORDER BY bucket) AS BIGINT) AS cum
+      FROM sk),
+    qs AS (SELECT CAST(unnest([{', '.join(map(str, _SDQ_QS))}]) AS INT) AS q),
+    sel AS (
+      SELECT c.event_type, q.q, MIN(c.bucket) AS bucket
+      FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs q
+      WHERE c.cum >= (q.q * t.n + 99) // 100
+      GROUP BY 1, 2)
+    SELECT s.event_type, s.q,
+           CAST(((16 + s.bucket % 16)
+                 * (CAST(1 AS BIGINT) << (s.bucket // 16)))
+                // 16 AS BIGINT) AS est_lo_cents,
+           CAST(((17 + s.bucket % 16)
+                 * (CAST(1 AS BIGINT) << (s.bucket // 16)))
+                // 16 AS BIGINT) AS est_hi_cents,
+           t.n
+    FROM sel s JOIN tot t USING (event_type)
+    ORDER BY event_type, q
+    """
+
+
+@register(
+    "stream_ddq_latency_monitor",
+    _sdq_oracle(),
+    "streaming",
+    "approx",
+    "sketch",
+)
+def stream_ddq_latency_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming p50/p95/p99 monitor over event values through the
+    DDSketch-style integer log-linear buckets — the percentile
+    family's production ingest arm, symmetric to
+    stream_hll_register_rollup: each micro-batch folds arriving
+    values into (event_type, bucket) COUNT state (DDSketch insert IS
+    a bucket increment, so the streaming COUNT aggregate is the
+    sketch update), and the batch readout walks the cumulative bucket
+    counts to quantile BRACKETS (est_lo <= q < est_hi, relative width
+    <= 1/16 — the monitor's alert thresholds compare against est_hi).
+
+    On the bounded availableNow replay the final bucket counts equal
+    the batch GROUP BY, so the readout hash-matches the DuckDB oracle
+    running the identical integer recipe (functions/sketches.py).
+
+    Scale posture: state is <= |event_type| x ~500 integer buckets —
+    corpus-independent (the standing property of log-linear sketches:
+    a fixed relative-error guarantee costs O(log(max/min)) buckets no
+    matter the volume); the readout runs at sketch grain.  At 100 TB
+    this is the latency-SLO monitor pattern: no raw retention, any
+    percentile over any window of retained day-sketches by bucket-sum
+    merge.
+    """
+    from kbrowse_spark.functions.sketches import ddq_spark_bucket
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_type", F.expr(_SDQ_CENTS).alias("cents")
+    )
+    sk = ev.select(
+        "event_type",
+        F.expr(ddq_spark_bucket("cents")).cast("long").alias("bucket"),
+    ).groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    snap = _run_to_memory(sk, "complete")
+    # Total and cumulative count come from the SAME window projection
+    # (unbounded vs running frame) — a separate per-type total would
+    # self-join the memory-sink table against its own window child,
+    # which Spark's relation dedup refuses to resolve.
+    cum = snap.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt")
+        .over(Window.partitionBy("event_type").orderBy("bucket"))
+        .cast("long")
+        .alias("cum"),
+        F.sum("cnt")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    qs = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(q) for q in _SDQ_QS])).alias("q"))
+        .select(F.col("q").cast("int").alias("q"))
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.expr("(q * n + 99) div 100"))
+        .groupBy("event_type", "q")
+        .agg(F.min("bucket").alias("bucket"), F.min("n").alias("n"))
+    )
+    return (
+        sel.select(
+            "event_type",
+            "q",
+            F.expr(
+                "CAST((16 + bucket % 16) * shiftleft(CAST(1 AS BIGINT),"
+                " CAST(bucket div 16 AS INT)) div 16 AS BIGINT)"
+            ).alias("est_lo_cents"),
+            F.expr(
+                "CAST((17 + bucket % 16) * shiftleft(CAST(1 AS BIGINT),"
+                " CAST(bucket div 16 AS INT)) div 16 AS BIGINT)"
+            ).alias("est_hi_cents"),
+            "n",
+        )
+        .orderBy("event_type", "q")
     )
 
 

@@ -85,6 +85,14 @@ def test_stdout_summary_line_fits_driver_tail_capture():
         separators=(",", ":"),
     )
     assert len(line) < 1900
+    # r12 ADVICE: the budget accounting must hold BY CONSTRUCTION —
+    # the serialized queries dict (including the __others__ rollup and
+    # the braces) must fit the budget itself, not rely on headroom.
+    for t in (times, wide):
+        rendered = json.dumps(
+            bench.stdout_queries(t), separators=(",", ":")
+        )
+        assert len(rendered) <= bench._STDOUT_QUERIES_BUDGET, len(rendered)
 
 
 def test_stdout_queries_keeps_slowest_per_query():

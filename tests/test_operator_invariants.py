@@ -2072,6 +2072,86 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     assert r0.bloom_bits & (r0.bloom_bits - 1) == 0
 
 
+def test_bloom_oracle_scores_empty_word_probes():
+    """r12 ADVICE regression: the join_bloom_runtime_filter ORACLE must
+    score a probe row whose hashed word has no set bits as a miss, not
+    drop it (the pre-fix INNER JOIN to the words CTE shrank n_probe and
+    the false-positive denominator).  Fixture is adversarial: exactly 8
+    build keys whose three md5 slices all land mod 128 in [0, 64)
+    (m = 1 << bit_length(16*8 - 1) = 128), so word index 1 is EMPTY —
+    never materialized by the bit_or aggregate — and a probe key with
+    some hash in word 1 exercises the LEFT-JOIN/COALESCE path."""
+    import hashlib
+
+    import duckdb
+
+    from kbrowse_spark.operators.pipeline_ops import _blf_oracle
+
+    def slices(key: int) -> list[int]:
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return [int(h[10 * i : 10 * i + 10], 16) % 128 for i in range(3)]
+
+    build = [k for k in range(10_000) if all(s < 64 for s in slices(k))][:8]
+    assert len(build) == 8
+    probe_w1 = next(
+        k
+        for k in range(10_000)
+        if k not in build and any(s >= 64 for s in slices(k))
+    )
+    probes = build[:3] + [probe_w1]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM (VALUES "
+        + ", ".join(f"({k}, '1-URGENT')" for k in build)
+        + ") t(o_orderkey, o_orderpriority)"
+    )
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(f"({k})" for k in probes)
+        + ") t(l_orderkey)"
+    )
+    r = con.execute(_blf_oracle()).fetchone()
+    n_build, m_bits, n_probe, n_pass, n_true, fp_ppm = r
+    assert (n_build, m_bits) == (8, 128)
+    assert n_probe == len(probes), "empty-word probe row was dropped"
+    assert n_true == 3
+    # the word-1 prober MUST fail the membership test (its word is 0)
+    assert n_pass < n_probe
+    assert 0 <= fp_ppm <= 10**6
+
+
+def test_partition_pruning_plan(spark, sf_dir):
+    """The pruning half of partition_pruning_audit's contract: a scan
+    filtered to one event_type must carry the predicate as a
+    PartitionFilter (listing-time pruning, not row filtering) and its
+    EXECUTED scan metrics must show only that type's leaf files read —
+    salts-of-one-type out of types x salts staged files."""
+    import hashlib
+
+    from kbrowse_spark.operators.pipeline_ops import _PPA_SALTS
+
+    # Stage (and manifest-audit) via the catalog builder itself.
+    rows = _q(spark, sf_dir, "partition_pruning_audit").collect()
+    total_files = sum(r.n_files for r in rows)
+    probe = rows[0].event_type
+    probe_files = rows[0].n_files
+    assert probe_files <= _PPA_SALTS < total_files
+
+    root = (
+        "/tmp/kbrowse_part_prune/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    df = spark.read.parquet(root).filter(F.col("event_type") == probe)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and f"= {probe}" in pf[0], pf
+    df.collect()
+    scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    num_files = scan.metrics().apply("numFiles").value()
+    assert num_files == probe_files, (num_files, probe_files, total_files)
+
+
 def test_ridge_lambda_zero_equals_ols_and_shrinks(spark, sf_dir):
     """The lambda = 0 ridge row must reproduce linreg_normal_cramer
     bit-for-bit, and slope magnitudes must shrink monotonically as

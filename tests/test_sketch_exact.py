@@ -113,6 +113,49 @@ def test_ddq_percentile_prices_brackets_exact(spark, sf_dir):
         assert width <= r["est_lo_cents"] / 16 + 1, (grp, q, width)
 
 
+def test_hll_set_algebra_brackets_exact(spark, sf_dir):
+    """Inclusion-exclusion intersection estimates: per-sketch identities
+    hold exactly (union <= a + b; union >= max(a, b) — register MAX can
+    only grow a sketch), and the estimated intersection lands within
+    25% of the exact overlap (IE compounds three 6.5%-sigma sketches;
+    measured worst 7.5% at sf0.01)."""
+    rows = (
+        all_queries()["hll_set_algebra_pairs"].builder(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["approx_union"] <= r["approx_a"] + r["approx_b"]
+        # Register MAX-merge is monotone per branch; the raw/LC branch
+        # crossover can wiggle a few % at the 5m/2 threshold, hence 0.97.
+        assert r["approx_union"] >= max(r["approx_a"], r["approx_b"]) * 0.97
+        tol = max(0.25 * r["exact_intersection"], 5)
+        assert abs(r["approx_intersection"] - r["exact_intersection"]) <= tol
+
+
+def test_hll_fold_ladder_accuracy(spark, sf_dir):
+    """Every fold rung must stay within ~4 sigma of the 1.04/sqrt(m)
+    asymptotic (LC rungs are tighter still), and the exact column must
+    match DuckDB — the ladder is the sizing design step, so its error
+    column has to be trustworthy."""
+    import math
+
+    rows = (
+        all_queries()["hll_fold_precision_ladder"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert [r["m_registers"] for r in rows] == [64, 128, 256]
+    (exact,) = {r["exact_parts"] for r in rows}
+    duck = _duck(sf_dir).execute(
+        "SELECT COUNT(DISTINCT l_partkey) FROM lineitem"
+    ).fetchone()[0]
+    assert exact == duck
+    for r in rows:
+        sigma = 1.04 / math.sqrt(r["m_registers"])
+        assert r["abs_err_ppm"] <= 4 * sigma * 1_000_000, r
+        assert r["sketch_bits"] == 5 * r["m_registers"]
+
+
 def test_native_sketch_functions_stay_accurate(spark, sf_dir):
     """The engine-native sketches the r13 reformulation replaced must
     remain exercised: approx_count_distinct / hll_sketch_agg within 5%

@@ -59,6 +59,24 @@ ALLOW = {
     # aggregate or a literal <=3-row probe table by construction.
     "neardup_lsh_pair_stats": "1-row corpus/gross/distinct aggregate attaches",
     "quantile_ddsketch_chars": "3-row literal quantile-probe attach",
+    "approx_percentile_prices": (
+        "3-row literal quantile-probe attach onto the SKETCH-grain "
+        "cumulative table (the quantile_ddsketch_chars shape, r13)"
+    ),
+    "hll_fold_precision_ladder": (
+        "1-row exact-count attach onto the 3-row fold ladder "
+        "(register-grain everything, rollup.py r13)"
+    ),
+    "hll_set_algebra_pairs": (
+        "10-row priority-pair block x <=5x256-row register table "
+        "(OR-key union-merge fan-out; both sides sketch-grain, "
+        "rollup.py r13)"
+    ),
+    "stream_ddq_latency_monitor": (
+        "3-row literal quantile-probe attach onto the SKETCH-grain "
+        "state-snapshot cumulative table (the quantile_ddsketch_chars "
+        "readout, streaming_queries.py r13)"
+    ),
     "ddsketch_merge_audit": "3-row literal quantile-probe attach (the quantile_ddsketch_chars readout over the merged sketch)",
     "linkage_sorted_neighborhood": "4-row literal pass-id attach",
     "skyline_price_size": "carry window over the domain-bounded price-bucket table (~20 rows)",
@@ -188,7 +206,7 @@ ALLOW = {
     ),
     "stream_compaction_trigger": (
         "two 1-row total/small-count attaches onto the file-grain "
-        "state-snapshot readout (calendar x 17 shards rows)"
+        "state-snapshot readout (calendar x 16 shards rows)"
     ),
     # Padding audit: the cumulative window runs over the length-DOMAIN
     # bounded length-grain count table, never the corpus.

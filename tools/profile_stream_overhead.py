@@ -50,8 +50,16 @@ def measure_floor(spark, sf_dir: str, n_runs: int) -> dict:
     best: dict = {}
     for _ in range(n_runs):
         stream = sq._events_stream(spark, sf_dir).select("event_id")
-        sq._run_to_memory(stream, "append")
-        stats = sq.stream_run_stats().get("measure_floor", {})
+        before = sq.stream_run_stats()
+        sq._run_to_memory(stream, "append", label="measure_floor")
+        # Stats keys are unique per run (label, label#2, …): pick this
+        # run's entry out of the diff instead of a fixed key.
+        delta = [
+            v
+            for k, v in sq.stream_run_stats().items()
+            if before.get(k) != v
+        ]
+        stats = delta[0] if delta else {}
         if not best or stats.get("wall_ms", 1e12) < best.get("wall_ms", 1e12):
             best = stats
     return best

@@ -358,6 +358,56 @@ NOTES = {
         "per key shard, broadcast shard offsets) — no global sort "
         "ever scheduled"
     ),
+    # r13: the md5-register HLL family + layout/signature audits.
+    "approx_distinct_parts": (
+        "one scan -> (flag, bucket) MAX-register combinable agg "
+        "(<= 3x256 rows shuffled); estimate at register grain — "
+        "linear scan, constant sketch"
+    ),
+    "approx_percentile_prices": (
+        "integer log-linear bucket agg (map-side combined) is the "
+        "only corpus pass; readout at sketch grain — same shape as "
+        "quantile_ddsketch_chars"
+    ),
+    "sketch_hll_rollup_merge": (
+        "per-day register agg + MAX-merge both combinable; state is "
+        "calendar x types x 256 integers — linear scan, constant "
+        "rollup"
+    ),
+    "hll_set_algebra_pairs": (
+        "one scan to (priority, bucket) registers; pair fan-out and "
+        "union-merge run at register grain (10 pairs x 256) — the "
+        "exact-intersection audit join is the only pair-grain work"
+    ),
+    "hll_fold_precision_ladder": (
+        "ONE scan builds the 256-register table; each rung is a "
+        "<= 256-row fold + 1-row estimate — scan-bound by design"
+    ),
+    "stream_hll_register_rollup": (
+        "streaming MAX-register state bounded by calendar x types x "
+        "256; per-batch cost is batch-sized hashing + combinable MAX "
+        "— machinery floor dominates at these SFs"
+    ),
+    "partition_pruning_audit": (
+        "one repartition exchange (the staged write) + one read-back "
+        "scan with a (type, file)-grain combinable agg — linear in "
+        "data, manifest-grain readout"
+    ),
+    "bbit_minhash_jaccard": (
+        "parity view of the cached minhash signatures; audit join at "
+        "LSH-candidate pair grain, k+1-row readout — tracks "
+        "minhash_estimate_error_audit's shape"
+    ),
+    "vocab_entropy_fixedpoint": (
+        "token explode + (lang, word) combinable count is the only "
+        "corpus pass; c*log2_fp(c) runs on the vocabulary-grain "
+        "frequency table — linear scan, vocab-grain tail"
+    ),
+    "stream_ddq_latency_monitor": (
+        "streaming bucket-count state bounded by types x ~500 "
+        "buckets; readout at sketch grain — machinery floor dominates "
+        "at these SFs"
+    ),
 }
 
 
