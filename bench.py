@@ -190,6 +190,12 @@ HEADLINE = [
     # streaming DDSketch percentile monitor (bounded bucket state).
     "vocab_entropy_fixedpoint",
     "stream_ddq_latency_monitor",
+    # round 13 third wave: cross-slice KL divergence + Zipf slope
+    # (both on the fixed-point log2), and the streaming CMS arm that
+    # completes the mergeable-sketch ingest trio.
+    "kl_divergence_lang_mix",
+    "zipf_slope_fixedpoint",
+    "stream_cms_heavy_hitters",
 ]
 
 

@@ -2578,3 +2578,245 @@ def vocab_entropy_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("efficiency_ppm"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# KL divergence of each language slice vs the corpus mix (r13)
+# ---------------------------------------------------------------------------
+
+
+def _kld_oracle() -> str:
+    from kbrowse_spark.functions.sketches import LOG2_SCALE_BITS, log2_fp_sql
+
+    lg = lambda x: log2_fp_sql("duck", x)  # noqa: E731
+    return f"""
+    WITH raw AS (
+      SELECT lang, lower(unnest(string_split(text, ' '))) AS word
+      FROM documents),
+    wfil AS (SELECT lang, word FROM raw WHERE word != ''),
+    fl AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM wfil GROUP BY 1, 2),
+    fc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS d FROM wfil GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM wfil),
+    s1 AS (
+      SELECT fl.lang,
+             CAST(SUM(fl.c) AS BIGINT) AS n_tokens,
+             CAST(SUM(fl.c * ({lg('fl.c')} - {lg('fc.d')})) AS BIGINT)
+               AS s_ratio
+      FROM fl JOIN fc USING (word) GROUP BY 1)
+    SELECT s1.lang, s1.n_tokens,
+           CAST(greatest(
+                  s1.s_ratio
+                  + s1.n_tokens * ({lg('t.m')} - {lg('s1.n_tokens')}),
+                  0) * 1000000
+                // (s1.n_tokens * {1 << LOG2_SCALE_BITS}) AS BIGINT)
+             AS kl_microbits
+    FROM s1 CROSS JOIN tot t
+    ORDER BY lang
+    """
+
+
+@register(
+    "kl_divergence_lang_mix",
+    _kld_oracle(),
+    "text",
+    "corpus_stats",
+    "sketch",
+)
+def kl_divergence_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence D(P_lang || Q_corpus) of each language slice's
+    unigram distribution against the pooled corpus mix — the
+    DOMAIN-SHIFT metric a data-mixture designer reads before
+    re-weighting sources (near 0 = the slice looks like the mix; large
+    = the slice contributes distinct text), computed entirely in
+    integer arithmetic via the Q20 fixed-point log2 of
+    functions/sketches.py:
+
+        D * N * 2^20 = sum_w c_w*(lg(c_w) - lg(d_w))
+                       + N*(lg(M) - lg(N))
+
+    (c = slice count, d = corpus count >= c — so the sum term is
+    <= 0 and the correction term >= 0; fp rounding can leave a tiny
+    negative total on a near-identical slice, clamped by greatest(0,.)
+    BEFORE the division so the integer-div semantics stay in the
+    non-negative regime both engines agree on).  Hash-exact in DuckDB;
+    same int64 bound as vocab_entropy_fixedpoint (~2e11 tokens/lang,
+    then DECIMAL(38,0)).
+
+    Plan: one token explode feeds BOTH frequency tables (slice-grain
+    and corpus-grain, each a combinable count); the ratio sum joins
+    them at VOCABULARY grain (d >= c > 0 always — every slice word is
+    in the corpus by construction, no smoothing needed); the total is
+    a 1-row broadcast attach.
+
+    Reference has no corpus statistics (SURVEY §2c extension; the
+    cross-slice complement to vocab_entropy_fixedpoint's within-slice
+    diversity).
+    """
+    from kbrowse_spark.functions.sketches import (
+        LOG2_SCALE_BITS,
+        log2_fp_sql,
+    )
+
+    lg = lambda x: log2_fp_sql("spark", x)  # noqa: E731
+    d = load(spark, sf_dir, "documents")
+    wfil = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    fl = wfil.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    fc = wfil.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    tot = F.broadcast(wfil.agg(F.count(F.lit(1)).cast("long").alias("m")))
+    s1 = (
+        fl.join(fc, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.expr(f"c * ({lg('c')} - {lg('d')})"))
+            .cast("long")
+            .alias("s_ratio"),
+        )
+    )
+    return (
+        s1.crossJoin(tot)
+        .select(
+            "lang",
+            "n_tokens",
+            F.expr(
+                f"CAST(greatest(s_ratio + n_tokens * ({lg('m')}"
+                f" - {lg('n_tokens')}), 0) * 1000000"
+                f" div (n_tokens * {1 << LOG2_SCALE_BITS}) AS BIGINT)"
+            ).alias("kl_microbits"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the rank-frequency law, fixed-point least squares (r13)
+# ---------------------------------------------------------------------------
+
+
+def _zipf_oracle() -> str:
+    from kbrowse_spark.functions.sketches import log2_fp_sql
+
+    lg = lambda x: log2_fp_sql("duck", x)  # noqa: E731
+    return f"""
+    WITH raw AS (
+      SELECT lang, lower(unnest(string_split(text, ' '))) AS word
+      FROM documents),
+    fl AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM raw WHERE word != '' GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY c DESC, word) AS BIGINT) AS r
+      FROM fl),
+    xy AS (
+      SELECT lang, {lg('r')} AS x, {lg('c')} AS y FROM ranked),
+    agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM xy GROUP BY 1)
+    SELECT lang, vocab,
+           CAST(greatest(CAST(sx AS HUGEINT) * sy
+                         - CAST(vocab AS HUGEINT) * sxy,
+                         CAST(0 AS HUGEINT)) * 1000
+                // (CAST(vocab AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+             AS zipf_slope_neg_milli
+    FROM agg WHERE vocab > 1
+    ORDER BY lang
+    """
+
+
+@register(
+    "zipf_slope_fixedpoint",
+    _zipf_oracle(),
+    "text",
+    "corpus_stats",
+    "sketch",
+)
+def zipf_slope_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency exponent per language — the corpus-health
+    check that a token distribution follows the ~1/rank^s law a
+    natural corpus should (s ~ 1; templated/synthetic text reads
+    flatter or steeper): an exact least-squares fit of
+    y = log2(freq) on x = log2(rank) over the vocabulary, with both
+    logs from the Q20 fixed-point mantissa table
+    (functions/sketches.py — no libm) and all moment arithmetic in
+    DECIMAL(38,0) / HUGEINT (n*sum(xy) overflows int64 past ~1M-word
+    vocabularies; the epoch_shuffle_decorrelation precedent).  The
+    reported value is the NEGATED slope in milli-units
+    (zipf_slope_neg_milli ~ 1000 means s ~ 1), with the subtraction
+    ordered so the dividend is non-negative (Spark div truncates,
+    DuckDB // floors — they disagree on negative dividends) and
+    clamped by greatest(0, .) for the degenerate ascending case.
+
+    Plan: one token explode -> (lang, word) combinable count -> a
+    per-lang rank window + one 5-column combinable moment aggregate —
+    ALL post-count work runs at VOCABULARY grain, not corpus grain
+    (the rank window shuffles vocab rows only).
+
+    Reference has no corpus statistics (SURVEY §2c extension; with
+    heaps_vocab_growth and vocab_entropy_fixedpoint this completes
+    the distribution-law trio: Heaps = growth, entropy = spread,
+    Zipf = shape).
+    """
+    from pyspark.sql import Window as _W
+
+    from kbrowse_spark.functions.sketches import log2_fp_sql
+
+    lg = lambda x: log2_fp_sql("spark", x)  # noqa: E731
+    d = load(spark, sf_dir, "documents")
+    fl = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = fl.select(
+        "lang",
+        "c",
+        F.row_number()
+        .over(_W.partitionBy("lang").orderBy(F.col("c").desc(), "word"))
+        .cast("long")
+        .alias("r"),
+    )
+    xy = ranked.select(
+        "lang", F.expr(lg("r")).alias("x"), F.expr(lg("c")).alias("y")
+    )
+    agg = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    return (
+        agg.filter(F.col("vocab") > 1)
+        .select(
+            "lang",
+            "vocab",
+            F.expr(
+                "CAST(greatest(CAST(sx AS DECIMAL(38,0)) * sy"
+                " - CAST(vocab AS DECIMAL(38,0)) * sxy,"
+                " CAST(0 AS DECIMAL(38,0))) * 1000"
+                " div (CAST(vocab AS DECIMAL(38,0)) * sxx"
+                " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"
+            ).alias("zipf_slope_neg_milli"),
+        )
+        .orderBy("lang")
+    )

@@ -3061,6 +3061,141 @@ def stream_ddq_latency_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming count-min sketch maintenance (r13): completes the
+# streaming-ingest trio for the mergeable-sketch family (HLL registers
+# -> distinct, DDSketch buckets -> quantiles, CMS cells -> frequency)
+# ---------------------------------------------------------------------------
+
+
+def _scms_oracle() -> str:
+    from kbrowse_spark.operators.text_analysis import (
+        _CMS_PROBES,
+        _CMS_ROWS,
+        _CMS_WIDTH,
+    )
+
+    return f"""
+    WITH words AS (
+      SELECT lower(unnest(string_split(text, ' '))) AS word
+      FROM documents),
+    wfil AS (SELECT word FROM words WHERE word != ''),
+    pairs AS (
+      SELECT word, j,
+             ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || word),
+                             1, 8))::BIGINT % {_CMS_WIDTH} AS bucket
+      FROM wfil
+      CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_ROWS - 1})) AS j)),
+    sketch AS (
+      SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY j, bucket),
+    probes AS (SELECT unnest({list(_CMS_PROBES)}) AS term),
+    pb AS (
+      SELECT term, j,
+             ('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || term),
+                             1, 8))::BIGINT % {_CMS_WIDTH} AS bucket
+      FROM probes
+      CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_ROWS - 1})) AS j)),
+    est AS (
+      SELECT term, CAST(MIN(COALESCE(s.n, 0)) AS BIGINT) AS cms_estimate
+      FROM pb LEFT JOIN sketch s USING (j, bucket) GROUP BY term),
+    exact AS (
+      SELECT word AS term, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM wfil WHERE word IN {_CMS_PROBES!r} GROUP BY word)
+    SELECT e.term, CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count,
+           e.cms_estimate
+    FROM est e LEFT JOIN exact x USING (term)
+    ORDER BY term
+    """
+
+
+@register(
+    "stream_cms_heavy_hitters",
+    _scms_oracle(),
+    "streaming",
+    "approx",
+    "sketch",
+    "text",
+)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch maintenance — the frequency arm of
+    the mergeable-sketch ingest trio (stream_hll_register_rollup =
+    distinct, stream_ddq_latency_monitor = quantiles, THIS = term
+    frequency): each micro-batch fans arriving documents' tokens x4
+    hash rows and increments the (row, bucket) cell counts (CMS insert
+    IS a cell increment, so the streaming COUNT aggregate is the
+    sketch update); the batch readout point-estimates the probe terms
+    (MIN over rows) next to their exact counts.
+
+    Same md5-derived D=4 x W=256 sketch as cms_heavy_hitters, so the
+    DuckDB oracle reproduces the estimates bit-for-bit, and the
+    streaming state is EXACTLY 1024 integer cells — corpus-independent
+    (the defining CMS property).  On the bounded availableNow replay
+    the cells equal the batch GROUP BY.
+
+    Scale posture: per-batch cost is the token fan-out (x4, map-side
+    combined to <= 1024 rows before the shuffle); probe lookup is
+    sketch-grain.  At 100 TB this is the trending-terms monitor: no
+    raw retention, point frequency for any term from 8 KB of state.
+    """
+    from kbrowse_spark.operators.text_analysis import (
+        _CMS_PROBES,
+        _CMS_ROWS,
+        _CMS_WIDTH,
+    )
+
+    bucket_of = (
+        "CAST(conv(substring(md5(concat('cms', CAST(j AS STRING), ':', {t}))"
+        ", 1, 8), 16, 10) AS BIGINT) % {w}"
+    )
+    path = table_path(sf_dir, "documents")
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(
+        _stage_stream_dir(path)
+    )
+    cells = (
+        stream.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .withColumn("j", F.explode(F.expr(f"sequence(0, {_CMS_ROWS - 1})")))
+        .withColumn("bucket", F.expr(bucket_of.format(t="word", w=_CMS_WIDTH)))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    sketch = _run_to_memory(cells, "complete")
+    probes = (
+        spark.createDataFrame([(t,) for t in _CMS_PROBES], "term string")
+        .withColumn("j", F.explode(F.expr(f"sequence(0, {_CMS_ROWS - 1})")))
+        .withColumn("bucket", F.expr(bucket_of.format(t="term", w=_CMS_WIDTH)))
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        spark.read.parquet(path)
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.col("word").isin(*_CMS_PROBES))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, est.term == exact.word, "left")
+        .select(
+            "term",
+            F.coalesce(F.col("exact_count"), F.lit(0))
+            .cast("long")
+            .alias("exact_count"),
+            "cms_estimate",
+        )
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming quality gate (the Gopher-rule gate at ingest — batch/stream
 # symmetry for the quality family)
 # ---------------------------------------------------------------------------

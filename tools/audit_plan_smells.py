@@ -77,6 +77,10 @@ ALLOW = {
         "state-snapshot cumulative table (the quantile_ddsketch_chars "
         "readout, streaming_queries.py r13)"
     ),
+    "kl_divergence_lang_mix": (
+        "1-row corpus-total attach onto the LANG-grain ratio table "
+        "(5 rows; corpus_stats.py r13)"
+    ),
     "ddsketch_merge_audit": "3-row literal quantile-probe attach (the quantile_ddsketch_chars readout over the merged sketch)",
     "linkage_sorted_neighborhood": "4-row literal pass-id attach",
     "skyline_price_size": "carry window over the domain-bounded price-bucket table (~20 rows)",

@@ -21,6 +21,7 @@ step "physical-plan smells"                 python tools/audit_plan_smells.py
 step "oracle-claim/code agreement"          python tools/audit_oracle_claims.py
 step "iterative-loop recompute shapes"      python tools/audit_loop_recompute.py
 step "interpreted-HOF per-row hot paths"    python tools/audit_hof_hotpath.py
+step "integer-division dividend ratchet"    python tools/audit_div_semantics.py
 step "sf1 scaling gate (slowest ops, ratio + regression)" \
                                             python tools/gate_scaling_sf1.py
 step "bench smoke (sf0.01)"                 env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py

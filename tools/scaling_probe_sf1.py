@@ -408,6 +408,21 @@ NOTES = {
         "buckets; readout at sketch grain — machinery floor dominates "
         "at these SFs"
     ),
+    "kl_divergence_lang_mix": (
+        "one token explode feeds both combinable frequency tables; "
+        "ratio sum joins them at VOCABULARY grain + 1-row total "
+        "attach — linear scan, vocab-grain tail"
+    ),
+    "zipf_slope_fixedpoint": (
+        "token count is the only corpus pass; rank window + moment "
+        "aggregate shuffle vocab rows only — linear scan, vocab-grain "
+        "tail"
+    ),
+    "stream_cms_heavy_hitters": (
+        "x4 token fan-out map-side combined to <= 1024 sketch cells; "
+        "state corpus-independent — machinery floor dominates at "
+        "these SFs"
+    ),
 }
 
 
