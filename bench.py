@@ -196,6 +196,9 @@ HEADLINE = [
     "kl_divergence_lang_mix",
     "zipf_slope_fixedpoint",
     "stream_cms_heavy_hitters",
+    # round 13 fourth wave: the Fagin TA ranked-retrieval serve-depth
+    # audit (closed-form stopping depth, per-shard windows).
+    "topk_fagin_ta_depth",
 ]
 
 

@@ -4392,3 +4392,209 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 mad_robust_outliers.__doc__ = mad_robust_outliers.__doc__.format(k=_MAD_K)
+
+
+# ---------------------------------------------------------------------------
+# Fagin Threshold Algorithm: top-k serve depth over two ranked lists
+# (r13) — the ranked-index serving-economics audit
+# ---------------------------------------------------------------------------
+
+_TA_K = 3
+
+
+def _ta_oracle() -> str:
+    return f"""
+    WITH d0 AS (
+      SELECT lang, doc_id,
+             CAST(n_chars AS BIGINT) AS s1,
+             CAST(10 * len(string_split(text, ' ')) AS BIGINT) AS s2
+      FROM documents),
+    ranked AS (
+      SELECT lang, doc_id, s1, s2, s1 + s2 AS f,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY s1 DESC, doc_id) AS BIGINT)
+               AS r1,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY s2 DESC, doc_id) AS BIGINT)
+               AS r2
+      FROM d0),
+    thr AS (
+      SELECT t1.lang, t1.d, t1.s1 + t2.s2 AS t
+      FROM (SELECT lang, r1 AS d, s1 FROM ranked) t1
+      JOIN (SELECT lang, r2 AS d, s2 FROM ranked) t2
+        USING (lang, d)),
+    tagged AS (
+      SELECT lang, t AS val, 1 AS is_t,
+             CAST(NULL AS BIGINT) AS doc_id,
+             CAST(NULL AS BIGINT) AS dmin, CAST(NULL AS BIGINT) AS f
+      FROM thr
+      UNION ALL
+      SELECT lang, f, 0, doc_id, least(r1, r2), f FROM ranked),
+    cnt AS (
+      SELECT lang, doc_id, dmin, f, is_t,
+             SUM(is_t) OVER (PARTITION BY lang
+                             ORDER BY val DESC, is_t ASC,
+                                      COALESCE(doc_id, 0)
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS n_t_above
+      FROM tagged),
+    dq AS (
+      SELECT lang, doc_id, f,
+             greatest(dmin, n_t_above + 1) AS d_q
+      FROM cnt WHERE is_t = 0),
+    dstar AS (
+      SELECT lang, d_q AS d_star
+      FROM (SELECT lang, d_q,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY d_q, doc_id) AS rk
+            FROM dq) x
+      WHERE rk = {_TA_K}),
+    nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM d0 GROUP BY 1),
+    topk AS (
+      SELECT lang, doc_id, f,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY f DESC, doc_id) AS rank
+      FROM ranked)
+    SELECT k.lang, CAST(k.rank AS BIGINT) AS rank, k.doc_id,
+           CAST(k.f AS BIGINT) AS f_score,
+           CAST(s.d_star AS BIGINT) AS d_star,
+           n.n_docs,
+           CAST(1000000 * s.d_star // n.n_docs AS BIGINT)
+             AS scan_frac_ppm
+    FROM topk k
+    JOIN dstar s USING (lang) JOIN nd n USING (lang)
+    WHERE k.rank <= {_TA_K}
+    ORDER BY lang, rank
+    """
+
+
+@register("topk_fagin_ta_depth", _ta_oracle(), "analytics", "topk")
+def topk_fagin_ta_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fagin THRESHOLD ALGORITHM serve-depth audit (Fagin/Lotem/Naor,
+    PODS 2001): per language shard, the top-{k} documents by a
+    two-list combined score (f = s1 + s2; s1 = chars, s2 = 10x words)
+    TOGETHER WITH the depth d* at which TA may stop reading the two
+    ranked index lists — the number a ranked-retrieval serving layer
+    capacity-plans from (scan_frac_ppm says what fraction of each
+    posting list a top-k query actually touches; correlated scores
+    stop early, anti-correlated ones read deep).
+
+    d* is computed in closed form rather than by iterating depths:
+    the TA threshold T(d) = s1@d + s2@d is non-increasing, so each
+    doc's qualifying depth is d_q = max(first-seen depth min(r1, r2),
+    min{{d: T(d) <= f}}), and d* is the k-th smallest d_q.  The inner
+    min is an order-statistic merge: union-tag the T values with the
+    doc scores, one descending window per shard counts the T values
+    strictly above each f — the same two-table prefix-sum trick as
+    eval_auc_rank, no per-depth loop, no quadratic seen-set replay.
+
+    Scale shape: everything is per-lang windows + vocabulary... doc-
+    grain rows (3 windows + 1 union window per shard); the ranked
+    lists ARE the modeled artifact (production pre-materializes them
+    as sorted projections; here they build inline at test SF).  A TA
+    stop-correctness invariant (d* matches a brute-force simulation;
+    the global top-k is fully seen by depth d*) is pinned in
+    tests/test_operator_invariants.py.
+
+    Reference has no ranked retrieval (SURVEY §2c extension; joins
+    rag_rrf_fusion / eval_mrr_ndcg_at_k in the serving family).
+    """
+    d = load(spark, sf_dir, "documents")
+    d0 = d.select(
+        "lang",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("s1"),
+        F.expr("CAST(10 * size(split(text, ' ')) AS BIGINT)").alias("s2"),
+    )
+    wl1 = Window.partitionBy("lang").orderBy(F.col("s1").desc(), "doc_id")
+    wl2 = Window.partitionBy("lang").orderBy(F.col("s2").desc(), "doc_id")
+    ranked = d0.select(
+        "lang",
+        "doc_id",
+        "s1",
+        "s2",
+        (F.col("s1") + F.col("s2")).alias("f"),
+        F.row_number().over(wl1).cast("long").alias("r1"),
+        F.row_number().over(wl2).cast("long").alias("r2"),
+    )
+    thr = (
+        ranked.select("lang", F.col("r1").alias("d"), "s1")
+        .join(
+            ranked.select("lang", F.col("r2").alias("d"), "s2"),
+            ["lang", "d"],
+        )
+        .select("lang", "d", (F.col("s1") + F.col("s2")).alias("t"))
+    )
+    tagged = thr.select(
+        "lang",
+        F.col("t").alias("val"),
+        F.lit(1).alias("is_t"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("dmin"),
+        F.lit(None).cast("long").alias("f"),
+    ).unionByName(
+        ranked.select(
+            "lang",
+            F.col("f").alias("val"),
+            F.lit(0).alias("is_t"),
+            "doc_id",
+            F.least("r1", "r2").alias("dmin"),
+            "f",
+        )
+    )
+    wcnt = (
+        Window.partitionBy("lang")
+        .orderBy(
+            F.col("val").desc(),
+            F.col("is_t").asc(),
+            F.coalesce("doc_id", F.lit(0)),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt = tagged.select(
+        "lang",
+        "doc_id",
+        "dmin",
+        "f",
+        "is_t",
+        F.sum("is_t").over(wcnt).alias("n_t_above"),
+    )
+    dq = cnt.filter(F.col("is_t") == 0).select(
+        "lang",
+        "doc_id",
+        "f",
+        F.greatest("dmin", F.col("n_t_above") + 1).alias("d_q"),
+    )
+    wdq = Window.partitionBy("lang").orderBy("d_q", "doc_id")
+    dstar = (
+        dq.withColumn("rk", F.row_number().over(wdq))
+        .filter(F.col("rk") == _TA_K)
+        .select("lang", F.col("d_q").alias("d_star"))
+    )
+    nd = d0.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    wf = Window.partitionBy("lang").orderBy(F.col("f").desc(), "doc_id")
+    topk = (
+        d0.select("lang", "doc_id", (F.col("s1") + F.col("s2")).alias("f"))
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _TA_K)
+    )
+    return (
+        topk.join(F.broadcast(dstar), "lang")
+        .join(F.broadcast(nd), "lang")
+        .select(
+            "lang",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("f").cast("long").alias("f_score"),
+            F.col("d_star").cast("long").alias("d_star"),
+            "n_docs",
+            F.expr("CAST(1000000 * d_star DIV n_docs AS BIGINT)").alias(
+                "scan_frac_ppm"
+            ),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+topk_fagin_ta_depth.__doc__ = topk_fagin_ta_depth.__doc__.format(k=_TA_K)

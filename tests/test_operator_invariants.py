@@ -2152,6 +2152,57 @@ def test_partition_pruning_plan(spark, sf_dir):
     assert num_files == probe_files, (num_files, probe_files, total_files)
 
 
+def test_fagin_ta_depth_matches_simulation(spark, sf_dir):
+    """topk_fagin_ta_depth's closed-form stopping depth must equal a
+    literal depth-by-depth TA simulation (sorted access on both lists,
+    threshold = sum of current positions' scores, stop when >= k seen
+    docs have f >= threshold), and the emitted top-k must all be SEEN
+    by depth d* — the TA correctness guarantee."""
+    import duckdb
+
+    from kbrowse_spark.operators.analytics import _TA_K
+
+    rows = _q(spark, sf_dir, "topk_fagin_ta_depth").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.lang, {"d_star": r.d_star, "top": []})
+        got[r.lang]["top"].append((r.rank, r.doc_id, r.f_score))
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT lang, doc_id, CAST(n_chars AS BIGINT),"
+        " CAST(10 * len(string_split(text, ' ')) AS BIGINT)"
+        f" FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    by_lang: dict[str, list] = {}
+    for lang, did, s1, s2 in docs:
+        by_lang.setdefault(lang, []).append((did, s1, s2))
+    assert set(got) == set(by_lang)
+    for lang, ds in by_lang.items():
+        l1 = sorted(ds, key=lambda x: (-x[1], x[0]))
+        l2 = sorted(ds, key=lambda x: (-x[2], x[0]))
+        f = {did: s1 + s2 for did, s1, s2 in ds}
+        seen: set = set()
+        d_star = None
+        for d in range(1, len(ds) + 1):
+            seen.add(l1[d - 1][0])
+            seen.add(l2[d - 1][0])
+            thr = l1[d - 1][1] + l2[d - 1][2]
+            if sum(1 for x in seen if f[x] >= thr) >= _TA_K:
+                d_star = d
+                break
+        assert got[lang]["d_star"] == d_star, (lang, got[lang], d_star)
+        # every emitted top-k doc is seen by depth d*
+        seen_at = {x[0] for x in l1[:d_star]} | {x[0] for x in l2[:d_star]}
+        exact_top = sorted(ds, key=lambda x: (-(x[1] + x[2]), x[0]))[:_TA_K]
+        for rank, did, fs in got[lang]["top"]:
+            assert did in seen_at
+            assert (did, fs) == (
+                exact_top[rank - 1][0],
+                exact_top[rank - 1][1] + exact_top[rank - 1][2],
+            )
+
+
 def test_ridge_lambda_zero_equals_ols_and_shrinks(spark, sf_dir):
     """The lambda = 0 ridge row must reproduce linreg_normal_cramer
     bit-for-bit, and slope magnitudes must shrink monotonically as

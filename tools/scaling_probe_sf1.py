@@ -423,6 +423,11 @@ NOTES = {
         "state corpus-independent — machinery floor dominates at "
         "these SFs"
     ),
+    "topk_fagin_ta_depth": (
+        "per-shard rank/merge windows over doc-grain rows (one "
+        "shard-key exchange); the closed-form d* avoids any "
+        "per-depth replay — linear in docs per shard"
+    ),
 }
 
 
