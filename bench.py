@@ -197,8 +197,10 @@ HEADLINE = [
     "zipf_slope_fixedpoint",
     "stream_cms_heavy_hitters",
     # round 13 fourth wave: the Fagin TA ranked-retrieval serve-depth
-    # audit (closed-form stopping depth, per-shard windows).
+    # audit (closed-form stopping depth, per-shard windows) and the
+    # checkpoint state-store batch read-back.
     "topk_fagin_ta_depth",
+    "stream_state_introspection",
 ]
 
 

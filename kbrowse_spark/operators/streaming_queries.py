@@ -3061,6 +3061,93 @@ def stream_ddq_latency_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# State-store introspection (r13): read a streaming checkpoint's state
+# back as a batch DataFrame — the Spark 4 statestore / state-metadata
+# batch sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_state_introspection",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS state_count,
+           'stateStoreSave' AS operator_name,
+           CAST(8 AS BIGINT) AS n_state_partitions
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "streaming",
+    "ops",
+)
+def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE INTROSPECTION: a stateful stream (complete-mode
+    per-type counts) runs against a PERSISTENT checkpoint, then the
+    checkpoint's state store is read back as a BATCH DataFrame via
+    Spark 4's `statestore` data source — the keyed state rows must
+    equal the batch GROUP BY — and the `state-metadata` source
+    supplies the operator name and frozen state partition count.
+
+    This is the ops surface the compaction/monitor family's "the
+    state store is the ledger" posture rests on: at 100 TB the
+    statestore read is how an operator debugs a stuck stream,
+    verifies state compatibility before a query upgrade, or audits
+    state volume per key — WITHOUT touching the raw corpus (it reads
+    only the checkpoint's state files, key-grain not event-grain).
+
+    Determinism: the bounded availableNow replay leaves exactly the
+    final aggregate as state; the state partition count is pinned to
+    8 for the run (the conf is frozen into the checkpoint — the same
+    contract _run_to_memory documents), so the metadata columns are
+    literals the oracle can state.
+
+    Reference has no state tooling (SURVEY §2c extension; joins
+    stream_compaction_trigger / the checkpoint-resume evidence tests
+    in the streaming-ops family).
+    """
+    import hashlib
+    import shutil
+
+    path = table_path(sf_dir, "events")
+    static = spark.read.parquet(path)
+    stream = spark.readStream.schema(static.schema).parquet(
+        _stage_stream_dir(path)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ckpt = f"/tmp/kbrowse_state_introspect/{tag}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    key = "spark.sql.shuffle.partitions"
+    with _SHUFFLE_CONF_LOCK:
+        saved = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "8")
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set(key, saved)
+    ss = spark.read.format("statestore").load(ckpt)
+    md = spark.read.format("state-metadata").load(ckpt).select(
+        F.col("operatorName").alias("operator_name"),
+        F.col("numPartitions").cast("long").alias("n_state_partitions"),
+    )
+    return (
+        # The state value struct carries the INTERNAL aggregation
+        # buffer field name ("count"), not the output alias.
+        ss.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("state_count"),
+        )
+        .crossJoin(F.broadcast(md))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming count-min sketch maintenance (r13): completes the
 # streaming-ingest trio for the mergeable-sketch family (HLL registers
 # -> distinct, DDSketch buckets -> quantiles, CMS cells -> frequency)

@@ -81,6 +81,10 @@ ALLOW = {
         "1-row corpus-total attach onto the LANG-grain ratio table "
         "(5 rows; corpus_stats.py r13)"
     ),
+    "stream_state_introspection": (
+        "1-row state-metadata attach onto the KEY-grain statestore "
+        "read (checkpoint files only; streaming_queries.py r13)"
+    ),
     "ddsketch_merge_audit": "3-row literal quantile-probe attach (the quantile_ddsketch_chars readout over the merged sketch)",
     "linkage_sorted_neighborhood": "4-row literal pass-id attach",
     "skyline_price_size": "carry window over the domain-bounded price-bucket table (~20 rows)",

@@ -428,6 +428,11 @@ NOTES = {
         "shard-key exchange); the closed-form d* avoids any "
         "per-depth replay — linear in docs per shard"
     ),
+    "stream_state_introspection": (
+        "the statestore read touches only checkpoint state files "
+        "(key-grain); the stream pass is one combinable count — "
+        "machinery floor dominates at these SFs"
+    ),
 }
 
 
