@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import struct
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from kbrowse_spark.functions.avro import avro_decode
@@ -184,6 +184,7 @@ def test_murmur2_known_vectors():
 # --- determinism contract: decimal sums match DuckDB on arbitrary data --
 
 @settings(max_examples=20, deadline=None)
+@example([549756.2446275])  # hypothesis-found repr-midpoint (r13)
 @given(
     st.lists(
         st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
@@ -204,12 +205,23 @@ def test_decimal_sum_matches_duckdb(values):
     con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
     duck = con.execute(f"SELECT {sql_dsum('x')} FROM t").fetchone()[0]
 
-    # Python decimal reference of the same definition.
+    # Python decimal reference of the same definition.  NOTE: both
+    # engines quantize a double through its SHORTEST round-trip
+    # decimal representation (Java Double.toString on the Spark side,
+    # DuckDB's double->decimal cast likewise), NOT its exact binary
+    # expansion — hypothesis found the divergence at 549756.2446275,
+    # whose exact binary value is ...74999... (rounds DOWN) while the
+    # shortest repr ends at the ...75 midpoint (rounds UP; both
+    # engines agree on UP, verified against live Spark).  Python's
+    # repr() is the same shortest representation, so the reference
+    # must quantize Decimal(repr(v)), not Decimal(v).
     from decimal import ROUND_HALF_UP, Decimal
 
     ref = float(
         sum(
-            Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            Decimal(repr(v)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
             for v in values
         )
     )
