@@ -999,9 +999,19 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join, one for the pair aggregate.
     """
     d = load(spark, sf_dir, "documents")
-    dt = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).distinct()
+    # Spread the explode off the single input split and materialize
+    # the distinct doc-token stream ONCE for its three consumers
+    # (df_counts + both self-join sides) — r14, the
+    # poisson_bootstrap_ci fan-out pattern + lazy checkpoint.
+    dt = (
+        d.select("doc_id", "text")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     df_counts = dt.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
     vocab = df_counts.orderBy(F.col("n_docs").desc(), "token").limit(
         _PMI_VOCAB
@@ -2607,10 +2617,10 @@ def _kld_oracle() -> str:
                AS s_ratio
       FROM fl JOIN fc USING (word) GROUP BY 1)
     SELECT s1.lang, s1.n_tokens,
-           CAST(greatest(
+           CAST(CAST(greatest(
                   s1.s_ratio
                   + s1.n_tokens * ({lg('t.m')} - {lg('s1.n_tokens')}),
-                  0) * 1000000
+                  0) AS HUGEINT) * 1000000
                 // (s1.n_tokens * {1 << LOG2_SCALE_BITS}) AS BIGINT)
              AS kl_microbits
     FROM s1 CROSS JOIN tot t
@@ -2641,9 +2651,12 @@ def kl_divergence_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= 0 and the correction term >= 0; fp rounding can leave a tiny
     negative total on a near-identical slice, clamped by greatest(0,.)
     BEFORE the division so the integer-div semantics stay in the
-    non-negative regime both engines agree on).  Hash-exact in DuckDB;
-    same int64 bound as vocab_entropy_fixedpoint (~2e11 tokens/lang,
-    then DECIMAL(38,0)).
+    non-negative regime both engines agree on).  Hash-exact in DuckDB.
+    Int64 bounds: s_ratio holds to ~2e11 tokens/lang (the
+    vocab_entropy_fixedpoint bound); the microbits readout multiplies
+    the clamped numerator by 1e6 and is therefore evaluated in
+    DECIMAL(38,0)/HUGEINT (ADVICE r13 — int64 wrapped at just ~8.8e6
+    bit-tokens), good to ~1e38.
 
     Plan: one token explode feeds BOTH frequency tables (slice-grain
     and corpus-grain, each a combinable count); the ratio sum joins
@@ -2686,9 +2699,16 @@ def kl_divergence_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "n_tokens",
+            # 128-bit readout (ADVICE r13): the clamped numerator is
+            # D_bits*n_tokens*2^20, and multiplying by 1e6 in int64
+            # wraps once n_tokens*D_bits exceeds ~8.8e6 bit-tokens
+            # (DuckDB raises, non-ANSI Spark wraps silently —
+            # cross-engine divergence far below the old docstring
+            # bound).  DECIMAL(38,0)/HUGEINT keep the product exact to
+            # ~1e38; values at every fixture SF are unchanged.
             F.expr(
-                f"CAST(greatest(s_ratio + n_tokens * ({lg('m')}"
-                f" - {lg('n_tokens')}), 0) * 1000000"
+                f"CAST(CAST(greatest(s_ratio + n_tokens * ({lg('m')}"
+                f" - {lg('n_tokens')}), 0) AS DECIMAL(38,0)) * 1000000"
                 f" div (n_tokens * {1 << LOG2_SCALE_BITS}) AS BIGINT)"
             ).alias("kl_microbits"),
         )

@@ -1058,8 +1058,15 @@ def skew_salt_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     p = _SKEW_PARTS
     h = _SALT_H_SPARK.format
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ws")
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # Spread the explode + per-occurrence md5 work off the single
+        # input split (r14; the poisson_bootstrap_ci fan-out pattern).
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", F.split("text", " ").alias("ws"))
     )
     occ = d.select(
         "doc_id",
@@ -1068,6 +1075,12 @@ def skew_salt_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> struct(i AS i, ws[i - 1] AS w)))"
         ).alias("x"),
     ).select("doc_id", F.col("x.i").alias("i"), F.col("x.w").alias("w"))
+    # One materialization of the occurrence stream (r14): the
+    # frequency aggregate, and the placement scan below all read the
+    # same lazily-checkpointed blocks instead of re-running the
+    # scan+explode per consumer (occurrence grain — the same
+    # local[]/bench posture as the graph checkpoints).
+    occ = occ.localCheckpoint(eager=False)
     f = occ.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = F.broadcast(f.agg(F.sum("c").cast("long").alias("t")))
     sf_dim = F.broadcast(
@@ -1087,15 +1100,29 @@ def skew_salt_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{h(x='w')} % {p}").alias("pid_u"),
         F.expr(f"{h(x=salted_key)} % {p}").alias("pid_s"),
     )
+    # Both placement variants counted in ONE pass over the placed
+    # stream (r14): exploding each row into its (variant, pid) pair
+    # rows feeds a single map-side-combinable aggregate — the
+    # union-of-groupBys form ran the scan+join+md5 subtree once per
+    # variant.
     loads = (
-        placed.groupBy(F.col("pid_s").alias("pid"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .withColumn("variant", F.lit("salted"))
-        .unionByName(
-            placed.groupBy(F.col("pid_u").alias("pid"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .withColumn("variant", F.lit("unsalted"))
+        placed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("salted").alias("variant"),
+                        F.col("pid_s").alias("pid"),
+                    ),
+                    F.struct(
+                        F.lit("unsalted").alias("variant"),
+                        F.col("pid_u").alias("pid"),
+                    ),
+                )
+            ).alias("vp")
         )
+        .select("vp.variant", "vp.pid")
+        .groupBy("variant", "pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     nsalt = F.broadcast(
         sf_dim.filter(F.col("sfac") > 1).agg(

@@ -959,7 +959,7 @@ def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
         mins = e.groupBy("u").agg(F.min("v").alias("mn"))
         m = F.least(F.col("u"), F.col("mn"))
         large = (
-            e.join(mins, "u")
+            e.join(F.broadcast(mins), "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("lu"), m.alias("lv"))
             .where(F.col("lu") != F.col("lv"))
@@ -971,13 +971,17 @@ def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
         # minimum among them.
         smins = large.groupBy("u").agg(F.min("v").alias("mn"))
         relink = (
-            large.join(smins, "u")
+            large.join(F.broadcast(smins), "u")
             .where(F.col("v") != F.col("mn"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
         )
         self_link = smins.select("u", F.col("mn").alias("v"))
+        # Lazy checkpoint: the convergence test's count() is the
+        # action that materializes the round — one job, not two (r14).
         stars = (
-            relink.unionByName(self_link).distinct().localCheckpoint(eager=True)
+            relink.unionByName(self_link)
+            .distinct()
+            .localCheckpoint(eager=False)
         )
         if same_edge_set(stars, prev_stars):
             converged = True
@@ -1164,13 +1168,6 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding,"
             " x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
         ).alias("q"),
-    ).withColumn(
-        "n2",
-        F.aggregate(
-            F.expr("zip_with(q, q, (x, y) -> x * y)"),
-            F.lit(0).cast("long"),
-            lambda acc, y: acc + y,
-        ),
     )
     # Cell-size cap: n_sub per cell (1-row-per-cell aggregate, broadcast
     # back — no driver action), sub-shard id by vec_id modulus.  The
@@ -1187,39 +1184,73 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = q.join(F.broadcast(cellsz), "label").withColumn(
         "sub", F.col("vec_id") % F.col("n_sub")
     )
-    a = q.select(
-        F.col("vec_id").alias("keeper"),
-        F.col("label").alias("cell"),
-        F.col("sub"),
-        F.col("q").alias("qa"),
-        F.col("n2").alias("na2"),
-    )
-    b = q.select(
-        F.col("vec_id").alias("pruned"),
-        F.col("label").alias("cell"),
-        F.col("sub"),
-        F.col("q").alias("qb"),
-        F.col("n2").alias("nb2"),
-    )
-    dot = F.aggregate(
-        F.expr("zip_with(qa, qb, (x, y) -> x * y)"),
-        F.lit(0).cast("long"),
-        lambda acc, y: acc + y,
-    )
-    pairs = (
-        a.join(b, ["cell", "sub"])
-        .filter(F.col("keeper") < F.col("pruned"))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.lit(_SEMDEDUP_DEN).cast("decimal(3,0)")
-                * F.col("dot").cast("decimal(19,0)")
-                * F.col("dot").cast("decimal(19,0)")
-                >= F.lit(_SEMDEDUP_NUM).cast("decimal(2,0)")
-                * F.col("na2").cast("decimal(19,0)")
-                * F.col("nb2").cast("decimal(19,0)")
+
+    # Per-(cell, sub) pair generation as ONE numpy matmul per group
+    # (guide §4.2): the previous plan joined the quantized-vector table
+    # to itself on (cell, sub) and evaluated a 64-element zip_with +
+    # aggregate LAMBDA per candidate pair (~200k pairs x 128
+    # interpreted HOF element-ops at sf0.1 — measured 3.5 s, the
+    # allow-listed HOF hot path).  Each group is bounded by
+    # _SEMDEDUP_CELL_CAP, so Gram = Q @ Q.T is a <=256x256 int64
+    # matmul; numpy int64 arithmetic wraps mod 2^64 exactly like the
+    # JVM long math it replaces, so dot/na2/nb2 are bit-identical.
+    # Only (keeper, pruned, cell, dot, na2, nb2) scalars cross back —
+    # the exact 128-bit threshold comparison stays in the JVM
+    # (DECIMAL(38,0), unchanged), because 400*dot^2 can exceed int64.
+    def _cell_pairs(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        empty = _np.empty(0, dtype=_np.int64)
+        if n < 2:
+            return _pd.DataFrame(
+                {
+                    "keeper": empty,
+                    "pruned": empty,
+                    "cell": empty,
+                    "dot": empty,
+                    "na2": empty,
+                    "nb2": empty,
+                }
             )
+        qm = _np.stack(pdf["q"].to_numpy()).astype(_np.int64)
+        gram = qm @ qm.T
+        n2 = _np.diagonal(gram)
+        iu, ju = _np.triu_indices(n, k=1)
+        dots = gram[iu, ju]
+        pos = dots > 0
+        iu, ju, dots = iu[pos], ju[pos], dots[pos]
+        lab = int(pdf["label"].iloc[0])
+        return _pd.DataFrame(
+            {
+                "keeper": ids[iu],
+                "pruned": ids[ju],
+                "cell": _np.full(len(dots), lab, dtype=_np.int64),
+                "dot": dots,
+                "na2": n2[iu],
+                "nb2": n2[ju],
+            }
+        )
+
+    pairs = (
+        q.groupBy("label", "sub")
+        .applyInPandas(
+            _cell_pairs,
+            schema=(
+                "keeper long, pruned long, cell long, dot long,"
+                " na2 long, nb2 long"
+            ),
+        )
+        .filter(
+            F.lit(_SEMDEDUP_DEN).cast("decimal(3,0)")
+            * F.col("dot").cast("decimal(19,0)")
+            * F.col("dot").cast("decimal(19,0)")
+            >= F.lit(_SEMDEDUP_NUM).cast("decimal(2,0)")
+            * F.col("na2").cast("decimal(19,0)")
+            * F.col("nb2").cast("decimal(19,0)")
         )
     )
     return (

@@ -122,8 +122,15 @@ def pagerank_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = nodes.select("id", F.lit(_PR_SCALE // n).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
+        # Rank tables are node-grain (orders of magnitude below the
+        # edge list) — broadcast them so each iteration is a single
+        # pass over the CACHED edge partitions instead of a sort-merge
+        # join that re-shuffles every edge per iteration (r14; the
+        # _BFS_BROADCAST_FRONTIER posture — a deployment whose node
+        # table outgrows executors uses by-src-bucketed edges and a
+        # co-partitioned join instead).
         ranks = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
+            edges_deg.join(F.broadcast(ranks), edges_deg["src"] == ranks["id"])
             .select(
                 F.col("dst"),
                 F.expr("rank DIV outdeg").alias("contrib"),
@@ -139,6 +146,12 @@ def pagerank_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("rank"),
             )
+            # Materialize each iteration's node-sized rank table (the
+            # next iteration's broadcast build would otherwise
+            # re-execute the ENTIRE lazy chain of all prior
+            # iterations from scratch — O(k^2) edge joins instead of
+            # O(k)).  Lazy: the broadcast collect materializes it.
+            .localCheckpoint(eager=False)
         )
     return (
         ranks.select("id", F.col("rank").alias("rank_scaled"))
@@ -583,14 +596,18 @@ _KCORE_ROUNDS = 6
 _GRAPH_RELIABLE_CHECKPOINT = False
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
-    """One iterative round's lineage cut, honoring the deployment knob."""
+def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """One iterative round's lineage cut, honoring the deployment knob.
+
+    ``eager=False`` returns the checkpoint-marked frame WITHOUT running
+    a job; the caller's next action (e.g. the convergence count)
+    materializes it — one job per round instead of two (r14)."""
     if _GRAPH_RELIABLE_CHECKPOINT:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             sc.setCheckpointDir("/tmp/kbrowse_spark_checkpoints")
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def _kcore_oracle() -> str:
@@ -687,20 +704,35 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar count per round to the driver, the kmeans footprint rule).
     n_prev = edges.count()
     for _ in range(_KCORE_ROUNDS):
-        keep_c = (
+        # Node-grain keep lists ship as broadcast LEFT SEMI joins
+        # (keys only — keep_c holds distinct c, so semi == the former
+        # inner join): the checkpointed edge list carries no size
+        # stats, and without the hint the planner sort-merge-joined
+        # the full edge relation per filter (r14).  Node tables are
+        # orders of magnitude below edge grain; a deployment where
+        # even node grain outgrows executor memory flips the edge
+        # list to by-key bucketing instead (the module's
+        # _GRAPH_RELIABLE_CHECKPOINT deployment-knob pattern).
+        keep_c = F.broadcast(
             edges.groupBy("c")
             .agg(F.count(F.lit(1)).alias("dc"))
             .filter(F.col("dc") >= _KCORE_K)
             .select("c")
         )
-        keep_s = (
+        keep_s = F.broadcast(
             edges.groupBy("s")
             .agg(F.count(F.lit(1)).alias("ds"))
             .filter(F.col("ds") >= _KCORE_K)
             .select("s")
         )
+        # Lazy lineage cut: the convergence count is the action that
+        # materializes the round — one job per round, not a separate
+        # eager-checkpoint job plus a count over its blocks (r14).
         edges = _truncate_lineage(
-            edges.join(keep_c, "c").join(keep_s, "s").select("c", "s")
+            edges.join(keep_c, "c", "left_semi")
+            .join(keep_s, "s", "left_semi")
+            .select("c", "s"),
+            eager=False,
         )
         n_now = edges.count()
         if n_now == n_prev:
@@ -730,6 +762,17 @@ kcore_decomposition.__doc__ = kcore_decomposition.__doc__.format(
 
 _BFS_SEEDS = 3  # smallest interacting custkeys
 _BFS_H = 4  # hop bound
+# Frontier/visited tables are seed-bounded (<= seeds x nodes rows of
+# (long, short string, long)) — orders of magnitude smaller than the
+# edge list.  Broadcasting them turns every per-round join into a
+# single pass over the CACHED edge partitions (no 1.17M-row edge
+# shuffle + sort per round: measured 4.4 s -> ~2 s at sf0.1).  That is
+# the right plan whenever the frontier fits an executor (the common
+# BFS regime: few seeds); a deployment traversing from MILLIONS of
+# seeds flips this to False and gets the shuffle join against
+# by-src-bucketed edges instead (the kcore/_GRAPH_RELIABLE_CHECKPOINT
+# deployment-knob pattern).
+_BFS_BROADCAST_FRONTIER = True
 
 
 @register(
@@ -781,12 +824,15 @@ def bfs_multisource_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: per round, the join volume is |frontier| x degree
     (frontier-bounded, never corpus^2) and the visited set grows
-    monotonically to at most seeds x nodes.  Each round cuts lineage
-    on the visited set via _truncate_lineage (eager checkpoint) and
-    then derives the NEXT frontier as ``visited.filter(hop == h)`` —
-    a read of the just-stored blocks, so round h+1 never re-executes
-    round h's join+distinct+anti plan (carrying the lazy ``nxt``
-    would cost O(H^2/2) frontier joins instead of O(H)).  Lineage
+    monotonically to at most seeds x nodes.  Each round checkpoints
+    ONLY its new frontier via _truncate_lineage (eager checkpoint);
+    ``visited`` is the union of those disjoint per-round checkpoints,
+    so total materialized bytes across the traversal are O(|visited|)
+    (checkpointing the union instead re-wrote every prior round's
+    rows each round: O(H * |visited|)), round h+1's frontier IS round
+    h's stored blocks (nothing lazy re-executes; carrying the lazy
+    ``nxt`` would cost O(H^2/2) frontier joins instead of O(H)), and
+    the anti-join probes a union of flat checkpoint scans.  Lineage
     cuts honor the module knob _GRAPH_RELIABLE_CHECKPOINT (shared
     with kcore_decomposition): localCheckpoint for local[]/bench,
     reliable checkpoint() for a real cluster where executor-local
@@ -799,40 +845,52 @@ def bfs_multisource_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     traversal).
     """
     edges = _lpa_edges(spark, sf_dir)
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    # Seeds from the CACHED edge list (r14): the c-node set of the
+    # symmetrized graph IS "customers with >= 1 lineitem via orders"
+    # (every edge comes from a distinct (custkey, suppkey) trading
+    # pair), so the smallest {_BFS_SEEDS} interacting custkeys can be
+    # read off the warm cache instead of re-scanning orders ⋈ lineitem
+    # per invocation — two fewer corpus scans per run, same seed set
+    # by construction.
     seeds = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
-        .select("o_custkey")
+        edges.filter(F.col("src").startswith("c"))
+        .select(F.expr("CAST(substring(src, 2) AS BIGINT)").alias("seed"))
         .distinct()
-        .orderBy("o_custkey")
+        .orderBy("seed")
         .limit(_BFS_SEEDS)
         .select(
-            F.col("o_custkey").alias("seed"),
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "node"
-            ),
+            "seed",
+            F.concat(F.lit("c"), F.col("seed").cast("string")).alias("node"),
         )
     )
-    visited = _truncate_lineage(
+    # Checkpoint ONLY each round's new frontier, never the whole
+    # visited set (r14): `visited` is the union of the per-round
+    # checkpointed frontiers (disjoint by the anti-join), so the
+    # total bytes materialized across the traversal is O(|visited|)
+    # instead of the O(H * |visited|) the checkpoint-the-union form
+    # paid (each round re-wrote every prior round's rows).  Lineage
+    # stays O(1) per round — every leaf of `visited` is a flat
+    # checkpoint scan — and round h+1's frontier IS round h's stored
+    # blocks, so nothing lazy is ever re-executed.
+    frontier = _truncate_lineage(
         seeds.select("seed", "node", F.lit(0).cast("long").alias("hop"))
     )
-    frontier = visited
+    visited = frontier
+    hint = F.broadcast if _BFS_BROADCAST_FRONTIER else (lambda df: df)
     for h in range(1, _BFS_H + 1):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+        frontier = _truncate_lineage(
+            hint(frontier)
+            .join(edges, frontier["node"] == edges["src"])
             .select("seed", F.col("dst").alias("node"))
             .distinct()
-            .join(visited, ["seed", "node"], "left_anti")
+            .join(
+                hint(visited.select("seed", "node")),
+                ["seed", "node"],
+                "left_anti",
+            )
             .withColumn("hop", F.lit(h).cast("long"))
         )
-        visited = _truncate_lineage(visited.unionByName(nxt))
-        # Round h's frontier is exactly the hop==h slice of the set
-        # just checkpointed — read those stored blocks instead of
-        # carrying `nxt`'s LAZY join+distinct+anti plan into round
-        # h+1 (which would re-execute every prior round's frontier
-        # join: O(H^2/2) joins instead of O(H)).
-        frontier = visited.filter(F.col("hop") == h)
+        visited = visited.unionByName(frontier)
     return (
         visited.groupBy("seed", "hop")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

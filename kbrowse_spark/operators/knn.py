@@ -1633,8 +1633,18 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _rag_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, chunk_idx, w): every document word at chunk grain —
     the shared chunking pass for rag scoring and relevance labeling."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("ws")
+    # Spread the word fan-out (r14): the documents fixture arrives as
+    # ONE input split (single parquet row group), which serializes the
+    # split+explode+md5 featurization onto one task; a tiny doc-grain
+    # repartition buys full parallelism for the per-word hash work
+    # (the poisson_bootstrap_ci pattern).
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", F.split("text", " ").alias("ws"))
     )
     return d.select(
         "doc_id",
@@ -1703,21 +1713,42 @@ def _rag_bigram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-bigram dim.  Shared by eval_mrr_ndcg_at_k (scores the
     ranking) and rag_hard_negatives (excludes relevants from the
     negative pool)."""
-    from pyspark.sql import Window as W
-
-    wpos = load(spark, sf_dir, "documents").select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    # Adjacency by ARRAY INDEX, not by window (r14): the next word of
+    # position i is ws[i+1] — carrying the split array through
+    # posexplode and indexing it directly removes the corpus-grain
+    # exchange + per-doc sort the lead() window required (the word
+    # stream never shuffles; the only exchange left in this helper is
+    # the chunk-grain DISTINCT).  Same-chunk guard: lead stays in the
+    # chunk iff (pos+1) is not a chunk boundary; ws[pos+1] is NULL at
+    # the document end exactly where lead() was NULL — identical row
+    # set to the window formulation.
+    # The bigram structs are built INSIDE the array (transform +
+    # filter) and only then exploded, so each generated row carries
+    # one 3-field struct — exploding the positions first and indexing
+    # `ws` afterwards would copy the whole word array into every
+    # generated row (O(len^2) bytes per document).
+    bigram_arr = (
+        "filter(transform(ws, (x, i) -> struct(i AS pos, x AS w,"
+        " get(ws, i + 1) AS next_w)),"
+        f" p -> p.next_w IS NOT NULL AND (p.pos + 1) % {_RAG_CHUNK_W} != 0)"
     )
-    seq = W.partitionBy("doc_id").orderBy("pos")
-    adj = wpos.select(
-        "doc_id",
-        (F.col("pos") / _RAG_CHUNK_W).cast("long").alias("chunk_idx"),
-        "w",
-        F.lead("w").over(seq).alias("next_w"),
-        (F.lead("pos").over(seq) / _RAG_CHUNK_W)
-        .cast("long")
-        .alias("next_chunk"),
-    ).filter(F.col("chunk_idx") == F.col("next_chunk"))
+    adj = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # Spread the fan-out off the single input split (r14; see
+        # _rag_chunk_words).
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(F.expr(bigram_arr)).alias("p"))
+        .select(
+            "doc_id",
+            (F.col("p.pos") / _RAG_CHUNK_W).cast("long").alias("chunk_idx"),
+            F.col("p.w").alias("w"),
+            F.col("p.next_w").alias("next_w"),
+        )
+    )
     qbi_rows = [
         (i, ws[j], ws[j + 1])
         for i, t in _RAG_QUERIES

@@ -1070,6 +1070,18 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("is_match").alias("is_match"),
         F.collect_set("pass").alias("passes"),
     )
+    # Materialize the pair table ONCE (r14): the per-pass and combined
+    # readouts below are separate plan branches, and Catalyst plans
+    # each with its own copy of the candidate subtree (scan + 4-pass
+    # explode + 2 windows + banded join + levenshtein + pair collapse
+    # — both copies visible in plans/r14/..._before.txt); their
+    # aggregates differ (the combined branch drops the pass set), so
+    # ReuseExchange cannot dedupe them.  A lazy localCheckpoint turns
+    # `pairs` into one shared RDD both branches read — the candidate
+    # pipeline runs exactly once.  Pair-grain (w*n-bounded) blocks;
+    # executor-local and unrecoverable, the same local[]/bench posture
+    # as the graph operators' _GRAPH_RELIABLE_CHECKPOINT=False arm.
+    pairs = pairs.localCheckpoint(eager=False)
 
     def _stats():
         return [

@@ -1839,6 +1839,14 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(l_orderkey AS BIGINT) * {nb} DIV {mo + 1}").alias("xb"),
         F.expr(f"CAST(l_partkey AS BIGINT) * {nb} DIV {mp + 1}").alias("yb"),
     )
+    # Spread the Morton transform + 2x explode + partial min/max off
+    # the single input split (r14, guide §2.5 input skew — the fixture
+    # is one parquet row group, so the whole per-row pipeline ran in
+    # ONE task): a narrow 4-column key-grain exchange buys full-core
+    # parallelism for everything up to the (layout, file_id) shuffle.
+    pts = pts.repartition(
+        spark.sparkContext.defaultParallelism, F.col("x")
+    )
     zed = pts.withColumn("z", F.expr(_ZO_Z_EXPR))
     assigned = zed.select(
         "x",
@@ -2062,6 +2070,14 @@ def layout_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").cast("long").alias("y"),
         F.expr(f"CAST(l_orderkey AS BIGINT) * {nb} DIV {mo + 1}").alias("xb"),
         F.expr(f"CAST(l_partkey AS BIGINT) * {nb} DIV {mp + 1}").alias("yb"),
+    )
+    # Spread the {bits} chained Hilbert stages + explode + partial
+    # min/max off the single input split (r14, guide §2.5 input skew;
+    # see layout_zorder_skipping) — the unrolled per-row integer chain
+    # is the heaviest narrow pipeline in the module and ran entirely
+    # in ONE task on the one-row-group fixture.
+    pts = pts.repartition(
+        spark.sparkContext.defaultParallelism, F.col("x")
     )
     h = pts.select(
         "x", "y", "xb", "yb",
@@ -3768,17 +3784,25 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
+    # One orders pass for the whole build side (r14): the count job
+    # materializes the lazy checkpoint, and the bit generation +
+    # member-key broadcast read the stored key blocks instead of
+    # re-scanning orders (the k-way union re-scanned it per hash).
+    build = build.localCheckpoint(eager=False)
     n_build = build.count()
     m_bits = 1 << (_BLF_BITS_PER_KEY * n_build - 1).bit_length()
     n_words = m_bits // 64
-    bits = None
-    for i in range(_BLF_K):
-        part = build.select(
-            (
-                F.expr(_blf_hash_spark(i, "o_orderkey")) % F.lit(m_bits)
-            ).alias("bit")
-        )
-        bits = part if bits is None else bits.unionByName(part)
+    # All k bit positions from ONE md5 per key (the k hashes are
+    # disjoint substrings of the same digest — _blf_hash_spark), via
+    # one explode instead of a k-way union of scans.
+    bit_exprs = ", ".join(
+        f"CAST(conv(substr(h5, {1 + 10 * i}, 10), 16, 10) AS BIGINT)"
+        f" % {m_bits}"
+        for i in range(_BLF_K)
+    )
+    bits = build.select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("h5")
+    ).select(F.explode(F.expr(f"array({bit_exprs})")).alias("bit"))
     words_rows = (
         bits.select(
             F.expr("bit DIV 64").alias("widx"),
@@ -3813,15 +3837,29 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_member"),
     )
+    # One md5 per probe row (r14): the digest and the k bit positions
+    # are materialized as projection columns, so the k membership
+    # tests share them instead of each re-deriving md5 + conv twice
+    # (once for the word index, once for the in-word shift).
+    probe = probe.withColumn(
+        "h5", F.md5(F.col("l_orderkey").cast("string"))
+    )
+    for i in range(_BLF_K):
+        probe = probe.withColumn(
+            f"hv{i}",
+            F.expr(
+                f"CAST(conv(substr(h5, {1 + 10 * i}, 10), 16, 10)"
+                f" AS BIGINT) % {m_bits}"
+            ),
+        )
     hit = None
     for i in range(_BLF_K):
-        h = f"({_blf_hash_spark(i, 'l_orderkey')} % {m_bits})"
         # & 1, not % 2: Spark's >> is an ARITHMETIC shift, so a
         # word with bit 63 set shifts to a negative value whose % 2 is
         # 0 or -1; the AND reads the low bit regardless of sign.
         bit_set = F.expr(
-            f"((element_at(W, CAST({h} DIV 64 AS INT) + 1)"
-            f" >> CAST({h} % 64 AS INT)) & 1) = 1"
+            f"((element_at(W, CAST(hv{i} DIV 64 AS INT) + 1)"
+            f" >> CAST(hv{i} % 64 AS INT)) & 1) = 1"
         )
         hit = bit_set if hit is None else (hit & bit_set)
     scored = probe.crossJoin(wdim).select(
@@ -4137,6 +4175,23 @@ sample_neyman_allocation.__doc__ = sample_neyman_allocation.__doc__.format(
 _PPA_SALTS = 4  # sub-partition fan per event_type (salt = event_id % 4)
 
 
+def _ppa_staging_root(spark: SparkSession, sf_dir: str) -> str:
+    """Per-SESSION staging dir for partition_pruning_audit (ADVICE r13
+    #3): keyed on (sf_dir, Spark application id), so two concurrent
+    sessions over the same fixture cannot rmtree each other's staged
+    tree while the read-back scan or test_partition_pruning_plan is
+    reading it; stable WITHIN a session, so repeated invocations reuse
+    one path instead of leaking a dir per call."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + spark.sparkContext.applicationId)
+        .encode()
+    ).hexdigest()[:12]
+    return f"/tmp/kbrowse_part_prune/{tag}"
+
+
 @register(
     "partition_pruning_audit",
     f"""
@@ -4191,8 +4246,7 @@ def partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"event_id % {_PPA_SALTS}").alias("salt"),
         F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    root = f"/tmp/kbrowse_part_prune/{tag}"
+    root = _ppa_staging_root(spark, sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     (
         ev.repartition("event_type", "salt")

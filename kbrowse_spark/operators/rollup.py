@@ -481,6 +481,12 @@ def hll_fold_precision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.max("rho").alias("reg"))
+        # Materialize the <=256-row register table ONCE (r14): each
+        # ladder rung is a separate plan branch and re-executed the
+        # full scan + per-row md5 sketch build per rung (3 extra
+        # corpus passes) — the docstring's "one scan no matter how
+        # many rungs" now holds physically, not just logically.
+        .localCheckpoint(eager=False)
     )
     arms = []
     for m in _HPL_MS:
@@ -666,6 +672,17 @@ def wavelet_haar_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this is one 12x fan-out + one exchange).  The ORACLE keeps the
     # chained-CTE pyramid formulation, so the value hash cross-checks
     # two independent constructions of the transform.
+    # ONE corpus pass for all three readout grains (r14): the
+    # (s, pos) leaf table is lazily localCheckpoint-ed, so the
+    # coefficient explode, the per-series TOTAL, and the EXACT audited
+    # block sum all read the same stored leaf blocks — the previous
+    # plan planned each consumer with its own copy of the scan +
+    # (s, pos) aggregate (6 lineitem scans in
+    # plans/r14/..._before.txt).  Leaf grain is the cheapest thing to
+    # materialize here (3 narrow columns, far below the exploded
+    # coefficient grain — a coefficient-grain checkpoint was tried
+    # and LOST ~0.8 s at sf0.1).
+    leaves = leaves.localCheckpoint(eager=False)
     lev_arr = "array(" + ", ".join(
         str(v) for v in range(_WAV_LEVELS)
     ) + ")"

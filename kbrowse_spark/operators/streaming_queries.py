@@ -3112,7 +3112,12 @@ def stream_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage_stream_dir(path)
     )
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # Per-session token in the checkpoint path (ADVICE r13 #3, as
+    # partition_pruning_audit): concurrent sessions on one fixture
+    # must not rmtree each other's in-flight checkpoint.
+    tag = hashlib.md5(
+        (sf_dir + "|" + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:12]
     ckpt = f"/tmp/kbrowse_state_introspect/{tag}"
     shutil.rmtree(ckpt, ignore_errors=True)
     key = "spark.sql.shuffle.partitions"

@@ -156,6 +156,62 @@ def test_checker_accepts_cache_forced_transitively():
     assert audit_source(CACHED_FORCED_SHAPE, "m") == []
 
 
+R14_BFS_UNION_OF_CUT = textwrap.dedent(
+    """
+    def bfs_multisource_hops(spark, sf_dir):
+        edges = _lpa_edges(spark, sf_dir)
+        frontier = _truncate_lineage(
+            seeds.select("seed", "node", F.lit(0).alias("hop"))
+        )
+        visited = frontier
+        for h in range(1, H + 1):
+            frontier = _truncate_lineage(
+                frontier.join(edges, frontier["node"] == edges["src"])
+                .select("seed", F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("seed", "node"), ["seed", "node"],
+                      "left_anti")
+                .withColumn("hop", F.lit(h).cast("long"))
+            )
+            visited = visited.unionByName(frontier)
+        return visited.groupBy("seed", "hop").agg(F.count(F.lit(1)))
+    """
+)
+
+# Same accumulator shape but the per-round delta is NEVER cut (and an
+# eager per-round action exists): the union chain is anchored in
+# nothing, so the carried union re-executes every prior round's
+# join+distinct+anti plan.  Must stay flagged.
+R14_BFS_UNION_OF_LAZY = R14_BFS_UNION_OF_CUT.replace(
+    "frontier = _truncate_lineage(\n",
+    "frontier = (\n",
+    1,
+).replace(
+    """        frontier = _truncate_lineage(
+""",
+    """        frontier = (
+""",
+).replace(
+    "        visited = visited.unionByName(frontier)",
+    "        visited = visited.unionByName(frontier)\n"
+    "        n = frontier.count()",
+)
+
+
+def test_checker_accepts_union_of_checkpointed_frontiers():
+    # r14 bfs shape: each round's DISJOINT frontier is checkpointed,
+    # the accumulator is carried as a lazy union of those checkpoints
+    # — re-execution is flat scans of stored blocks, O(|visited|)
+    # total materialized bytes instead of O(H * |visited|).
+    assert audit_source(R14_BFS_UNION_OF_CUT, "m") == []
+
+
+def test_checker_still_flags_union_of_lazy_deltas():
+    found = audit_source(R14_BFS_UNION_OF_LAZY, "m")
+    assert ("m.bfs_multisource_hops", "visited") in found
+    assert ("m.bfs_multisource_hops", "frontier") in found
+
+
 def test_checker_accepts_driver_side_carry():
     # Loop-carried PYTHON data refreshed from collect() is driver
     # state, not a deferred plan.

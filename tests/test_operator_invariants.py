@@ -2138,10 +2138,9 @@ def test_partition_pruning_plan(spark, sf_dir):
     probe_files = rows[0].n_files
     assert probe_files <= _PPA_SALTS < total_files
 
-    root = (
-        "/tmp/kbrowse_part_prune/"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    )
+    from kbrowse_spark.operators.pipeline_ops import _ppa_staging_root
+
+    root = _ppa_staging_root(spark, sf_dir)
     df = spark.read.parquet(root).filter(F.col("event_type") == probe)
     plan = df._jdf.queryExecution().executedPlan().toString()
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]

@@ -93,6 +93,13 @@ CUT_METHODS = {
     "take",
 }
 CUT_FUNCS = {"_truncate_lineage", "cached", "cached_value"}
+# Unions are concatenations, not transformations: a union whose every
+# leaf is already cut re-executes as flat scans of stored blocks (the
+# r14 bfs shape — checkpoint each round's DISJOINT frontier, carry the
+# accumulator as a lazy union of those checkpoints; total materialized
+# bytes O(|visited|) instead of re-writing the whole accumulator per
+# round).  See the union-of-cut rule in _status_of.
+_UNION_OPS = {"union", "unionAll", "unionByName"}
 # Per-round driver actions that force execution (make re-derivation
 # per round REAL instead of one deferred plan).  cache/persist alone
 # force nothing.
@@ -157,7 +164,25 @@ def _status_of(expr: ast.AST, statuses: dict[str, str]) -> str:
     lazy_leaf = any(
         statuses.get(n) == "lazy" for n in _leaf_names(expr)
     )
-    if _has_plan_ops(expr) or lazy_leaf:
+    if lazy_leaf:
+        return "lazy"
+    if _has_plan_ops(expr):
+        # Union-of-cut (r14): when the ONLY plan ops in the expression
+        # are unions, no leaf is lazy, and at least one leaf is a cut
+        # (so the accumulator chain is anchored in stored blocks), the
+        # result behaves like a cut — re-executing it is a flat
+        # concatenation of checkpoint scans, exactly the "narrow op
+        # over checkpointed blocks" the PLAN_OPS comment already
+        # exempts.  A union with any lazy leaf, or mixed with real
+        # transformations (join/distinct/groupBy/...), stays lazy.
+        plan_calls = {
+            _call_attr(n)
+            for n in ast.walk(expr)
+            if isinstance(n, ast.Call) and _call_attr(n) in PLAN_OPS
+        }
+        leaf_statuses = {statuses.get(n) for n in _leaf_names(expr)}
+        if plan_calls <= _UNION_OPS and "cut" in leaf_statuses:
+            return "cut"
         return "lazy"
     return "plain"
 
