@@ -130,3 +130,65 @@ def test_headline_queries_all_registered():
     assert isinstance(bench.HEADLINE, list) and len(set(bench.HEADLINE)) == len(
         bench.HEADLINE
     )
+
+
+def test_contended_vs_reference_red_green(tmp_path):
+    """VERDICT r13 #2: min-of-N + spread is blind to UNIFORM background
+    load (driver r13: 93.5 s vs 79.0 s idle, n_spread_gt2=0).  The
+    reference detector must flip when a majority of carried queries
+    exceed 1.3x their idle-record min, and must NOT flip on an idle
+    re-run or when only a minority drift."""
+    ref = {f"q{i}": 1.0 for i in range(20)}
+    # green: identical to reference
+    flag, n_slow, n_common = bench.contended_vs_reference(dict(ref), ref)
+    assert (flag, n_slow, n_common) == (False, 0, 20)
+    # red: uniformly 1.5x slow (the r13 driver-run shape) -> flips
+    slow = {k: 1.5 for k in ref}
+    flag, n_slow, _ = bench.contended_vs_reference(slow, ref)
+    assert flag and n_slow == 20
+    # minority drift (regressions, not contention) -> does not flip
+    part = dict(ref)
+    for k in list(ref)[:6]:
+        part[k] = 2.0
+    flag, n_slow, _ = bench.contended_vs_reference(part, ref)
+    assert not flag and n_slow == 6
+    # sub-0.3s queries excluded: jitter there must not flip the flag
+    tiny_ref = {f"t{i}": 0.05 for i in range(40)}
+    tiny_now = {k: 0.2 for k in tiny_ref}  # 4x "slower", all tiny
+    flag, _, n_common = bench.contended_vs_reference(tiny_now, tiny_ref)
+    assert not flag and n_common == 0
+    # fewer than min_common comparable queries -> never flips
+    small_ref = {f"s{i}": 1.0 for i in range(5)}
+    flag, _, _ = bench.contended_vs_reference(
+        {k: 9.9 for k in small_ref}, small_ref
+    )
+    assert not flag
+
+
+def test_load_reference_times_missing_or_corrupt(tmp_path):
+    assert bench.load_reference_times(str(tmp_path / "nope.json")) == {}
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert bench.load_reference_times(str(bad)) == {}
+    import json
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({"queries": {"a": 1.5, "b": "x"}}))
+    assert bench.load_reference_times(str(good)) == {"a": 1.5}
+
+
+def test_others_reserve_derived_from_actual_counts():
+    """ADVICE r13 #4: the __others__ reserve must be derived from the
+    dict actually serialized — a worst case beyond the old hardcoded
+    n<=999 / total<100000 assumptions must still fit the budget."""
+    import json
+
+    times = {f"query_name_number_{i:05d}": 123456.789 for i in range(2000)}
+    out = bench.stdout_queries(times)
+    assert "__others__" in out
+    assert (
+        len(json.dumps(out, separators=(",", ":")))
+        <= bench._STDOUT_QUERIES_BUDGET + 2
+    )
+    n = out["__others__"]["n"]
+    assert n > 999  # beyond the old hardcoded assumption

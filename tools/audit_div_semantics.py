@@ -48,30 +48,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# dividend-substring -> reason the subtraction cannot go negative.
+# EXACT whitespace-normalized dividend -> reason the subtraction
+# cannot go negative.  Anchored to the FULL normalized dividend
+# (ADVICE r13 #2): the previous substring containment ('* sxx',
+# 'hi - lo', 's - smin') silently allowed any future unrelated
+# negative-capable dividend that happened to contain the fragment,
+# weakening the ratchet this tool exists to enforce.  A new guarded
+# site must add its own full-dividend entry with its own proof.
 ALLOW: dict[str, str] = {
-    "n_pop * sx2 - sx * sx": (
-        "sum-of-squares inequality n*sum(x^2) >= (sum x)^2 "
-        "(Cauchy-Schwarz); the Neyman sse term"
-    ),
-    "* sxx": (
-        "least-squares denominator n*sum(x^2) - (sum x)^2 >= 0 "
-        "(Cauchy-Schwarz; zipf_slope_fixedpoint)"
-    ),
-    "hi - lo": "bucket bound hi > lo by construction (calibration bins)",
-    "smax - smin": "max >= min by definition (score-range scaling)",
-    "s - smin": "s >= smin by definition (score-range scaling)",
-    "2 * cum_desc + c + 1 - 1": (
+    "((2 * cum_desc + c + 1 - 1) * 10)": (
         "rank midpoint: cum_desc >= 0, c >= 1, so the +1-1 "
         "cancellation stays >= 0 (decile rank arithmetic)"
     ),
-    "n_docs - df + 1": (
+    "(s - smin) * 10": (
+        "s >= smin by definition (score-range scaling)"
+    ),
+    "* (n_docs - df + 1)": (
         "document frequency df <= n_docs by definition "
         "(Robertson idf numerator)"
     ),
-    "nd*nd*nd - nd": "n^3 >= n for n >= 1 (Spearman denominator)",
-    "nd * nd * nd - nd": "n^3 >= n for n >= 1 (Spearman denominator)",
 }
+
+
+def _norm_dividend(dv: str) -> str:
+    return " ".join(dv.split())
 
 
 _BOUNDARY = re.compile(
@@ -168,7 +168,7 @@ def scan_text(text: str, origin: str) -> list[dict]:
         if not dv:
             continue
         if unguarded_minus(dv):
-            allowed = any(k in dv for k in ALLOW)
+            allowed = _norm_dividend(dv) in ALLOW
             out.append(
                 {"origin": origin, "dividend": dv, "allowed": allowed}
             )

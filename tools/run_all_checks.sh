@@ -24,6 +24,21 @@ step "interpreted-HOF per-row hot paths"    python tools/audit_hof_hotpath.py
 step "integer-division dividend ratchet"    python tools/audit_div_semantics.py
 step "sf1 scaling gate (slowest ops, ratio + regression)" \
                                             python tools/gate_scaling_sf1.py
+# Gate-ledger integrity (VERDICT r13 #1): the committed artifact's
+# `flags` array is echoed VERBATIM here, so the sweep log (and any
+# round notes derived from it) can never hand-write "CLEAN" while the
+# artifact holds flags — the r13 defect this guards against.
+echo "== sf1 gate flags (verbatim from gate_scaling_sf1_last.json)"
+python - <<'PYEOF'
+import json, os
+p = "gate_scaling_sf1_last.json"
+if not os.path.exists(p):
+    print("GATE ARTIFACT MISSING (gate skipped or never ran)")
+else:
+    flags = json.load(open(p)).get("flags", [])
+    print(json.dumps({"flags": flags}, indent=1))
+    print("GATE:", "CLEAN" if not flags else f"{len(flags)} FLAG(S)")
+PYEOF
 step "bench smoke (sf0.01)"                 env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
 
 echo
