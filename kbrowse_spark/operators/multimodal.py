@@ -29,22 +29,6 @@ from kbrowse_spark.catalog import register
 from kbrowse_spark.sources.tables import load
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Repartition the decode input to full parallelism (r14, guide
-    §2.5 input skew: "one huge unsplittable file … repartition
-    immediately after the read").  The fixture table is ONE parquet
-    row group, so without this every Arrow-batched decode below runs
-    its whole Python stage in a single task no matter how many cores
-    exist.  The shuffle moves the still-packed payload once —
-    doc-grain rows, hash-spread on doc_id — and buys N-way Python
-    decode; at real scale a media table already arriving in many
-    splits makes this a cheap no-op-sized exchange (and the
-    small-files/compacted-tail case still benefits)."""
-    return df.repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    )
-
-
 @register(
     "multimodal_binary_metadata",
     """
@@ -180,9 +164,7 @@ def embed_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"b{j} long" for j in range(_EMB_DIM))
         + ", norm_sq long"
     )
-    d = _spread(
-        spark, load(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(embed_batch, schema=schema).orderBy("doc_id")
 
 
@@ -319,9 +301,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     d = load(spark, sf_dir, "documents")
-    src = _spread(
-        spark, d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    )
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     wav = src.mapInPandas(
         pack_wav_batches, schema="doc_id long, payload binary"
     )
@@ -494,9 +474,7 @@ def multimodal_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     d = load(spark, sf_dir, "documents")
-    src = _spread(
-        spark, d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    )
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     bmp = src.mapInPandas(pack_bmp_batches, schema="doc_id long, payload binary")
     return bmp.mapInPandas(extract_image, schema=_IMAGE_SCHEMA).orderBy("doc_id")
 
@@ -563,7 +541,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return (
-        _spread(spark, d.select("doc_id", "text"))
+        d.select("doc_id", "text")
         .mapInPandas(
             sample,
             schema="doc_id long, frame_idx int, frame_len int, frame_md5 string",
@@ -833,9 +811,7 @@ def multimodal_video_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     d = load(spark, sf_dir, "documents")
-    src = _spread(
-        spark, d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    )
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     avi = src.mapInPandas(pack_avi_batches, schema="doc_id long, payload binary")
     return avi.mapInPandas(extract_video, schema=_VIDEO_SCHEMA).orderBy("doc_id")
 
@@ -1058,9 +1034,7 @@ def warc_record_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     d = load(spark, sf_dir, "documents")
-    src = _spread(
-        spark, d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    )
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     warc = src.mapInPandas(
         pack_warc_batches, schema="doc_id long, payload binary"
     )
@@ -1216,9 +1190,7 @@ def multimodal_png_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     d = load(spark, sf_dir, "documents")
-    src = _spread(
-        spark, d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
-    )
+    src = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     png = src.mapInPandas(
         pack_png_batches, schema="doc_id long, payload binary"
     )
@@ -1379,9 +1351,8 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND octet_length(encode(text, 'UTF-8')) >= 2"
         )
     )
-    src = _spread(
-        spark,
-        d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+    src = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return src.mapInPandas(
         pack_and_energy, schema=_ENERGY_SCHEMA
@@ -1616,9 +1587,8 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND octet_length(encode(text, 'UTF-8')) >= 1"
         )
     )
-    src = _spread(
-        spark,
-        d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")),
+    src = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return src.mapInPandas(
         pack_and_features, schema=_IHIST_SCHEMA

@@ -1839,14 +1839,11 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(l_orderkey AS BIGINT) * {nb} DIV {mo + 1}").alias("xb"),
         F.expr(f"CAST(l_partkey AS BIGINT) * {nb} DIV {mp + 1}").alias("yb"),
     )
-    # Spread the Morton transform + 2x explode + partial min/max off
-    # the single input split (r14, guide §2.5 input skew — the fixture
-    # is one parquet row group, so the whole per-row pipeline ran in
-    # ONE task): a narrow 4-column key-grain exchange buys full-core
-    # parallelism for everything up to the (layout, file_id) shuffle.
-    pts = pts.repartition(
-        spark.sparkContext.defaultParallelism, F.col("x")
-    )
+    # Fan-out repartition MEASURED AND REJECTED here (r14): spreading
+    # the Morton transform off the single input split read 1.25 ->
+    # 1.87 s — the per-row integer work is far too light to amortize
+    # a 600k-row exchange (contrast the rag/pmi fan-outs, where each
+    # doc explodes into ~100 hashed words).  See OPTIMIZATION_r14.md.
     zed = pts.withColumn("z", F.expr(_ZO_Z_EXPR))
     assigned = zed.select(
         "x",
@@ -2071,14 +2068,10 @@ def layout_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(l_orderkey AS BIGINT) * {nb} DIV {mo + 1}").alias("xb"),
         F.expr(f"CAST(l_partkey AS BIGINT) * {nb} DIV {mp + 1}").alias("yb"),
     )
-    # Spread the {bits} chained Hilbert stages + explode + partial
-    # min/max off the single input split (r14, guide §2.5 input skew;
-    # see layout_zorder_skipping) — the unrolled per-row integer chain
-    # is the heaviest narrow pipeline in the module and ran entirely
-    # in ONE task on the one-row-group fixture.
-    pts = pts.repartition(
-        spark.sparkContext.defaultParallelism, F.col("x")
-    )
+    # Fan-out repartition MEASURED AND REJECTED here (r14), as in
+    # layout_zorder_skipping: 2.02 -> 2.36 s — even the unrolled
+    # 16-stage integer chain is codegen-cheap next to a 600k-row
+    # exchange.  See OPTIMIZATION_r14.md.
     h = pts.select(
         "x", "y", "xb", "yb",
         F.col("xb").alias("hx"),
