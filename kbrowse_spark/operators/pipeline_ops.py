@@ -2461,6 +2461,18 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference has no statistics collection (SURVEY §2c extension).
     """
     li = load(spark, sf_dir, "lineitem")
+    # Spread the 11-way multi-distinct Expand off the input splits
+    # (r14, guide §2.5 input skew): Spark plans the multi-distinct as
+    # an 11x row replication + partial aggregate, and on the
+    # single-row-group fixture that entire blow-up ran in ONE task.
+    # MEASURED (same-session interleaved A/B, min-of-2, both decades):
+    # sf0.1 7.75 -> 3.24 s, sf1 13.8 -> 7.9 s — unlike the rejected
+    # layout/multimodal fan-outs, the per-row work here (11x Expand +
+    # wide distinct hash state) dwarfs one row-grain exchange of the
+    # table.
+    li = li.repartition(
+        spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+    )
     aggs = []
     for c, kind in _PROFILE_COLS:
         f = _profile_facets(c, kind)
