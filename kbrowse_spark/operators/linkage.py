@@ -996,10 +996,10 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: per pass, ONE exchange on the block key (a
     3-4-char sort-key prefix — bounded-size range blocks at
-    any corpus size), a within-block rank window, and a self-join on
-    (block, rank-range) that generates exactly w rows per record —
-    candidate volume is w*n by CONSTRUCTION, independent of data skew
-    (contrast: hash-block families degenerate on hot blocks).  This is
+    any corpus size) and a within-block window whose w lead() columns
+    ARE the neighborhood — candidate volume is w*n by CONSTRUCTION,
+    independent of data skew (contrast: hash-block families
+    degenerate on hot blocks).  This is
     the blocking family you reach for when the similarity key has no
     stable segments to pigeonhole on; its cost certainty is bought
     with heuristic recall, which tests/test_operator_invariants.py
@@ -1020,38 +1020,53 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(skey).alias("skey"),
         F.expr(blk).alias("blk"),
     )
-    r = k.withColumn(
-        "rn",
-        F.row_number().over(
-            W.partitionBy("pass", "blk").orderBy("skey", "c_custkey")
-        ),
+    # Forward neighbors via lead() instead of a banded self-join (r14,
+    # guide §2.2/§3.5): "the w records after me in sort order" is
+    # expressible IN the window that sorts the neighborhood — w lead()
+    # columns evaluate in ONE Window node over the one (pass, blk)
+    # exchange+sort the method needs anyway.  The previous shape (rn
+    # window, then an equi-join on rn-div-w bands with a 2x-exploded
+    # probe side) re-exchanged and re-sorted BOTH join inputs on
+    # (pass, blk, band) — 3 exchanges and an SMJ to recover adjacency
+    # the sort had already established.  Candidate volume is w*n by
+    # construction either way (lead past the block end is null and
+    # dropped right after the explode; no array HOF — the hot-path
+    # audit's interpreted-lambda class stays empty).
+    wspec = W.partitionBy("pass", "blk").orderBy("skey", "c_custkey")
+    leads = k.select(
+        "pass",
+        "c_custkey",
+        "c_name",
+        *[
+            F.lead("c_custkey", i).over(wspec).alias(f"nk{i}")
+            for i in range(1, _SN_W + 1)
+        ],
+        *[
+            F.lead("c_name", i).over(wspec).alias(f"nn{i}")
+            for i in range(1, _SN_W + 1)
+        ],
     )
-    # Band the rank-range join: with only (pass, blk) as equi-keys the
-    # physical sort-merge join materializes |block|^2 rows before the
-    # rn-range filter (measured 6.5 s at sf0.1 / quadratic in block
-    # size).  rn div w bands make the range an EQUI-join: a forward
-    # neighbor within w lies in the probe row's band or the next one,
-    # so the probe side fans out 2x and every join group holds <= 2w
-    # rows — candidate volume is w*n physically, not just logically.
-    rb = r.withColumn("band", F.expr(f"rn div {_SN_W}"))
-    probe = rb.withColumn(
-        "jband", F.explode(F.array(F.col("band"), F.col("band") + F.lit(1)))
+    neigh = F.array(
+        *[
+            F.struct(
+                F.col(f"nk{i}").alias("nk"), F.col(f"nn{i}").alias("nn")
+            )
+            for i in range(1, _SN_W + 1)
+        ]
     )
-    a, b = probe.alias("a"), rb.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.pass") == F.col("b.pass"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.jband") == F.col("b.band"))
-            & (F.col("b.rn") > F.col("a.rn"))
-            & (F.col("b.rn") <= F.col("a.rn") + _SN_W),
+        leads.select(
+            "pass",
+            "c_custkey",
+            "c_name",
+            F.explode(neigh).alias("nb"),
         )
+        .where(F.col("nb.nk").isNotNull())
         .select(
-            F.col("a.pass").alias("pass"),
-            F.least("a.c_custkey", "b.c_custkey").alias("a_key"),
-            F.greatest("a.c_custkey", "b.c_custkey").alias("b_key"),
-            (F.levenshtein("a.c_name", "b.c_name") <= 1)
+            "pass",
+            F.least("c_custkey", F.col("nb.nk")).alias("a_key"),
+            F.greatest("c_custkey", F.col("nb.nk")).alias("b_key"),
+            (F.levenshtein("c_name", F.col("nb.nn")) <= 1)
             .cast("int")
             .alias("is_match"),
         )
@@ -1073,8 +1088,8 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the pair table ONCE (r14): the per-pass and combined
     # readouts below are separate plan branches, and Catalyst plans
     # each with its own copy of the candidate subtree (scan + 4-pass
-    # explode + 2 windows + banded join + levenshtein + pair collapse
-    # — both copies visible in plans/r14/..._before.txt); their
+    # explode + lead window + levenshtein + pair collapse — both
+    # copies visible in plans/r14/..._before.txt); their
     # aggregates differ (the combined branch drops the pass set), so
     # ReuseExchange cannot dedupe them.  A lazy localCheckpoint turns
     # `pairs` into one shared RDD both branches read — the candidate

@@ -61,10 +61,16 @@ ALLOW: dict[str, tuple[float, str]] = {
         "growth, not corpus^2 (docs/SCALING_MEASUREMENTS.md notes)",
     ),
     "dedup_prefix_filter_join": (
-        4.5,
+        5.5,
         "candidate pairs track true near-dup pairs (~10x pairs for "
-        "10x data) + the sf1 broadcast->shuffle strategy flip; "
-        "recorded 3.5x",
+        "10x data; counts pinned by tests/test_lsh_invariant.py) + "
+        "the sf1 broadcast->shuffle strategy flip; measured ratio "
+        "oscillates 3.5-4.8x across idle runs (r13 committed 4.76x, "
+        "r13-judge idle 4.13x, recorded 3.5x) because both sf0.1 and "
+        "sf1 arms sit near the strategy flip, so the old 4.5x cap "
+        "cried wolf on runs that differ only by timer noise (VERDICT "
+        "r13 #3).  5.5x still catches a real shape change (quadratic "
+        "candidates would step >=10x)",
     ),
     "spatial_grid_epsilon_join": (
         8.0,
@@ -162,7 +168,9 @@ def main() -> int:
     with open(DOC) as f:
         recorded = parse_recorded(f.read())
     n_slowest = int(os.environ.get("SPARK_GRAFT_GATE_SLOWEST", "6"))
-    n_runs = int(os.environ.get("SPARK_GRAFT_GATE_RUNS", "2"))
+    # min-of-3 (was 2, VERDICT r13 #3): the gate's flags gate a round,
+    # so one straggler sample must not be able to flip them.
+    n_runs = int(os.environ.get("SPARK_GRAFT_GATE_RUNS", "3"))
     qs = all_queries()
     picked = [
         name
