@@ -1903,12 +1903,22 @@ def eval_mrr_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast-scored, WindowGroupLimit top-k).
     """
     topk = _rag_topk(spark, sf_dir)
-    hits = _rag_bigram_hits(spark, sf_dir)
+    # Materialize the labeling pass ONCE (r14, guide §2.4): the
+    # relevance table feeds both the corpus-wide n_rel count and the
+    # top-k join below, and Catalyst planned each branch with its own
+    # copy of the full corpus-window labeling subtree (both visible in
+    # plans/r14/eval_mrr_ndcg_at_k_before.txt).  Chunk-grain and
+    # bigram-bounded (chunks containing one of the 9 query bigrams),
+    # so the checkpointed block is small; the explicit broadcast on
+    # the join below is needed because a checkpointed RDD carries no
+    # stats and the planner otherwise falls back to sort-merge (the
+    # kcore/dedup_cc precedent).
+    hits = _rag_bigram_hits(spark, sf_dir).localCheckpoint(eager=False)
     rcorpus = hits.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_rel_corpus")
     )
     tk = topk.join(
-        hits.withColumn("rel_hit", F.lit(1)),
+        F.broadcast(hits.withColumn("rel_hit", F.lit(1))),
         ["query_id", "doc_id", "chunk_idx"],
         "left",
     ).select(
