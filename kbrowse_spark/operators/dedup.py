@@ -19,6 +19,8 @@ candidate pairs.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -926,13 +928,19 @@ def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
         )
 
     def same_edge_set(a: DataFrame, b: DataFrame) -> bool:
-        # Exact set equality (both sides are distinct + checkpointed so
-        # this is two cheap jobs over converged-size edge sets).  A hash
-        # checksum here would risk a collision silently mislabeling
-        # clusters in a correctness-critical path.
-        if a.count() != b.count():
-            return False
-        return a.exceptAll(b).isEmpty()
+        # Exact set equality in ONE job (r14; was count-compare +
+        # exceptAll = 2-3 jobs per round, and per-round job overhead
+        # dominates cc on converged-size edge sets): both sides are
+        # distinct, so the full-outer join has an unmatched row iff
+        # the sets differ.  A hash checksum here would risk a
+        # collision silently mislabeling clusters in a
+        # correctness-critical path.
+        return (
+            a.withColumn("_a", F.lit(1))
+            .join(b.withColumn("_b", F.lit(1)), ["u", "v"], "full_outer")
+            .where(F.col("_a").isNull() | F.col("_b").isNull())
+            .isEmpty()
+        )
 
     # Directed canonical form: u = larger endpoint, v = smaller.
     stars = (
@@ -946,47 +954,57 @@ def _cc_star_labels(pairs: DataFrame) -> tuple[DataFrame, int]:
     prev_stars = stars
     rounds = 0
     converged = False
+    # One round = ONE spark.sql statement over a temp view of the
+    # checkpointed star set (r14): the incremental DataFrame-API build
+    # of the same round (~12 ops: sym union, two aggregates, two
+    # broadcast joins, two distincts) cost ~0.55 s/round of DRIVER-side
+    # py4j + analysis against ~0.15 s of execution at converged edge
+    # counts — the round was plan-construction-bound, not data-bound.
+    # A single SQL statement is analyzed once; semantics are identical
+    # (measured round-by-round equal star sets; the oracle hash pins
+    # the labels).
+    spark = pairs.sparkSession
+    view = f"cc_stars_{uuid.uuid4().hex[:12]}"
+    # LARGE-STAR on the symmetric view: for each node u with
+    # m = min(N(u) ∪ {u}), hook every LARGER neighbor onto m.
+    # SMALL-STAR on the directed (larger -> smaller) form: every node
+    # u hooks itself and its smaller neighbors onto the minimum among
+    # them.  Broadcast hints = the F.broadcast(mins)/F.broadcast(smins)
+    # of the DataFrame form (node-grain min tables).
+    round_sql = f"""
+    WITH e AS (SELECT u, v FROM {view}
+               UNION ALL
+               SELECT v AS u, u AS v FROM {view}),
+    mins AS (SELECT u, MIN(v) AS mn FROM e GROUP BY u),
+    large AS (
+      SELECT /*+ BROADCAST(m) */ DISTINCT
+             e.v AS u, LEAST(e.u, m.mn) AS v
+      FROM e JOIN mins m ON e.u = m.u
+      WHERE e.v > e.u AND e.v != LEAST(e.u, m.mn)),
+    smins AS (SELECT u, MIN(v) AS mn FROM large GROUP BY u)
+    SELECT DISTINCT u, v FROM (
+      SELECT /*+ BROADCAST(s) */ l.v AS u, s.mn AS v
+      FROM large l JOIN smins s ON l.u = s.u
+      WHERE l.v != s.mn
+      UNION ALL
+      SELECT u, mn AS v FROM smins)
+    """
     # O(log n) convergence (measured: 9 rounds for a 256-node chain);
     # 64 covers n up to ~2^60.  If the cap is ever hit we RAISE rather
     # than silently return a mid-convergence star set with wrong labels.
-    for _ in range(64):
-        rounds += 1
-        # LARGE-STAR on the symmetric view: for each node u with
-        # m = min(N(u) ∪ {u}), hook every LARGER neighbor onto m.
-        e = sym(
-            stars.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
-        )
-        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
-        m = F.least(F.col("u"), F.col("mn"))
-        large = (
-            e.join(F.broadcast(mins), "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("lu"), m.alias("lv"))
-            .where(F.col("lu") != F.col("lv"))
-            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
-            .distinct()
-        )
-        # SMALL-STAR on the directed (larger -> smaller) form: every
-        # node u hooks itself and its smaller neighbors onto the
-        # minimum among them.
-        smins = large.groupBy("u").agg(F.min("v").alias("mn"))
-        relink = (
-            large.join(F.broadcast(smins), "u")
-            .where(F.col("v") != F.col("mn"))
-            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
-        )
-        self_link = smins.select("u", F.col("mn").alias("v"))
-        # Lazy checkpoint: the convergence test's count() is the
-        # action that materializes the round — one job, not two (r14).
-        stars = (
-            relink.unionByName(self_link)
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        if same_edge_set(stars, prev_stars):
-            converged = True
-            break
-        prev_stars = stars
+    try:
+        for _ in range(64):
+            rounds += 1
+            stars.createOrReplaceTempView(view)
+            # Lazy checkpoint: the convergence check is the action
+            # that materializes the round — one job, not two (r14).
+            stars = spark.sql(round_sql).localCheckpoint(eager=False)
+            if same_edge_set(stars, prev_stars):
+                converged = True
+                break
+            prev_stars = stars
+    finally:
+        spark.catalog.dropTempView(view)
     if not converged:
         raise RuntimeError(
             f"_cc_star_labels did not converge in {rounds} rounds — "

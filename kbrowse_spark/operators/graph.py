@@ -331,9 +331,13 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
+    # Per-round broadcast of the node-grain label table (r14): the
+    # cached edge list stays unshuffled; only the (dst, label)
+    # histogram rows are exchanged for the argmax window.  Same
+    # deployment caveat as _BFS_BROADCAST_FRONTIER.
     for _ in range(_LPA_ITERS):
         cnt = (
-            edges.join(labels, edges["src"] == labels["id"])
+            edges.join(F.broadcast(labels), edges["src"] == labels["id"])
             .select(F.col("dst").alias("nid"), "label")
             .groupBy("nid", "label")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -984,7 +988,17 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality scalar for lpa_communities, as eval_auc_rank is for the
     classifiers).
     """
-    labels = _lpa_labels(spark, sf_dir)
+    # r14 plan-shape fix (guide §2.4): the lazy 2-round LPA chain fed
+    # FOUR consumers (x, y, dsq, nc) and Catalyst planned each with its
+    # own copy — 64 parquet scans / 138 Exchanges / 22 SortMergeJoins
+    # in the before plan (plans/r14/graph_modularity_lpa_before.txt).
+    # One lazy localCheckpoint shares a single materialization, and the
+    # node-grain label table (|customers|+|suppliers| rows, NOT
+    # edge-grain) is broadcast at its three join sites so the cached
+    # edge list is never re-shuffled — the pagerank/kcore posture; at a
+    # scale where node tables outgrow broadcast, drop the hints and
+    # these become the LPA rounds' own src-keyed shuffles.
+    labels = _truncate_lineage(_lpa_labels(spark, sf_dir), eager=False)
     edges = _lpa_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("d")
@@ -992,14 +1006,15 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = labels.select(F.col("id").alias("src"), F.col("label").alias("xl"))
     y = labels.select(F.col("id").alias("dst"), F.col("label").alias("yl"))
     a = (
-        edges.join(x, "src")
-        .join(y, "dst")
+        edges.join(F.broadcast(x), "src")
+        .join(F.broadcast(y), "dst")
         .filter(F.col("xl") == F.col("yl"))
         .agg(F.count(F.lit(1)).cast("long").alias("a"))
     )
     m = edges.agg(F.count(F.lit(1)).cast("long").alias("md"))
     dsq = (
-        labels.join(deg, labels["id"] == deg["src"])
+        F.broadcast(labels)
+        .join(deg, labels["id"] == deg["src"])
         .groupBy("label")
         .agg(F.sum("d").cast("long").alias("dc"))
         .agg(F.expr("CAST(SUM(dc * dc) AS BIGINT)").alias("dd"))

@@ -2218,7 +2218,20 @@ def _spatial_pairs(spark: SparkSession, sf_dir: str, eps: float) -> DataFrame:
     """The grid-blocked eps-join plan at an explicit eps — shared by
     the registered query (fixed _EPS, oracle parity) and the
     density-scaled deployment arm (eps from _eps_for_density, measured
-    by tools/probe_spatial_density_eps.py)."""
+    by tools/probe_spatial_density_eps.py).  Ordered (vec_a, vec_b) —
+    readout determinism for the registered query; intermediates that
+    only aggregate the pairs use _spatial_pairs_unordered (r14: the
+    orderBy survived inside every dbscan union branch as a range
+    exchange + global sort per appearance)."""
+    return _spatial_pairs_unordered(spark, sf_dir, eps).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+def _spatial_pairs_unordered(
+    spark: SparkSession, sf_dir: str, eps: float
+) -> DataFrame:
+    """Grid-blocked eps-join WITHOUT the readout ordering."""
     emb = load(spark, sf_dir, "embeddings")
     cells = emb.select(
         "vec_id",
@@ -2261,7 +2274,6 @@ def _spatial_pairs(spark: SparkSession, sf_dir: str, eps: float) -> DataFrame:
             ).alias("dist2"),
         )
         .filter(F.col("dist2") < F.lit(eps * eps))
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -2666,10 +2678,26 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     density clustering).
     """
     from kbrowse_spark.operators.dedup import _cc_star_labels
+    from kbrowse_spark.operators.graph import _truncate_lineage
 
     emb = load(spark, sf_dir, "embeddings")
-    pairs = _spatial_pairs(spark, sf_dir, _DB_EPS).select(
-        "vec_a", "vec_b"
+    # r14 plan-shape fix (guide §2.4): the grid-join subtree fed nb
+    # (twice, via the union), ce, and bord, and every appearance ALSO
+    # paid _spatial_pairs' readout orderBy as a range exchange + global
+    # sort — 82 parquet scans / 172 Exchanges in the before plan
+    # (plans/r14/dbscan_grid_clusters_before.txt).  One checkpointed
+    # materialization of the unordered candidate pairs (candidate
+    # volume is cell-occupancy-bounded, the operator's own scale
+    # contract) + checkpoints at the other fan-out nodes (core, clab,
+    # bord) collapse the plan to single-digit scans.  Node-grain
+    # tables (core, clab) are broadcast at their join sites — the
+    # kcore/cc_star posture: checkpointed frames carry no stats, so
+    # the planner would otherwise sort-merge every one of these joins.
+    pairs = _truncate_lineage(
+        _spatial_pairs_unordered(spark, sf_dir, _DB_EPS).select(
+            "vec_a", "vec_b"
+        ),
+        eager=False,
     )
     nb = pairs.unionByName(
         pairs.select(
@@ -2677,12 +2705,19 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     deg = nb.groupBy("vec_a").agg(F.count(F.lit(1)).alias("cnt"))
-    core = deg.filter(F.col("cnt") + 1 >= _DB_MINPTS).select(
-        F.col("vec_a").alias("vec_id")
+    core = _truncate_lineage(
+        deg.filter(F.col("cnt") + 1 >= _DB_MINPTS).select(
+            F.col("vec_a").alias("vec_id")
+        ),
+        eager=False,
     )
     ce = (
-        pairs.join(core, pairs["vec_a"] == core["vec_id"], "left_semi")
-        .join(core, pairs["vec_b"] == core["vec_id"], "left_semi")
+        pairs.join(
+            F.broadcast(core), pairs["vec_a"] == core["vec_id"], "left_semi"
+        )
+        .join(
+            F.broadcast(core), pairs["vec_b"] == core["vec_id"], "left_semi"
+        )
         .select(
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
         )
@@ -2696,12 +2731,15 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("node"), F.col("vec_id").alias("cluster_id")
     )
-    clab = labels.unionByName(singles)
-    bord = (
-        nb.join(core, nb["vec_a"] == core["vec_id"], "left_anti")
-        .join(clab, nb["vec_b"] == clab["node"])
+    clab = _truncate_lineage(labels.unionByName(singles), eager=False)
+    bord = _truncate_lineage(
+        nb.join(
+            F.broadcast(core), nb["vec_a"] == core["vec_id"], "left_anti"
+        )
+        .join(F.broadcast(clab), nb["vec_b"] == clab["node"])
         .groupBy("vec_a")
-        .agg(F.min("cluster_id").alias("cid"))
+        .agg(F.min("cluster_id").alias("cid")),
+        eager=False,
     )
     corec = clab.groupBy(F.col("cluster_id").alias("cid")).agg(
         F.count(F.lit(1)).cast("long").alias("n_core")
