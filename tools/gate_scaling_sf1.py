@@ -72,6 +72,15 @@ ALLOW: dict[str, tuple[float, str]] = {
         "r13 #3).  5.5x still catches a real shape change (quadratic "
         "candidates would step >=10x)",
     ),
+    "encoding_advisor_stats": (
+        4.5,
+        "data-bound windowed run-counter whose sf0.1 arm is partly "
+        "session floor: five idle r14 runs measured ratio 2.0-2.9x "
+        "with +/-1.5s sf1 variance (spread up to 1.8x), straddling "
+        "the generic 3.0 cap on timer noise alone.  4.5x still "
+        "catches a shape change (losing the bucketed stitch would "
+        "step to a global-sort >=10x)",
+    ),
     "spatial_grid_epsilon_join": (
         8.0,
         "output-volume-driven: fixed eps in a fixed domain gives "
