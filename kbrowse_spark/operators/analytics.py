@@ -3570,12 +3570,13 @@ def histogram_equidepth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture (Spark side): boundary selection is the two-pass
     bucket-narrowing plan — a coarse $1000-bucket histogram
-    aggregate whose cumulative window runs over the price-RANGE-
-    bounded bucket table (~105 rows), then a re-scan of ONLY the
-    {b} boundary-containing coarse buckets; the probe audit is one
-    more combinable scan against a 3-row broadcast dim.  The oracle
-    uses the direct global ROW_NUMBER ranking — the formulation that
-    does not scale but is obviously right.
+    aggregate (count + min/max per bucket) collected at MODEL grain
+    (the price-RANGE-bounded ~105-row bucket table), with the
+    cumulative walk + boundary-bucket selection in Python, then a
+    re-scan of ONLY the {b} boundary-containing coarse buckets; the
+    probe audit is one more combinable scan against a 3-row broadcast
+    dim.  The oracle uses the direct global ROW_NUMBER ranking — the
+    formulation that does not scale but is obviously right.
 
     Reference has no optimizer statistics (SURVEY §2c extension;
     analyze_table_stats collects the base stats, this op audits the
@@ -3586,40 +3587,47 @@ def histogram_equidepth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load(spark, sf_dir, "lineitem").select(
         F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c")
     )
-    stats = v.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.min("c").alias("cmin"),
-        F.max("c").alias("m"),
-    ).collect()[0]
-    n, cmin, m = stats.n, stats.cmin, stats.m
-    targets = spark.createDataFrame(
-        [
-            (
-                i,
-                (i * n + _HD_B - 1) // _HD_B,
-                (i * n + _HD_B - 1) // _HD_B
-                - ((i - 1) * n + _HD_B - 1) // _HD_B,
-            )
-            for i in range(1, _HD_B + 1)
-        ],
-        "bucket_id long, k long, depth long",
-    )
-    # Pass 1: coarse-bucket cumulative table (price-range-bounded).
-    cb = (
+    # Pass 1 (r14): ONE coarse-bucket aggregate carrying count AND
+    # min/max per bucket, collected at MODEL grain (~price-range/1e5
+    # rows).  n / cmin / cmax derive from it, and the cumulative walk
+    # + boundary-bucket selection run in Python — the previous shape
+    # paid a separate whole-table stats aggregate AND re-planned the
+    # coarse-bucket subtree inside each of its two lazy consumers
+    # (sel and hit), i.e. three extra lineitem passes for numbers a
+    # 105-row table already contains.
+    cb_rows = sorted(
         v.groupBy(F.expr(f"c DIV {_HD_COARSE}").alias("cb"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "cum",
-            F.sum("cnt").over(
-                W.orderBy("cb").rowsBetween(W.unboundedPreceding, 0)
-            ),
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("c").alias("mn"),
+            F.max("c").alias("mx"),
         )
+        .collect(),
+        key=lambda r: r.cb,
     )
-    sel = targets.join(
-        F.broadcast(cb),
-        (F.col("cum") - F.col("cnt") < F.col("k"))
-        & (F.col("k") <= F.col("cum")),
-    ).select("bucket_id", "k", "depth", "cb", (F.col("cum") - F.col("cnt")).alias("cum_before"))
+    n = sum(r.cnt for r in cb_rows)
+    cmin = min(r.mn for r in cb_rows)
+    m = max(r.mx for r in cb_rows)
+    import bisect
+
+    cum = []
+    acc = 0
+    for r in cb_rows:
+        acc += r.cnt
+        cum.append(acc)
+    sel_rows = []
+    for i in range(1, _HD_B + 1):
+        k = (i * n + _HD_B - 1) // _HD_B
+        depth = k - ((i - 1) * n + _HD_B - 1) // _HD_B
+        # First coarse bucket whose cumulative count reaches k
+        # (identical to the previous cum-cnt < k <= cum join).
+        j = bisect.bisect_left(cum, k)
+        sel_rows.append(
+            (i, k, depth, cb_rows[j].cb, cum[j] - cb_rows[j].cnt)
+        )
+    sel = spark.createDataFrame(
+        sel_rows, "bucket_id long, k long, depth long, cb long, cum_before long"
+    )
     # Pass 2: rank only inside the selected coarse buckets.
     hit = v.join(
         F.broadcast(sel.select("cb").distinct()),

@@ -2841,10 +2841,15 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: ONE signature pass (the cached shingle table +
     {h} MIN aggregates, shared with the whole MinHash family), then
-    per config a doc x b-row band explode aggregated at bucket grain;
-    all six configs union into one chained plan, no driver action.
-    Candidate pairs are COUNTED from bucket occupancies (n*(n-1)/2
-    per bucket) — the all-pairs join itself is never built.
+    ONE projection builds all 28 (config, band, bucket) entries per
+    signature as an array and explodes it — every config's banding in
+    a single pass over the signatures with a single bucket-grain
+    aggregate (r14, guide §2.4: the first cut unioned 28 separate
+    selects over the cached table and ran SIX aggregation pipelines —
+    28 in-memory scans and 6 shuffles for 5.2 s; one explode + two
+    shuffles computes the identical ledger).  Candidate pairs are
+    COUNTED from bucket occupancies (n*(n-1)/2 per bucket) — the
+    all-pairs join itself is never built.
 
     Reference has no dedup tooling (SURVEY §2c extension; the
     index-ops arm of the MinHash family next to
@@ -2859,34 +2864,47 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lbt_minhash_sigs",
         lambda: _minhash_sigs_of(sh),
     )
-    out = None
-    for b, r, s50 in _LBT_CONFIGS:
-        bands = None
+    entries = []
+    for b, r, _s50 in _LBT_CONFIGS:
         for band in range(b):
             cols = ", ".join(
                 f"CAST(m{band * r + j} AS STRING)" for j in range(r)
             )
-            part = sigs.select(
-                F.lit(band).alias("band"),
-                F.expr(f"md5(concat_ws(',', {cols}))").alias("bucket"),
+            entries.append(
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.lit(band).alias("band"),
+                    F.expr(f"md5(concat_ws(',', {cols}))").alias("bucket"),
+                )
             )
-            bands = part if bands is None else bands.unionByName(part)
-        agg = (
-            bands.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(
-                F.lit(b).cast("int").alias("bands"),
-                F.lit(r).cast("int").alias("rows_per_band"),
-                F.lit(s50).cast("long").alias("s50_ppm"),
-                F.count(F.lit(1)).cast("long").alias("n_buckets"),
-                F.max("n").cast("long").alias("max_bucket"),
-                F.sum(F.expr("n * (n - 1) DIV 2"))
-                .cast("long")
-                .alias("n_cand_pairs"),
-            )
+    s50_map = F.create_map(
+        *[x for b, _r, s50 in _LBT_CONFIGS for x in (F.lit(b), F.lit(s50))]
+    )
+    return (
+        sigs.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.bands", "e.band", "e.bucket")
+        .groupBy("bands", "band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("bands")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.sum(F.expr("n * (n - 1) DIV 2"))
+            .cast("long")
+            .alias("n_cand_pairs"),
         )
-        out = agg if out is None else out.unionByName(agg)
-    return out.orderBy("bands")
+        .select(
+            F.col("bands").cast("int").alias("bands"),
+            F.expr(f"CAST({NUM_HASHES} DIV bands AS INT)").alias(
+                "rows_per_band"
+            ),
+            s50_map[F.col("bands")].cast("long").alias("s50_ppm"),
+            "n_buckets",
+            "max_bucket",
+            "n_cand_pairs",
+        )
+        .orderBy("bands")
+    )
 
 
 dedup_lsh_band_tuning.__doc__ = dedup_lsh_band_tuning.__doc__.format(

@@ -246,14 +246,24 @@ def recursive_cte_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    edges = counts.select(
-        "from_type",
-        "to_type",
-        (
-            F.col("n").cast("double")
-            / F.sum("n").over(W.partitionBy("from_type"))
-        ).alias("p"),
-    ).filter(F.col("p") >= _PATH_MIN_P)
+    edges = (
+        counts.select(
+            "from_type",
+            "to_type",
+            (
+                F.col("n").cast("double")
+                / F.sum("n").over(W.partitionBy("from_type"))
+            ).alias("p"),
+        )
+        .filter(F.col("p") >= _PATH_MIN_P)
+        # Materialize the |types|^2-bounded edge list once (r14): the
+        # recursive UNION ALL references the view at the seed AND at
+        # every recursive step, and each reference re-planned the
+        # corpus-grain lag window + aggregate behind it — depth+1
+        # events passes for a <=25-row relation.  The lazy checkpoint
+        # makes every recursion step read the materialized rows.
+        .localCheckpoint(eager=False)
+    )
     edges.createOrReplaceTempView("kb_transition_edges")
     return spark.sql(
         f"""
@@ -489,12 +499,26 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m >= SCALE always: the max-h node has >= 1 edge), so raw sums
     never multiply — int64-safe to ~9e9 nodes.
 
-    Scale posture: identical to PageRank's — the distinct trading-pair
-    edge list is the only large table (cached, loop-invariant); rank
-    tables are node-sized (cached per half-round, previous round
-    unpersisted — flat memory) and each round is 2 edge-keyed
-    shuffles; the normalizer is one scalar to the driver per
-    half-round (the kmeans driver-footprint rule).
+    Scale posture: the distinct trading-pair edge list is the only
+    large table (cached loop-invariant, in TWO partitionings — by s
+    and by c — so each side's aggregate needs no exchange); each
+    ITERATION is one Spark action — the supplier half-round and its
+    max normalizer stay lazy (a window over the model-grain supplier
+    aggregate) and broadcast straight into the customer half-round —
+    and only the customer ranks come back to the driver per iteration
+    (r14: the previous shape cached each half-round's rank table and
+    pulled only the max scalar, but building the next broadcast
+    already materializes the rank table driver-side, so the extra
+    cache+collect pair per half-round — 2-3 jobs each, ~0.95 s/job of
+    fixed machinery — bought nothing).  Driver-side renormalization is
+    the same overflow-free positive-int floor division (Python ``//``
+    == SQL DIV for non-negative operands), and round 1 folds the
+    constant h0 into a degree aggregate — SUM(h0) over a supplier's
+    customers IS SCALE x degree, so the first half-round needs no
+    join.  Deployment caveat: rank tables here are broadcast-sized BY
+    CONSTRUCTION (the join hint requires it); a graph whose node
+    tables outgrow the driver flips to the shuffle-join + cached-rank
+    form with scalar-only collects.
 
     Reference has no iterative operators (SURVEY §2c extension).
     """
@@ -509,73 +533,82 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    pairs = cached(spark, sf_dir, "hits_pairs", build_pairs)
-    h = pairs.select("c").distinct().select(
-        "c", F.lit(_HITS_SCALE).cast("long").alias("h")
+    # Two cached copies of the edge list, pre-partitioned by each
+    # side's key (r14): alternate half-rounds aggregate by s then by c,
+    # so each copy's partitioning satisfies its aggregate's required
+    # distribution — every half-round is a single-stage job with no
+    # exchange.  by_c derives from the cached by_s so the join+distinct
+    # builds once.  The duplicate cache is edge-sized x2 — the standard
+    # both-sides layout for bipartite iteration.
+    par = spark.sparkContext.defaultParallelism
+    by_s = cached(
+        spark,
+        sf_dir,
+        "hits_pairs_by_s",
+        lambda: build_pairs().repartition(par, "s"),
     )
-    # Per-round: materialize the node-sized rank table and pull ONE
-    # scalar (the max normalizer) to the driver — the kmeans_lloyd /
-    # pagerank driver-footprint rule (O(model), never O(rows)).  This
-    # truncates the lineage each half-round; the first cut kept the
-    # whole 12-stage iteration lazy with 6 nested 1-row broadcasts and
-    # OOMed a bare 1g-heap session (caught by the driver emulator).
-    a = None
-    prev = []
-    for _ in range(_HITS_ITERS):
-        ar = (
-            pairs.join(h, "c")
-            .groupBy("s")
-            .agg(F.sum("h").cast("long").alias("a"))
-            .cache()
-        )
-        m_a = ar.agg(F.max("a")).collect()[0][0]
-        a = ar.select(
+    by_c = cached(
+        spark,
+        sf_dir,
+        "hits_pairs_by_c",
+        lambda: by_s.repartition(par, "c"),
+    )
+
+    # One ACTION per iteration: the supplier half-round and its
+    # normalizer stay lazy inside the plan — the max is a window over
+    # the 1k-row supplier aggregate (model grain; the oracle's CROSS
+    # JOIN am shape) broadcast straight into the customer half-round.
+    # Only the customer ranks come back to the driver per iteration,
+    # where the same overflow-free positive-int floor division
+    # (Python // == SQL DIV for non-negative operands) renormalizes.
+    def supplier_half(h_df):
+        if h_df is None:
+            # Round 1: h0 is the constant SCALE for every customer, so
+            # raw a(s) = SCALE * deg(s) — an aggregate, no join.
+            ar = by_s.groupBy("s").agg(
+                (F.count(F.lit(1)) * _HITS_SCALE).cast("long").alias("a")
+            )
+        else:
+            ar = (
+                by_s.join(F.broadcast(h_df), "c")
+                .groupBy("s")
+                .agg(F.sum("h").cast("long").alias("a"))
+            )
+        return ar.select(
             "s",
-            F.expr(f"a DIV {m_a // _HITS_SCALE}").cast("long").alias("a"),
+            F.expr(f"a DIV (MAX(a) OVER () DIV {_HITS_SCALE})")
+            .cast("long")
+            .alias("a"),
         )
-        hr = (
-            pairs.join(a, "s")
+
+    h_df = None
+    h_map = None
+    a_n = None
+    for _ in range(_HITS_ITERS):
+        a_n = supplier_half(h_df)
+        hr_rows = (
+            by_c.join(F.broadcast(a_n), "s")
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("h"))
-            .cache()
+            .collect()
         )
-        m_h = hr.agg(F.max("h")).collect()[0][0]
-        h = hr.select(
-            "c",
-            F.expr(f"h DIV {m_h // _HITS_SCALE}").cast("long").alias("h"),
+        m = max(r["h"] for r in hr_rows)
+        d = m // _HITS_SCALE  # >= 1: the max node has >= 1 edge
+        h_map = {r["c"]: r["h"] // d for r in hr_rows}
+        h_df = spark.createDataFrame(
+            list(h_map.items()), "c long, h long"
         )
-        for old_rel in prev:
-            old_rel.unpersist()
-        prev = [ar, hr]
-    # The final round's two cached relations underpin the returned
-    # top-k and must outlive this builder — hand them to the registry
-    # so invalidate() reclaims them and repeat invocations don't pin
-    # one orphan pair per run (ADVICE r8).
-    from kbrowse_spark.functions.cache_registry import adopt
-
-    adopt(spark, sf_dir, "hits_final_ar", prev[0])
-    adopt(spark, sf_dir, "hits_final_hr", prev[1])
-    top_s = (
-        a.orderBy(F.col("a").desc(), "s")
-        .limit(_HITS_TOP)
-        .select(
-            F.lit("supplier").alias("node_type"),
-            F.col("s").alias("id"),
-            F.col("a").alias("score_scaled"),
-        )
-    )
-    top_c = (
-        h.orderBy(F.col("h").desc(), "c")
-        .limit(_HITS_TOP)
-        .select(
-            F.lit("customer").alias("node_type"),
-            F.col("c").alias("id"),
-            F.col("h").alias("score_scaled"),
-        )
-    )
-    return top_s.unionByName(top_c).orderBy(
-        "node_type", F.col("score_scaled").desc(), "id"
-    )
+    # Final supplier ranks: one extra small job re-reading the caches.
+    a_map = {r["s"]: r["a"] for r in a_n.collect()}
+    # Model-grain top-k readout (ties: score DESC, id ASC).
+    top_s = sorted(a_map.items(), key=lambda kv: (-kv[1], kv[0]))[:_HITS_TOP]
+    top_c = sorted(h_map.items(), key=lambda kv: (-kv[1], kv[0]))[:_HITS_TOP]
+    rows = [("supplier", s, a) for s, a in top_s] + [
+        ("customer", c, h) for c, h in top_c
+    ]
+    return spark.createDataFrame(
+        rows, "node_type string, id long, score_scaled long"
+    ).orderBy("node_type", F.col("score_scaled").desc(), "id")
 
 
 hits_hubs_authorities.__doc__ = hits_hubs_authorities.__doc__.format(

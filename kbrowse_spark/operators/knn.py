@@ -715,7 +715,13 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan discipline: norms are computed once per *vector* (not per
     pair), the candidate distinct shuffles only id pairs (no embedding
     arrays), and embeddings re-attach via two joins against the cached
-    signature table — per pair, exactly one dot product remains.
+    signature table — per pair, exactly one dot product remains.  The
+    id-pair repartition after the distinct spreads the per-pair dot
+    work (r14): AQE coalesced the small candidate exchange to ~1
+    partition, serializing ~16M interpreted zip_with element-ops onto
+    one core (~3 s of the 4.2 s total); the rows being exchanged are
+    two longs each, so the fan-out costs ~1% of the scoring work it
+    parallelizes (the rag/text_fingerprint asymmetry test).
     """
     sig = _neardup_sig(spark, sf_dir)
     banded = _neardup_banded(sig)
@@ -732,6 +738,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
         )
         .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     sa = F.broadcast(
         sig.select(
@@ -2086,8 +2093,17 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cos = F.expr(_bm_cos("qe", "te", _spark_dot))
-    fwd = tgt.crossJoin(F.broadcast(src)).select(
-        "qid", "tid", cos.alias("cos")
+    # One materialization of the |block| x |targets| cosine table
+    # (r14): fwd feeds BOTH the forward ranking and the backward pool,
+    # and each consumer re-planned the cross join + fixed-point dots
+    # (the expensive interpreted-HOF part) without the checkpoint.
+    # The target-grain repartition spreads the dot work off the
+    # single-split scan (the embedding_neardup_lsh fan-out rationale).
+    fwd = (
+        tgt.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(src))
+        .select("qid", "tid", cos.alias("cos"))
+        .localCheckpoint(eager=False)
     )
     w_f = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "tid")
     fr = fwd.withColumn("rn", F.row_number().over(w_f)).filter(

@@ -2822,7 +2822,6 @@ def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         *[f"v_{n}" for n in names],
         F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("bucket")).alias("cnt"),
         *[
             F.when(
                 F.lag(f"v_{n}").over(w).isNotNull()
@@ -2834,14 +2833,22 @@ def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for n in names
         ],
     )
-    within = with_tr.groupBy("bucket").agg(
-        *[F.sum(f"tr_{n}").alias(f"tr_{n}") for n in names]
-    )
-    firsts = with_tr.filter(F.col("rn") == 1).select(
-        "bucket", *[F.col(f"v_{n}").alias(f"first_{n}") for n in names]
-    )
-    lasts = with_tr.filter(F.col("rn") == F.col("cnt")).select(
-        "bucket", *[F.col(f"v_{n}").alias(f"last_{n}") for n in names]
+    # ONE bucket-grain aggregate yields transitions AND the boundary
+    # values (r14, guide §2.4): first/last per bucket are min_by /
+    # max_by over the window's row_number, so the corpus-wide window
+    # executes once — the previous three consumers (within / firsts /
+    # lasts, the latter needing an extra COUNT() window for the
+    # last-row filter) each re-planned their own copy of it.
+    # Bucket-grain result shared by the total and the boundary stitch
+    # via one lazy localCheckpoint (corpus/W rows — bucket grain, never
+    # corpus grain), so the two consumers don't each re-run the window.
+    per_bucket = with_tr.groupBy("bucket").agg(
+        *[F.sum(f"tr_{n}").alias(f"tr_{n}") for n in names],
+        *[F.min_by(f"v_{n}", "rn").alias(f"first_{n}") for n in names],
+        *[F.max_by(f"v_{n}", "rn").alias(f"last_{n}") for n in names],
+    ).localCheckpoint(eager=False)
+    within = per_bucket.select(
+        "bucket", *[f"tr_{n}" for n in names]
     )
     # Bucket-boundary stitch, itself two-level sharded: buckets group
     # into superbuckets; the within-superbucket lag runs partitioned
@@ -2849,7 +2856,7 @@ def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per superbucket, corpus/{W^2} — sees an unpartitioned window.
     # The first bucket of each superbucket takes its predecessor from
     # the previous superbucket's last bucket via that broadcast carry.
-    fl = firsts.join(lasts, "bucket").withColumn(
+    fl = per_bucket.withColumn(
         "sb", F.expr(f"CAST(bucket DIV {_EA_BUCKET_W} AS BIGINT)")
     )
     w1 = W.partitionBy("sb").orderBy("bucket")
@@ -2898,12 +2905,20 @@ def encoding_advisor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = within.groupBy().agg(
         *[F.sum(f"tr_{n}").alias(f"tr_{n}") for n in names]
     )
-    nd = li.groupBy().agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        *[
-            F.countDistinct(f"v_{n}").cast("long").alias(f"nd_{n}")
-            for n in names
-        ],
+    # Row-grain repartition off the single-split scan spreads the
+    # 5-way distinct Expand across cores (the analyze_table_stats
+    # pattern, r14) — without it the multi-distinct partial aggregate
+    # ran as one task.
+    nd = (
+        li.repartition(spark.sparkContext.defaultParallelism)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.countDistinct(f"v_{n}").cast("long").alias(f"nd_{n}")
+                for n in names
+            ],
+        )
     )
     stats = nd.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(bb))
     stack_args = ", ".join(

@@ -3355,55 +3355,49 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # One orders pass for the whole build side (r14, guide §2.4 — the
+    # join_bloom_runtime_filter treatment): the dim key set checkpoints
+    # lazily; the (n, m) sizing row is collected once (1 row — the
+    # previous in-plan nd broadcast re-derived it, orders scan and all,
+    # at each of its FIVE reference sites) and n/m inline as literals.
     dim = (
         o.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    nd = dim.agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    ).select(
-        "n", F.expr(_bloom_bits_case("n")).cast("long").alias("m")
+    nd_row = (
+        dim.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("n", F.expr(_bloom_bits_case("n")).cast("long").alias("m"))
+        .collect()[0]
     )
+    n_dim, m = int(nd_row.n), int(nd_row.m)
     h1d = _BLOOM_H1_SPARK.format(k="k")
     h2d = _BLOOM_H2_SPARK.format(k="k")
-    bits = (
-        dim.crossJoin(F.broadcast(nd))
-        .selectExpr(f"({h1d}) % m AS p")
-        .unionAll(
-            dim.crossJoin(F.broadcast(nd)).selectExpr(f"({h2d}) % m AS p")
-        )
+    bits = dim.selectExpr(f"({h1d}) % {m} AS p").unionAll(
+        dim.selectExpr(f"({h2d}) % {m} AS p")
     )
     words = bits.groupBy(F.expr("p DIV 63").alias("w")).agg(
         F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT)))")
         .cast("long")
         .alias("bw")
     )
-    idx = nd.selectExpr(
-        "explode(sequence(0, CAST((m + 62) DIV 63 AS INT) - 1)) AS i"
-    )
-    arr = (
-        idx.join(words, idx["i"] == words["w"], "left")
-        .select("i", F.coalesce("bw", F.lit(0)).cast("long").alias("bw"))
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(i, bw))),"
-                " x -> x.bw)"
-            ).alias("a")
-        )
-    )
+    # Materialize the bloom words once (key-grain aggregate over the
+    # checkpointed dim) and assemble the dense m/63-long array driver
+    # side — the array IS the broadcast payload either way.
+    word_map = {r.w: r.bw for r in words.collect()}
+    arr_list = [word_map.get(i, 0) for i in range((m + 62) // 63)]
+    arr = spark.createDataFrame([(arr_list,)], "a array<bigint>")
     h1f = _BLOOM_H1_SPARK.format(k="l_orderkey")
     h2f = _BLOOM_H2_SPARK.format(k="l_orderkey")
-    probe = (
-        li.select("l_orderkey", "l_returnflag", "l_extendedprice")
-        .crossJoin(F.broadcast(nd))
-        .selectExpr(
-            "l_orderkey",
-            "l_returnflag",
-            "l_extendedprice",
-            f"({h1f}) % m AS p1",
-            f"({h2f}) % m AS p2",
-        )
+    probe = li.select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    ).selectExpr(
+        "l_orderkey",
+        "l_returnflag",
+        "l_extendedprice",
+        f"({h1f}) % {m} AS p1",
+        f"({h2f}) % {m} AS p2",
     )
     bitset = (
         "(element_at(a, CAST(p{i} DIV 63 AS INT) + 1)"
@@ -3412,27 +3406,48 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = probe.crossJoin(F.broadcast(arr)).filter(
         F.expr(bitset.format(i=1)) & F.expr(bitset.format(i=2))
     )
-    n_fact = li.agg(F.count(F.lit(1)).cast("long").alias("n_fact"))
-    n_pass = surv.agg(F.count(F.lit(1)).cast("long").alias("n_bloom_pass"))
-    joined = surv.join(dim, surv["l_orderkey"] == dim["k"])
-    return (
-        joined.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"))
-            .cast("long")
-            .alias("revenue_cents"),
+    n_fact = li.count()
+    # ONE pass over the survivors computes the global funnel count AND
+    # the per-flag join aggregate (r14): survivors left-join the
+    # broadcast dim with a hit marker; per-flag partials count all
+    # rows (bloom-pass) and matched rows (real join) together, and the
+    # global n_bloom_pass is a window SUM over the 3-row flag table.
+    # The previous shape evaluated the whole probe+filter pipeline
+    # twice (once for the count, once for the join).
+    survm = surv.join(
+        F.broadcast(dim.withColumn("hit", F.lit(1))),
+        surv["l_orderkey"] == F.col("k"),
+        "left",
+    )
+    per_flag = survm.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pass_flag"),
+        F.count("hit").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("hit").isNotNull(),
+                F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"),
+            )
         )
-        .crossJoin(F.broadcast(n_fact))
-        .crossJoin(F.broadcast(n_pass))
-        .crossJoin(F.broadcast(nd.select(F.col("m").alias("bloom_bits"))))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        per_flag.withColumn(
+            "n_bloom_pass",
+            F.sum("n_pass_flag").over(
+                W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ),
+        )
+        .filter(F.col("n_rows") > 0)
         .select(
             "l_returnflag",
             "n_rows",
             "revenue_cents",
-            "n_fact",
+            F.lit(n_fact).cast("long").alias("n_fact"),
             "n_bloom_pass",
-            "bloom_bits",
+            F.lit(m).cast("long").alias("bloom_bits"),
         )
         .orderBy("l_returnflag")
     )

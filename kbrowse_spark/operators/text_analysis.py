@@ -329,8 +329,19 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling min-hash over 8-char shingles (one narrow pass).  Texts
     shorter than one shingle hash whole — guarded explicitly because
     Spark's sequence(1, n) with n<1 COUNTS DOWN (step defaults to -1)
-    instead of being empty like generate_series."""
-    d = load(spark, sf_dir, "documents")
+    instead of being empty like generate_series.
+
+    The doc-grain repartition spreads the rolling-hash work (r14): the
+    single-row-group fixture scan serialized ~2M per-shingle md5 calls
+    (one per character of every document) onto ONE task — 4.3 s on one
+    core.  Per-row work dwarfs the one exchange of (doc_id, text), the
+    same asymmetry that qualified the rag/pmi fan-outs and failed the
+    multimodal ones."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    )
     rolling = F.when(
         F.length("text") >= 8,
         F.array_min(
@@ -444,21 +455,26 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: embarrassingly parallel per document — pure array
     expressions inside one projection, no shuffle except the display
-    sort (dropped in a real pipeline where this feeds a filter).  The
-    per-doc distinct×word scan of ``top_word_frac`` is O(d·n) within a
-    single row — bounded by document length, never by corpus size.
-    All three ratios are exact integer divisions, so the doubles (and
-    the booleans derived from them) hash identically cross-engine.
+    sort (dropped in a real pipeline where this feeds a filter).
+    ``top_word_frac`` is a run-length scan over the SORTED word array
+    (r14, guide §4.1): the original distinct×word nested HOF was
+    O(d·n) interpreted lambda evaluations per row with a fresh filter
+    array allocated per distinct word (~6M element-ops over the sf0.1
+    fixture, 8.1 s); equal words are adjacent after ``array_sort``, so
+    one O(n) ``aggregate`` pass carrying (prev, run, best) yields the
+    identical max word count.  The 3-gram builder likewise reads the
+    already-split ``w`` column instead of re-splitting ``text`` three
+    times per element.  All three ratios are exact integer divisions,
+    so the doubles (and the booleans derived from them) hash
+    identically cross-engine.
     """
     d = load(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    n = F.size(w)
     grams = F.when(
-        n >= 3,
+        F.size("w") >= 3,
         F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 3),"
-            " i -> concat_ws(' ', split(text, ' ')[i],"
-            " split(text, ' ')[i+1], split(text, ' ')[i+2]))"
+            "transform(sequence(0, size(w) - 3),"
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     dup_gram = F.when(
@@ -466,17 +482,24 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0)
         - F.size(F.array_distinct("g")).cast("double") / F.size("g"),
     ).otherwise(F.lit(0.0))
+    # Max run length over the sorted words == max per-word count: exact
+    # integer, independent of sort collation (equality groups adjacent).
     top_word = (
-        F.array_max(
-            F.transform(
-                F.array_distinct("w"),
-                lambda d_: F.size(F.filter(F.col("w"), lambda x: x == d_)),
-            )
+        F.expr(
+            "aggregate(array_sort(w),"
+            " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+            " (acc, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', IF(acc.prev <=> x, acc.run + 1L, 1L),"
+            "   'best', greatest(acc.best,"
+            "                    IF(acc.prev <=> x, acc.run + 1L, 1L))),"
+            " acc -> acc.best)"
         ).cast("double")
         / F.size("w")
     )
     return (
-        d.select("doc_id", w.alias("w"), grams.alias("g"))
+        d.select("doc_id", w.alias("w"))
+        .select("doc_id", "w", grams.alias("g"))
         .select(
             "doc_id",
             F.size("w").alias("n_words"),

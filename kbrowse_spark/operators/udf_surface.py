@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 from kbrowse_spark.catalog import register
 from kbrowse_spark.sources.tables import load
 
+# Cogroup key coarsening for cogroup_asof_attribution (r14): caps
+# FlatMapCoGroupsInPandas invocations (each pays an Arrow round trip)
+# independent of user-key cardinality.  Sized so every local core gets
+# work; at cluster scale this would derive from executor parallelism —
+# results are bucket-invariant (per-user logic is exact inside any
+# bucketing), so the value is a pure performance knob.
+_COGROUP_BUCKETS = 64
+
 
 @register(
     "udaf_sum_squares",
@@ -216,17 +224,30 @@ def cogroup_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key Python transform (pandas merge_asof class of logic) that
     neither a grouped map over one table nor a plain join expresses.
 
-    Both sides shuffle ONCE on the key and arrive as per-user pandas
-    frames; inside the group a numpy searchsorted over the int64
-    microsecond timeline finds each purchase's latest view at <= its
-    timestamp (ties → max view_id, matching the oracle's DESC
-    tie-break).  All comparisons and the gap are int64 microseconds —
-    exact cross-engine (the fixture's timestamps carry no sub-µs).
+    The cogroup key is a bounded HASH BUCKET of user_id, not the raw
+    user (r14, guide §4.3): FlatMapCoGroupsInPandas pays a per-group
+    Arrow round trip (two input frames + one output frame built per
+    invocation, ~10 ms each), and with per-user groups the fixture's
+    1,500 users ran as ~1,500 serial invocations after AQE coalesced
+    the tiny exchange — 14.8 s of pure per-group machinery.  Bucketing
+    caps invocations at _COGROUP_BUCKETS regardless of user count and
+    the per-user as-of is vectorized ACROSS users inside the bucket:
+    both sides concatenated, lexsorted by (user, ts, kind, event_id)
+    with views before purchases on timestamp ties (v_ts <= p_ts is
+    inclusive), then one `np.maximum.accumulate` forward-fill of the
+    last view position — a purchase's candidate is valid iff it shares
+    the purchase's user_id (the sort is user-major, so a stale
+    candidate can only belong to an earlier user).  Ties on v_ts pick
+    max view_id because ascending event_id order puts it last, and the
+    position fill keeps the max.  All comparisons and the gap are
+    int64 microseconds — exact cross-engine (the fixture's timestamps
+    carry no sub-µs).
 
-    Scale posture: state per task is one user's events, not the
-    corpus; the cogroup is a single co-partitioned exchange of the two
-    pre-filtered scans — the same shuffle a join would pay, with
-    arbitrary per-key Python logic on top, Arrow-batched.
+    Scale posture: state per task is one bucket of users' events
+    (corpus/_COGROUP_BUCKETS), the shuffle is the same single
+    co-partitioned exchange a join would pay, and Python is invoked
+    O(buckets) times with O(n log n) vectorized work inside — per-user
+    Python costs, the actual 100 TB killer here, are gone.
     """
     import numpy as np
 
@@ -238,32 +259,52 @@ def cogroup_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"purchase_id": "int64", "user_id": "int64",
                  "view_id": "float64", "gap_us": "float64"}
             )
-        p = purchases.sort_values("event_id").reset_index(drop=True)
-        p_us = p["ts"].astype("int64") // 1000
-        out = pd.DataFrame(
-            {"purchase_id": p["event_id"], "user_id": p["user_id"]}
-        )
+        p_user = purchases["user_id"].to_numpy(dtype=np.int64)
+        p_us = purchases["ts"].astype("int64").to_numpy() // 1000
+        p_id = purchases["event_id"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"purchase_id": p_id, "user_id": p_user})
         if views.empty:
             out["view_id"] = np.nan
             out["gap_us"] = np.nan
             return out
-        v = views.copy()
-        v["v_us"] = v["ts"].astype("int64") // 1000
-        v = v.sort_values(["v_us", "event_id"]).reset_index(drop=True)
-        idx = np.searchsorted(v["v_us"].to_numpy(), p_us.to_numpy(), side="right") - 1
-        hit = idx >= 0
-        out["view_id"] = np.where(hit, v["event_id"].to_numpy()[idx], np.nan)
-        out["gap_us"] = np.where(
-            hit, p_us.to_numpy() - v["v_us"].to_numpy()[idx], np.nan
+        v_user = views["user_id"].to_numpy(dtype=np.int64)
+        v_us = views["ts"].astype("int64").to_numpy() // 1000
+        v_id = views["event_id"].to_numpy(dtype=np.int64)
+        nv, npu = len(v_id), len(p_id)
+        user = np.concatenate([v_user, p_user])
+        ts = np.concatenate([v_us, p_us])
+        ids = np.concatenate([v_id, p_id])
+        # kind 0 = view, 1 = purchase: views sort first on ts ties so an
+        # equal-timestamp view is visible to the purchase (inclusive <=).
+        kind = np.concatenate(
+            [np.zeros(nv, dtype=np.int8), np.ones(npu, dtype=np.int8)]
         )
+        order = np.lexsort((ids, kind, ts, user))
+        # Last view position so far in sort order; ascending event_id on
+        # (user, ts) ties means the fill lands on the max view_id.
+        is_view = kind[order] == 0
+        fill = np.maximum.accumulate(
+            np.where(is_view, np.arange(nv + npu), -1)
+        )
+        # Map back: for each purchase (in p_id order) find its sorted slot.
+        sorted_pos = np.empty(nv + npu, dtype=np.int64)
+        sorted_pos[order] = np.arange(nv + npu)
+        p_slot = sorted_pos[nv:]
+        cand = fill[p_slot]
+        su, sts, sid = user[order], ts[order], ids[order]
+        hit = (cand >= 0) & (su[np.maximum(cand, 0)] == p_user)
+        safe = np.maximum(cand, 0)
+        out["view_id"] = np.where(hit, sid[safe], np.nan)
+        out["gap_us"] = np.where(hit, p_us - sts[safe], np.nan)
         return out
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    views = ev.filter(F.col("event_type") == "view")
+    bkt = F.pmod(F.xxhash64(F.col("user_id")), F.lit(_COGROUP_BUCKETS)).alias("bkt")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("*", bkt)
+    views = ev.filter(F.col("event_type") == "view").select("*", bkt)
     out = (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        purchases.groupBy("bkt")
+        .cogroup(views.groupBy("bkt"))
         .applyInPandas(
             attribute,
             schema="purchase_id long, user_id long, view_id long, gap_us long",

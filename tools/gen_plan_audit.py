@@ -98,7 +98,7 @@ AUDIT = [
     ("ann_ivf_incremental_assign", "batch slice assign via centroid literals; no base-corpus shuffle"),
     # round 8 session 4
     ("freq_itemsets_apriori", "A-Priori pruned pair self-join within bounded baskets; supports broadcast"),
-    ("hits_hubs_authorities", "2 edge-keyed shuffles per round; 1-row MAX normalizer broadcast"),
+    ("hits_hubs_authorities", "edges cached in both-side partitionings; rank tables broadcast, window MAX normalizer in-plan"),
     ("naive_bayes_langid", "vocab-grain model broadcast onto exploded test tokens; combinable aggs"),
     ("compression_ratio_quality", "narrow scan -> one Arrow codec stage, no shuffle"),
     ("shard_rebalance_hrw", "9-row node fan-out + map-side-combinable per-doc MAX argmax"),

@@ -217,8 +217,8 @@ NOTES = {
         "supports broadcast; counts map-side-combinable — linear"
     ),
     "hits_hubs_authorities": (
-        "2 edge-keyed shuffles per round over the cached pair list; "
-        "rank tables node-sized — linear per round, like pagerank"
+        "cached pair list in both-side partitionings, rank tables "
+        "broadcast — linear per round, no edge shuffle, like pagerank"
     ),
     "naive_bayes_langid": (
         "vocab-grain model broadcast onto exploded test tokens; "
