@@ -264,6 +264,21 @@ def contended_vs_reference(
     return (n_slow * 2 > len(common), n_slow, len(common))
 
 
+def load_reference_cpus(path: str) -> int | None:
+    """Core count the idle reference was recorded at (``cpus`` key),
+    None when absent.  The reference comparison is only meaningful at
+    the SAME core count: the driver also runs the bench at a lower
+    core count to measure scaling, and every query is uniformly slower
+    there for the honest reason — flagging that run "contended" against
+    a 32-core reference would be a false positive by construction."""
+    try:
+        with open(path) as f:
+            c = json.load(f).get("cpus")
+        return int(c) if c is not None else None
+    except Exception:  # noqa: BLE001 - missing/corrupt reference
+        return None
+
+
 def load_reference_times(path: str) -> dict[str, float]:
     """Per-query idle mins from a prior bench detail/idle record
     (``queries`` key), {} when absent/unreadable — the flag then
@@ -437,9 +452,18 @@ def main() -> int:
             "bench_idle_reference.json",
         ),
     )
-    ref_flag, n_ref_slow, n_ref_common = contended_vs_reference(
-        times, load_reference_times(ref_path)
-    )
+    ref_cpus = load_reference_cpus(ref_path)
+    if ref_cpus is not None and ref_cpus != cpus:
+        # Different core count than the reference was recorded at
+        # (e.g. the driver's scaling run): uniformly slower is the
+        # EXPECTED shape there, not contention — skip the comparison.
+        ref_flag, n_ref_slow, n_ref_common = False, 0, 0
+        n_ref_slow_str = f"skip:ref_cpus={ref_cpus}"
+    else:
+        ref_flag, n_ref_slow, n_ref_common = contended_vs_reference(
+            times, load_reference_times(ref_path)
+        )
+        n_ref_slow_str = f"{n_ref_slow}/{n_ref_common}"
     loadavg_end = round(os.getloadavg()[0], 2)
     summary = {
         "metric": "headline_queries_total",
@@ -459,7 +483,7 @@ def main() -> int:
             or ref_flag
         ),
         "n_spread_gt2": n_contended,
-        "n_ref_slow": f"{n_ref_slow}/{n_ref_common}",
+        "n_ref_slow": n_ref_slow_str,
         "loadavg_1m": loadavg_1m,
         "loadavg_end": loadavg_end,
         "runs_per_query": n_runs,

@@ -503,17 +503,31 @@ def perceptron_train_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = [0] * _DIM
     b = 0
     for _ in range(_P_EPOCHS):
-        upd = (
+        # Epoch aggregate at (dim) grain via posexplode (r14): the
+        # previous 65-column aggregate (one SUM per dimension) made
+        # each epoch's plan 65 aggregate buffers wide — per-iteration
+        # analysis + codegen dominated wall time at every SF (the data
+        # work is one cached-table pass either way).  posexplode +
+        # groupBy(dim) computes the identical sums with a 2-column
+        # aggregate over 64 groups (map-side-combined, 64 rows cross
+        # the wire); int64 addition is order-independent, so the
+        # collected values are bit-identical.
+        rows = (
             pts.withColumn("m", margin_col(w, b))
             .filter(F.col("y") * F.col("m") <= 0)
+            .select("y", F.posexplode("q").alias("d", "qd"))
+            .groupBy("d")
             .agg(
-                *[F.sum(F.col("y") * F.col("q")[d]).alias(f"s{d}") for d in range(_DIM)],
-                F.sum("y").alias("sb"),
+                F.sum(F.col("y") * F.col("qd")).alias("s"),
+                F.sum("y").alias("sy"),
             )
-            .collect()[0]
+            .collect()
         )
-        w = [w[d] + int(upd[f"s{d}"] or 0) for d in range(_DIM)]
-        b = b + int(upd["sb"] or 0)
+        for r in rows:
+            w[int(r["d"])] += int(r["s"])
+        # sum(y) over the misclassified set is the same value in every
+        # dim group (each mis row contributes its y once per dim).
+        b = b + (int(rows[0]["sy"]) if rows else 0)
 
     m = F.col("m")
     return (
@@ -649,17 +663,23 @@ def pca_power_topvec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = [_SCALE] + [0] * (_DIM - 1)
     for _ in range(_PI_ITERS):
-        row = (
+        # w = X'(Xv) at (dim) grain via posexplode (r14): the previous
+        # 64-column aggregate (one SUM per dimension) made each
+        # iteration's plan 64 aggregate buffers wide — per-iteration
+        # analysis + codegen dominated wall time (2000 cached rows; the
+        # data work is negligible).  posexplode + groupBy(dim) computes
+        # the identical sums with a 1-column aggregate over 64 groups;
+        # int64 addition is order-independent, so w is bit-identical.
+        rows = (
             pts.withColumn("u", dot_v(v))
-            .agg(
-                *[
-                    F.sum(F.col("q")[d] * F.col("u")).alias(f"w{d}")
-                    for d in range(_DIM)
-                ]
-            )
-            .collect()[0]
+            .select("u", F.posexplode("q").alias("d", "qd"))
+            .groupBy("d")
+            .agg(F.sum(F.col("qd") * F.col("u")).alias("w"))
+            .collect()
         )
-        w = [int(row[f"w{d}"]) for d in range(_DIM)]
+        w = [0] * _DIM
+        for r in rows:
+            w[int(r["d"])] = int(r["w"])
         mx = max(max(abs(x) for x in w), 1)
         # Mirrors the oracle's floor((w AS DOUBLE) * SCALE.0 / mx) —
         # Python floats ARE IEEE doubles, same op order, same bits.

@@ -1336,7 +1336,14 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.bit_or("m").alias("bits"))
     )
-    cpos = corpus.select("doc_id", "shingle", F.explode(pos_arr).alias("pos")).select(
+    # Fan the k-md5 position projection off the cached single-partition
+    # shingle table (r14, guide §2.5): 4 md5s per corpus shingle would
+    # otherwise run as ONE task.  Shingle-grain keys spread evenly; the
+    # exchange ships (doc_id, shingle) once and buys 32-way hashing.
+    cfan = corpus.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id"), F.col("shingle")
+    )
+    cpos = cfan.select("doc_id", "shingle", F.explode(pos_arr).alias("pos")).select(
         "doc_id", "shingle", word, mask
     )
     cand = (
@@ -1347,6 +1354,12 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k_hits") == _BLOOM_K)
         .select("doc_id", "shingle")
     )
+    # The screened candidate set feeds BOTH readouts below (bloom_hits
+    # and the exact verify); Catalyst would plan each with its own copy
+    # of the scan + k-md5 + broadcast-screen pipeline.  One lazy
+    # localCheckpoint shares a single FP-bounded materialization (r14,
+    # guide §2.4 — same posture as the linkage/graph pair tables).
+    cand = cand.localCheckpoint(eager=False)
     bloom_hits = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("bloom_hits"))
     exact_hits = (
         cand.join(F.broadcast(eval_sh), "shingle", "left_semi")

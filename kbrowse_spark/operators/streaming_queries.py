@@ -1087,6 +1087,115 @@ def stream_pyds_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete").orderBy("event_type")
 
 
+# State-key bucket count for the timer sessionizer: caps Python
+# invocations per trigger at this many groups regardless of user count
+# (the cogroup_asof_attribution amortization, r14).  Session logic and
+# per-session state are unchanged; see the operator docstring.
+_SESSION_BUCKETS = 64
+_SESSION_GAP_MS = 30 * 60 * 1000
+_SESSION_GAP_US = _SESSION_GAP_MS * 1000
+
+
+def _make_session_update():
+    """Factory for the bucketed timer-sessionization update function
+    (see stream_session_timeout).  The returned function is a LOCAL
+    closure so cloudpickle ships it BY VALUE to executors — a
+    module-level function pickles by reference and the driver's bare
+    session cannot import kbrowse_spark on its Python workers (the
+    emulator-only failure mode the verify recipe exists to catch).
+    Factory-shaped (rather than a closure in the operator) so the
+    multi-batch test drives the identical function."""
+    gap_ms = _SESSION_GAP_MS
+    gap_us = _SESSION_GAP_US
+
+    def close_expired(state) -> list[tuple[int, int, int, int]]:
+        # Timer wake-up for a session bucket: emit every open session
+        # whose timeout the watermark has passed (strict <, mirroring
+        # Spark's per-group timer firing rule), keep the rest and
+        # re-arm the wake-up.
+        users, starts, lasts, ns = (list(x) for x in state.get)
+        wm_ms = state.getCurrentWatermarkMs()
+        out, keep = [], []
+        for u, s, last, n in zip(users, starts, lasts, ns):
+            if last // 1000 + gap_ms < wm_ms:
+                out.append((u, s, last + gap_us, n))
+            else:
+                keep.append((u, s, last, n))
+        if keep:
+            state.update(tuple(list(col) for col in zip(*keep)))
+            nxt = min(last // 1000 + gap_ms for _, _, last, _ in keep)
+            state.setTimeoutTimestamp(max(nxt, wm_ms + 1))
+        else:
+            state.remove()
+        return out
+
+    def update(key, batches, state):
+        # Runs the per-user gaps-and-islands loop for every user of
+        # the bucket inside ONE Python invocation; state is per-user
+        # scalars held as parallel arrays on the bucket row.
+        import pandas as pd
+
+        if state.hasTimedOut:
+            out = close_expired(state)
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "start_us", "end_us", "n_events"]
+                )
+            return
+        open_s: dict[int, list[int]] = {}
+        if state.exists:
+            users, starts, lasts, ns = state.get
+            open_s = {
+                int(u): [int(s), int(last), int(n)]
+                for u, s, last, n in zip(users, starts, lasts, ns)
+            }
+        ev_parts = [pdf[["user_id", "ts_us"]] for pdf in batches]
+        allev = (
+            pd.concat(ev_parts) if len(ev_parts) > 1 else ev_parts[0]
+        ).sort_values(["user_id", "ts_us"])
+        out = []
+        for u, grp in allev.groupby("user_id", sort=False):
+            u = int(u)
+            ts_list = [int(t) for t in grp["ts_us"]]
+            if u in open_s:
+                start_us, last_us, n = open_s[u]
+            else:
+                start_us, last_us, n = ts_list[0], ts_list[0] - 1, 0
+            for t in ts_list:
+                if n > 0 and t - last_us > gap_us:
+                    out.append((u, start_us, last_us + gap_us, n))
+                    start_us, n = t, 0
+                # max() guards the cross-batch case: an in-watermark
+                # but out-of-order arrival extends the open session's
+                # count without REGRESSING its end (and so its timeout).
+                last_us = max(last_us, t)
+                start_us = min(start_us, t)
+                n += 1
+            open_s[u] = [start_us, last_us, n]
+        state.update(
+            (
+                list(open_s),
+                [v[0] for v in open_s.values()],
+                [v[1] for v in open_s.values()],
+                [v[2] for v in open_s.values()],
+            )
+        )
+        # Wake-up at the earliest open-session timeout; clamp above
+        # the current watermark (an untouched user's timeout may
+        # already lie behind it — its session closes at the wake-up's
+        # per-session expiry check, exactly as its own timer would).
+        nxt = min(v[1] // 1000 + gap_ms for v in open_s.values())
+        state.setTimeoutTimestamp(
+            max(nxt, state.getCurrentWatermarkMs() + 1)
+        )
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_us", "end_us", "n_events"]
+            )
+
+    return update
+
+
 @register(
     "stream_session_timeout",
     """
@@ -1140,62 +1249,44 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     store (no event buffering — merging is incremental), timers are
     state-store metadata, and emission is append-mode final rows only.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    _GAP_MS = 30 * 60 * 1000
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev, _ = _events_stream_with_flush(spark, sf_dir, "session_timeout")
+    # The state key is a bounded hash BUCKET of user_id, not the raw
+    # user (r14, guide §4.3 — the cogroup_asof_attribution fix):
+    # applyInPandasWithState pays a per-GROUP Python invocation (plus a
+    # pandas frame per yield), and per-user groups made the fixture's
+    # 1,500 users + 1,500 timer firings ~3,000 serial invocations —
+    # 3.2 s of operator time that is pure Python-boundary machinery.
+    # Bucketing caps invocations at _SESSION_BUCKETS per trigger; the
+    # per-user session logic below is UNCHANGED, it just runs for every
+    # user of the bucket inside one invocation.  State stays per-user
+    # scalars ((start, last, n) per open session), held as parallel
+    # arrays on the bucket row; a timer is a WAKE-UP for the bucket
+    # (min over its open sessions), and expiry is decided per session
+    # against the current watermark — so sessions close exactly where
+    # the per-user-timer form closed them.  Deployment note: bucket
+    # count trades Python-boundary amortization against state-row
+    # size; size it so a bucket's open sessions stay a small row
+    # (users/bucket ~ tens to thousands), which also keeps hot-user
+    # skew irrelevant (state is per-session scalars either way).
     src = (
         ev.withWatermark("ts", "1 second")
         .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+        .withColumn(
+            "bkt", F.pmod(F.xxhash64(F.col("user_id")), F.lit(_SESSION_BUCKETS))
+        )
     )
 
-    def update(key, batches, state: GroupState):
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "start_us": [start_us],
-                    "end_us": [last_us + _GAP_MS * 1000],
-                    "n_events": [n],
-                }
-            )
-            return
-        ts_list: list[int] = []
-        for pdf in batches:
-            ts_list.extend(int(v) for v in pdf["ts_us"])
-        ts_list.sort()
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = ts_list[0], ts_list[0] - 1, 0
-        out = []
-        for t in ts_list:
-            if n > 0 and t - last_us > _GAP_MS * 1000:
-                out.append((key[0], start_us, last_us + _GAP_MS * 1000, n))
-                start_us, n = t, 0
-            # max() guards the cross-batch case: an in-watermark but
-            # out-of-order arrival extends the open session's count
-            # without REGRESSING its end (and thus its timeout).
-            last_us = max(last_us, t)
-            start_us = min(start_us, t)
-            n += 1
-        state.update((start_us, last_us, n))
-        state.setTimeoutTimestamp(last_us // 1000 + _GAP_MS)
-        if out:
-            yield pd.DataFrame(
-                out, columns=["user_id", "start_us", "end_us", "n_events"]
-            )
-
-    sessions = src.groupBy("user_id").applyInPandasWithState(
-        update,
+    sessions = src.groupBy("bkt").applyInPandasWithState(
+        _make_session_update(),
         outputStructType=(
             "user_id long, start_us long, end_us long, n_events long"
         ),
-        stateStructType="start_us long, last_us long, n long",
+        stateStructType=(
+            "users array<long>, starts array<long>,"
+            " lasts array<long>, ns array<long>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

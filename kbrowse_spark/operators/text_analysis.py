@@ -601,22 +601,35 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(conv(substring(md5(concat('cms', CAST(j AS STRING), ':', {t}))"
         ", 1, 8), 16, 10) AS BIGINT) % {w}"
     )
-    words = (
-        d.select(
+
+    def word_stream(src: DataFrame) -> DataFrame:
+        return src.select(
             "lang",
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
-        )
-        .filter(F.col("word") != "")
+        ).filter(F.col("word") != "")
+
+    # Exact branch: plain scan (a 6-term filter + count, no hashing).
+    words = word_stream(d)
+    # Sketch branch: ~4 md5s per corpus token (CMS rows x every word) —
+    # the single-row-group fixture scan would serialize all of it onto
+    # ONE task.  Doc-grain repartition BEFORE the explode spreads the
+    # hash work; per-row work dwarfs one exchange of (doc_id, lang,
+    # text), the same asymmetry that qualified the text_fingerprint /
+    # rag fan-outs (r14) and failed the multimodal ones.
+    fan = d.select("doc_id", "lang", "text").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    pairs = words.withColumn(
+    pairs = word_stream(fan).withColumn(
         "j", F.explode(F.expr(f"sequence(0, {_CMS_ROWS - 1})"))
     ).withColumn(
         "bucket", F.expr(bucket_of.format(t="word", w=_CMS_WIDTH))
     )
-    sketch_lang = pairs.groupBy("lang", "j", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    sketch = sketch_lang.groupBy("j", "bucket").agg(F.sum("n").alias("n"))
+    # The merged sketch aggregates (j, bucket) directly (r14): the
+    # per-lang intermediate exists in the ORACLE to exhibit sketch
+    # mergeability, but summing per-lang counts equals counting
+    # directly, and the extra aggregate level cost ~0.3 s (measured) —
+    # one hash aggregate, map-side-combined, same 1024-row result.
+    sketch = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("n"))
     probes = (
         spark.createDataFrame([(t,) for t in _CMS_PROBES], "term string")
         .withColumn("j", F.explode(F.expr(f"sequence(0, {_CMS_ROWS - 1})")))

@@ -165,6 +165,32 @@ def test_contended_vs_reference_red_green(tmp_path):
     assert not flag
 
 
+def test_reference_cpus_gates_the_comparison(tmp_path):
+    """The idle reference is recorded at a specific core count; the
+    driver ALSO runs the bench at a lower core count to measure
+    scaling, where every query is uniformly slower for the honest
+    reason.  load_reference_cpus must surface the recorded count so
+    the runner can skip the comparison on mismatch (and the shipped
+    reference must carry the field)."""
+    import json
+    import os
+
+    ref = tmp_path / "ref.json"
+    ref.write_text(json.dumps({"cpus": 32, "queries": {"a": 1.0}}))
+    assert bench.load_reference_cpus(str(ref)) == 32
+    # absent field / absent file -> None (comparison proceeds as before)
+    ref2 = tmp_path / "ref2.json"
+    ref2.write_text(json.dumps({"queries": {"a": 1.0}}))
+    assert bench.load_reference_cpus(str(ref2)) is None
+    assert bench.load_reference_cpus(str(tmp_path / "nope.json")) is None
+    # the repo-shipped reference must be tagged with its core count
+    shipped = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_idle_reference.json",
+    )
+    assert bench.load_reference_cpus(shipped) == 32
+
+
 def test_load_reference_times_missing_or_corrupt(tmp_path):
     assert bench.load_reference_times(str(tmp_path / "nope.json")) == {}
     bad = tmp_path / "bad.json"

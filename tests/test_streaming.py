@@ -423,3 +423,89 @@ def test_rocksdb_state_store_matches_default(spark, tmp_path):
     default = run(None, "default_counts")
     assert rocks == default
     assert len(rocks) == 13
+
+
+def test_bucketed_session_timeout_multibatch(spark, tmp_path):
+    """The r14 bucketed timer sessionizer (stream_session_timeout):
+    the bounded oracle replay only exercises ONE data batch, so this
+    pins the multi-batch paths the rewrite introduced — (a) cross-batch
+    merge of per-user sessions held as bucket-grain array state, and
+    (b) an untouched user expiring via the bucket's clamped WAKE-UP
+    (its own timeout is already behind the watermark when the bucket
+    next sets a timer) rather than via a per-user timer."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kbrowse_spark.operators.streaming_queries import (
+        _SESSION_GAP_US,
+        _make_session_update,
+    )
+
+    us = 1_000_000
+    hour = 3600 * us
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(u, datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                microseconds=t)) for u, t in rows],
+            "user_id long, ts timestamp",
+        ).coalesce(1).write.parquet(f"{src}/{name}.parquet")
+        time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: user 1 (two events inside one session) + user 2 (one).
+    write_batch("b1", [(1, 0), (1, 10 * us), (2, 5 * us)])
+    # batch 2: user 1 returns past the gap (closes session in-stream,
+    # exercising the state merge); user 2 untouched — its timeout is
+    # now far behind the watermark, so it must close via the clamped
+    # wake-up.  user 3 opens fresh.
+    write_batch("b2", [(1, 3 * hour), (3, 3 * hour + 7 * us)])
+    # batch 3: far-future flush row drags the watermark past everything.
+    write_batch("b3", [(99, 10 * hour)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+        .withWatermark("ts", "1 second")
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+        # ONE bucket: every user shares the state row and the wake-up.
+        .withColumn("bkt", F.lit(0))
+    )
+    out = stream.groupBy("bkt").applyInPandasWithState(
+        _make_session_update(),
+        outputStructType=(
+            "user_id long, start_us long, end_us long, n_events long"
+        ),
+        stateStructType=(
+            "users array<long>, starts array<long>,"
+            " lasts array<long>, ns array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bucketed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    base = int(
+        datetime.datetime(
+            2024, 1, 1, tzinfo=datetime.timezone.utc
+        ).timestamp() * us
+    )
+    got = {
+        (r.user_id, r.start_us - base, r.end_us - base, r.n_events)
+        for r in spark.table("bucketed_sessions").collect()
+    }
+    expect = {
+        (1, 0, 10 * us + _SESSION_GAP_US, 2),          # closed in-stream
+        (1, 3 * hour, 3 * hour + _SESSION_GAP_US, 1),  # closed by timer
+        (2, 5 * us, 5 * us + _SESSION_GAP_US, 1),      # clamped wake-up
+        (3, 3 * hour + 7 * us,
+         3 * hour + 7 * us + _SESSION_GAP_US, 1),      # closed by timer
+    }
+    assert got == expect
