@@ -328,9 +328,19 @@ def boilerplate_shingle_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docfreq = sh.groupBy("shingle").agg(
         F.countDistinct("doc_id").alias("ndocs")
     )
-    is_boiler = (F.col("ndocs") >= _BOILER_MIN_DOCS).cast("long")
+    # r14 (the docstring's stated 100 TB posture, now implemented):
+    # only the ndocs >= K slice — the actual boilerplate, small by
+    # definition — rejoins the corpus, as a BROADCAST left join whose
+    # misses count as non-boilerplate.  The previous full-df equi-join
+    # re-exchanged the entire position-grain shingle corpus by shingle
+    # (an SMJ both of whose inputs are corpus-sized) to attach a flag
+    # derivable from membership in the small slice.
+    boiler = docfreq.filter(F.col("ndocs") >= _BOILER_MIN_DOCS).select(
+        "shingle", F.lit(1).alias("hit")
+    )
+    is_boiler = F.col("hit").isNotNull().cast("long")
     return (
-        sh.join(docfreq, "shingle")
+        sh.join(F.broadcast(boiler), "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_pos"),

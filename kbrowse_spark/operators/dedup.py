@@ -358,20 +358,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-fold row explosion, and map-side partial aggregation collapses
     each input split to one row per doc before the shuffle.
     """
-    verified = _verified_common(spark, sf_dir)
-    sizes = _shingle_sizes(spark, sf_dir)
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
-    )
-    return (
-        verified.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _lsh_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard) Jaccard-thresholded near-dup pair table,
+    session-cached WITHOUT the readout ORDER BY (r14): six downstream
+    operators (cluster assign, containment, triangle closure, span
+    family, keeper policies) composed the ordered readout, so every
+    plan reference re-planned the jaccard verify join AND paid its
+    range exchange + global sort for an order none of them needs
+    (graph_triangle_closure's before plan: 283 operators).  The cached
+    unordered pair table is what a deployment maintains next to the
+    signature index; the readout query just adds the ORDER BY."""
+    from kbrowse_spark.functions.cache_registry import cached, compact_to_source
+
+    def build() -> DataFrame:
+        verified = _verified_common(spark, sf_dir)
+        sizes = _shingle_sizes(spark, sf_dir)
+        sa = sizes.alias("sa")
+        sb = sizes.alias("sb")
+        jaccard = F.col("n_common").cast("double") / (
+            F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+        )
+        pairs = (
+            verified.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        # Pair-grain: compact for the same reason as _verified_common.
+        return compact_to_source(pairs, _shingles_df(spark, sf_dir))
+
+    return cached(spark, sf_dir, "lsh_pairs", build)
 
 
 _CONTAINMENT_MIN = 0.5
@@ -857,7 +876,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     grow unboundedly).  Oracle: DuckDB recursive CTE computing the
     minimum reachable doc_id.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -1068,7 +1087,7 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_cluster_assign — the two operators must agree exactly, which
     the shared oracle enforces.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels, _ = _cc_star_labels(pairs)
     from pyspark.sql import Window as W
 
@@ -1360,7 +1379,7 @@ def graph_triangle_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins.  The pair subtree is shared (cached) with the dedup
     family, so this adds two small self-joins on top.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
@@ -1861,7 +1880,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cached subtrees); the histogram itself is two aggregates over the
     cluster grain.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels, _ = _cc_star_labels(pairs)
     csz = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -2488,7 +2507,7 @@ def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference has no dedup tooling (SURVEY §2c extension; the
     weighting counterpart to dedup_cc_star / dedup_keeper_quality).
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels, _ = _cc_star_labels(pairs)
     toks = load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2570,7 +2589,7 @@ def dedup_chain_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart to dedup_cc_star, as minhash_estimate_error_audit is
     to the sketch).
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels, _ = _cc_star_labels(pairs)
     cs = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
@@ -2725,6 +2744,11 @@ def dedup_keep_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_stop"),
         F.size(F.array_distinct(words)).alias("n_distinct"),
     )
+    # Lazy localCheckpoint (r14): memb feeds BOTH policy branches, and
+    # Catalyst planned each with its own copy of the per-doc quality
+    # projection (the stopword/distinct HOFs over the full documents
+    # scan) — two corpus passes for a dup-cluster-bounded table.  One
+    # materialization; the union's first action runs it.
     memb = (
         labels.filter(F.col("cluster_size") >= 2)
         .join(q, "doc_id")
@@ -2733,6 +2757,7 @@ def dedup_keep_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
             F.expr(_KP_Q_SPARK).cast("long").alias("q_fp"),
         )
+        .localCheckpoint(eager=False)
     )
     wf = W.partitionBy("cluster_id").orderBy("doc_id")
     wb = W.partitionBy("cluster_id").orderBy(

@@ -581,28 +581,40 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("a"),
         )
 
+    # Driver transfers ride Arrow (r14): collect()/createDataFrame(list)
+    # move the ~15k-row customer rank table through the pickled-row path
+    # — measured 0.4-1.0 s per iteration collect on rows that transfer
+    # in ~ms as Arrow batches (guide §6 "Arrow for driver transfers").
+    # The renormalization stays the same overflow-free positive-int
+    # floor division, now vectorized (numpy int64 // == SQL DIV for
+    # non-negative operands).
     h_df = None
-    h_map = None
+    h_pdf = None
     a_n = None
     for _ in range(_HITS_ITERS):
         a_n = supplier_half(h_df)
-        hr_rows = (
+        hr = (
             by_c.join(F.broadcast(a_n), "s")
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("h"))
-            .collect()
+            .toPandas()
         )
-        m = max(r["h"] for r in hr_rows)
+        m = int(hr["h"].max())
         d = m // _HITS_SCALE  # >= 1: the max node has >= 1 edge
-        h_map = {r["c"]: r["h"] // d for r in hr_rows}
-        h_df = spark.createDataFrame(
-            list(h_map.items()), "c long, h long"
-        )
+        hr["h"] = hr["h"] // d
+        h_pdf = hr
+        h_df = spark.createDataFrame(hr, "c long, h long")
     # Final supplier ranks: one extra small job re-reading the caches.
-    a_map = {r["s"]: r["a"] for r in a_n.collect()}
+    a_pdf = a_n.toPandas()
     # Model-grain top-k readout (ties: score DESC, id ASC).
-    top_s = sorted(a_map.items(), key=lambda kv: (-kv[1], kv[0]))[:_HITS_TOP]
-    top_c = sorted(h_map.items(), key=lambda kv: (-kv[1], kv[0]))[:_HITS_TOP]
+    top_s = sorted(
+        zip(a_pdf["s"].tolist(), a_pdf["a"].tolist()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:_HITS_TOP]
+    top_c = sorted(
+        zip(h_pdf["c"].tolist(), h_pdf["h"].tolist()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:_HITS_TOP]
     rows = [("supplier", s, a) for s, a in top_s] + [
         ("customer", c, h) for c, h in top_c
     ]

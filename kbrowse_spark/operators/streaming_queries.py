@@ -329,27 +329,29 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulators that built-in aggregations can't express (the fixed
     point here stands in for arbitrary Python state logic).
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = _events_stream(spark, sf_dir).select("user_id", "value")
-
-    def update(key, batches, state: GroupState):
-        n, cents = state.get if state.exists else (0, 0)
-        for pdf in batches:
-            n += len(pdf)
-            cents += int(pdf["value"].map(lambda v: int(v * 100 // 1)).sum())
-        state.update((n, cents))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+    # Bucketed state key (r14): per-user keys paid one Python
+    # invocation per user per trigger; the bucket form runs the same
+    # per-user accumulator for every user of the bucket inside one
+    # invocation, state as parallel arrays on the bucket row.  Output
+    # stays user-grain running totals for exactly the users present in
+    # the batch — identical rows to the per-user-key form.
+    ev = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "value")
+        .withColumn(
+            "bkt",
+            F.pmod(F.xxhash64(F.col("user_id")), F.lit(_SESSION_BUCKETS)),
         )
+    )
 
     out = (
-        ev.groupBy("user_id")
+        ev.groupBy("bkt")
         .applyInPandasWithState(
-            update,
+            _make_user_totals_update(),
             outputStructType="user_id long, n_events long, total_cents long",
-            stateStructType="n long, cents long",
+            stateStructType="users array<long>, ns array<long>, cents array<long>",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -574,39 +576,36 @@ def stream_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _user_profile_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fallback body for :func:`stream_tws_user_profile` when protobuf
-    is unavailable: the same per-user profile via applyInPandasWithState,
-    with the distinct event-type set carried as an array<string> state
-    column (rewritten per update — exactly the state-shape limitation
+    is unavailable: the same per-user profile via applyInPandasWithState
+    on a bucketed state key (r14), with each user's distinct event-type
+    set carried flattened as parallel (type_user, type_val) state
+    arrays (rewritten per update — exactly the state-shape limitation
     the MapState in the TWS path avoids)."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "value")
-
-    def update(key, batches, state: GroupState):
-        n, max_cents, types = (
-            state.get if state.exists else (0, -(1 << 62), [])
+    # Bucketed state key (r14, same amortization as
+    # stream_stateful_user_totals): the per-user profile accumulator
+    # runs for every user of the bucket in one Python invocation.  The
+    # distinct-type set state is flattened to parallel (type_user,
+    # type_val) arrays on the bucket row — one entry per (user, type)
+    # pair, the applyInPandasWithState-expressible stand-in for the
+    # MapState the TWS path uses.
+    ev = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "event_type", "value")
+        .withColumn(
+            "bkt",
+            F.pmod(F.xxhash64(F.col("user_id")), F.lit(_SESSION_BUCKETS)),
         )
-        seen = set(types)
-        for pdf in batches:
-            n += len(pdf)
-            batch_max = int((pdf["value"] * 100).apply(int).max())
-            max_cents = max(max_cents, batch_max)
-            seen.update(pdf["event_type"].unique())
-        state.update((n, max_cents, sorted(seen)))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "n_types": [len(seen)],
-                "max_cents": [max_cents],
-            }
-        )
+    )
 
-    out = ev.groupBy("user_id").applyInPandasWithState(
-        update,
+    out = ev.groupBy("bkt").applyInPandasWithState(
+        _make_user_profile_update(),
         outputStructType="user_id long, n_events long, n_types long, max_cents long",
-        stateStructType="n long, max_cents long, types array<string>",
+        stateStructType=(
+            "users array<long>, ns array<long>, maxs array<long>,"
+            " type_users array<long>, type_vals array<string>"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -1096,6 +1095,161 @@ _SESSION_GAP_MS = 30 * 60 * 1000
 _SESSION_GAP_US = _SESSION_GAP_MS * 1000
 
 
+def _make_transition_update():
+    """Factory for the bucketed transition-count update function (see
+    stream_transition_counts).  Local closure for the same
+    ship-by-value reason as :func:`_make_session_update`; factory-shaped
+    so the multi-batch test drives the identical function."""
+
+    def update(key, batches, state):
+        # Per-user last-event-type state for every user of the bucket,
+        # held as parallel arrays on the bucket row; the per-user
+        # transition logic is unchanged from the per-user-key form —
+        # rows are sequenced (ts_us, event_id) within each user and the
+        # stored tail stitches the cross-batch transition.
+        import pandas as pd
+
+        parts = [
+            pdf[["user_id", "ts_us", "event_id", "event_type"]]
+            for pdf in batches
+        ]
+        if not parts:
+            return
+        allev = (
+            pd.concat(parts) if len(parts) > 1 else parts[0]
+        ).sort_values(["user_id", "ts_us", "event_id"])
+        last_map: dict[int, str] = {}
+        if state.exists:
+            users, lasts = state.get
+            last_map = {int(u): t for u, t in zip(users, lasts)}
+        counts: dict[tuple[str, str], int] = {}
+        prev_u = None
+        last = None
+        for u, et in zip(
+            allev["user_id"].to_numpy(), allev["event_type"].to_numpy()
+        ):
+            if u != prev_u:
+                if prev_u is not None:
+                    last_map[int(prev_u)] = last
+                last = last_map.get(int(u))
+                prev_u = u
+            if last is not None:
+                k = (last, et)
+                counts[k] = counts.get(k, 0) + 1
+            last = str(et)
+        last_map[int(prev_u)] = last
+        state.update((list(last_map.keys()), list(last_map.values())))
+        if counts:
+            yield pd.DataFrame(
+                [
+                    {"from_type": a, "to_type": b, "n": n}
+                    for (a, b), n in counts.items()
+                ]
+            )
+
+    return update
+
+
+def _make_user_totals_update():
+    """Factory for the bucketed running-totals update function (see
+    stream_stateful_user_totals).  Ship-by-value local closure;
+    factory-shaped so the multi-batch test drives the identical
+    function."""
+
+    def update(key, batches, state):
+        import pandas as pd
+
+        parts = [pdf[["user_id", "value"]] for pdf in batches]
+        if not parts:
+            return
+        allev = pd.concat(parts) if len(parts) > 1 else parts[0]
+        st: dict[int, list[int]] = {}
+        if state.exists:
+            users, ns, cents = state.get
+            st = {
+                int(u): [int(n), int(c)]
+                for u, n, c in zip(users, ns, cents)
+            }
+        out_rows = []
+        for u, grp in allev.groupby("user_id", sort=True):
+            u = int(u)
+            n, c = st.get(u, (0, 0))
+            n += len(grp)
+            c += int(grp["value"].map(lambda v: int(v * 100 // 1)).sum())
+            st[u] = [n, c]
+            out_rows.append((u, n, c))
+        state.update(
+            (
+                list(st),
+                [v[0] for v in st.values()],
+                [v[1] for v in st.values()],
+            )
+        )
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "n_events", "total_cents"]
+        )
+
+    return update
+
+
+def _make_user_profile_update():
+    """Factory for the bucketed user-profile update function (see
+    :func:`_user_profile_apply_in_pandas`, the TWS fallback).  The
+    distinct-type set state is flattened to parallel (type_user,
+    type_val) arrays on the bucket row."""
+
+    def update(key, batches, state):
+        import pandas as pd
+
+        parts = [pdf[["user_id", "event_type", "value"]] for pdf in batches]
+        if not parts:
+            return
+        allev = pd.concat(parts) if len(parts) > 1 else parts[0]
+        st: dict[int, list[int]] = {}
+        seen: dict[int, set] = {}
+        if state.exists:
+            users, ns, maxs, tu, tv = state.get
+            st = {
+                int(u): [int(n), int(m)]
+                for u, n, m in zip(users, ns, maxs)
+            }
+            for u, t in zip(tu, tv):
+                seen.setdefault(int(u), set()).add(t)
+        out_rows = []
+        for u, grp in allev.groupby("user_id", sort=True):
+            u = int(u)
+            n, mx = st.get(u, (0, -(1 << 62)))
+            n += len(grp)
+            batch_max = int((grp["value"] * 100).apply(int).max())
+            mx = max(mx, batch_max)
+            s = seen.setdefault(u, set())
+            s.update(str(t) for t in grp["event_type"].unique())
+            st[u] = [n, mx]
+            out_rows.append((u, n, len(s), mx))
+        users_l = list(st)
+        tu_l: list[int] = []
+        tv_l: list[str] = []
+        for u in users_l:
+            for t in sorted(seen.get(u, ())):
+                tu_l.append(u)
+                tv_l.append(t)
+        state.update(
+            (
+                users_l,
+                [st[u][0] for u in users_l],
+                [st[u][1] for u in users_l],
+                tu_l,
+                tv_l,
+            )
+        )
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "n_events", "n_types", "max_cents"],
+        )
+
+    return update
+
+
 def _make_session_update():
     """Factory for the bucketed timer-sessionization update function
     (see stream_session_timeout).  The returned function is a LOCAL
@@ -1416,44 +1570,29 @@ def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     it ever hits the sink; the final normalization runs over the
     |types|^2 matrix.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # The state key is a bounded hash BUCKET of user_id (r14, the
+    # stream_session_timeout / cogroup_asof_attribution amortization):
+    # per-user keys made the fixture's ~1,500 users ~1,500 serial
+    # Python invocations per trigger — pure per-GROUP Arrow round-trip
+    # machinery.  Bucketing caps invocations at _SESSION_BUCKETS; the
+    # per-user transition logic is unchanged (rows sequenced per user
+    # by (ts_us, event_id), stored tail stitches across batches), and
+    # per-user last-type state rides as parallel arrays on the bucket
+    # row.  Emission becomes bucket-grain partial counts; the unchanged
+    # downstream GROUP BY sums them — bucket-invariant by construction.
     ev = _events_stream(spark, sf_dir).select(
         "user_id", "event_type", "ts", F.unix_micros("ts").alias("ts_us"),
         "event_id",
+    ).withColumn(
+        "bkt", F.pmod(F.xxhash64(F.col("user_id")), F.lit(_SESSION_BUCKETS))
     )
 
-    def update(key, batches, state: GroupState):
-        rows = []
-        for pdf in batches:
-            rows.extend(
-                (int(r.ts_us), int(r.event_id), str(r.event_type))
-                for r in pdf.itertuples(index=False)
-            )
-        if not rows:
-            return
-        rows.sort()
-        last = state.get[0] if state.exists else None
-        counts: dict[tuple[str, str], int] = {}
-        for _, _, et in rows:
-            if last is not None:
-                k = (last, et)
-                counts[k] = counts.get(k, 0) + 1
-            last = et
-        state.update((last,))
-        if counts:
-            yield pd.DataFrame(
-                [
-                    {"from_type": a, "to_type": b, "n": n}
-                    for (a, b), n in counts.items()
-                ]
-            )
-
-    trans = ev.groupBy("user_id").applyInPandasWithState(
-        update,
+    trans = ev.groupBy("bkt").applyInPandasWithState(
+        _make_transition_update(),
         outputStructType="from_type string, to_type string, n long",
-        stateStructType="last_type string",
+        stateStructType="users array<long>, lasts array<string>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -2014,19 +2153,29 @@ def stream_bloom_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = [0] * _SB_WORDS
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        arr = F.array(*[F.lit(int(w)) for w in bloom])
+        # The prior batches' sketch enters the plan as ONE broadcast row
+        # (createDataFrame + crossJoin — the 1-row broadcast-attach
+        # idiom), not as an array literal: F.array(*[F.lit(w) ...]) over
+        # the {_SB_WORDS} words cost ~1k py4j calls plus a ~1k-child
+        # Catalyst node re-analyzed EVERY micro-batch — measured r14 as
+        # the dominant per-batch term (~0.4 s/batch of driver-side plan
+        # work for a sketch that is DATA, not plan).
+        sess = batch_df.sparkSession
+        blm_df = sess.createDataFrame(
+            [(list(bloom),)], "blm array<bigint>"
+        )
         probed = batch_df.selectExpr(
             "event_id",
             "user_id",
             "event_type",
             f"({_SB_H1.format(m=_SB_M)}) AS p1",
             f"({_SB_H2.format(m=_SB_M)}) AS p2",
-        ).withColumn("blm", arr)
+        )
         hit = (
             "(element_at(blm, CAST(p{i} DIV 63 AS INT) + 1)"
             " & shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 63 AS INT))) <> 0"
         )
-        flagged = probed.select(
+        flagged = probed.crossJoin(F.broadcast(blm_df)).select(
             "event_id",
             F.lit(int(batch_id)).cast("int").alias("batch_id"),
             (F.expr(hit.format(i=1)) & F.expr(hit.format(i=2)))
@@ -2074,12 +2223,19 @@ def stream_bloom_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             f"CAST(event_id % {_SB_BATCHES} AS INT) AS b",
         )
-        firstb = static.groupBy("user_id", "event_type").agg(
-            F.min("b").alias("fb")
-        )
-        exact = static.join(firstb, ["user_id", "event_type"]).select(
+        # Exact first-seen as ONE window pass (r14): min(b) OVER the
+        # (user, event_type) partition replaces the groupBy + self-join
+        # — one exchange of the events table instead of two plus an SMJ.
+        exact = static.select(
             "event_id",
-            (F.col("fb") < F.col("b")).cast("int").alias("seen_exact"),
+            (
+                F.col("b")
+                > F.min("b").over(
+                    Window.partitionBy("user_id", "event_type")
+                )
+            )
+            .cast("int")
+            .alias("seen_exact"),
         )
         return (
             flags.join(exact, "event_id")
@@ -2991,6 +3147,11 @@ def stream_hll_register_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_sum_terms_sql,
     )
 
+    # NOTE (r14): a row-grain fan-out repartition before the md5
+    # derivations was measured here and REJECTED (1.55 s before vs
+    # 1.63 s with, same-session min-of-3): two md5s per narrow event
+    # row do not dwarf the exchange of the row — the multimodal-family
+    # asymmetry, unlike stream_cms's 4-md5s-per-token fan-out which won.
     ev = _events_stream(spark, sf_dir).select(
         "event_type",
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
@@ -3335,8 +3496,16 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(static.schema).parquet(
         _stage_stream_dir(path)
     )
+    # Doc-grain repartition BEFORE the explode (r14 — the batch
+    # cms_heavy_hitters fix, mirrored): the staged single-file micro-
+    # batch scans as ONE task, so all 4 md5s per corpus token ran on
+    # one core inside the trigger; the (doc_id, text) exchange is ~1%
+    # of the post-explode hashing volume.
+    par = spark.sparkContext.defaultParallelism
     cells = (
-        stream.select(
+        stream.select("doc_id", "text")
+        .repartition(par, F.col("doc_id"))
+        .select(
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
         )
         .filter(F.col("word") != "")

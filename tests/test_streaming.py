@@ -509,3 +509,164 @@ def test_bucketed_session_timeout_multibatch(spark, tmp_path):
          3 * hour + 7 * us + _SESSION_GAP_US, 1),      # closed by timer
     }
     assert got == expect
+
+
+def test_bucketed_transition_counts_multibatch(spark, tmp_path):
+    """The r14 bucketed transition counter (stream_transition_counts):
+    the bounded oracle replay exercises ONE data batch, so this pins
+    the multi-batch paths the bucketing introduced — (a) the stored
+    per-user tail stitching the cross-batch transition, (b) state
+    retention for a user untouched by the current batch, and (c)
+    per-user sequencing by (ts_us, event_id) inside a bucket that
+    holds several users."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kbrowse_spark.operators.streaming_queries import (
+        _make_transition_update,
+    )
+
+    us = 1_000_000
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [
+                (u, datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(microseconds=t), eid, et)
+                for u, t, eid, et in rows
+            ],
+            "user_id long, ts timestamp, event_id long, event_type string",
+        ).coalesce(1).write.parquet(f"{src}/{name}.parquet")
+        time.sleep(1.1)  # distinct mtimes => deterministic file order
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: user 1 view->click (same ts: event_id orders them);
+    # user 2 one purchase (no transition yet — tail stored).
+    write_batch(
+        "b1",
+        [(1, 0, 2, "click"), (1, 0, 1, "view"), (2, 5 * us, 3, "purchase")],
+    )
+    # batch 2: user 1 returns (click->purchase stitched via the stored
+    # tail); user 2 untouched (its tail must survive); user 3 opens.
+    write_batch("b2", [(1, 9 * us, 4, "purchase"), (3, 9 * us, 5, "view")])
+    # batch 3: user 2 returns two batches later (purchase->view).
+    write_batch("b3", [(2, 20 * us, 6, "view")])
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+        .select(
+            "user_id", "event_type", "ts",
+            F.unix_micros("ts").alias("ts_us"), "event_id",
+        )
+        # ONE bucket: all three users share the state row.
+        .withColumn("bkt", F.lit(0))
+    )
+    out = stream.groupBy("bkt").applyInPandasWithState(
+        _make_transition_update(),
+        outputStructType="from_type string, to_type string, n long",
+        stateStructType="users array<long>, lasts array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bucketed_transitions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.table("bucketed_transitions").collect():
+        got[(r.from_type, r.to_type)] = (
+            got.get((r.from_type, r.to_type), 0) + r.n
+        )
+    assert got == {
+        ("view", "click"): 1,       # in-batch, event_id-ordered
+        ("click", "purchase"): 1,   # cross-batch tail stitch (user 1)
+        ("purchase", "view"): 1,    # tail survives an untouched batch
+    }
+
+
+def test_bucketed_user_state_multibatch(spark, tmp_path):
+    """The r14 bucketed per-user accumulators
+    (stream_stateful_user_totals and the tws-fallback profile): pins
+    the cross-batch bucket-state merge — running totals accumulate per
+    user, untouched users' state survives, and the profile's flattened
+    (type_user, type_val) distinct-type state unions across batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kbrowse_spark.operators.streaming_queries import (
+        _make_user_profile_update,
+        _make_user_totals_update,
+    )
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, value double"
+        ).coalesce(1).write.parquet(f"{src}/{name}.parquet")
+        time.sleep(1.1)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    write_batch("b1", [(1, "view", 1.50), (1, "click", 2.25), (2, "view", 10.0)])
+    write_batch("b2", [(1, "view", 0.75), (3, "purchase", 5.0)])
+
+    def run(update, out_schema, state_schema, name, cols):
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*.parquet")
+            .select(*cols)
+            .withColumn("bkt", F.lit(0))
+        )
+        out = stream.groupBy("bkt").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.table(name).collect()
+
+    rows = run(
+        _make_user_totals_update(),
+        "user_id long, n_events long, total_cents long",
+        "users array<long>, ns array<long>, cents array<long>",
+        "bucketed_totals",
+        ["user_id", "value"],
+    )
+    # Last emission per user = final running totals.
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.total_cents)
+    assert final == {1: (3, 450), 2: (1, 1000), 3: (1, 500)}
+
+    rows = run(
+        _make_user_profile_update(),
+        "user_id long, n_events long, n_types long, max_cents long",
+        "users array<long>, ns array<long>, maxs array<long>,"
+        " type_users array<long>, type_vals array<string>",
+        "bucketed_profiles",
+        ["user_id", "event_type", "value"],
+    )
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.n_types, r.max_cents)
+    assert final == {1: (3, 2, 225), 2: (1, 1, 1000), 3: (1, 1, 500)}
