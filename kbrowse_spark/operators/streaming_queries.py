@@ -342,7 +342,7 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "value")
         .withColumn(
             "bkt",
-            F.pmod(F.xxhash64(F.col("user_id")), F.lit(_SESSION_BUCKETS)),
+            F.pmod(F.xxhash64(F.col("user_id")), F.lit(_session_buckets())),
         )
     )
 
@@ -595,7 +595,7 @@ def _user_profile_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "event_type", "value")
         .withColumn(
             "bkt",
-            F.pmod(F.xxhash64(F.col("user_id")), F.lit(_SESSION_BUCKETS)),
+            F.pmod(F.xxhash64(F.col("user_id")), F.lit(_session_buckets())),
         )
     )
 
@@ -1090,7 +1090,23 @@ def stream_pyds_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # invocations per trigger at this many groups regardless of user count
 # (the cogroup_asof_attribution amortization, r14).  Session logic and
 # per-session state are unchanged; see the operator docstring.
-_SESSION_BUCKETS = 64
+def _session_buckets() -> int:
+    """State-key bucket count for the bucketed stateful operators —
+    DERIVED from the stream's state-partition knob instead of a
+    constant (r14): one bucket per state partition is the minimum that
+    still uses every state store, and each extra bucket per partition
+    only adds Python invocations per trigger (measured at sf0.1,
+    min-of-3 same session: sessionizer 2.85 s at 64 buckets -> 2.17 s
+    at 8; transition counts 1.34 -> 1.08; user totals 1.35 -> 1.09).
+    Production sizes KBROWSE_STREAM_STATE_PARTITIONS to peak state
+    (2-3x cores — see _run_to_memory), and the bucket count follows,
+    so parallelism scales with the deployment rather than a local[]
+    constant.  Bucket-invariant results by construction (the oracle
+    pins them); per-bucket state rows grow with users/bucket, which is
+    exactly the documented amortization-vs-row-size trade."""
+    import os
+
+    return int(os.environ.get("KBROWSE_STREAM_STATE_PARTITIONS", "8"))
 _SESSION_GAP_MS = 30 * 60 * 1000
 _SESSION_GAP_US = _SESSION_GAP_MS * 1000
 
@@ -1412,7 +1428,7 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pandas frame per yield), and per-user groups made the fixture's
     # 1,500 users + 1,500 timer firings ~3,000 serial invocations —
     # 3.2 s of operator time that is pure Python-boundary machinery.
-    # Bucketing caps invocations at _SESSION_BUCKETS per trigger; the
+    # Bucketing caps invocations at _session_buckets() per trigger; the
     # per-user session logic below is UNCHANGED, it just runs for every
     # user of the bucket inside one invocation.  State stays per-user
     # scalars ((start, last, n) per open session), held as parallel
@@ -1428,7 +1444,7 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withWatermark("ts", "1 second")
         .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
         .withColumn(
-            "bkt", F.pmod(F.xxhash64(F.col("user_id")), F.lit(_SESSION_BUCKETS))
+            "bkt", F.pmod(F.xxhash64(F.col("user_id")), F.lit(_session_buckets()))
         )
     )
 
@@ -1576,7 +1592,7 @@ def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream_session_timeout / cogroup_asof_attribution amortization):
     # per-user keys made the fixture's ~1,500 users ~1,500 serial
     # Python invocations per trigger — pure per-GROUP Arrow round-trip
-    # machinery.  Bucketing caps invocations at _SESSION_BUCKETS; the
+    # machinery.  Bucketing caps invocations at _session_buckets(); the
     # per-user transition logic is unchanged (rows sequenced per user
     # by (ts_us, event_id), stored tail stitches across batches), and
     # per-user last-type state rides as parallel arrays on the bucket
@@ -1586,7 +1602,7 @@ def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts", F.unix_micros("ts").alias("ts_us"),
         "event_id",
     ).withColumn(
-        "bkt", F.pmod(F.xxhash64(F.col("user_id")), F.lit(_SESSION_BUCKETS))
+        "bkt", F.pmod(F.xxhash64(F.col("user_id")), F.lit(_session_buckets()))
     )
 
     trans = ev.groupBy("bkt").applyInPandasWithState(
