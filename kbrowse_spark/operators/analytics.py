@@ -2199,36 +2199,66 @@ def freq_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # Plain (uncached) shared subtree ON PURPOSE: caching it was tried
-    # and made sf1 4-7x SLOWER (30 vs 7 s) — AQE cannot re-plan below
-    # an InMemoryRelation boundary, so the broadcast-join/coalesce
-    # choices around the pair self-join degrade.  The recomputed
-    # subtree is one broadcast join + distinct per consumer, all
-    # scan-bound, and the measured decade steps stay sub-linear.
-    basket = (
+    # Basket ARRAYS in ONE corpus exchange (r15, guide §2.4): the prior
+    # shape recomputed the (bid, item) scan+join+distinct subtree once
+    # per consumer (nb, supp, and BOTH sides of the pair self-join —
+    # four corpus pipelines), and within-basket pair generation was a
+    # sort-merge SELF-JOIN re-exchanging the basket table twice more.
+    # groupBy(bid).collect_set(item) dedups AND groups in the same
+    # single exchange; pairs explode from each basket's SORTED frequent-
+    # item array in place (item_a < item_b == position order in the
+    # sorted array — baskets are bounded, so the per-row fan-out is
+    # O(b^2) with small b), and every downstream table is
+    # item-vocabulary grain.  The r12 .cache() finding stands (AQE
+    # cannot re-plan below InMemoryRelation; sf1 got 4-7x slower) —
+    # this is a lazy localCheckpoint of basket-grain ARRAYS instead:
+    # one materialized corpus pass, three bounded consumers (count,
+    # explode-support, pair explode), no join against the checkpoint.
+    barr = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .select(F.col("l_orderkey").alias("bid"), F.col("p_brand").alias("item"))
-        .distinct()
+        # Spread the set-building off the single-row-group scan task
+        # (guide §2.5 input skew; the analyze_table_stats pattern): the
+        # partial collect_set otherwise builds every basket on the one
+        # scan core (measured 1.08 -> 0.55 s); groupBy reuses this
+        # exchange, so it is the plan's ONE corpus shuffle either way.
+        .repartition(spark.sparkContext.defaultParallelism, F.col("bid"))
+        .groupBy("bid")
+        .agg(F.array_sort(F.collect_set(F.col("item"))).alias("items"))
+        .select("items")
+        .localCheckpoint(eager=False)
     )
-    nb = basket.select(
-        F.countDistinct("bid").cast("long").alias("n")
+    # nb / freq are 1-row / vocabulary-grain: lazily checkpoint them
+    # too, so their aggregate subtrees plan ONCE however many times the
+    # rule assembly references them (Catalyst otherwise copies the
+    # whole chain per reference — the measured plan held 4 nb and 2
+    # freq copies).
+    nb = barr.agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
+    supp = (
+        barr.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
     )
-    supp = basket.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("s"))
     freq = supp.crossJoin(F.broadcast(nb)).filter(
         F.col("s") * 100 >= F.col("n") * _AP_MINSUP_PCT
-    ).select("item", "s")
-    fb = basket.join(F.broadcast(freq.select("item")), "item").select(
-        "bid", "item"
+    ).select("item", "s").localCheckpoint(eager=False)
+    # Pairs explode from the FULL sorted basket array — no frequent-
+    # item prefilter needed for correctness: by downward closure a
+    # pair containing an infrequent item has s_ab <= s < threshold and
+    # the fpair filter drops it, so the pair set is identical to the
+    # oracle's fb-self-join; the fan-out stays O(b^2) with bounded b.
+    pair_expr = (
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items) - i - 1), "
+        "y -> struct(x AS item_a, y AS item_b))))"
     )
-    a, b = fb.alias("a"), fb.alias("b")
     pair = (
-        a.join(
-            b,
-            (F.col("a.bid") == F.col("b.bid"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
+        barr.select(F.explode(F.expr(pair_expr)).alias("pr"))
         .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+            F.col("pr.item_a").alias("item_a"),
+            F.col("pr.item_b").alias("item_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("s_ab"))
     )
@@ -2244,21 +2274,29 @@ def freq_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fpair.join(F.broadcast(fa), "item_a").join(
         F.broadcast(fc), "item_b"
     )
-    fwd = joined.select(
-        F.col("item_a").alias("antecedent"),
-        F.col("item_b").alias("consequent"),
-        "s_ab",
-        F.col("s_fa").alias("s_ante"),
-        F.col("s_fc").alias("s_cons"),
-    )
-    rev = joined.select(
-        F.col("item_b").alias("antecedent"),
-        F.col("item_a").alias("consequent"),
-        "s_ab",
-        F.col("s_fc").alias("s_ante"),
-        F.col("s_fa").alias("s_cons"),
-    )
-    rules = fwd.unionByName(rev).crossJoin(F.broadcast(nb))
+    # Both rule directions as ONE explode instead of a union of two
+    # plan branches (the union re-planned the whole fpair/freq chain
+    # per branch — 2x every subtree above).
+    rules = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("s_ab").alias("s_ab"),
+                    F.col("s_fa").alias("s_ante"),
+                    F.col("s_fc").alias("s_cons"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("s_ab").alias("s_ab"),
+                    F.col("s_fc").alias("s_ante"),
+                    F.col("s_fa").alias("s_cons"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*").crossJoin(F.broadcast(nb))
     conf = F.expr(f"{_AP_SCALE} * s_ab DIV s_ante")
     return (
         rules.select(

@@ -112,7 +112,15 @@ def pagerank_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
         )
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        return edges.join(deg, "src")  # loop-invariant: edge + src out-degree
+        # Loop-invariant edge + src out-degree, cached PARTITIONED BY
+        # dst (r15, guide §2.4 "two operations keyed the same way share
+        # one exchange"): every iteration's only shuffle was the
+        # groupBy(dst) of edge-grain contribs; with the cache already
+        # hash-partitioned on dst (and the rank join a broadcast that
+        # preserves partitioning), the per-iteration aggregate is
+        # exchange-free — the one-time repartition here replaces
+        # {iters} per-iteration edge exchanges.
+        return edges.join(deg, "src").repartition(F.col("dst"))
 
     edges_deg = cached(spark, sf_dir, "pagerank_edges_deg", build_edges_deg)
 
@@ -762,17 +770,37 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         # even node grain outgrows executor memory flips the edge
         # list to by-key bucketing instead (the module's
         # _GRAPH_RELIABLE_CHECKPOINT deployment-knob pattern).
+        # BOTH degree tables from ONE pass over the round's edges (r15,
+        # guide §2.4): the two per-key aggregates each re-scanned the
+        # checkpointed edge blocks as separate broadcast-build jobs; a
+        # 2x explode to (kind, id) rows feeds one map-side-combinable
+        # aggregate (node-grain before the exchange), the keep table
+        # checkpoints lazily, and the second broadcast build reads its
+        # blocks instead of re-aggregating.
+        keep = (
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit("c").alias("kind"), F.col("c").alias("id")
+                        ),
+                        F.struct(
+                            F.lit("s").alias("kind"), F.col("s").alias("id")
+                        ),
+                    )
+                ).alias("t")
+            )
+            .groupBy(F.col("t.kind").alias("kind"), F.col("t.id").alias("id"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("kind", "id")
+            .localCheckpoint(eager=False)
+        )
         keep_c = F.broadcast(
-            edges.groupBy("c")
-            .agg(F.count(F.lit(1)).alias("dc"))
-            .filter(F.col("dc") >= _KCORE_K)
-            .select("c")
+            keep.filter(F.col("kind") == "c").select(F.col("id").alias("c"))
         )
         keep_s = F.broadcast(
-            edges.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("ds"))
-            .filter(F.col("ds") >= _KCORE_K)
-            .select("s")
+            keep.filter(F.col("kind") == "s").select(F.col("id").alias("s"))
         )
         # Lazy lineage cut: the convergence count is the action that
         # materializes the round — one job per round, not a separate

@@ -1066,7 +1066,14 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pass",
             F.least("c_custkey", F.col("nb.nk")).alias("a_key"),
             F.greatest("c_custkey", F.col("nb.nk")).alias("b_key"),
-            (F.levenshtein("c_name", F.col("nb.nn")) <= 1)
+            # Bounded edit distance (r15, guide §1.2 per-task work):
+            # levenshtein with threshold=1 early-exits at O(len) per
+            # pair instead of the O(len^2) full DP — the verify runs
+            # once per candidate (w*n of them), so the bound is the
+            # hot term.  Semantics: the 3-arg form returns -1 when the
+            # distance EXCEEDS the threshold, so != -1 <=> dist <= 1
+            # (`<= 1` on the bounded value would wrongly accept -1).
+            (F.levenshtein("c_name", F.col("nb.nn"), 1) != -1)
             .cast("int")
             .alias("is_match"),
         )

@@ -3860,7 +3860,19 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     wdim = F.broadcast(
         spark.createDataFrame(pd.DataFrame({"W": [words]}))
     )
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    # Spread the probe's per-row digest work off the single-row-group
+    # scan task (guide §2.5 input skew): one md5 + 3 hex-field parses
+    # per probe row all ran on the one scan core.  HASH repartition on
+    # the probe key — a keyless repartition pays a local
+    # sort-before-repartition (SPARK-23207) and measured SLOWER
+    # (0.95 -> 1.27 s) where the hash exchange reads 0.95 -> 0.55 s.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+        )
+    )
     member_keys = F.broadcast(build.distinct())
     probe = li.join(
         member_keys, li["l_orderkey"] == build["o_orderkey"], "left"

@@ -622,13 +622,12 @@ def wavelet_haar_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
     x8 fixed scale — no division, no rounding-mode divergence).
 
     Plan shape: ONE corpus pass (the (supplier, day) rollup — the only
-    data-sized stage at 100 TB), then {k} chained pairwise aggregations
-    over series-grain rows (<= |suppliers| x 4096, shrinking by half
-    each level; every level is map-side-combinable).  ALL series
-    transform simultaneously — the level loop is over tree DEPTH, not
-    over series, so adding suppliers adds no rounds.  Selection is one
-    per-series WindowGroupLimit; reconstruction joins the B-row kept
-    set against a 3-literal path table.
+    data-sized stage at 100 TB), then one series-grain exchange
+    (collect_list per supplier; a series is bounded at {n} slots BY
+    CONSTRUCTION, so the grouped row is bounded) into an Arrow-batched
+    numpy stage that runs the {k}-level transform, the top-{b}
+    selection and the block reconstruction per series — adding
+    suppliers adds rows, never rounds.
 
     Reference has no aggregation at all (SURVEY §2a); synopsis
     operators are §2c extension surface with the CMS/KMV/DDSketch/AMS
@@ -661,107 +660,97 @@ def wavelet_haar_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cur = li.groupBy("s", "pos").agg(F.sum("cents").cast("long").alias("v"))
-    leaves = cur
-    # All coefficients in ONE shuffle instead of {k} chained ones: the
-    # Haar coefficient d(level, p) is a +-1-signed sum of the leaves in
-    # its block — sign = the leaf's child-direction bit at that level
-    # (bit (LEVELS-1-level) of pos), block id = pos >> (LEVELS-level).
-    # Each leaf explodes into its {k} ancestors and one hash aggregate
-    # produces every level simultaneously (the first cut chained 12
-    # pairwise aggregations: 12 sequential exchanges, 6.2 s at sf0.1;
-    # this is one 12x fan-out + one exchange).  The ORACLE keeps the
-    # chained-CTE pyramid formulation, so the value hash cross-checks
-    # two independent constructions of the transform.
-    # ONE corpus pass for all three readout grains (r14): the
-    # (s, pos) leaf table is lazily localCheckpoint-ed, so the
-    # coefficient explode, the per-series TOTAL, and the EXACT audited
-    # block sum all read the same stored leaf blocks — the previous
-    # plan planned each consumer with its own copy of the scan +
-    # (s, pos) aggregate (6 lineitem scans in
-    # plans/r14/..._before.txt).  Leaf grain is the cheapest thing to
-    # materialize here (3 narrow columns, far below the exploded
-    # coefficient grain — a coefficient-grain checkpoint was tried
-    # and LOST ~0.8 s at sf0.1).
-    leaves = leaves.localCheckpoint(eager=False)
-    lev_arr = "array(" + ", ".join(
-        str(v) for v in range(_WAV_LEVELS)
-    ) + ")"
-    coeff = (
-        leaves.select(
-            "s",
-            "pos",
-            "v",
-            F.explode(F.expr(lev_arr)).alias("level"),
-        )
-        .select(
-            "s",
-            "level",
-            F.expr(f"shiftright(pos, {_WAV_LEVELS} - level)").alias("cpos"),
-            F.expr(
-                f"v * (1 - 2 * (shiftright(pos, {_WAV_LEVELS} - 1 - level)"
-                " & 1))"
-            ).alias("contrib"),
-        )
-        .groupBy("s", "level", F.col("cpos").alias("pos"))
-        .agg(F.sum("contrib").cast("long").alias("d"))
-        .select("s", "level", "pos", "d")
+    # Whole synopsis per SERIES in one Arrow-batched numpy stage (r15,
+    # guide §4.2 — the semdedup Gram-matmul precedent): the r14 shape
+    # exploded every leaf into its {k} ancestors (a 12x corpus-grain
+    # fan-out feeding a ~10x-leaf-count hash aggregate), ranked all
+    # coefficients with a per-series window, and re-joined total/exact
+    # readouts — 4 exchanges past the leaf rollup.  But a series is
+    # bounded at {n} slots BY CONSTRUCTION, so one
+    # collect_list-per-supplier exchange (leaf grain, narrow) hands
+    # each series to numpy, which runs the 12-level pairwise transform,
+    # the top-{b} selection (identical (|d| DESC, level, pos) order),
+    # and the reconstruction in int64 — bit-identical to the JVM longs
+    # it replaces (sums are order-independent; differences exact).
+    # Dense zero coefficients (positions with no leaf under them) are
+    # safe: zeros sort strictly after every nonzero |d| and contribute
+    # 0 * weight to the estimate, so the emitted rows match the
+    # sparse-CTE oracle exactly.  The ORACLE keeps the chained-CTE
+    # pyramid formulation, so the value hash cross-checks two
+    # independent constructions of the transform.
+    per_s = (
+        cur.groupBy("s")
+        .agg(F.collect_list(F.struct("pos", "v")).alias("pv"))
+        .select("s", F.col("pv.pos").alias("ps"), F.col("pv.v").alias("vs"))
     )
-    from pyspark.sql import Window as W
+    wav_n, wav_levels, wav_b = _WAV_N, _WAV_LEVELS, _WAV_B
+    wav_path = tuple(_WAV_PATH)
+    blo, bhi = _WAV_BLOCK_LO, _WAV_BLOCK_HI
 
-    kept = (
-        coeff.withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("s").orderBy(
-                    F.abs(F.col("d")).desc(), "level", "pos"
-                )
-            ),
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        # (level, pos) identity of every dense coefficient, in the
+        # concatenation order the level loop below emits (level
+        # LEVELS-1 .. 0); shared across rows and batches.
+        lev_all = np.concatenate(
+            [
+                np.full(1 << lv, lv, dtype=np.int64)
+                for lv in range(wav_levels - 1, -1, -1)
+            ]
         )
-        .filter(F.col("rk") <= _WAV_B)
-        .select("s", "level", "pos", "d")
-    )
-    total = leaves.groupBy("s").agg(
-        F.sum("v").cast("long").alias("t_cents")
-    )
-    path_cases = " ".join(
-        f"WHEN level = {lv} AND pos = {p} THEN {w}" for lv, p, w in _WAV_PATH
-    )
-    est = (
-        total.join(kept, "s", "left")
-        .groupBy("s", "t_cents")
-        .agg(
-            (
-                F.first("t_cents")
-                + F.coalesce(
-                    F.sum(F.expr(f"(CASE {path_cases} ELSE 0 END) * d")),
-                    F.lit(0),
-                )
+        pos_all = np.concatenate(
+            [
+                np.arange(1 << lv, dtype=np.int64)
+                for lv in range(wav_levels - 1, -1, -1)
+            ]
+        )
+        path = {(lv, p): w for lv, p, w in wav_path}
+        for pdf in batches:
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            lens = pdf["ps"].map(len).to_numpy()
+            ridx = np.repeat(np.arange(nrows), lens)
+            flat_pos = np.concatenate(pdf["ps"].to_list()).astype(np.int64)
+            flat_v = np.concatenate(pdf["vs"].to_list()).astype(np.int64)
+            a = np.zeros((nrows, wav_n), dtype=np.int64)
+            a[ridx, flat_pos] = flat_v
+            t_cents = a.sum(axis=1)
+            exact = 8 * a[:, blo:bhi].sum(axis=1)
+            parts = []
+            curm = a
+            for _lv in range(wav_levels - 1, -1, -1):
+                even, odd = curm[:, 0::2], curm[:, 1::2]
+                parts.append(even - odd)
+                curm = even + odd
+            d_all = np.concatenate(parts, axis=1)
+            est = t_cents.copy()
+            for r in range(nrows):
+                dr = d_all[r]
+                top = np.lexsort((pos_all, lev_all, -np.abs(dr)))[:wav_b]
+                for j in top:
+                    w = path.get((int(lev_all[j]), int(pos_all[j])))
+                    if w is not None:
+                        est[r] += w * dr[j]
+            yield pd.DataFrame(
+                {
+                    "suppkey": pdf["s"].to_numpy(),
+                    "t_cents": t_cents,
+                    "est_x8": est,
+                    "exact_x8": exact,
+                    "err_x8": np.abs(est - exact),
+                }
             )
-            .cast("long")
-            .alias("est_x8")
-        )
-        .select("s", "t_cents", "est_x8")
-    )
-    exact = (
-        leaves.filter(
-            (F.col("pos") >= _WAV_BLOCK_LO) & (F.col("pos") < _WAV_BLOCK_HI)
-        )
-        .groupBy("s")
-        .agg((F.lit(8) * F.sum("v")).cast("long").alias("exact_x8"))
-    )
-    return (
-        est.join(exact, "s", "left")
-        .select(
-            F.col("s").alias("suppkey"),
-            F.col("t_cents").cast("long").alias("t_cents"),
-            "est_x8",
-            F.coalesce("exact_x8", F.lit(0)).cast("long").alias("exact_x8"),
-            F.abs(
-                F.col("est_x8") - F.coalesce("exact_x8", F.lit(0))
-            ).cast("long").alias("err_x8"),
-        )
-        .orderBy("suppkey")
-    )
+
+    return per_s.mapInPandas(
+        synth,
+        schema=(
+            "suppkey long, t_cents long, est_x8 long,"
+            " exact_x8 long, err_x8 long"
+        ),
+    ).orderBy("suppkey")
 
 
 wavelet_haar_synopsis.__doc__ = wavelet_haar_synopsis.__doc__.format(
