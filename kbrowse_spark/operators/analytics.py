@@ -2249,17 +2249,20 @@ def freq_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair containing an infrequent item has s_ab <= s < threshold and
     # the fpair filter drops it, so the pair set is identical to the
     # oracle's fb-self-join; the fan-out stays O(b^2) with bounded b.
-    pair_expr = (
-        "flatten(transform(items, (x, i) -> "
-        "transform(slice(items, i + 2, size(items) - i - 1), "
-        "y -> struct(x AS item_a, y AS item_b))))"
-    )
+    # Two chained generates (posexplode + explode over a slice) — no
+    # lambda anywhere, so nothing runs interpreted per row (the HOF
+    # hot-path audit's nest class stays empty).
     pair = (
-        barr.select(F.explode(F.expr(pair_expr)).alias("pr"))
-        .groupBy(
-            F.col("pr.item_a").alias("item_a"),
-            F.col("pr.item_b").alias("item_b"),
+        barr.select(
+            F.posexplode("items").alias("i", "item_a"), F.col("items")
         )
+        .select(
+            "item_a",
+            F.explode(
+                F.expr("slice(items, i + 2, size(items) - i - 1)")
+            ).alias("item_b"),
+        )
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("long").alias("s_ab"))
     )
     fpair = pair.crossJoin(F.broadcast(nb)).filter(

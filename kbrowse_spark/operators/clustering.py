@@ -136,16 +136,19 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sq_dist_cols(col: str, cents: list[tuple[int, list[int]]]):
     """One exact-integer squared-distance expression per centroid,
-    the centroid riding along as a broadcast array literal."""
+    the centroid riding along as a broadcast array literal.
+
+    Built as ONE sql expression string per centroid (r15): the
+    Column-API form issued k x dim F.lit() py4j round trips per
+    builder call (512+ driver calls for the IVF family — measured as
+    plan-CONSTRUCTION time on every ann_ivf_* / kmeans run); the
+    parser builds the identical resolved expression in one call."""
     return [
-        F.aggregate(
-            F.zip_with(
-                F.col(col),
-                F.array(*[F.lit(c) for c in vec]),
-                lambda x, c: (x - c) * (x - c),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, y: acc + y,
+        F.expr(
+            f"aggregate(zip_with({col},"
+            f" array({','.join(str(c) for c in vec)}),"
+            " (x, c) -> (x - c) * (x - c)),"
+            " CAST(0 AS BIGINT), (acc, y) -> acc + y)"
         )
         for _, vec in cents
     ]

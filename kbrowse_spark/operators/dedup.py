@@ -561,7 +561,14 @@ def _span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     worth keeping is the hash-grain aggregate below."""
     d = load(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.split("text", " ").alias("w"))
+        d.select("doc_id", "text")
+        # Spread the per-position hashing off the single-row-group scan
+        # task (r15, guide §2.5 — the text_fingerprint asymmetry): one
+        # 8-word concat + md5 PER WORD POSITION of every document
+        # otherwise runs on the one scan core; the shuffled bytes are
+        # doc-grain (id + text), ~1% of the downstream hash work.
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.expr(f"size(w) >= {_SPAN_GRAM}"))
         .select(
             "doc_id",

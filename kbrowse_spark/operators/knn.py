@@ -400,16 +400,32 @@ def embedding_neardup_rerank_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rerank(batches):
+        # mapInArrow, not mapInPandas (r15, guide §4.2): a pandas batch
+        # materializes each embedding as a PYTHON OBJECT cell
+        # (np.stack over ~100k object rows dominated the stage); the
+        # Arrow list<float32> column is one contiguous values buffer +
+        # offsets, so the pair matrix is a zero-copy flatten + reshape.
         import numpy as _np
-        import pandas as _pd
+        import pyarrow as _pa
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            # array<float> arrives as float32 rows; widen to float64
+            ea_col = rb.column(rb.schema.get_field_index("ea"))
+            eb_col = rb.column(rb.schema.get_field_index("eb"))
+            dim = len(ea_col.flatten()) // rb.num_rows
+            # array<float> arrives as float32 values; widen to float64
             # exactly (CAST(x AS DOUBLE) parity with the JVM formula).
-            ea = _np.stack(pdf["ea"].to_numpy()).astype(_np.float64)
-            eb = _np.stack(pdf["eb"].to_numpy()).astype(_np.float64)
+            ea = (
+                ea_col.flatten().to_numpy(zero_copy_only=False)
+                .astype(_np.float64)
+                .reshape(-1, dim)
+            )
+            eb = (
+                eb_col.flatten().to_numpy(zero_copy_only=False)
+                .astype(_np.float64)
+                .reshape(-1, dim)
+            )
             dots = (
                 _np.floor(ea * eb * 1e15)
                 .astype(_np.int64)
@@ -417,14 +433,32 @@ def embedding_neardup_rerank_np(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .astype(_np.float64)
                 / 1e15
             )
-            cos = dots / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
-            out = _pd.DataFrame(
-                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": cos}
+            na = rb.column(rb.schema.get_field_index("na")).to_numpy(
+                zero_copy_only=False
             )
-            yield out[out["cosine"] >= 0.35]
+            nb_ = rb.column(rb.schema.get_field_index("nb")).to_numpy(
+                zero_copy_only=False
+            )
+            cos = dots / (na * nb_)
+            keep = cos >= 0.35
+            yield _pa.RecordBatch.from_pydict(
+                {
+                    "vec_a": _pa.array(
+                        rb.column(rb.schema.get_field_index("vec_a"))
+                        .to_numpy(zero_copy_only=False)[keep],
+                        type=_pa.int64(),
+                    ),
+                    "vec_b": _pa.array(
+                        rb.column(rb.schema.get_field_index("vec_b"))
+                        .to_numpy(zero_copy_only=False)[keep],
+                        type=_pa.int64(),
+                    ),
+                    "cosine": _pa.array(cos[keep], type=_pa.float64()),
+                }
+            )
 
     return (
-        cand.mapInPandas(rerank, schema="vec_a long, vec_b long, cosine double")
+        cand.mapInArrow(rerank, schema="vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
     )
 

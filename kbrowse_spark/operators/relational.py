@@ -1766,7 +1766,13 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
     reg = (
-        li.select(
+        # Spread the per-row sketch hashing off the single-row-group
+        # scan task (r15, guide §2.5 — the join_bloom/hll_fold
+        # asymmetry: md5 + hex parses per row vs a narrow-row exchange).
+        li.repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_partkey")
+        )
+        .select(
             "l_returnflag",
             F.expr(hll_bucket_sql("spark", _HLL_PARTKEY)).alias("bucket"),
             F.expr(hll_rho_sql("spark", _HLL_PARTKEY)).alias("rho"),

@@ -475,7 +475,14 @@ def hll_fold_precision_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     regs = (
-        li.select(
+        li.select("l_partkey")
+        # Spread the per-row sketch hashing off the single-row-group
+        # scan task (r15, guide §2.5 — the join_bloom asymmetry: md5 +
+        # two hex parses per row vs an 8-byte key exchange).
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_partkey")
+        )
+        .select(
             F.expr(hll_bucket_sql("spark", _HPL_KEY)).alias("bucket"),
             F.expr(hll_rho_sql("spark", _HPL_KEY)).alias("rho"),
         )

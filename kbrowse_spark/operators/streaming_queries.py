@@ -1300,9 +1300,17 @@ def _make_session_update():
         return out
 
     def update(key, batches, state):
-        # Runs the per-user gaps-and-islands loop for every user of
-        # the bucket inside ONE Python invocation; state is per-user
-        # scalars held as parallel arrays on the bucket row.
+        # Vectorized gaps-and-islands for the WHOLE bucket (r15, guide
+        # §4.2): the prior form looped per event in Python (every
+        # corpus event row paid an interpreted iteration — the
+        # operator's dominant term once the per-group invocation count
+        # was fixed by bucketing).  numpy computes island boundaries,
+        # per-island min/max/count and the carried-state merge as
+        # array ops; the emitted sessions, the surviving open-session
+        # state, and the timer value are identical by construction
+        # (test_bucketed_session_timeout_multibatch pins the
+        # cross-batch merge and wake-up paths).
+        import numpy as np
         import pandas as pd
 
         if state.hasTimedOut:
@@ -1312,55 +1320,121 @@ def _make_session_update():
                     out, columns=["user_id", "start_us", "end_us", "n_events"]
                 )
             return
-        open_s: dict[int, list[int]] = {}
         if state.exists:
-            users, starts, lasts, ns = state.get
-            open_s = {
-                int(u): [int(s), int(last), int(n)]
-                for u, s, last, n in zip(users, starts, lasts, ns)
-            }
+            users0, starts0, lasts0, ns0 = (
+                np.asarray(x, dtype=np.int64) for x in state.get
+            )
+        else:
+            users0 = starts0 = lasts0 = ns0 = np.empty(0, dtype=np.int64)
         ev_parts = [pdf[["user_id", "ts_us"]] for pdf in batches]
-        allev = (
-            pd.concat(ev_parts) if len(ev_parts) > 1 else ev_parts[0]
-        ).sort_values(["user_id", "ts_us"])
-        out = []
-        for u, grp in allev.groupby("user_id", sort=False):
-            u = int(u)
-            ts_list = [int(t) for t in grp["ts_us"]]
-            if u in open_s:
-                start_us, last_us, n = open_s[u]
-            else:
-                start_us, last_us, n = ts_list[0], ts_list[0] - 1, 0
-            for t in ts_list:
-                if n > 0 and t - last_us > gap_us:
-                    out.append((u, start_us, last_us + gap_us, n))
-                    start_us, n = t, 0
-                # max() guards the cross-batch case: an in-watermark
-                # but out-of-order arrival extends the open session's
-                # count without REGRESSING its end (and so its timeout).
-                last_us = max(last_us, t)
-                start_us = min(start_us, t)
-                n += 1
-            open_s[u] = [start_us, last_us, n]
+        allev = pd.concat(ev_parts) if len(ev_parts) > 1 else ev_parts[0]
+        u = allev["user_id"].to_numpy(dtype=np.int64)
+        t = allev["ts_us"].to_numpy(dtype=np.int64)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        n_ev = len(u)
+
+        # First-event positions per user + carried-state lookup.
+        first = np.empty(n_ev, dtype=bool)
+        if n_ev:
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+        fe_idx = np.flatnonzero(first)
+        fu = u[fe_idx]
+        s0_order = np.argsort(users0, kind="stable")
+        su = users0[s0_order]
+        pos = np.searchsorted(su, fu)
+        if len(su):
+            has0 = (pos < len(su)) & (su[np.minimum(pos, len(su) - 1)] == fu)
+            c_idx = s0_order[np.minimum(pos, len(su) - 1)]
+            carried_start = np.where(has0, starts0[c_idx], 0)
+            carried_last = np.where(has0, lasts0[c_idx], 0)
+            carried_n = np.where(has0, ns0[c_idx], 0)
+        else:
+            has0 = np.zeros(len(fu), dtype=bool)
+            carried_start = np.zeros(len(fu), dtype=np.int64)
+            carried_last = np.zeros(len(fu), dtype=np.int64)
+            carried_n = np.zeros(len(fu), dtype=np.int64)
+
+        # prev_last per event: max(previous event ts, carried last);
+        # a no-state first event uses t-1 (n==0 there, so the gap test
+        # can never close anything — 1 us is always <= gap).
+        prev_last = np.empty(n_ev, dtype=np.int64)
+        if n_ev:
+            prev_last[1:] = t[:-1]
+            user_cnt = np.diff(np.append(fe_idx, n_ev))
+            cl_ev = np.repeat(
+                np.where(has0, carried_last, np.int64(-(1 << 62))), user_cnt
+            )
+            prev_last = np.maximum(prev_last, cl_ev)
+            prev_last[fe_idx] = np.where(has0, carried_last, t[fe_idx] - 1)
+        close = (t - prev_last) > gap_us
+        boundary = first | close
+        b_idx = np.flatnonzero(boundary)
+        isl_user = u[b_idx]
+        isl_end = np.append(b_idx[1:], n_ev) - 1
+        m_start = t[b_idx].copy()
+        m_max = t[isl_end].copy()
+        m_cnt = isl_end - b_idx + 1
+        isl_last = np.empty(len(b_idx), dtype=bool)
+        if len(b_idx):
+            isl_last[:-1] = isl_user[:-1] != isl_user[1:]
+            isl_last[-1] = True
+
+        # Merge each user's FIRST island with its carried session when
+        # the first event did not cross the gap.
+        fi = np.flatnonzero(first[b_idx])  # islands that are user-first
+        cont = has0 & ~close[fe_idx]
+        sel = fi[cont]
+        m_start[sel] = np.minimum(m_start[sel], carried_start[cont])
+        m_max[sel] = np.maximum(m_max[sel], carried_last[cont])
+        m_cnt[sel] = m_cnt[sel] + carried_n[cont]
+
+        # Emissions: carried sessions the first event closed by gap,
+        # then every in-batch island except each user's last (open).
+        closed0 = has0 & close[fe_idx]
+        emit = ~isl_last
+        out_u = np.concatenate([fu[closed0], isl_user[emit]])
+        out_s = np.concatenate([carried_start[closed0], m_start[emit]])
+        out_e = (
+            np.concatenate([carried_last[closed0], m_max[emit]]) + gap_us
+        )
+        out_n = np.concatenate([carried_n[closed0], m_cnt[emit]])
+
+        # New state: each user's last island + untouched carried users.
+        keep0 = (
+            ~np.isin(users0, fu)
+            if len(users0)
+            else np.zeros(0, dtype=bool)
+        )
+        new_u = np.concatenate([isl_user[isl_last], users0[keep0]])
+        new_s = np.concatenate([m_start[isl_last], starts0[keep0]])
+        new_l = np.concatenate([m_max[isl_last], lasts0[keep0]])
+        new_n = np.concatenate([m_cnt[isl_last], ns0[keep0]])
         state.update(
             (
-                list(open_s),
-                [v[0] for v in open_s.values()],
-                [v[1] for v in open_s.values()],
-                [v[2] for v in open_s.values()],
+                new_u.tolist(),
+                new_s.tolist(),
+                new_l.tolist(),
+                new_n.tolist(),
             )
         )
         # Wake-up at the earliest open-session timeout; clamp above
         # the current watermark (an untouched user's timeout may
         # already lie behind it — its session closes at the wake-up's
         # per-session expiry check, exactly as its own timer would).
-        nxt = min(v[1] // 1000 + gap_ms for v in open_s.values())
+        nxt = int(new_l.min()) // 1000 + gap_ms
         state.setTimeoutTimestamp(
             max(nxt, state.getCurrentWatermarkMs() + 1)
         )
-        if out:
+        if len(out_u):
             yield pd.DataFrame(
-                out, columns=["user_id", "start_us", "end_us", "n_events"]
+                {
+                    "user_id": out_u,
+                    "start_us": out_s,
+                    "end_us": out_e,
+                    "n_events": out_n,
+                }
             )
 
     return update
